@@ -1,0 +1,132 @@
+"""Deterministic hash kernels, vectorized with numpy.
+
+- ``fnv64``: FNV-1a 64-bit — the frontier partitioning / URL-seen key
+  required by the north rule. Vectorized column-wise: instead of a
+  per-byte Python loop we walk byte *positions* and update every string
+  in the batch at once with uint64 wraparound arithmetic, so cost is
+  O(max_len) numpy kernels per batch, not O(total_bytes) Python ops.
+- ``splitmix64``: cheap stateless mixer used to derive independent
+  hash families (minhash permutations, bloom probes, salts).
+- ``minhash_signatures`` / ``simhash64``: vectorized signature kernels
+  for the dedup pipelines.
+
+All functions are pure and seed-stable: outputs are part of the
+checkpoint format, so NOTHING here may depend on PYTHONHASHSEED, dict
+order or wall clock.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV64_PRIME = np.uint64(0x100000001B3)
+
+_err = np.seterr(over="ignore")  # uint64 wraparound is the point
+
+
+def _as_byte_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a sequence/array of strings to a padded uint8 matrix + lengths."""
+    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
+        strings = strings.to_pylist()
+    encoded = [s.encode("utf-8") if s is not None else b"" for s in strings]
+    n = len(encoded)
+    lengths = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    max_len = int(lengths.max()) if n else 0
+    mat = np.zeros((n, max_len), dtype=np.uint8)
+    for i, b in enumerate(encoded):
+        if b:
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return mat, lengths
+
+
+def fnv64(strings) -> np.ndarray:
+    """FNV-1a 64-bit over UTF-8 bytes, vectorized. Returns uint64 ndarray."""
+    mat, lengths = _as_byte_matrix(strings)
+    n, max_len = mat.shape
+    h = np.full(n, FNV64_OFFSET, dtype=np.uint64)
+    for j in range(max_len):
+        active = lengths > j
+        if not active.any():
+            break
+        hj = h[active]
+        hj = (hj ^ mat[active, j].astype(np.uint64)) * FNV64_PRIME
+        h[active] = hj
+    return h
+
+
+def fnv64_one(s: str) -> int:
+    """Scalar FNV-1a 64 (reference implementation; must equal fnv64)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
+    """SplitMix64 finalizer — derives independent hash values from uint64."""
+    scalar = np.isscalar(x)
+    z = np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return int(z) if scalar else z
+
+
+def hash_family(values: np.ndarray, k: int) -> np.ndarray:
+    """k independent uint64 hashes per value: shape (len(values), k).
+
+    h_i(x) = splitmix64(x ^ splitmix64(i+1)) — one numpy pass per family
+    member.
+    """
+    values = np.asarray(values, dtype=np.uint64)
+    out = np.empty((len(values), k), dtype=np.uint64)
+    for i in range(k):
+        seed = np.uint64(splitmix64(i + 1))
+        out[:, i] = splitmix64(values ^ seed)
+    return out
+
+
+def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
+    """uint64 hashes of word n-gram shingles of a token list."""
+    if len(tokens) < n:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    if not joined:
+        return np.empty(0, dtype=np.uint64)
+    return fnv64(joined)
+
+
+def minhash_signature(shingles: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a set of shingle hashes."""
+    if len(shingles) == 0:
+        return np.full(num_perm, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    fam = hash_family(shingles, num_perm)  # (n_shingles, num_perm)
+    return fam.min(axis=0)
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash of token hashes (optionally weighted)."""
+    if len(token_hashes) == 0:
+        return 0
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    signed = bits * 2 - 1
+    if weights is not None:
+        signed = signed * weights[:, None].astype(np.int64)
+    acc = signed.sum(axis=0)
+    out = np.uint64(0)
+    for b in range(64):
+        if acc[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return int(out)
+
+
+def hamming64(a: np.ndarray, b: int) -> np.ndarray:
+    """Hamming distance between uint64 array and a scalar uint64."""
+    x = np.asarray(a, dtype=np.uint64) ^ np.uint64(b)
+    # popcount via unpackbits on the byte view
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)

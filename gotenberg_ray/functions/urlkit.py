@@ -1,0 +1,267 @@
+"""URL kernel: canonicalization, admission filtering, IP policy.
+
+Pure, stateless functions — the heaviest unit-test surface (SURVEY.md
+§7.2 step 2). Semantics mirrored from the reference:
+
+- canonicalization: lowercase scheme+host then re-serialize, per
+  ``DecideOutbound`` (/root/reference/pkg/gotenberg/outbound.go:264-270);
+  extended RFC-3986 normalization (default-port strip, dot-segment
+  removal, empty-path → "/", fragment strip, percent-encoding case) for
+  the crawl-frontier key, since the seen-set needs one canonical form.
+- allow/deny regex filter: allow-list OR semantics, deny always applies
+  (/root/reference/pkg/gotenberg/filter.go:20-70, outbound.go:258-340).
+- file:// scheme reject (chromium/routes.go:417-435).
+- IP-class policy: the non-public prefix table of outbound.go:69-114,
+  incl. IPv4-mapped unwrap.
+- status-class expansion: 199/299/399/499/599 → whole class
+  (chromium/events.go:215-227).
+- domain normalizer/suffix matcher (chromium/events.go:299-360).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from urllib.parse import urlsplit, urlunsplit, quote, unquote
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import fnv64
+
+DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443", "ftp": "21"}
+
+_PCT_RE = re.compile(r"%[0-9a-fA-F]{2}")
+# characters that never need percent-encoding in a path (RFC 3986 unreserved + sub-delims + ":@/")
+_PATH_SAFE = "/:@!$&'()*+,;=~.-_"
+
+
+def _normalize_percent(s: str) -> str:
+    """Uppercase hex digits of percent escapes; decode unreserved chars."""
+    if "%" not in s:
+        return s
+    return quote(unquote(s), safe=_PATH_SAFE + "%?=")
+
+
+def _remove_dot_segments(path: str) -> str:
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+            continue
+        out.append(seg)
+    p = "/".join(out)
+    if not p.startswith("/"):
+        p = "/" + p
+    return p
+
+
+def canonicalize_url(url: str) -> str:
+    """RFC-3986 canonical form used as the frontier/seen key.
+
+    lowercase scheme+host, strip default port, strip fragment, normalize
+    percent-encoding + dot segments, empty path → "/".
+    """
+    url = url.strip()
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    scheme = parts.scheme.lower()
+    host = parts.hostname or ""
+    host = host.lower().rstrip(".")
+    if ":" in host:  # IPv6 literal — re-bracket (urlsplit strips the brackets)
+        host = f"[{host}]"
+    port = None
+    try:
+        port = parts.port
+    except ValueError:
+        port = None
+    netloc = host
+    if port is not None and str(port) != DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    if parts.username:
+        userinfo = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{userinfo}@{netloc}"
+    path = _remove_dot_segments(_normalize_percent(parts.path)) if netloc else parts.path
+    if netloc and not path:
+        path = "/"
+    query = _normalize_percent(parts.query)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def url_host(url: str) -> str:
+    try:
+        return (urlsplit(url).hostname or "").lower().rstrip(".")
+    except ValueError:
+        return ""
+
+
+def canonicalize_batch(urls) -> tuple[pa.Array, pa.Array, np.ndarray]:
+    """Vectorized entry point: (url_canon, host, url_hash:uint64)."""
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        urls = urls.to_pylist()
+    canon = [canonicalize_url(u) if u is not None else "" for u in urls]
+    hosts = [url_host(c) for c in canon]
+    hashes = fnv64(canon)
+    return pa.array(canon, type=pa.string()), pa.array(hosts, type=pa.string()), hashes
+
+
+# --------------------------------------------------------------------------
+# allow / deny admission filter (filter.go:20-70 + outbound.go:258-340):
+# - empty allow-list ⇒ everything allowed; non-empty ⇒ must match ANY
+# - deny-list always applies; any match rejects
+# - matching runs on the CANONICAL form (outbound.go:264-270)
+
+
+class UrlFilter:
+    """Compiled allow/deny regex filter. Compile once (actor __init__)."""
+
+    def __init__(self, allow: list[str] | None = None, deny: list[str] | None = None):
+        self.allow = [re.compile(p) for p in (allow or [])]
+        self.deny = [re.compile(p) for p in (deny or [])]
+
+    def decide(self, url_canon: str) -> bool:
+        if self.allow and not any(p.search(url_canon) for p in self.allow):
+            return False
+        if any(p.search(url_canon) for p in self.deny):
+            return False
+        return True
+
+    def decide_batch(self, urls_canon: list[str]) -> np.ndarray:
+        return np.fromiter(
+            (self.decide(u) for u in urls_canon), dtype=bool, count=len(urls_canon)
+        )
+
+
+def reject_file_scheme(urls_canon: list[str]) -> np.ndarray:
+    """True where the URL must be rejected (file:// — routes.go:417-435)."""
+    return np.fromiter(
+        (u.startswith("file:") for u in urls_canon), dtype=bool, count=len(urls_canon)
+    )
+
+
+# --------------------------------------------------------------------------
+# IP-class policy (outbound.go:69-114). The reference resolves the host
+# and rejects any non-public IP; we classify literal-IP hosts the same
+# way and treat the (sandboxed, network-less) DNS step as a
+# deterministic stub that callers may override.
+
+_NON_PUBLIC_V6 = [
+    ipaddress.ip_network(p)
+    for p in (
+        "::/128",  # unspecified
+        "::1/128",  # loopback
+        "::ffff:0:0/96",  # IPv4-mapped (unwrapped below, but reject raw)
+        "64:ff9b::/96",  # NAT64
+        "100::/64",  # discard
+        "2001::/32",  # Teredo
+        "2001:db8::/32",  # documentation
+        "2002::/16",  # 6to4
+        "fc00::/7",  # ULA
+        "fe80::/10",  # link-local
+        "ff00::/8",  # multicast
+    )
+]
+
+_NON_PUBLIC_V4 = [
+    ipaddress.ip_network(p)
+    for p in (
+        "0.0.0.0/8",
+        "10.0.0.0/8",
+        "100.64.0.0/10",
+        "127.0.0.0/8",
+        "169.254.0.0/16",
+        "172.16.0.0/12",
+        "192.0.0.0/24",
+        "192.0.2.0/24",
+        "192.168.0.0/16",
+        "198.18.0.0/15",
+        "198.51.100.0/24",
+        "203.0.113.0/24",
+        "224.0.0.0/4",
+        "240.0.0.0/4",
+        "255.255.255.255/32",
+    )
+]
+
+
+def is_public_ip(ip_str: str) -> bool:
+    """True iff the address is publicly routable (outbound.go:91-114).
+
+    IPv4-mapped IPv6 addresses are unwrapped and judged as IPv4
+    (outbound.go IPv4-mapped unwrap).
+    """
+    try:
+        ip = ipaddress.ip_address(ip_str)
+    except ValueError:
+        return False
+    if isinstance(ip, ipaddress.IPv6Address):
+        mapped = ip.ipv4_mapped
+        if mapped is not None:
+            ip = mapped
+    nets = _NON_PUBLIC_V4 if ip.version == 4 else _NON_PUBLIC_V6
+    return not any(ip in n for n in nets)
+
+
+def host_ip_policy(host: str) -> str:
+    """Classify a host: 'public' | 'non_public' | 'name' (needs resolve)."""
+    try:
+        ipaddress.ip_address(host)
+    except ValueError:
+        return "name"
+    return "public" if is_public_ip(host) else "non_public"
+
+
+# --------------------------------------------------------------------------
+# status-class expansion (events.go:215-227): a sentinel of 199/299/399/
+# 499/599 expands to its whole 100-status class.
+
+
+def expand_status_codes(codes: list[int]) -> np.ndarray:
+    """Expand fail-on status sentinels to the full set (sorted uint16)."""
+    out: set[int] = set()
+    for c in codes:
+        c = int(c)
+        if c in (199, 299, 399, 499, 599):
+            out.update(range(c - 99, c + 1))
+        else:
+            out.add(c)
+    return np.array(sorted(out), dtype=np.uint16)
+
+
+def status_fails(statuses: np.ndarray, expanded: np.ndarray) -> np.ndarray:
+    """Vectorized membership: does each status hit the fail set?"""
+    return np.isin(np.asarray(statuses, dtype=np.uint16), expanded)
+
+
+# --------------------------------------------------------------------------
+# domain normalizer + suffix matcher (events.go:299-360):
+# "*.example.com" / ".ex.com" / "https://ex.com/p" / "ex.com:443" → bare
+# host; match = exact or dot-boundary suffix.
+
+
+def normalize_domain(pattern: str) -> str:
+    p = pattern.strip().lower()
+    if "://" in p:
+        p = urlsplit(p).hostname or p
+    else:
+        p = p.lstrip("*")
+        p = p.lstrip(".")
+        p = p.split("/", 1)[0]
+        p = p.split(":", 1)[0]
+    return p.rstrip(".")
+
+
+def domain_matches(host: str, patterns: list[str]) -> bool:
+    host = host.lower().rstrip(".")
+    for raw in patterns:
+        p = normalize_domain(raw)
+        if not p:
+            continue
+        if host == p or host.endswith("." + p):
+            return True
+    return False

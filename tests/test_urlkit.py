@@ -1,0 +1,109 @@
+import numpy as np
+
+from gotenberg_ray.functions import urlkit as U
+
+
+def test_canonicalize_lowercases_scheme_and_host():
+    # outbound.go:264-270 semantics
+    assert U.canonicalize_url("HTTP://ExAmPlE.Com/Path") == "http://example.com/Path"
+
+
+def test_canonicalize_strips_default_port_fragment_and_dot_segments():
+    assert U.canonicalize_url("http://example.com:80/a/../b/./c#frag") == "http://example.com/b/c"
+    assert U.canonicalize_url("https://example.com:443/") == "https://example.com/"
+    assert U.canonicalize_url("https://example.com:8443/x") == "https://example.com:8443/x"
+
+
+def test_canonicalize_empty_path_and_percent():
+    assert U.canonicalize_url("http://example.com") == "http://example.com/"
+    assert U.canonicalize_url("http://example.com/%7euser") == "http://example.com/~user"
+    assert U.canonicalize_url("http://example.com/a%2fb") == "http://example.com/a/b"
+
+
+def test_canonicalize_ipv6_literal_keeps_brackets():
+    assert U.canonicalize_url("http://[::1]:80/x") == "http://[::1]/x"
+    assert U.canonicalize_url("http://[2600::1]:8080/x") == "http://[2600::1]:8080/x"
+
+
+def test_canonicalize_idempotent():
+    urls = [
+        "HTTP://ExAmPlE.Com:80/a/../b#f",
+        "https://u:p@Host.Org:443/x?q=1%7e",
+        "file:///etc/passwd",
+    ]
+    for u in urls:
+        c = U.canonicalize_url(u)
+        assert U.canonicalize_url(c) == c
+
+
+def test_batch_matches_scalar():
+    urls = ["HTTP://A.com:80/x#f", "https://b.org", None]
+    canon, hosts, hashes = U.canonicalize_batch(urls)
+    assert canon.to_pylist() == ["http://a.com/x", "https://b.org/", ""]
+    assert hosts.to_pylist() == ["a.com", "b.org", ""]
+    assert hashes.dtype == np.uint64
+
+
+def test_filter_allow_or_semantics_deny_always_wins():
+    # filter.go:20-70: empty allow = all; non-empty allow = OR; deny always applies
+    f = U.UrlFilter()
+    assert f.decide("http://anything/")
+    f = U.UrlFilter(allow=[r"\.org/", r"\.com/"])
+    assert f.decide("http://a.org/")
+    assert not f.decide("http://a.net/")
+    f = U.UrlFilter(allow=[r"\.org/"], deny=[r"/private/"])
+    assert not f.decide("http://a.org/private/x")
+    f = U.UrlFilter(deny=[r"evil"])
+    assert not f.decide("http://evil.com/")
+
+
+def test_reject_file_scheme():
+    m = U.reject_file_scheme(["file:///x", "http://a/"])
+    assert m.tolist() == [True, False]
+
+
+def test_ip_policy_tables():
+    # outbound.go:69-114
+    assert U.is_public_ip("8.8.8.8")
+    assert not U.is_public_ip("10.1.2.3")
+    assert not U.is_public_ip("127.0.0.1")
+    assert not U.is_public_ip("169.254.1.1")
+    assert not U.is_public_ip("172.16.5.5")
+    assert not U.is_public_ip("192.168.0.1")
+    assert not U.is_public_ip("100.64.0.1")
+    assert not U.is_public_ip("::1")
+    assert not U.is_public_ip("fe80::1")
+    assert not U.is_public_ip("fc00::1")
+    assert not U.is_public_ip("2002::1")  # 6to4
+    assert not U.is_public_ip("2001::1")  # Teredo
+    assert not U.is_public_ip("64:ff9b::1.2.3.4")  # NAT64
+    assert U.is_public_ip("2600::1")
+    # IPv4-mapped unwrap
+    assert not U.is_public_ip("::ffff:192.168.0.1")
+    assert U.is_public_ip("::ffff:8.8.8.8")
+
+
+def test_host_ip_policy():
+    assert U.host_ip_policy("example.com") == "name"
+    assert U.host_ip_policy("192.168.0.1") == "non_public"
+    assert U.host_ip_policy("8.8.8.8") == "public"
+
+
+def test_status_class_expansion():
+    # events.go:215-227: 499 → 400..499; others literal
+    ex = U.expand_status_codes([499])
+    assert ex.min() == 400 and ex.max() == 499 and len(ex) == 100
+    ex = U.expand_status_codes([404, 599])
+    assert 404 in ex and 500 in ex and 599 in ex and 418 not in ex
+    assert U.status_fails(np.array([200, 404, 503]), ex).tolist() == [False, True, True]
+
+
+def test_domain_normalize_and_match():
+    # events.go:299-360
+    assert U.normalize_domain("*.Example.COM") == "example.com"
+    assert U.normalize_domain(".ex.com") == "ex.com"
+    assert U.normalize_domain("https://ex.com/p") == "ex.com"
+    assert U.normalize_domain("ex.com:443") == "ex.com"
+    assert U.domain_matches("a.ex.com", ["*.ex.com"])
+    assert U.domain_matches("ex.com", ["ex.com:443"])
+    assert not U.domain_matches("notex.com", ["ex.com"])
