@@ -24,6 +24,7 @@ KIND_PAGE_BREAK = "page_break"
 KIND_WATERMARK = "watermark"
 KIND_STAMP = "stamp"
 KIND_EMBED = "embed"
+KIND_ROTATE = "rotate"  # page-attribute marker emitted by the rotate op
 
 SPAN_STRUCT = pa.struct(
     [

@@ -1,0 +1,125 @@
+"""robots.txt parsing + per-host cache for the frontier shards.
+
+Implements the de-facto standard (RFC 9309 subset): User-agent groups,
+Allow/Disallow longest-prefix-match with Allow winning ties, `*`
+wildcard and `$` end anchor in rules, Crawl-delay. The shard actor
+holds one `RobotsCache`; in the sandbox the fetch of /robots.txt is a
+deterministic lookup into the synthetic corpus (corpus.make_robots).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class RobotsRules:
+    def __init__(self, rules: list[tuple[bool, str]], crawl_delay: int | None):
+        # rules = [(is_allow, path_pattern)]
+        self.rules = rules
+        self.crawl_delay = crawl_delay
+        self._compiled = [
+            (allow, len(pat), self._compile(pat)) for allow, pat in rules if pat
+        ]
+
+    @staticmethod
+    def _compile(pattern: str) -> re.Pattern:
+        out = []
+        for ch in pattern:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "$":
+                out.append("$")
+            else:
+                out.append(re.escape(ch))
+        return re.compile("^" + "".join(out))
+
+    def allowed(self, path: str) -> bool:
+        best: tuple[int, bool] | None = None  # (specificity, is_allow)
+        for allow, spec, rx in self._compiled:
+            if rx.match(path):
+                if best is None or spec > best[0] or (spec == best[0] and allow and not best[1]):
+                    best = (spec, allow)
+        return True if best is None else best[1]
+
+
+def parse_robots(text: str, agent: str = "*") -> RobotsRules:
+    """Parse robots.txt, honoring the most specific matching UA group."""
+    groups: list[tuple[list[str], list[tuple[bool, str]], int | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    cur_delay: int | None = None
+    in_group_body = False
+
+    def close():
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                close()
+                in_group_body = False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if value:
+                cur_rules.append((field == "allow", value))
+            elif field == "disallow":
+                pass  # "Disallow:" empty = allow all, no rule needed
+        elif field == "crawl-delay":
+            in_group_body = True
+            try:
+                cur_delay = int(float(value))
+            except ValueError:
+                pass
+    close()
+
+    agent = agent.lower()
+    best: tuple[int, list, int | None] | None = None
+    for agents, rules, delay in groups:
+        for a in agents:
+            if a == "*":
+                spec = 0
+            elif a in agent or agent in a:
+                spec = len(a)
+            else:
+                continue
+            if best is None or spec > best[0]:
+                best = (spec, rules, delay)
+    if best is None:
+        return RobotsRules([], None)
+    return RobotsRules(best[1], best[2])
+
+
+class RobotsCache:
+    """host → parsed rules; the lookup function is injected (in tests and
+    in the sandbox it reads the deterministic synthetic robots corpus)."""
+
+    def __init__(self, fetch_fn, agent: str = "gotenberg-ray"):
+        self._fetch = fetch_fn  # (host) -> robots.txt text or None
+        self._agent = agent
+        self._cache: dict[str, RobotsRules] = {}
+        self.fetches = 0
+
+    def rules_for(self, host: str) -> RobotsRules:
+        r = self._cache.get(host)
+        if r is None:
+            self.fetches += 1
+            text = self._fetch(host)
+            r = parse_robots(text, self._agent) if text else RobotsRules([], None)
+            self._cache[host] = r
+        return r
+
+    def allowed(self, host: str, path: str) -> bool:
+        return self.rules_for(host).allowed(path)
+
+    def crawl_delay(self, host: str) -> int | None:
+        return self.rules_for(host).crawl_delay
