@@ -1,44 +1,134 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (crawl → convert) on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible one (column names match exactly — the driver hashes
+values after sorting columns by name).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or anywhere in the library.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Ray workers don't inherit this sys.path entry — ship the package by
+# value inside task/actor pickles instead of importing it remotely.
+try:
+    import gotenberg_ray as _pkg
+    from ray import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_pkg)
+except Exception:  # pragma: no cover — ray not importable yet
+    pass
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl the synthetic interleaved corpus with the Ray
+    frontier (actor shards + persistent fetch pool), then run the
+    conversion chain over the fetched pages as a Ray Data pipeline."""
+    import tempfile
+
+    import ray.data as rd
+
+    from gotenberg_ray.corpus import host_pool, make_documents, make_frontier, make_robots
+    from gotenberg_ray.frontier.crawler import CrawlConfig, run_crawl
+    from gotenberg_ray.pipelines.convert import convert_batch
+
+    docs = make_documents(100, seed=42)
+    frontier = make_frontier(400, n_docs=100, seed=42)
+    robots = make_robots(host_pool(20), seed=42)
+    cfg = CrawlConfig(
+        n_partitions=4,
+        epoch_width=8,
+        max_epochs=30,
+        link_universe=600,
+        fetch_concurrency=2,
+        fetch_num_cpus=0.5,
+    )
+    pages_dir = tempfile.mkdtemp(prefix="gotenberg_ray_pages_")
+    run_crawl(frontier, docs, robots, cfg, mode="ray", pages_dir=pages_dir)
+    pages = rd.read_parquet(pages_dir)
+    converted = pages.map_batches(convert_batch, batch_format="pyarrow")
+    return converted
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gotenberg_ray.pipelines import embedops as E
+    from gotenberg_ray.pipelines import relational as R
+    from gotenberg_ray.pipelines import textops as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator set (filter/project/partial-agg/groupby/
+        # broadcast join/sort+limit)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_orders": R.q3_top_orders,
+        "q5_nation_revenue": R.q5_nation_revenue,
+        "q6_revenue_forecast": R.q6_revenue_forecast,
+        "q10_returned_revenue": R.q10_returned_revenue,
+        "top_parts_by_revenue": R.top_parts_by_revenue,
+        "order_priority_counts": R.order_priority_counts,
+        "supplier_stats_by_nation": R.supplier_stats_by_nation,
+        "part_brand_stats": R.part_brand_stats,
+        # streaming-shaped event processing
+        "events_daily_counts": R.events_daily_counts,
+        "events_user_stats": R.events_user_stats,
+        "events_sessionize": R.events_sessionize,
+        "events_top_purchasers": R.events_top_purchasers,
+        # text corpus analysis + dedup family
+        "doc_stats_by_lang": T.doc_stats_by_lang,
+        "doc_token_counts": T.doc_token_counts,
+        "doc_quality": T.doc_quality,
+        "dedup_exact": T.dedup_exact,
+        "dedup_minhash": T.dedup_minhash,
+        "dedup_simhash": T.dedup_simhash,
+        "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
+        "lang_id_confusion": T.lang_id_confusion,
+        "doc_fingerprints": T.doc_fingerprints,
+        "convert_page_counts": T.convert_page_counts,
+        # similarity search
+        "knn_topk": E.knn_topk,
+        "knn_lsh": E.knn_lsh,
+        "embedding_label_stats": E.embedding_label_stats,
+        "embedding_dup_pairs": E.embedding_dup_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gotenberg_ray.pipelines import embedops as E
+    from gotenberg_ray.pipelines import relational as R
+    from gotenberg_ray.pipelines import textops as T
+
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "q3_top_orders": R.Q3_SQL,
+        "q5_nation_revenue": R.Q5_SQL,
+        "q6_revenue_forecast": R.Q6_SQL,
+        "q10_returned_revenue": R.Q10_SQL,
+        "top_parts_by_revenue": R.TOP_PARTS_SQL,
+        "order_priority_counts": R.ORDER_PRIORITY_SQL,
+        "supplier_stats_by_nation": R.SUPPLIER_STATS_SQL,
+        "part_brand_stats": R.PART_BRAND_SQL,
+        "events_daily_counts": R.EVENTS_DAILY_SQL,
+        "events_user_stats": R.EVENTS_USER_SQL,
+        "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
+        "events_top_purchasers": R.EVENTS_TOP_SQL,
+        "doc_stats_by_lang": T.DOC_STATS_SQL,
+        "doc_token_counts": T.DOC_TOKENS_SQL,
+        "doc_quality": T.DOC_QUALITY_SQL,
+        "dedup_exact": T.DEDUP_EXACT_SQL,
+        "convert_page_counts": T.CONVERT_PAGES_SQL,
+        "knn_topk": E.KNN_SQL,
+        "embedding_label_stats": E.LABEL_STATS_SQL,
+        "embedding_dup_pairs": E.DUP_PAIRS_SQL,
+        # no oracle (sketches / heuristics / approximate search):
+        # dedup_minhash, dedup_simhash, dedup_ngram_jaccard,
+        # lang_id_confusion, doc_fingerprints, knn_lsh
+    }

@@ -23,8 +23,6 @@ import pyarrow as pa
 FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
 FNV64_PRIME = np.uint64(0x100000001B3)
 
-_err = np.seterr(over="ignore")  # uint64 wraparound is the point
-
 
 def _as_byte_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
     """Encode a sequence/array of strings to a padded uint8 matrix + lengths."""
@@ -46,13 +44,14 @@ def fnv64(strings) -> np.ndarray:
     mat, lengths = _as_byte_matrix(strings)
     n, max_len = mat.shape
     h = np.full(n, FNV64_OFFSET, dtype=np.uint64)
-    for j in range(max_len):
-        active = lengths > j
-        if not active.any():
-            break
-        hj = h[active]
-        hj = (hj ^ mat[active, j].astype(np.uint64)) * FNV64_PRIME
-        h[active] = hj
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        for j in range(max_len):
+            active = lengths > j
+            if not active.any():
+                break
+            hj = h[active]
+            hj = (hj ^ mat[active, j].astype(np.uint64)) * FNV64_PRIME
+            h[active] = hj
     return h
 
 
@@ -67,10 +66,11 @@ def fnv64_one(s: str) -> int:
 def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
     """SplitMix64 finalizer — derives independent hash values from uint64."""
     scalar = np.isscalar(x)
-    z = np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    z = z ^ (z >> np.uint64(31))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        z = np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
     return int(z) if scalar else z
 
 

@@ -1,0 +1,332 @@
+"""Conversion pipeline — the route post-processing chain over span rows.
+
+The reference applies a FIXED stub order after every render
+(/root/reference/pkg/modules/chromium/routes.go:861-913):
+
+    validate → Split → Watermark → Stamp → Rotate → FacturXPdfFormats
+    → Convert(PDF/A|UA) → WriteMetadata → EmbedFiles →
+    EmbedFilesMetadata → ApplyFacturX → Encrypt → split-naming
+
+(metadata/embeds intentionally AFTER Convert because LibreOffice strips
+them — routes.go:888-889; that ordering is the contract and is what the
+metadata-survives-convert golden case pins.)
+
+Render-time options (header/footer templates, pageRanges, singlePage —
+tasks.go:60-74,396-441) are applied to the fetched span list before the
+chain, mirroring Chromium's PrintToPDF options.
+
+This module is a pure per-row function plus a ``map_batches`` adapter
+(one input row → N part rows), so the whole chain is one stateless
+vectorizable Ray Data stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from .. import spans as S
+from ..schemas import (
+    ERR_INVALID_INPUT,
+    ERR_NONE,
+    KIND_TEXT,
+    SPANS_TYPE,
+    STATUS_ERROR,
+    STATUS_SUCCESS,
+    make_span,
+)
+
+PAGE_NUMBER_MARK = '<span class="pageNumber"></span>'
+TOTAL_PAGES_MARK = '<span class="totalPages"></span>'
+
+
+@dataclasses.dataclass
+class ConvertOptions:
+    """Typed option record (chromium.Options/PdfOptions ~ chromium.go:119-378
+    + pdfengines form groups; defaults from FIXTURES.md §4)."""
+
+    header_template: str = ""
+    footer_template: str = ""
+    page_ranges: str = ""
+    single_page: bool = False
+    print_background: bool = False
+    omit_background: bool = False
+    generate_document_outline: bool = False
+    split_mode: str = ""  # "", "intervals", "pages"
+    split_span: str = ""
+    split_unify: bool = False
+    pdfa: str = ""
+    pdfua: bool = False
+    metadata: dict[str, Any] = dataclasses.field(default_factory=dict)
+    embeds: list[dict] = dataclasses.field(default_factory=list)
+    watermark_source: str = ""
+    watermark_expression: str = ""
+    watermark_ref: str = ""
+    watermark_pages: str = ""
+    stamp_source: str = ""
+    stamp_expression: str = ""
+    stamp_ref: str = ""
+    stamp_pages: str = ""
+    rotate_angle: int = 0
+    rotate_pages: str = ""
+    flatten: bool = False
+    merge: bool = False
+    facturx_xml: str = ""
+    user_password: str = ""
+    owner_password: str = ""
+    permissions: dict[str, bool] = dataclasses.field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, raw: str) -> "ConvertOptions":
+        try:
+            data = json.loads(raw or "{}")
+        except json.JSONDecodeError:
+            raise S.InvalidInput("options are not valid JSON")
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(data) - fields - {"failOnHttpStatusCodes"}
+        if unknown:
+            raise S.InvalidInput(f"unknown options {sorted(unknown)}")
+        kwargs = {k: v for k, v in data.items() if k in fields}
+        return cls(**kwargs)
+
+
+@dataclasses.dataclass
+class PartRow:
+    part_index: int
+    spans: list[dict]
+    output_name: str
+    pdfa: str = ""
+    pdfua: bool = False
+    metadata_json: str = "{}"
+    bookmarks_json: str = "[]"
+    encrypt_json: str = ""
+    error_type: str = ERR_NONE
+    status: str = STATUS_SUCCESS
+
+
+def _render_template(tpl: str, page_no: int, total: int) -> str:
+    return tpl.replace(PAGE_NUMBER_MARK, str(page_no)).replace(
+        TOTAL_PAGES_MARK, str(total)
+    )
+
+
+def apply_render_options(spans: list[dict], opts: ConvertOptions) -> tuple[list[dict], str]:
+    """Render-time transforms + outline generation (pre-chain)."""
+    # omitBackground requires printBackground (tasks.go:443-472)
+    if opts.omit_background and not opts.print_background:
+        raise S.InvalidInput("omitBackground requires printBackground")
+    pages = S.pages_of(spans)
+    total = len(pages)
+    if opts.page_ranges:
+        sel = S.parse_page_selection(opts.page_ranges, total)
+        if not sel:
+            raise S.InvalidInput(f"page ranges {opts.page_ranges!r} select nothing")
+        pages = [pages[i] for i in sel]
+    if opts.header_template or opts.footer_template:
+        out = []
+        for i, p in enumerate(pages):
+            p = list(p)
+            if opts.header_template:
+                p.insert(0, make_span(KIND_TEXT, text=_render_template(opts.header_template, i + 1, total)))
+            if opts.footer_template:
+                p.append(make_span(KIND_TEXT, text=_render_template(opts.footer_template, i + 1, total)))
+            out.append(p)
+        pages = out
+    bookmarks = "[]"
+    if opts.generate_document_outline:
+        # outline ⇒ tagged PDF coupling (tasks.go:31-37): derive one
+        # bookmark per page from its first text span
+        bms = []
+        for i, p in enumerate(pages):
+            first = next((s["text"] for s in p if s["kind"] == KIND_TEXT), f"Page {i+1}")
+            bms.append({"title": first[:64], "page": i + 1, "children": []})
+        bookmarks = json.dumps(bms)
+    if opts.single_page:
+        # singlePage prints everything as one tall page (tasks.go:60-74)
+        pages = [[s for p in pages for s in p]]
+    return S.join_pages(pages), bookmarks
+
+
+def convert_row(
+    doc_id: str, spans: list[dict], opts: ConvertOptions
+) -> list[PartRow]:
+    """The full post-render chain for one document, in stub order."""
+    spans, bookmarks_json = apply_render_options(spans, opts)
+
+    # --- Split (before overlays, routes.go:861-875) ---
+    if opts.split_mode:
+        parts = S.split_spans(spans, opts.split_mode, opts.split_span, opts.split_unify)
+    else:
+        parts = [spans]
+    split_many = opts.split_mode and not opts.split_unify and len(parts) > 1
+
+    out: list[PartRow] = []
+    for idx, part in enumerate(parts):
+        # --- Watermark → Stamp → Rotate ---
+        if opts.watermark_source:
+            part = S.watermark_spans(
+                part,
+                opts.watermark_source,
+                expression=opts.watermark_expression,
+                media_ref=opts.watermark_ref,
+                pages_expr=opts.watermark_pages,
+            )
+        if opts.stamp_source:
+            part = S.stamp_spans(
+                part,
+                opts.stamp_source,
+                expression=opts.stamp_expression,
+                media_ref=opts.stamp_ref,
+                pages_expr=opts.stamp_pages,
+            )
+        if opts.rotate_angle:
+            part = S.rotate_spans(part, opts.rotate_angle, opts.rotate_pages)
+        if opts.flatten:
+            part = S.flatten_spans(part)
+
+        # --- FacturX format coercion → Convert ---
+        pdfa = opts.pdfa
+        if opts.facturx_xml:
+            pdfa = S.facturx_coerce_format(pdfa)
+        metadata_json = "{}"
+        pdfa, pdfua, metadata_json = S.convert_format(pdfa, opts.pdfua, metadata_json)
+
+        # --- WriteMetadata AFTER convert (routes.go:888-889) ---
+        if opts.metadata:
+            metadata_json = S.write_metadata(metadata_json, opts.metadata)
+
+        # --- EmbedFiles (+metadata) → ApplyFacturX ---
+        if opts.embeds:
+            part = S.embed_files_spans(part, opts.embeds)
+        if opts.facturx_xml:
+            part = S.apply_facturx(part, opts.facturx_xml)
+
+        # --- Encrypt ---
+        encrypt_json = ""
+        if opts.user_password or opts.owner_password or opts.permissions:
+            enc = S.encrypt_options(
+                opts.user_password, opts.owner_password, **opts.permissions
+            )
+            encrypt_json = json.dumps(enc, sort_keys=True)
+
+        # --- split naming (pdfengines/routes.go:299-328): name_i when
+        # the split produced multiple parts; unify keeps the base name ---
+        name = f"{doc_id}_{idx}" if split_many else doc_id
+        out.append(
+            PartRow(
+                part_index=idx,
+                spans=part,
+                output_name=name,
+                pdfa=pdfa,
+                pdfua=pdfua,
+                metadata_json=metadata_json,
+                bookmarks_json=bookmarks_json,
+                encrypt_json=encrypt_json,
+            )
+        )
+    return out
+
+
+PAGES_OUT_FIELDS = [
+    ("doc_id", pa.string()),
+    ("part_index", pa.int32()),
+    ("spans", SPANS_TYPE),
+    ("output_name", pa.string()),
+    ("pdfa", pa.string()),
+    ("pdfua", pa.bool_()),
+    ("metadata_json", pa.string()),
+    ("bookmarks_json", pa.string()),
+    ("encrypt_json", pa.string()),
+    ("status", pa.string()),
+    ("error_type", pa.string()),
+    ("page_count", pa.int32()),
+]
+PAGES_OUT_SCHEMA = pa.schema(PAGES_OUT_FIELDS)
+
+
+def convert_batch(batch: pa.Table) -> pa.Table:
+    """map_batches adapter: rows (doc_id, spans, options_json[, status])
+    → part rows. Rows that arrived as fetch errors pass through as
+    error parts; option/validation failures become 400-family rows
+    (never exceptions — errors are data, middlewares.go:38-88)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans_col = batch.column("spans").to_pylist()
+    opts_col = batch.column("options_json").to_pylist()
+    statuses = (
+        batch.column("status").to_pylist()
+        if "status" in batch.column_names
+        else [STATUS_SUCCESS] * batch.num_rows
+    )
+    errs = (
+        batch.column("error_type").to_pylist()
+        if "error_type" in batch.column_names
+        else [ERR_NONE] * batch.num_rows
+    )
+
+    cols: dict[str, list] = {name: [] for name, _ in PAGES_OUT_FIELDS}
+
+    def emit(doc_id: str, p: PartRow):
+        cols["doc_id"].append(doc_id)
+        cols["part_index"].append(p.part_index)
+        cols["spans"].append(p.spans)
+        cols["output_name"].append(p.output_name)
+        cols["pdfa"].append(p.pdfa)
+        cols["pdfua"].append(p.pdfua)
+        cols["metadata_json"].append(p.metadata_json)
+        cols["bookmarks_json"].append(p.bookmarks_json)
+        cols["encrypt_json"].append(p.encrypt_json)
+        cols["status"].append(p.status)
+        cols["error_type"].append(p.error_type)
+        cols["page_count"].append(S.page_count(p.spans))
+
+    for i in range(batch.num_rows):
+        if statuses[i] != STATUS_SUCCESS:
+            emit(
+                doc_ids[i],
+                PartRow(0, [], doc_ids[i], status=statuses[i], error_type=errs[i]),
+            )
+            continue
+        try:
+            opts = ConvertOptions.from_json(opts_col[i])
+            for p in convert_row(doc_ids[i], spans_col[i], opts):
+                emit(doc_ids[i], p)
+        except (S.InvalidInput, S.MethodNotSupported):
+            emit(
+                doc_ids[i],
+                PartRow(
+                    0, [], doc_ids[i], status=STATUS_ERROR, error_type=ERR_INVALID_INPUT
+                ),
+            )
+    arrays = [pa.array(cols[name], typ) for name, typ in PAGES_OUT_FIELDS]
+    return pa.Table.from_arrays(arrays, schema=PAGES_OUT_SCHEMA)
+
+
+def merge_group_batch(group: pa.Table) -> pa.Table:
+    """``groupby(merge_group).map_groups`` kernel: merge parts in
+    part_index order into one row (Merge = input order, pdfengine.go:
+    267-269), shifting bookmarks by running page counts."""
+    group = group.sort_by([("part_index", "ascending")])
+    spans_parts = group.column("spans").to_pylist()
+    merged = S.merge_spans(spans_parts)
+    bms = S.merge_bookmarks(
+        [
+            (name, S.page_count(sp), json.loads(bj or "[]"))
+            for name, sp, bj in zip(
+                group.column("output_name").to_pylist(),
+                spans_parts,
+                group.column("bookmarks_json").to_pylist(),
+            )
+        ]
+    )
+    first = group.slice(0, 1)
+    out = {c: first.column(c).to_pylist() for c in group.column_names}
+    out["spans"] = [merged]
+    out["part_index"] = [0]
+    out["bookmarks_json"] = [json.dumps(bms)]
+    if "page_count" in out:
+        out["page_count"] = [S.page_count(merged)]
+    return pa.table(out, schema=group.schema)

@@ -1,0 +1,208 @@
+"""Similarity search + dedup over the ``embeddings`` table.
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query vector (the baseline the guide prescribes); per-batch local
+  top-k keeps the shuffle tiny.
+- LSH-bucketed ANN (random-hyperplane signs): the scale path — only
+  probe buckets within hamming ≤ 1 of the query's bucket.
+- cosine near-dup pairs: per-batch rows × broadcast matrix, emit pairs
+  above a threshold.
+
+All similarity math runs in float64 on both the Ray and the DuckDB
+side; outputs carry ids/ranks (ints) rather than raw floats so the
+oracle hash-compare never hinges on float formatting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+QUERY_VEC_ID = 0
+DUP_THRESHOLD = 0.46  # sits in a wide gap of the pairwise-sim spectrum
+
+
+def _emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    idx = t.column("vec_id").to_pylist().index(QUERY_VEC_ID)
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def _batch_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def knn_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 query vector.
+
+    Per-batch local top-k (numpy argpartition) → global merge — the
+    full dataset never sorts, only #blocks × k candidate rows do.
+    """
+    q = _query_vector(sf_dir)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    class TopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch)
+            sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ self.q
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            keep = ids != QUERY_VEC_ID
+            sims, ids = sims[keep], ids[keep]
+            top = np.argsort(-sims, kind="stable")[:k]
+            return pa.table(
+                {"vec_id": pa.array(ids[top]), "sim": pa.array(sims[top])}
+            )
+
+    cands = (
+        _emb(sf_dir)
+        .map_batches(TopK, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+        .sort_values(["sim", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(cands) + 1), "vec_id": cands["vec_id"].astype("int64")}
+    )
+
+
+KNN_SQL = f"""
+SELECT row_number() OVER (
+         ORDER BY list_cosine_similarity(embedding,
+                    (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})) DESC,
+                  vec_id) AS rank,
+       vec_id
+FROM embeddings WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY rank LIMIT 10
+"""
+
+
+def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    df = (
+        _emb(sf_dir)
+        .groupby("label")
+        .aggregate(Count(alias_name="n_vectors"))
+        .to_pandas()
+    )
+    return df.sort_values("label").reset_index(drop=True)
+
+
+LABEL_STATS_SQL = """
+SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
+    """Cosine near-dup pairs: each batch × broadcast full matrix.
+
+    O(N·B) per batch with the right side broadcast once — at corpus
+    scale the right side becomes LSH buckets (below) instead of the
+    full matrix.
+    """
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    all_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((all_ids, m))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bm = _batch_matrix(batch)
+            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            sims = bm @ self.m.T
+            a, b = np.nonzero(sims > threshold)
+            keep = bids[a] < self.ids[b]  # each unordered pair once
+            return pa.table(
+                {
+                    "a_id": pa.array(bids[a][keep].astype(np.int64)),
+                    "b_id": pa.array(self.ids[b][keep].astype(np.int64)),
+                }
+            )
+
+    df = _emb(sf_dir).map_batches(Pairs, batch_format="pyarrow", concurrency=2).to_pandas()
+    return df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+DUP_PAIRS_SQL = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) > {DUP_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+LSH_PLANES = 12
+LSH_SEED = 1234
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(LSH_SEED)
+    return rng.standard_normal((LSH_PLANES, dim))
+
+
+def knn_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """LSH-bucketed ANN (scale path; rows-only check vs its own size).
+
+    Random-hyperplane signatures bucket the vectors; the query probes
+    its own bucket plus all hamming-1 neighbors. Recall is approximate
+    by design — the brute-force twin (knn_topk) is the ground truth.
+    """
+    q = _query_vector(sf_dir)
+    planes = _hyperplanes(len(q))
+    q_sig = int(((planes @ q) > 0) @ (1 << np.arange(LSH_PLANES)))
+    probe = {q_sig} | {q_sig ^ (1 << b) for b in range(LSH_PLANES)}
+    qn = q / np.linalg.norm(q)
+    refs = ray.put((qn, planes, probe))
+
+    class Probe:
+        def __init__(self):
+            self.q, self.planes, self.probe = ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch)
+            sigs = ((m @ self.planes.T) > 0) @ (1 << np.arange(LSH_PLANES))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mask = np.isin(sigs, list(self.probe)) & (ids != QUERY_VEC_ID)
+            if not mask.any():
+                return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+            mm = m[mask]
+            sims = (mm / np.linalg.norm(mm, axis=1, keepdims=True)) @ self.q
+            return pa.table(
+                {"vec_id": pa.array(ids[mask].astype(np.int64)), "sim": pa.array(sims)}
+            )
+
+    cands = (
+        _emb(sf_dir)
+        .map_batches(Probe, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+        .sort_values(["sim", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(cands) + 1), "vec_id": cands["vec_id"].astype("int64")}
+    )

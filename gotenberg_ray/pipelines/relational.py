@@ -1,0 +1,568 @@
+"""Relational operator pipelines over the TPC-H-ish testdata tables.
+
+Each function takes ``sf_dir`` and returns a small result (pandas) —
+these are the oracle-checked demonstrations of the engine's relational
+operator set (SURVEY §2.7): vectorized filter/project, partial
+aggregation before the groupby shuffle, broadcast small-side joins,
+sort/limit top-k, windowed/sessionized per-key processing.
+
+Scale notes baked into every query:
+- reads prune columns (``read_parquet(columns=...)``);
+- per-batch PARTIAL aggregation (pyarrow ``Table.group_by``) shrinks
+  the shuffle input from N rows to (#groups × #blocks) rows before the
+  Ray ``groupby`` — the combiner pattern the ray_guide prescribes;
+- dimension tables (customer/orders subsets, nation, part) are
+  broadcast via ``ray.put`` and joined with dict/np lookups inside
+  ``map_batches`` — no all-to-all shuffle for small sides. At 100 TB a
+  customer-scale side would switch to the bucketed hash-join in
+  ``joins.py``.
+
+Float columns are rounded identically in the SQL oracles; all money
+sums round to 2 decimals, averages to 4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------- Q1
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: filter → derived cols → partial agg → groupby."""
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"), type=pa.timestamp("us"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), batch["l_tax"]))
+        batch = batch.append_column("disc_price", disc).append_column("charge", charge)
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("charge", "sum"),
+                ("l_discount", "sum"),
+                ([], "count_all"),
+            ]
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    partial = ds.map_batches(prep, batch_format="pyarrow")
+    final = partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("charge_sum", alias_name="sum_charge"),
+        Sum("l_discount_sum", alias_name="sum_disc"),
+        Sum("count_all", alias_name="count_order"),
+    )
+    df = final.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
+    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
+    df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        df[c] = df[c].round(2)
+    return df.drop(columns=["sum_disc"])
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+       round(sum(l_discount) / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------- Q3
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast-join shape: small filtered dims → lookup in map_batches."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    building = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cutoff = pa.scalar(np.datetime64("1997-01-01", "us"), type=pa.timestamp("us"))
+    orders = orders.filter(
+        pc.and_(
+            pc.less(orders["o_orderdate"], cutoff),
+            pc.is_in(orders["o_custkey"], value_set=pa.array(sorted(building))),
+        )
+    )
+    odate = dict(
+        zip(orders["o_orderkey"].to_pylist(), orders["o_orderdate"].to_pylist())
+    )
+    odate_ref = ray.put(odate)
+
+    class Revenue:
+        def __init__(self):
+            self.odate = ray.get(odate_ref)
+            self.keys = pa.array(sorted(self.odate), pa.int64())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.greater(batch["l_shipdate"], cutoff)
+            )
+            batch = batch.filter(pc.is_in(batch["l_orderkey"], value_set=self.keys))
+            rev = pc.multiply(
+                batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+            )
+            batch = batch.append_column("rev", rev)
+            return batch.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    agg = (
+        ds.map_batches(Revenue, batch_format="pyarrow", concurrency=2)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    df["o_orderdate"] = df["l_orderkey"].map(lambda k: pd.Timestamp(odate[k]))
+    return df.reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       any_value(o_orderdate) AS o_orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------- Q5
+
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Two-hop broadcast join lineitem→orders→customer→nation."""
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cust_nat = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    order_cust = dict(zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()))
+    nat_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    # compose on the driver: orderkey → nation name (dims are small; at
+    # scale each hop is its own broadcast or a bucketed join)
+    order_nation = {ok: nat_name[cust_nat[ck]] for ok, ck in order_cust.items()}
+    ref = ray.put(order_nation)
+
+    class PerNation:
+        def __init__(self):
+            self.map = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+            )
+            nat = pa.array(
+                [self.map[k] for k in batch["l_orderkey"].to_pylist()], pa.string()
+            )
+            t = pa.table({"n_name": nat, "rev": rev})
+            return t.group_by(["n_name"]).aggregate([("rev", "sum")])
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    df = (
+        ds.map_batches(PerNation, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+        .to_pandas()
+    )
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# --------------------------------------------------------------------- Q6
+
+
+def q6_revenue_forecast(sf_dir: str) -> pd.DataFrame:
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), type=pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), type=pa.timestamp("us"))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(batch["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        batch = batch.filter(m)
+        rev = pc.multiply(batch["l_extendedprice"], batch["l_discount"])
+        return pa.table({"rev": rev})
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    )
+    total = ds.map_batches(fn, batch_format="pyarrow").sum("rev")
+    return pd.DataFrame({"revenue": [round(total, 2)]})
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# -------------------------------------------------------------------- Q10
+
+
+def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    order_cust = dict(zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()))
+    ref = ray.put(order_cust)
+
+    class PerCust:
+        def __init__(self):
+            self.map = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+            rev = pc.multiply(
+                batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+            )
+            ck = pa.array([self.map[k] for k in batch["l_orderkey"].to_pylist()], pa.int64())
+            return (
+                pa.table({"c_custkey": ck, "rev": rev})
+                .group_by(["c_custkey"])
+                .aggregate([("rev", "sum")])
+            )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    )
+    df = (
+        ds.map_batches(PerCust, batch_format="pyarrow", concurrency=2)
+        .groupby("c_custkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+        .to_pandas()
+    )
+    df["revenue"] = df["revenue"].round(2)
+    cdf = cust.to_pandas().merge(nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey")
+    df = df.merge(cdf[["c_custkey", "c_name", "n_name"]], on="c_custkey")
+    df = df.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(20)
+    return df[["c_custkey", "c_name", "n_name", "revenue"]].reset_index(drop=True)
+
+
+Q10_SQL = """
+SELECT c_custkey, any_value(c_name) AS c_name, any_value(n_name) AS n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------- top parts
+
+
+def top_parts_by_revenue(sf_dir: str) -> pd.DataFrame:
+    def per_batch(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return (
+            pa.table({"l_partkey": batch["l_partkey"], "rev": rev})
+            .group_by(["l_partkey"])
+            .aggregate([("rev", "sum")])
+        )
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    df = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+        .to_pandas()
+    )
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "l_partkey"], ascending=[False, True]).head(10)
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]).to_pandas()
+    df = df.merge(part, left_on="l_partkey", right_on="p_partkey")
+    return df[["p_partkey", "p_name", "revenue"]].reset_index(drop=True)
+
+
+TOP_PARTS_SQL = """
+SELECT p_partkey, any_value(p_name) AS p_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey
+ORDER BY revenue DESC, p_partkey
+LIMIT 10
+"""
+
+
+def order_priority_counts(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    df = (
+        ds.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    return df
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def supplier_stats_by_nation(sf_dir: str) -> pd.DataFrame:
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    df = (
+        ds.groupby("s_nationkey")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
+        .to_pandas()
+    )
+    df["avg_acctbal"] = (df["total_acctbal"] / df["n_suppliers"]).round(4)
+    df["total_acctbal"] = df["total_acctbal"].round(2)
+    df = df.merge(nation[["n_nationkey", "n_name"]], left_on="s_nationkey", right_on="n_nationkey")
+    return (
+        df[["n_name", "n_suppliers", "total_acctbal", "avg_acctbal"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+SUPPLIER_STATS_SQL = """
+SELECT n_name, count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_acctbal,
+       round(sum(s_acctbal) / count(*), 4) AS avg_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def part_brand_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    from ray.data.aggregate import Max
+
+    df = (
+        ds.groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Sum("p_retailprice", alias_name="sum_price"),
+            Max("p_size", alias_name="max_size"),
+        )
+        .to_pandas()
+    )
+    df["avg_price"] = (df["sum_price"] / df["n_parts"]).round(4)
+    df = df.drop(columns=["sum_price"])
+    return df.sort_values("p_brand").reset_index(drop=True)
+
+
+PART_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
+       round(sum(p_retailprice) / count(*), 4) AS avg_price
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# ------------------------------------------------------------------ events
+
+
+def events_daily_counts(sf_dir: str) -> pd.DataFrame:
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"), format="%Y-%m-%d")
+        t = pa.table(
+            {"day": day, "event_type": batch["event_type"], "value": batch["value"]}
+        )
+        return t.group_by(["day", "event_type"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    df = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(
+            Sum("value_sum", alias_name="sum_value"), Sum("count_all", alias_name="n")
+        )
+        .to_pandas()
+    )
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
+EVENTS_DAILY_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       round(sum(value), 2) AS sum_value, count(*) AS n
+FROM events GROUP BY day, event_type ORDER BY day, event_type
+"""
+
+
+def events_user_stats(sf_dir: str) -> pd.DataFrame:
+    def prep(batch: pa.Table) -> pa.Table:
+        purchases = pc.cast(pc.equal(batch["event_type"], "purchase"), pa.int64())
+        t = pa.table(
+            {"user_id": batch["user_id"], "value": batch["value"], "is_p": purchases}
+        )
+        return t.group_by(["user_id"]).aggregate(
+            [("value", "sum"), ("is_p", "sum"), ([], "count_all")]
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    df = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("value_sum", alias_name="sum_value"),
+            Sum("is_p_sum", alias_name="n_purchases"),
+            Sum("count_all", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    df["avg_value"] = (df["sum_value"] / df["n_events"]).round(4)
+    df["sum_value"] = df["sum_value"].round(2)
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_USER_SQL = """
+SELECT user_id, round(sum(value), 2) AS sum_value,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       count(*) AS n_events,
+       round(sum(value) / count(*), 4) AS avg_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Session windows per user: ordered log → per-key map_groups
+    (the streaming-shaped pattern from the guide; ordering contract:
+    (ts, event_id) within user)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps.isna() | (gaps > gap_s)).sum())
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]}
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+EVENTS_SESSIONIZE_SQL = """
+SELECT user_id, sum(new_session) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_top_purchasers(sf_dir: str) -> pd.DataFrame:
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        return (
+            pa.table({"user_id": batch["user_id"], "value": batch["value"]})
+            .group_by(["user_id"])
+            .aggregate([("value", "sum")])
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    df = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("value_sum", alias_name="purchase_value"))
+        .to_pandas()
+    )
+    df["purchase_value"] = df["purchase_value"].round(2)
+    return (
+        df.sort_values(["purchase_value", "user_id"], ascending=[False, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_TOP_SQL = """
+SELECT user_id, round(sum(value), 2) AS purchase_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY purchase_value DESC, user_id LIMIT 5
+"""

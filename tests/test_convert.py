@@ -1,0 +1,195 @@
+"""Route-semantics conformance — the FIXTURES.md §4 golden cases,
+transcribed from the reference's integration features (SURVEY §5.2)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from gotenberg_ray import spans as S
+from gotenberg_ray.pipelines.convert import (
+    ConvertOptions,
+    convert_batch,
+    convert_row,
+    merge_group_batch,
+    PAGES_OUT_SCHEMA,
+)
+from gotenberg_ray.schemas import KIND_TEXT, SPANS_TYPE, make_span
+
+
+def doc(n_pages: int, prefix="Page") -> list[dict]:
+    return S.join_pages(
+        [[make_span(KIND_TEXT, text=f"{prefix} {i+1}")] for i in range(n_pages)]
+    )
+
+
+def texts(spans):
+    return [s["text"] for s in spans if s["kind"] == KIND_TEXT]
+
+
+def batch_of(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "spans": pa.array([r[1] for r in rows], SPANS_TYPE),
+            "options_json": pa.array([json.dumps(r[2]) for r in rows], pa.string()),
+        }
+    )
+
+
+def test_case1_defaults_one_page():
+    parts = convert_row("d", doc(1), ConvertOptions())
+    assert len(parts) == 1
+    assert texts(parts[0].spans) == ["Page 1"]
+    assert parts[0].output_name == "d"
+    assert parts[0].metadata_json == "{}"
+
+
+def test_case2_header_footer_i_of_n():
+    opts = ConvertOptions(
+        header_template='<span class="pageNumber"></span> of <span class="totalPages"></span>'
+    )
+    parts = convert_row("d", doc(12), opts)
+    pages = S.pages_of(parts[0].spans)
+    assert pages[0][0]["text"] == "1 of 12"
+    assert pages[11][0]["text"] == "12 of 12"
+
+
+def test_case3_page_ranges():
+    parts = convert_row("d", doc(12), ConvertOptions(page_ranges="2-3"))
+    assert len(parts) == 1
+    assert texts(parts[0].spans) == ["Page 2", "Page 3"]
+
+
+def test_case4_split_intervals_naming():
+    opts = ConvertOptions(split_mode="intervals", split_span="2")
+    parts = convert_row("pages_3", doc(3), opts)
+    assert [p.output_name for p in parts] == ["pages_3_0", "pages_3_1"]
+    assert texts(parts[0].spans) == ["Page 1", "Page 2"]
+    assert texts(parts[1].spans) == ["Page 3"]
+
+
+def test_case5_split_pages_unify_keeps_base_name():
+    opts = ConvertOptions(split_mode="pages", split_span="2-", split_unify=True)
+    parts = convert_row("pages_3", doc(3), opts)
+    assert len(parts) == 1
+    assert parts[0].output_name == "pages_3"
+    assert texts(parts[0].spans) == ["Page 2", "Page 3"]
+
+
+def test_case6_merge_bookmark_offsets():
+    rows = []
+    for i, (name, n) in enumerate([("a", 3), ("b", 2)]):
+        parts = convert_row(name, doc(n, prefix=name), ConvertOptions(generate_document_outline=True))
+        p = parts[0]
+        rows.append(
+            {
+                "doc_id": name,
+                "part_index": i,
+                "spans": p.spans,
+                "output_name": name,
+                "bookmarks_json": p.bookmarks_json,
+                "page_count": n,
+            }
+        )
+    group = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows]),
+            "part_index": pa.array([r["part_index"] for r in rows], pa.int32()),
+            "spans": pa.array([r["spans"] for r in rows], SPANS_TYPE),
+            "output_name": pa.array([r["output_name"] for r in rows]),
+            "bookmarks_json": pa.array([r["bookmarks_json"] for r in rows]),
+            "page_count": pa.array([r["page_count"] for r in rows], pa.int32()),
+        }
+    )
+    merged = merge_group_batch(group)
+    assert merged.num_rows == 1
+    assert merged.column("page_count")[0].as_py() == 5
+    bms = json.loads(merged.column("bookmarks_json")[0].as_py())
+    assert [b["page"] for b in bms] == [1, 2, 3, 4, 5]  # b's pages shifted by 3
+
+
+def test_case7_metadata_survives_convert():
+    # routes.go:888-889: metadata written AFTER PDF/A convert
+    opts = ConvertOptions(pdfa="PDF/A-2b", metadata={"Author": "me"})
+    parts = convert_row("d", doc(1), opts)
+    assert parts[0].pdfa == "PDF/A-2b"
+    assert json.loads(parts[0].metadata_json) == {"Author": "me"}
+
+
+def test_case8_encrypt_validation():
+    parts = convert_row("d", doc(1), ConvertOptions(user_password="u"))
+    enc = json.loads(parts[0].encrypt_json)
+    assert enc["owner_password"] == "u"
+    # perms without password → error ROW, not an exception
+    b = convert_batch(batch_of([("d", doc(1), {"permissions": {"allow_print": False}})]))
+    assert b.column("status").to_pylist() == ["error"]
+    assert b.column("error_type").to_pylist() == ["invalid_input"]
+
+
+def test_case10_watermark_missing_file_and_bad_rotate():
+    b = convert_batch(
+        batch_of(
+            [
+                ("d1", doc(1), {"watermark_source": "image"}),
+                ("d2", doc(1), {"rotate_angle": 45}),
+                ("d3", doc(1), {}),
+            ]
+        )
+    )
+    assert b.column("error_type").to_pylist() == [
+        "invalid_input",
+        "invalid_input",
+        "",
+    ]
+    assert b.schema.equals(PAGES_OUT_SCHEMA)
+
+
+def test_facturx_coerces_pdfa_and_embeds():
+    parts = convert_row("d", doc(1), ConvertOptions(facturx_xml="fx.xml"))
+    assert parts[0].pdfa == "PDF/A-3b"
+    embeds = [s for s in parts[0].spans if s["kind"] == "embed"]
+    assert len(embeds) == 1
+    assert json.loads(embeds[0]["text"])["name"] == "factur-x.xml"
+    with pytest.raises(S.InvalidInput):
+        convert_row("d", doc(1), ConvertOptions(facturx_xml="f", pdfa="PDF/A-1b"))
+
+
+def test_omit_background_coupling_and_unknown_option():
+    b = convert_batch(batch_of([("d", doc(1), {"omit_background": True})]))
+    assert b.column("error_type").to_pylist() == ["invalid_input"]
+    b = convert_batch(batch_of([("d", doc(1), {"nope": 1})]))
+    assert b.column("error_type").to_pylist() == ["invalid_input"]
+
+
+def test_error_rows_pass_through():
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d"]),
+            "spans": pa.array([[]], SPANS_TYPE),
+            "options_json": pa.array(["{}"]),
+            "status": pa.array(["error"]),
+            "error_type": pa.array(["invalid_input"]),
+        }
+    )
+    out = convert_batch(t)
+    assert out.column("status").to_pylist() == ["error"]
+    assert out.column("page_count").to_pylist() == [0]
+
+
+def test_full_chain_order_split_then_overlays():
+    # overlays apply per split part (watermark on every page of every part)
+    opts = ConvertOptions(
+        split_mode="intervals",
+        split_span="2",
+        watermark_source="text",
+        watermark_expression="W",
+        rotate_angle=90,
+        rotate_pages="1",
+    )
+    parts = convert_row("d", doc(3), opts)
+    assert len(parts) == 2
+    for p in parts:
+        pages = S.pages_of(p.spans)
+        assert all(pg[-1]["kind"] == "watermark" for pg in pages)
+        assert pages[0][0]["kind"] == "rotate"
