@@ -40,7 +40,6 @@ def entry() -> Any:
 
     from gotenberg_ray.corpus import host_pool, make_documents, make_frontier, make_robots
     from gotenberg_ray.frontier.crawler import CrawlConfig, run_crawl
-    from gotenberg_ray.pipelines.convert import convert_batch
 
     docs = make_documents(100, seed=42)
     frontier = make_frontier(400, n_docs=100, seed=42)
@@ -55,9 +54,9 @@ def entry() -> Any:
     )
     pages_dir = tempfile.mkdtemp(prefix="gotenberg_ray_pages_")
     run_crawl(frontier, docs, robots, cfg, mode="ray", pages_dir=pages_dir)
-    pages = rd.read_parquet(pages_dir)
-    converted = pages.map_batches(convert_batch, batch_format="pyarrow")
-    return converted
+    # fetch workers already ran the conversion chain inline
+    # (cfg.convert_inline) — the sink holds converted part rows
+    return rd.read_parquet(pages_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

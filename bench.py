@@ -1,0 +1,209 @@
+"""Benchmark harness.
+
+Default: runs the headline crawl+convert pipeline on the synthetic
+interleaved corpus plus the oracle-checked query suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), then prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "crawl": {"urls_fetched": ..., "urls_per_sec": ..., "spans_per_sec": ...}}
+
+``--scaling``: runs the crawl+convert headline twice in FRESH processes
+(num_cpus=8 then 32 — the sandbox stand-in for N vs 4N nodes) on the
+same input and reports both throughputs plus the scaling efficiency
+``T(8) / (4 × T(32))``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline crawl sizing: 100k seed URLs over 2400 hosts growing to
+# ~1.5M fetches via link discovery; politeness (burst 2 / delay 2) caps
+# per-epoch grants at hosts × W/2 ≈ 230k
+CRAWL_URLS = 100_000
+CRAWL_DOCS = 8_000
+CRAWL_HOSTS = 2_400
+CRAWL_MAX_FETCHES = 1_500_000
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q10_returned_revenue",
+    "top_parts_by_revenue",
+    "events_daily_counts",
+    "events_sessionize",
+    "doc_quality",
+    "dedup_exact",
+    "dedup_minhash",
+    "knn_topk",
+    "embedding_dup_pairs",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def bench_crawl(num_cpus: int) -> dict:
+    from gotenberg_ray.corpus import host_pool, make_documents, make_frontier, make_robots
+    from gotenberg_ray.frontier.crawler import CrawlConfig, run_crawl
+
+    docs = make_documents(CRAWL_DOCS, seed=42)
+    frontier = make_frontier(
+        CRAWL_URLS, n_docs=CRAWL_DOCS, seed=42, n_hosts=CRAWL_HOSTS, hot_frac=0.05
+    )
+    robots = make_robots(host_pool(CRAWL_HOSTS), seed=42)
+    cfg = CrawlConfig(
+        n_partitions=32,
+        epoch_width=128,
+        max_epochs=40,
+        max_fetches=CRAWL_MAX_FETCHES,
+        seed=42,
+        default_delay=2,
+        burst=2,
+        link_universe=60_000,
+        max_links=3,
+        shard_capacity=1 << 19,
+        fetch_concurrency=max(2, num_cpus - 2),
+        fetch_num_cpus=1,
+        fetch_batch_size=4096,
+        convert_inline=True,  # fetch → convert → write in one pipeline
+    )
+    pages_dir = tempfile.mkdtemp(prefix="gotenberg_ray_bench_")
+    t0 = time.time()
+    res = run_crawl(frontier, docs, robots, cfg, mode="ray", pages_dir=pages_dir)
+    total = time.time() - t0
+    return {
+        "urls_fetched": res.fetch_seq,
+        "epochs": res.epochs,
+        "total_sec": round(total, 2),
+        "urls_per_sec": round(res.fetch_seq / total, 1),
+        "spans_total": int(res.spans_total),
+        "spans_per_sec": round(res.spans_total / total, 1),
+        "counters": res.counters,
+    }
+
+
+def bench_queries(sf_dir: str) -> dict:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", Path(__file__).resolve().parent / "__ray_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    qs = m.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "count") and not hasattr(res, "__len__"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_default() -> dict:
+    _init_ray(NUM_CPUS)
+    t0 = time.time()
+    crawl = bench_crawl(NUM_CPUS)
+    queries = bench_queries(SF_DIR)
+    total = time.time() - t0
+    return {
+        "metric": "crawl+convert headline + query suite wall time",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl,
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_CRAWL_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, __file__],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=str(Path(__file__).resolve().parent),
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo = results[lo]["crawl"]["total_sec"]
+    t_hi = results[hi]["crawl"]["total_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "crawl+convert scaling (fresh ray sessions)",
+        "unit": "sec",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "urls_per_sec_lo": results[lo]["crawl"]["urls_per_sec"],
+        "urls_per_sec_hi": results[hi]["crawl"]["urls_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main():
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+    if os.environ.get("GRAFT_BENCH_CRAWL_ONLY"):
+        _init_ray(NUM_CPUS)
+        crawl = bench_crawl(NUM_CPUS)
+        print(
+            json.dumps(
+                {
+                    "metric": "crawl+convert headline",
+                    "value": crawl["total_sec"],
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                    "crawl": crawl,
+                }
+            )
+        )
+    else:
+        print(json.dumps(run_default()))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,8 +39,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import fnv64
+from ..functions.hashing import fnv64, splitmix64
 from ..functions.urlkit import UrlFilter, canonicalize_batch, host_ip_policy
+from ..pipelines.convert import convert_batch
 from ..schemas import ERR_FILTERED, ERR_INVALID_INPUT
 from ..stages.fetcher import SimulatedFetcher
 from .shard import GRANT_SCHEMA, FrontierShard
@@ -65,6 +66,7 @@ CANDIDATE_SCHEMA = pa.schema(
         ("url_canon", pa.string()),
         ("url_hash", pa.uint64()),
         ("host", pa.string()),
+        ("path", pa.string()),
         ("priority", pa.int32()),
         ("next_fetch_time", pa.int64()),
         ("route", pa.string()),
@@ -73,6 +75,57 @@ CANDIDATE_SCHEMA = pa.schema(
         ("seq", pa.int64()),
     ]
 )
+
+# per-URL conversion options: a deterministic mix keyed by url_hash.
+# Half the crawl runs the identity chain; the rest exercises the real
+# route post-processing (header/footer templates, split, overlays,
+# rotate, metadata, encrypt) and the markdown route — the conversion
+# work IS the product's cost center (reference renders run 0.5–60 s,
+# chromium.go:605), so the bench load must include it.
+LINK_OPTIONS = (
+    "{}",
+    "{}",
+    "{}",
+    '{"header_template": "<span class=\\"pageNumber\\"></span> of '
+    '<span class=\\"totalPages\\"></span>", "footer_template": "p. '
+    '<span class=\\"pageNumber\\"></span>"}',
+    '{"split_mode": "intervals", "split_span": "2"}',
+    '{"watermark_source": "text", "watermark_expression": "DRAFT", '
+    '"rotate_angle": 90, "rotate_pages": "1"}',
+    '{"metadata": {"Author": "crawler", "Producer": "gotenberg-ray"}, '
+    '"pdfa": "PDF/A-2b"}',
+    '{"generate_document_outline": true, "flatten": true}',
+)
+LINK_ROUTES = ("convert/url", "convert/url", "convert/url", "convert/url", "convert/markdown")
+_OPTIONS_SALT = 0x5D1E37A9C4B68F02
+_ROUTE_SALT = 0x3B8F1C6E9A2D5740
+
+
+def _options_for_hashes(hashes: np.ndarray) -> tuple[list[str], list[str]]:
+    o = splitmix64(
+        np.asarray(hashes, dtype=np.uint64) ^ np.uint64(_OPTIONS_SALT)
+    ) % np.uint64(len(LINK_OPTIONS))
+    r = splitmix64(
+        np.asarray(hashes, dtype=np.uint64) ^ np.uint64(_ROUTE_SALT)
+    ) % np.uint64(len(LINK_ROUTES))
+    return [LINK_OPTIONS[int(i)] for i in o], [LINK_ROUTES[int(i)] for i in r]
+
+
+# accepted link candidates as produced INSIDE the fetch stage (before
+# the driver assigns seq / next_fetch_time) — admission runs on the
+# workers so the driver never canonicalizes URLs serially
+LINK_CANDIDATE_COLS = [
+    "parent_seq",
+    "link_index",
+    "url_canon",
+    "url_hash",
+    "host",
+    "path",
+    "priority",
+    "route",
+    "doc_id",
+    "options_json",
+]
 
 
 @dataclasses.dataclass
@@ -93,6 +146,10 @@ class CrawlConfig:
     fetch_batch_size: int = 2048
     fetch_concurrency: int = 4
     fetch_num_cpus: float = 1.0
+    # logical reservation only — shards are idle during the fetch phase,
+    # so they must never block fetch actors from scheduling
+    shard_num_cpus: float = 0.01
+    convert_inline: bool = True  # run the conversion chain in the fetch workers
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)
@@ -124,12 +181,18 @@ def admit_candidates(
             err[i] = ERR_FILTERED
         elif host_ip_policy(hosts_l[i]) == "non_public":
             err[i] = ERR_FILTERED  # outbound.go IP-class policy
-    ok = np.array([e == "" for e in err])
+    ok = np.array([e == "" for e in err], dtype=bool)
+    paths = [
+        c.split("://", 1)[1].split("/", 1)[1] if "://" in c and "/" in c.split("://", 1)[1] else ""
+        for c, o in zip(canon_l, ok)
+        if o
+    ]
     accepted = pa.table(
         {
             "url_canon": pa.array([c for c, o in zip(canon_l, ok) if o], pa.string()),
             "url_hash": pa.array(hashes[ok]),
             "host": pa.array([h for h, o in zip(hosts_l, ok) if o], pa.string()),
+            "path": pa.array(["/" + p.split("?")[0].split("#")[0] for p in paths], pa.string()),
             "priority": batch.column("priority").filter(pa.array(ok)).cast(pa.int32()),
             "next_fetch_time": batch.column("next_fetch_time").filter(pa.array(ok)),
             "route": batch.column("route").filter(pa.array(ok)),
@@ -139,6 +202,75 @@ def admit_candidates(
         },
         schema=CANDIDATE_SCHEMA,
     )
+    rejected = pa.table(
+        {
+            "url": pa.array([u for u, o in zip(urls, ok) if not o], pa.string()),
+            "error_type": pa.array([e for e in err if e], pa.string()),
+        }
+    )
+    return accepted, rejected
+
+
+def admit_links(
+    links: pa.Table, url_filter: UrlFilter, n_docs: int, n_partitions: int = 0
+) -> tuple[pa.Table, pa.Table]:
+    """Stateless admission for discovered links — runs INSIDE the fetch
+    workers (parallel), not on the driver. In: (parent_seq,
+    parent_priority, url, link_index). Out: LINK_CANDIDATE_COLS rows +
+    rejected (url, error_type). Link priority decays by 1 per hop;
+    doc_id (the synthetic fetch-result key) is fnv64(url) % n_docs."""
+    urls = links.column("url").to_pylist()
+    canon, hosts, hashes = canonicalize_batch(urls)
+    canon_l = canon.to_pylist()
+    hosts_l = hosts.to_pylist()
+    n = len(urls)
+    err = [""] * n
+    for i in range(n):
+        c = canon_l[i]
+        if c.startswith("file:") or not c.startswith(("http://", "https://")):
+            err[i] = ERR_INVALID_INPUT
+        elif not url_filter.decide(c):
+            err[i] = ERR_FILTERED
+        elif host_ip_policy(hosts_l[i]) == "non_public":
+            err[i] = ERR_FILTERED
+    ok = np.array([e == "" for e in err], dtype=bool)
+    ok_pa = pa.array(ok)
+    canon_ok = [c for c, o in zip(canon_l, ok) if o]
+    paths = []
+    for c in canon_ok:
+        rest = c.split("://", 1)[1]
+        p = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+        paths.append(p.split("?")[0].split("#")[0])
+    hashes_ok = hashes[ok]
+    doc_ids = (hashes_ok % np.uint64(max(1, n_docs))).tolist()
+    options_mix, routes_mix = _options_for_hashes(hashes_ok)
+    accepted = pa.table(
+        {
+            "parent_seq": links.column("parent_seq").filter(ok_pa),
+            "link_index": links.column("link_index").filter(ok_pa),
+            "url_canon": pa.array(canon_ok, pa.string()),
+            "url_hash": pa.array(hashes[ok]),
+            "host": pa.array([h for h, o in zip(hosts_l, ok) if o], pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "priority": pc.max_element_wise(
+                pc.subtract(links.column("parent_priority").filter(ok_pa), 1), 0
+            ).cast(pa.int32()),
+            "route": pa.array(routes_mix, pa.string()),
+            "doc_id": pa.array([f"doc-{i:06d}" for i in doc_ids], pa.string()),
+            "options_json": pa.array(options_mix, pa.string()),
+        }
+    )
+    if n_partitions:
+        # partition assignment happens here (in the parallel workers)
+        # so the driver routes by a precomputed column
+        accepted = accepted.append_column(
+            "partition",
+            pa.array(
+                (fnv64([h for h, o in zip(hosts_l, ok) if o]) % np.uint64(n_partitions)).astype(
+                    np.int64
+                )
+            ),
+        )
     rejected = pa.table(
         {
             "url": pa.array([u for u, o in zip(urls, ok) if not o], pa.string()),
@@ -224,7 +356,7 @@ class RayShards:
     def __init__(self, cfg: CrawlConfig, robots: dict[str, str]):
         import ray
 
-        actor_cls = ray.remote(num_cpus=0.25)(FrontierShard)
+        actor_cls = ray.remote(num_cpus=cfg.shard_num_cpus)(FrontierShard)
         robots_ref = ray.put(robots)
         self.actors = [
             actor_cls.remote(
@@ -305,34 +437,13 @@ def _extract_links(result: pa.Table) -> pa.Table:
     )
 
 
-class LocalFetchRunner:
-    def __init__(self, docs: pa.Table, cfg: CrawlConfig, pages_dir: str | None = None):
-        self.fetcher = SimulatedFetcher(
-            docs, link_universe=cfg.link_universe, max_links=cfg.max_links
-        )
-        self.pages_dir = pages_dir
-
-    def __call__(self, grants: pa.Table, epoch: int) -> tuple[pa.Table, pa.Table]:
-        result = self.fetcher(grants)
-        if self.pages_dir:
-            import pyarrow.parquet as pq
-            import os
-
-            d = f"{self.pages_dir}/epoch={epoch:06d}"
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(result.drop_columns(["links"]), f"{d}/pages.parquet")
-        return result.select(_LOG_COLS), _extract_links(result)
-
-
-class _FetchWorker(SimulatedFetcher):
-    """Actor wrapper: fetches a chunk, writes its page rows straight to
-    the partitioned parquet sink, returns only the small log/link
-    columns — span payloads never transit the driver."""
-
-    def fetch(
-        self, batch: pa.Table, epoch: int, chunk: int, pages_dir: str | None
-    ) -> pa.Table:
-        result = self(batch)
+def _convert_and_write(
+    result: pa.Table, epoch: int, chunk: int, pages_dir: str | None, inline: bool
+) -> int:
+    """Apply the conversion chain (SURVEY §3.1 stub order) to the fetch
+    output and write the part rows to the per-epoch parquet sink.
+    Returns the number of output spans."""
+    if not inline:
         if pages_dir:
             import os
 
@@ -343,7 +454,70 @@ class _FetchWorker(SimulatedFetcher):
             pq.write_table(
                 result.drop_columns(["links"]), f"{d}/part-{chunk:04d}.parquet"
             )
-        return result.select(_LOG_COLS + ["links"])
+        return 0
+    converted = convert_batch(result)
+    if pages_dir:
+        import os
+
+        import pyarrow.parquet as pq
+
+        d = f"{pages_dir}/epoch={epoch:06d}"
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(converted, f"{d}/part-{chunk:04d}.parquet")
+    col = converted.column("spans")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.sum(pc.list_value_length(col)).as_py() or 0
+
+
+class LocalFetchRunner:
+    def __init__(self, docs: pa.Table, cfg: CrawlConfig, pages_dir: str | None = None):
+        self.fetcher = SimulatedFetcher(
+            SimulatedFetcher.build_state(docs),
+            link_universe=cfg.link_universe,
+            max_links=cfg.max_links,
+        )
+        self.url_filter = UrlFilter(list(cfg.allow), list(cfg.deny))
+        self.n_docs = docs.num_rows
+        self.pages_dir = pages_dir
+        self.cfg = cfg
+        self.spans_total = 0
+
+    def __call__(self, grants: pa.Table, epoch: int) -> tuple[pa.Table, pa.Table, pa.Table]:
+        result = self.fetcher(grants)
+        self.spans_total += _convert_and_write(
+            result, epoch, 0, self.pages_dir, self.cfg.convert_inline
+        )
+        accepted, rejected = admit_links(
+            _extract_links(result), self.url_filter, self.n_docs, self.cfg.n_partitions
+        )
+        return result.select(_LOG_COLS), accepted, rejected
+
+
+class _FetchWorker(SimulatedFetcher):
+    """Actor wrapper: fetches a chunk, writes its page rows straight to
+    the partitioned parquet sink, admits discovered links in-worker
+    (canonicalize + filter + IP policy — the driver never touches raw
+    link URLs), and returns only the small log/candidate columns."""
+
+    def __init__(self, *args, allow=(), deny=(), convert_inline=True, n_partitions=0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.url_filter = UrlFilter(list(allow), list(deny))
+        self.n_docs = len(self.docs)
+        self.convert_inline = convert_inline
+        self.n_partitions = n_partitions
+
+    def fetch(
+        self, batch: pa.Table, epoch: int, chunk: int, pages_dir: str | None
+    ) -> tuple[pa.Table, pa.Table, pa.Table, int]:
+        result = self(batch)
+        n_spans = _convert_and_write(
+            result, epoch, chunk, pages_dir, self.convert_inline
+        )
+        accepted, rejected = admit_links(
+            _extract_links(result), self.url_filter, self.n_docs, self.n_partitions
+        )
+        return result.select(_LOG_COLS), accepted, rejected, n_spans
 
 
 class RayFetchRunner:
@@ -366,19 +540,30 @@ class RayFetchRunner:
         self.cfg = cfg
         self.pages_dir = pages_dir
         self._ray = ray
-        docs_ref = ray.put(docs)
+        self.spans_total = 0
+        # build (docs dict + per-doc stats) ONCE, broadcast the result —
+        # actors only pay one zero-setup ray.get instead of N rebuilds
+        state_ref = ray.put(SimulatedFetcher.build_state(docs))
         actor_cls = ray.remote(num_cpus=cfg.fetch_num_cpus)(_FetchWorker)
         self.actors = [
             actor_cls.remote(
-                docs=docs_ref,
+                docs=state_ref,
                 link_universe=cfg.link_universe,
                 max_links=cfg.max_links,
+                allow=tuple(cfg.allow),
+                deny=tuple(cfg.deny),
+                convert_inline=cfg.convert_inline,
+                n_partitions=cfg.n_partitions,
             )
             for _ in range(cfg.fetch_concurrency)
         ]
 
-    def __call__(self, grants: pa.Table, epoch: int) -> tuple[pa.Table, pa.Table]:
+    def __call__(self, grants: pa.Table, epoch: int) -> tuple[pa.Table, pa.Table, pa.Table]:
         n = grants.num_rows
+        # one chunk per actor (work is uniform); batch_size caps chunk
+        # size so very large epochs still pipeline. Driver-side task
+        # submission serializes args, so chunk COUNT is driver latency —
+        # keep it at O(actors), not a multiple of it.
         size = max(1, min(self.cfg.fetch_batch_size, -(-n // len(self.actors))))
         refs = []
         for ci, off in enumerate(range(0, n, size)):
@@ -388,8 +573,12 @@ class RayFetchRunner:
                     chunk, epoch, ci, self.pages_dir
                 )
             )
-        small = pa.concat_tables(self._ray.get(refs))
-        return small.select(_LOG_COLS), _extract_links(small)
+        parts = self._ray.get(refs)
+        log = pa.concat_tables([p[0] for p in parts])
+        accepted = pa.concat_tables([p[1] for p in parts])
+        rejected = pa.concat_tables([p[2] for p in parts])
+        self.spans_total += sum(p[3] for p in parts)
+        return log, accepted, rejected
 
 
 # ------------------------------------------------------------------ the loop
@@ -403,6 +592,7 @@ class CrawlResult:
     epochs: int
     next_seq: int
     fetch_seq: int
+    spans_total: int = 0
 
 
 def run_crawl(
@@ -437,7 +627,24 @@ def run_crawl(
         fetch_seq = state["driver"]["fetch_seq"]
         epochs_done = state["driver"]["epochs_done"]
     else:
-        accepted, rejected = admit_candidates(frontier, url_filter)
+        if mode == "ray" and frontier.num_rows > 20_000:
+            # parallel seed admission — canonicalization is pure
+            import ray
+
+            task = ray.remote(
+                lambda t, allow, deny: admit_candidates(t, UrlFilter(allow, deny))
+            )
+            n_chunks = 16
+            size = -(-frontier.num_rows // n_chunks)
+            refs = [
+                task.remote(frontier.slice(o, size), list(cfg.allow), list(cfg.deny))
+                for o in range(0, frontier.num_rows, size)
+            ]
+            parts_out = ray.get(refs)
+            accepted = pa.concat_tables([p[0] for p in parts_out])
+            rejected = pa.concat_tables([p[1] for p in parts_out])
+        else:
+            accepted, rejected = admit_candidates(frontier, url_filter)
         rejected_parts.append(rejected)
         parts = partition_of(accepted.column("host").to_pylist(), cfg.n_partitions)
         shards.offer(_split_by_partition(accepted, parts, cfg.n_partitions))
@@ -457,7 +664,9 @@ def run_crawl(
                 break  # frontier exhausted
             k = mr // W
             continue
-        log, links = runner(grants, k)
+        log, links, links_rejected = runner(grants, k)
+        if links_rejected.num_rows:
+            rejected_parts.append(links_rejected)
         log = log.add_column(
             0, "fetch_seq", pa.array(np.arange(fetch_seq, fetch_seq + log.num_rows))
         )
@@ -488,38 +697,40 @@ def run_crawl(
             logs.append(log)
 
         if links.num_rows:
+            # deterministic seq assignment: links ordered by (parent's
+            # schedule-time seq, link position) regardless of which
+            # worker produced them
             links = links.sort_by(
                 [("parent_seq", "ascending"), ("link_index", "ascending")]
             )
-            cand_raw = pa.table(
+            accepted = pa.table(
                 {
-                    "url": links.column("url"),
-                    "priority": pc.max_element_wise(
-                        pc.subtract(links.column("parent_priority"), 1), 0
-                    ).cast(pa.int32()),
+                    "url_canon": links.column("url_canon"),
+                    "url_hash": links.column("url_hash"),
+                    "host": links.column("host"),
+                    "path": links.column("path"),
+                    "priority": links.column("priority"),
                     "next_fetch_time": pa.array(
                         np.full(links.num_rows, (k + 1) * W, dtype=np.int64)
                     ),
-                    "route": pa.array(["convert/url"] * links.num_rows, pa.string()),
-                    "doc_id": pa.array(
-                        [f"doc-{i % max(1, docs.num_rows):06d}" for i in
-                         (fnv64(links.column("url").to_pylist()) % np.uint64(max(1, docs.num_rows))).tolist()],
-                        pa.string(),
-                    ),
-                    "options_json": pa.array(["{}"] * links.num_rows, pa.string()),
+                    "route": links.column("route"),
+                    "doc_id": links.column("doc_id"),
+                    "options_json": links.column("options_json"),
                     "seq": pa.array(
                         np.arange(next_seq, next_seq + links.num_rows, dtype=np.int64)
                     ),
-                }
+                },
+                schema=CANDIDATE_SCHEMA,
             )
             next_seq += links.num_rows
-            accepted, rejected = admit_candidates(cand_raw, url_filter)
-            rejected_parts.append(rejected)
-            if accepted.num_rows:
+            if "partition" in links.column_names:
+                parts = links.column("partition").to_numpy(zero_copy_only=False)
+                accepted = accepted  # partition column intentionally not offered
+            else:
                 parts = partition_of(
                     accepted.column("host").to_pylist(), cfg.n_partitions
                 )
-                shards.offer(_split_by_partition(accepted, parts, cfg.n_partitions))
+            shards.offer(_split_by_partition(accepted, parts, cfg.n_partitions))
         k += 1
         epochs_done += 1
         if (
@@ -566,4 +777,5 @@ def run_crawl(
         epochs=epochs_done,
         next_seq=next_seq,
         fetch_seq=fetch_seq,
+        spans_total=getattr(runner, "spans_total", 0),
     )

@@ -131,9 +131,14 @@ class FrontierShard:
         doc_ids = batch.column("doc_id").to_pylist()
         opts = batch.column("options_json").to_pylist()
         seqs = batch.column("seq").to_pylist()
+        paths = (
+            batch.column("path").to_pylist()
+            if "path" in batch.column_names
+            else [None] * n
+        )
         for i in np.nonzero(fresh)[0]:
             host = hosts[i]
-            path = urlsplit(urls[i]).path or "/"
+            path = paths[i] or (urlsplit(urls[i]).path or "/")
             if not self.robots.allowed(host, path):
                 self.counters["robots_denied"] += 1
                 continue
@@ -151,11 +156,14 @@ class FrontierShard:
     def pop_epoch(self, horizon: int, limit: int | None = None) -> pa.Table:
         """Grant fetches for every heap entry ready by ``horizon``.
 
-        Pops in (ready_time, -priority, seq) order; politeness-denied
-        entries are pushed back at the host's next token time (possibly
-        still within the horizon → re-popped this epoch). Returns the
-        grants in pop order, which equals (fetch_time, -priority, seq)
-        order.
+        Pops in (ready_time, -priority, seq) order; each popped entry is
+        assigned its host's earliest politeness slot ≥ ready_time. Slots
+        within the horizon are committed immediately (fetch_time = slot);
+        slots beyond it push the entry back ONCE at that slot — so every
+        entry costs at most one pop per epoch, independent of how deep
+        its host's queue is. Per-host slots advance monotonically, so
+        grant order per host follows pop order; globally the caller
+        sorts by (fetch_time, -priority, seq).
         """
         rows: list[tuple] = []
         while limit is None or len(rows) < limit:
@@ -164,13 +172,14 @@ class FrontierShard:
                 break
             ready, prio, seq, uh = popped[0]
             url, host, route, doc_id, opts = self.payloads[seq]
-            granted, when = self.buckets.reserve(host, ready)
-            if granted:
+            slot = self.buckets.next_slot(host, ready)
+            if slot <= horizon:
+                self.buckets.commit(host, slot)
                 del self.payloads[seq]
                 self.counters["granted"] += 1
-                rows.append((seq, ready, prio, uh, url, host, route, doc_id, opts))
+                rows.append((seq, slot, prio, uh, url, host, route, doc_id, opts))
             else:
-                self.heap.push(when, prio, seq, uh)
+                self.heap.push(slot, prio, seq, uh)
         if not rows:
             return GRANT_SCHEMA.empty_table()
         cols = list(zip(*rows))

@@ -25,7 +25,11 @@ FNV64_PRIME = np.uint64(0x100000001B3)
 
 
 def _as_byte_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
-    """Encode a sequence/array of strings to a padded uint8 matrix + lengths."""
+    """Encode a sequence/array of strings to a padded uint8 matrix + lengths.
+
+    One vectorized scatter from the concatenated byte buffer — no
+    per-string numpy calls.
+    """
     if isinstance(strings, (pa.Array, pa.ChunkedArray)):
         strings = strings.to_pylist()
     encoded = [s.encode("utf-8") if s is not None else b"" for s in strings]
@@ -33,9 +37,12 @@ def _as_byte_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
     lengths = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
     max_len = int(lengths.max()) if n else 0
     mat = np.zeros((n, max_len), dtype=np.uint8)
-    for i, b in enumerate(encoded):
-        if b:
-            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    if max_len:
+        buf = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        rows = np.repeat(np.arange(n), lengths)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        cols = np.arange(len(buf)) - np.repeat(starts, lengths)
+        mat[rows, cols] = buf
     return mat, lengths
 
 
@@ -63,15 +70,26 @@ def fnv64_one(s: str) -> int:
     return h
 
 
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
 def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
-    """SplitMix64 finalizer — derives independent hash values from uint64."""
-    scalar = np.isscalar(x)
+    """SplitMix64 finalizer — derives independent hash values from uint64.
+
+    Scalar inputs take a pure-int path (hot in the fetch simulator);
+    arrays go through numpy with wraparound.
+    """
+    if isinstance(x, (int, np.integer)):
+        z = (int(x) + 0x9E3779B97F4A7C15) & _M64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+        return z ^ (z >> 31)
     with np.errstate(over="ignore"):  # uint64 wraparound is the point
         z = np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         z = z ^ (z >> np.uint64(31))
-    return int(z) if scalar else z
+    return z
 
 
 def hash_family(values: np.ndarray, k: int) -> np.ndarray:

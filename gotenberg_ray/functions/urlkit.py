@@ -59,12 +59,36 @@ def _remove_dot_segments(path: str) -> str:
     return p
 
 
+# fast path: already-canonical http(s) URLs (lowercase scheme+host, no
+# port/userinfo/query/fragment/percent-escapes/dot-segments). The crawl
+# hot path is dominated by such URLs; anything else falls through to the
+# full parser. The character classes guarantee fast-path output equals
+# the slow path's.
+_FAST_CANON_RE = re.compile(
+    r"^(https?)://([a-z0-9-]+(?:\.[a-z0-9-]+)*)(/[A-Za-z0-9_\-/~,:@!$&'()*+;=]*)?$"
+)
+
+
+def canonicalize_url_host(url: str) -> tuple[str, str]:
+    """(canonical url, host) in one pass — see canonicalize_url."""
+    m = _FAST_CANON_RE.match(url)
+    if m:
+        scheme, host, path = m.groups()
+        return f"{scheme}://{host}{path or '/'}", host
+    c = canonicalize_url(url)
+    return c, url_host(c)
+
+
 def canonicalize_url(url: str) -> str:
     """RFC-3986 canonical form used as the frontier/seen key.
 
     lowercase scheme+host, strip default port, strip fragment, normalize
     percent-encoding + dot segments, empty path → "/".
     """
+    m = _FAST_CANON_RE.match(url)
+    if m:
+        scheme, host, path = m.groups()
+        return f"{scheme}://{host}{path or '/'}"
     url = url.strip()
     try:
         parts = urlsplit(url)
@@ -104,8 +128,9 @@ def canonicalize_batch(urls) -> tuple[pa.Array, pa.Array, np.ndarray]:
     """Vectorized entry point: (url_canon, host, url_hash:uint64)."""
     if isinstance(urls, (pa.Array, pa.ChunkedArray)):
         urls = urls.to_pylist()
-    canon = [canonicalize_url(u) if u is not None else "" for u in urls]
-    hosts = [url_host(c) for c in canon]
+    pairs = [canonicalize_url_host(u) if u is not None else ("", "") for u in urls]
+    canon = [p[0] for p in pairs]
+    hosts = [p[1] for p in pairs]
     hashes = fnv64(canon)
     return pa.array(canon, type=pa.string()), pa.array(hosts, type=pa.string()), hashes
 

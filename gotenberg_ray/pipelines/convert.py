@@ -28,11 +28,14 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import spans as S
+from ..functions.markdown import markdown_to_html, sanitize_html
 from ..schemas import (
     ERR_INVALID_INPUT,
     ERR_NONE,
+    KIND_PAGE_BREAK,
     KIND_TEXT,
     SPANS_TYPE,
     STATUS_ERROR,
@@ -248,14 +251,80 @@ PAGES_OUT_FIELDS = [
 PAGES_OUT_SCHEMA = pa.schema(PAGES_OUT_FIELDS)
 
 
+def _page_counts_vector(spans: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """page_count per row without leaving Arrow: #page_break spans + 1
+    for non-empty docs."""
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    import numpy as np
+
+    lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    is_break = pc.equal(flat.field("kind"), KIND_PAGE_BREAK).to_numpy(
+        zero_copy_only=False
+    )
+    counts = np.zeros(len(spans), dtype=np.int32)
+    np.add.at(counts, parents[is_break], 1)
+    counts = counts + (lengths > 0)
+    return pa.array(counts, pa.int32())
+
+
+def _identity_parts(batch: pa.Table) -> pa.Table:
+    """Vectorized whole-batch fast path: every row is a success with
+    default options → the chain is the identity; spans stay zero-copy."""
+    n = batch.num_rows
+    doc_ids = batch.column("doc_id")
+    import numpy as np
+
+    arrays = [
+        doc_ids,
+        pa.array(np.zeros(n, dtype=np.int32)),
+        batch.column("spans"),
+        doc_ids,  # output_name = doc_id
+        pa.array([""] * n, pa.string()),
+        pa.array(np.zeros(n, dtype=bool)),
+        pa.array(["{}"] * n, pa.string()),
+        pa.array(["[]"] * n, pa.string()),
+        pa.array([""] * n, pa.string()),
+        pa.array([STATUS_SUCCESS] * n, pa.string()),
+        pa.array([ERR_NONE] * n, pa.string()),
+        _page_counts_vector(batch.column("spans")),
+    ]
+    return pa.Table.from_arrays(arrays, schema=PAGES_OUT_SCHEMA)
+
+
 def convert_batch(batch: pa.Table) -> pa.Table:
     """map_batches adapter: rows (doc_id, spans, options_json[, status])
     → part rows. Rows that arrived as fetch errors pass through as
     error parts; option/validation failures become 400-family rows
     (never exceptions — errors are data, middlewares.go:38-88)."""
+    identity = pc.equal(batch.column("options_json"), "{}")
+    if "status" in batch.column_names:
+        identity = pc.and_(
+            identity, pc.equal(batch.column("status"), STATUS_SUCCESS)
+        )
+    if "route" in batch.column_names:
+        # the markdown route renders every text span (routes.go:709-782)
+        # — never the identity chain
+        identity = pc.and_(
+            identity, pc.not_equal(batch.column("route"), "convert/markdown")
+        )
+    n_id = pc.sum(pc.cast(identity, pa.int64())).as_py() or 0
+    if n_id == batch.num_rows:
+        return _identity_parts(batch)
+    if n_id:
+        fast = _identity_parts(batch.filter(identity))
+        slow = convert_batch(batch.filter(pc.invert(identity)))
+        return pa.concat_tables([fast, slow])
     doc_ids = batch.column("doc_id").to_pylist()
     spans_col = batch.column("spans").to_pylist()
     opts_col = batch.column("options_json").to_pylist()
+    routes = (
+        batch.column("route").to_pylist()
+        if "route" in batch.column_names
+        else ["convert/url"] * batch.num_rows
+    )
     statuses = (
         batch.column("status").to_pylist()
         if "status" in batch.column_names
@@ -290,9 +359,23 @@ def convert_batch(batch: pa.Table) -> pa.Table:
                 PartRow(0, [], doc_ids[i], status=statuses[i], error_type=errs[i]),
             )
             continue
+        if opts_col[i] == "{}":
+            # identity fast path: default options run the whole chain as
+            # a no-op on normalized spans (join_pages∘pages_of == id) —
+            # skip the per-span copying for the common crawl case
+            emit(doc_ids[i], PartRow(0, spans_col[i], doc_ids[i]))
+            continue
         try:
             opts = ConvertOptions.from_json(opts_col[i])
-            for p in convert_row(doc_ids[i], spans_col[i], opts):
+            spans_i = spans_col[i]
+            if routes[i] == "convert/markdown":
+                spans_i = [
+                    {**s, "text": sanitize_html(markdown_to_html(s["text"]))}
+                    if s["kind"] == KIND_TEXT
+                    else s
+                    for s in spans_i
+                ]
+            for p in convert_row(doc_ids[i], spans_i, opts):
                 emit(doc_ids[i], p)
         except (S.InvalidInput, S.MethodNotSupported):
             emit(

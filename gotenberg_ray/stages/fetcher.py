@@ -65,10 +65,10 @@ def synthetic_links(
     url_hash: int, host: str, link_universe: int, max_links: int = 3
 ) -> list[str]:
     """Hash-derived outlinks; mostly same-host, ~10% cross-host."""
-    n = int(splitmix64(np.uint64(url_hash) ^ LINK_SALT) % np.uint64(max_links + 1))
+    n = splitmix64(url_hash ^ int(LINK_SALT)) % (max_links + 1)
     out = []
     for j in range(n):
-        v = int(splitmix64(np.uint64(url_hash) + np.uint64(j + 1)))
+        v = splitmix64((url_hash + j + 1) & 0xFFFFFFFFFFFFFFFF)
         target = v % link_universe
         if v % 10 == 0:
             h = f"site-{v % 50:03d}.example.org"
@@ -97,14 +97,58 @@ class SimulatedFetcher:
                 docs = ray.get(docs)
         except ImportError:
             pass
-        if isinstance(docs, pa.Table):
-            ids = docs.column("doc_id").to_pylist()
-            spans = docs.column("spans").to_pylist()
-            docs = dict(zip(ids, spans))
-        self.docs: dict[str, list[dict]] = docs
+        if isinstance(docs, tuple):  # prebuilt (docs, doc_stats) state
+            self.docs, self.doc_stats = docs
+        else:
+            if isinstance(docs, pa.Table):
+                ids = docs.column("doc_id").to_pylist()
+                spans = docs.column("spans").to_pylist()
+                docs = dict(zip(ids, spans))
+            self.docs = docs
+            self.doc_stats = self.build_doc_stats(docs)
         self.link_universe = int(link_universe)
         self.max_links = int(max_links)
         self._fail_cache: dict[str, np.ndarray] = {}
+
+    @staticmethod
+    def build_doc_stats(docs: dict[str, list[dict]]) -> dict:
+        """Per-doc network aggregates — pure functions of the doc,
+        computed ONCE (build centrally, broadcast with the docs dict;
+        every actor then skips this work). All media refs are hashed in
+        one vectorized pass."""
+        all_refs = [
+            s["media_ref"]
+            for spans in docs.values()
+            for s in spans
+            if s["kind"] == "media"
+        ]
+        ref_hash = dict(zip(all_refs, (int(h) for h in fnv64(all_refs))))
+        doc_stats: dict[str, tuple[int, int, int, frozenset]] = {}
+        for doc_id, spans in docs.items():
+            req, byts, failed = 1, 0, 0
+            origins: set[str] = set()
+            for s in spans:
+                if s["kind"] == "media":
+                    req += 1
+                    mh = ref_hash[s["media_ref"]]
+                    if splitmix64(mh ^ int(MEDIA_SALT)) % 100 < 5:
+                        failed += 1
+                    else:
+                        byts += splitmix64(mh) % 50000 + 1000
+                    origins.add(
+                        s["media_ref"].split("/")[2] if "://" in s["media_ref"] else ""
+                    )
+                else:
+                    byts += len(s["text"])
+            doc_stats[doc_id] = (req, byts, failed, frozenset(origins))
+        return doc_stats
+
+    @classmethod
+    def build_state(cls, docs: pa.Table) -> tuple[dict, dict]:
+        ids = docs.column("doc_id").to_pylist()
+        spans = docs.column("spans").to_pylist()
+        d = dict(zip(ids, spans))
+        return d, cls.build_doc_stats(d)
 
     def _fail_set(self, options_json: str) -> np.ndarray:
         cached = self._fail_cache.get(options_json)
@@ -164,20 +208,10 @@ class SimulatedFetcher:
                 metrics["failed_count"].append(1)
                 metrics["unique_origins"].append(1)
                 continue
-            req, byts, failed = 1, 0, 0
-            origins = {hosts[i]}
-            for s in spans:
-                if s["kind"] == "media":
-                    req += 1
-                    mh = fnv64([s["media_ref"]])[0]
-                    if int(splitmix64(mh ^ MEDIA_SALT) % np.uint64(100)) < 5:
-                        failed += 1
-                    else:
-                        byts += int(splitmix64(mh) % np.uint64(50000)) + 1000
-                    if len(origins) < MAX_UNIQUE_ORIGINS:
-                        origins.add(s["media_ref"].split("/")[2] if "://" in s["media_ref"] else "")
-                else:
-                    byts += len(s["text"])
+            req, byts, failed, origins = self.doc_stats[doc_ids[i]]
+            n_origins = min(
+                MAX_UNIQUE_ORIGINS, len(origins) + (hosts[i] not in origins)
+            )
             spans_out.append(spans)
             links = synthetic_links(uh, hosts[i], self.link_universe, self.max_links)
             links_out.append(
@@ -188,7 +222,7 @@ class SimulatedFetcher:
             metrics["request_count"].append(req)
             metrics["bytes_total"].append(byts)
             metrics["failed_count"].append(failed)
-            metrics["unique_origins"].append(len(origins))
+            metrics["unique_origins"].append(n_origins)
 
         out = batch.append_column("http_status", pa.array(statuses, pa.uint16()))
         out = out.append_column("spans", pa.array(spans_out, SPANS_TYPE))

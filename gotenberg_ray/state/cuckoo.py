@@ -77,7 +77,7 @@ class CuckooFilter:
         i = i1
         cur = np.uint16(fp)
         for _ in range(_MAX_KICKS):
-            victim = int(splitmix64(np.uint64(self.kicks) ^ self.seed) % np.uint64(_SLOTS))
+            victim = splitmix64(self.kicks ^ int(self.seed)) % _SLOTS
             self.kicks += 1
             cur, self.table[i, victim] = self.table[i, victim], cur
             i = int(self._alt_index(np.array([i]), np.array([cur], dtype=np.uint16))[0])

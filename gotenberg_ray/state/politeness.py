@@ -70,6 +70,24 @@ class HostBuckets:
         # next token arrives one full delay after the refill anchor
         return False, st[2] + st[0]
 
+    def next_slot(self, host: str, t: int) -> int:
+        """Earliest tick ≥ t at which a token is available (no commit)."""
+        st = self._ensure(host)
+        self._refill(st, t)
+        return t if st[1] > 0 else st[2] + st[0]
+
+    def commit(self, host: str, slot: int) -> None:
+        """Consume the token at ``slot`` (as returned by next_slot).
+
+        The scheduler pops frontier entries in key order and commits
+        each grant's slot immediately, so per-host slots advance
+        monotonically — this is what keeps heap churn at one pop per
+        entry per epoch instead of one per politeness retry.
+        """
+        st = self._ensure(host)
+        self._refill(st, slot)
+        st[1] -= 1  # refill at `slot` guarantees a token is present
+
     # ---- checkpoint format -------------------------------------------------
     def to_table(self) -> pa.Table:
         hosts = sorted(self._state)

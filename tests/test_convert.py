@@ -137,11 +137,10 @@ def test_case10_watermark_missing_file_and_bad_rotate():
             ]
         )
     )
-    assert b.column("error_type").to_pylist() == [
-        "invalid_input",
-        "invalid_input",
-        "",
-    ]
+    # output order within a batch is not a contract (pages are keyed by
+    # doc_id/part_index) — compare as a mapping
+    errs = dict(zip(b.column("doc_id").to_pylist(), b.column("error_type").to_pylist()))
+    assert errs == {"d1": "invalid_input", "d2": "invalid_input", "d3": ""}
     assert b.schema.equals(PAGES_OUT_SCHEMA)
 
 
