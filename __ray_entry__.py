@@ -59,6 +59,25 @@ def entry() -> Any:
     return rd.read_parquet(pages_dir)
 
 
+def _media_features(sf_dir: str):
+    """Multimodal actor-pool stage over a deterministic synthetic media
+    corpus (the decode kernel is stubbed — no codecs in this container;
+    the schema/stage/batch plumbing is real). Rows-only check."""
+    import ray.data as rd
+
+    from gotenberg_ray.stages.media import MediaFeatureExtractor, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(500, seed=42))
+    return (
+        ds.map_batches(
+            MediaFeatureExtractor, batch_format="pyarrow", batch_size=128, concurrency=2
+        )
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
@@ -92,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_confusion": T.lang_id_confusion,
         "doc_fingerprints": T.doc_fingerprints,
         "convert_page_counts": T.convert_page_counts,
+        # multimodal plumbing (decode stubbed, stage real; rows-only)
+        "media_features": _media_features,
         # similarity search
         "knn_topk": E.knn_topk,
         "knn_lsh": E.knn_lsh,

@@ -150,6 +150,9 @@ class CrawlConfig:
     # so they must never block fetch actors from scheduling
     shard_num_cpus: float = 0.01
     convert_inline: bool = True  # run the conversion chain in the fetch workers
+    # False → workers return only a row-count log (seq column); the
+    # driver skips per-epoch log sorting entirely (bench mode)
+    detailed_logs: bool = True
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)
@@ -286,11 +289,17 @@ def partition_of(hosts: list[str] | pa.Array, n_partitions: int) -> np.ndarray:
 
 
 def _split_by_partition(table: pa.Table, parts: np.ndarray, n: int) -> list[pa.Table]:
-    out = []
-    for p in range(n):
-        mask = parts == p
-        out.append(table.filter(pa.array(mask)) if mask.any() else table.schema.empty_table())
-    return out
+    """One stable argsort + one take + zero-copy slices — NOT n filter
+    passes over the full table."""
+    order = np.argsort(parts, kind="stable")
+    sorted_tbl = table.take(pa.array(order))
+    bounds = np.searchsorted(parts[order], np.arange(n + 1))
+    return [
+        sorted_tbl.slice(bounds[p], bounds[p + 1] - bounds[p])
+        if bounds[p + 1] > bounds[p]
+        else table.schema.empty_table()
+        for p in range(n)
+    ]
 
 
 def _sort_grants(tables: list[pa.Table]) -> pa.Table:
@@ -326,6 +335,10 @@ class LocalShards:
         for shard, t in zip(self.shards, tables):
             if t.num_rows:
                 shard.offer(t)
+
+    def offer_specs(self, specs: dict[int, list[tuple]], ready_time: int) -> None:
+        for p, parts in specs.items():
+            self.shards[p].offer_assembled(parts, ready_time)
 
     def pop_epoch(self, horizon: int) -> list[pa.Table]:
         return [s.pop_epoch(horizon) for s in self.shards]
@@ -376,6 +389,32 @@ class RayShards:
             a.offer.remote(t) for a, t in zip(self.actors, tables) if t.num_rows
         ]
         self._ray.get(refs)
+
+    def offer_specs(self, specs: dict[int, list[tuple]], ready_time: int) -> None:
+        refs = [
+            self.actors[p].offer_assembled.remote(parts, ready_time)
+            for p, parts in specs.items()
+        ]
+        self._ray.get(refs)
+
+    def pop_epoch_refs(self, horizon: int) -> list[tuple]:
+        """[(grant_table_ref, key_table)] per shard — grant payloads
+        stay in the object store; the driver sees only the keys."""
+        return self._ray.get(
+            [a.pop_epoch_ref.remote(horizon) for a in self.actors]
+        )
+
+    def step(
+        self, specs: dict[int, list[tuple]], ready_time: int, horizon: int
+    ) -> list[tuple]:
+        """Single RPC round per shard per epoch: deliver the previous
+        epoch's candidates AND pop this epoch's grants."""
+        return self._ray.get(
+            [
+                a.offer_and_pop.remote(specs.get(p, []), ready_time, horizon)
+                for p, a in enumerate(self.actors)
+            ]
+        )
 
     def pop_epoch(self, horizon: int) -> list[pa.Table]:
         return self._ray.get([a.pop_epoch.remote(horizon) for a in self.actors])
@@ -483,7 +522,7 @@ class LocalFetchRunner:
         self.cfg = cfg
         self.spans_total = 0
 
-    def __call__(self, grants: pa.Table, epoch: int) -> tuple[pa.Table, pa.Table, pa.Table]:
+    def __call__(self, grants: pa.Table, epoch: int):
         result = self.fetcher(grants)
         self.spans_total += _convert_and_write(
             result, epoch, 0, self.pages_dir, self.cfg.convert_inline
@@ -491,7 +530,10 @@ class LocalFetchRunner:
         accepted, rejected = admit_links(
             _extract_links(result), self.url_filter, self.n_docs, self.cfg.n_partitions
         )
-        return result.select(_LOG_COLS), accepted, rejected
+        keys = accepted.select(["parent_seq", "link_index", "partition"])
+        payload = accepted.drop_columns(["partition"])
+        cols = _LOG_COLS if self.cfg.detailed_logs else ["seq"]
+        return result.select(cols), [keys], [payload], rejected
 
 
 class _FetchWorker(SimulatedFetcher):
@@ -500,16 +542,17 @@ class _FetchWorker(SimulatedFetcher):
     (canonicalize + filter + IP policy — the driver never touches raw
     link URLs), and returns only the small log/candidate columns."""
 
-    def __init__(self, *args, allow=(), deny=(), convert_inline=True, n_partitions=0, **kwargs):
+    def __init__(self, *args, allow=(), deny=(), convert_inline=True, n_partitions=0,
+                 detailed_logs=True, **kwargs):
         super().__init__(*args, **kwargs)
         self.url_filter = UrlFilter(list(allow), list(deny))
-        self.n_docs = len(self.docs)
         self.convert_inline = convert_inline
         self.n_partitions = n_partitions
+        self.log_cols = _LOG_COLS if detailed_logs else ["seq"]
 
     def fetch(
         self, batch: pa.Table, epoch: int, chunk: int, pages_dir: str | None
-    ) -> tuple[pa.Table, pa.Table, pa.Table, int]:
+    ) -> tuple:
         result = self(batch)
         n_spans = _convert_and_write(
             result, epoch, chunk, pages_dir, self.convert_inline
@@ -517,7 +560,23 @@ class _FetchWorker(SimulatedFetcher):
         accepted, rejected = admit_links(
             _extract_links(result), self.url_filter, self.n_docs, self.n_partitions
         )
-        return result.select(_LOG_COLS), accepted, rejected, n_spans
+        # candidate payloads stay in the object store — only the small
+        # routing keys go back to the driver; shards pull the payload
+        # rows they own directly from plasma
+        import ray
+
+        payload_ref = ray.put(accepted.drop_columns(["partition"]))
+        keys = accepted.select(["parent_seq", "link_index", "partition"])
+        return result.select(self.log_cols), keys, payload_ref, rejected, n_spans
+
+    def fetch_chunk(
+        self, grants: pa.Table, off: int, ln: int, epoch: int, chunk: int,
+        pages_dir: str | None,
+    ) -> tuple:
+        """Entry point for by-ref dispatch: the driver passes the shard's
+        grant-table ObjectRef (auto-resolved by Ray, plasma-local) plus a
+        row range; the slice is zero-copy."""
+        return self.fetch(grants.slice(off, ln), epoch, chunk, pages_dir)
 
 
 class RayFetchRunner:
@@ -554,31 +613,39 @@ class RayFetchRunner:
                 deny=tuple(cfg.deny),
                 convert_inline=cfg.convert_inline,
                 n_partitions=cfg.n_partitions,
+                detailed_logs=cfg.detailed_logs,
             )
             for _ in range(cfg.fetch_concurrency)
         ]
 
-    def __call__(self, grants: pa.Table, epoch: int) -> tuple[pa.Table, pa.Table, pa.Table]:
-        n = grants.num_rows
-        # one chunk per actor (work is uniform); batch_size caps chunk
-        # size so very large epochs still pipeline. Driver-side task
-        # submission serializes args, so chunk COUNT is driver latency —
-        # keep it at O(actors), not a multiple of it.
-        size = max(1, min(self.cfg.fetch_batch_size, -(-n // len(self.actors))))
+    def __call__(self, popped: list[tuple], epoch: int):
+        """``popped`` = [(grant_table_ref, key_table)] from
+        pop_epoch_refs. Chunks are (ref, offset, length) triples — the
+        driver never serializes grant rows; workers resolve the ref
+        plasma-locally and slice zero-copy."""
+        total = sum(kt.num_rows for _, kt in popped)
+        # one chunk per actor when possible (uniform work → balanced);
+        # batch_size caps chunk size for memory. Chunk COUNT is driver
+        # submission latency — keep it at O(actors).
+        size = max(1, min(self.cfg.fetch_batch_size, -(-total // len(self.actors))))
         refs = []
-        for ci, off in enumerate(range(0, n, size)):
-            chunk = grants.slice(off, size)
-            refs.append(
-                self.actors[ci % len(self.actors)].fetch.remote(
-                    chunk, epoch, ci, self.pages_dir
+        ci = 0
+        for ref, kt in popped:
+            n = kt.num_rows
+            for off in range(0, n, size):
+                refs.append(
+                    self.actors[ci % len(self.actors)].fetch_chunk.remote(
+                        ref, off, min(size, n - off), epoch, ci, self.pages_dir
+                    )
                 )
-            )
+                ci += 1
         parts = self._ray.get(refs)
         log = pa.concat_tables([p[0] for p in parts])
-        accepted = pa.concat_tables([p[1] for p in parts])
-        rejected = pa.concat_tables([p[2] for p in parts])
-        self.spans_total += sum(p[3] for p in parts)
-        return log, accepted, rejected
+        keys = [p[1] for p in parts]
+        payloads = [p[2] for p in parts]
+        rejected = pa.concat_tables([p[3] for p in parts])
+        self.spans_total += sum(p[4] for p in parts)
+        return log, keys, payloads, rejected
 
 
 # ------------------------------------------------------------------ the loop
@@ -631,7 +698,9 @@ def run_crawl(
             # parallel seed admission — canonicalization is pure
             import ray
 
-            task = ray.remote(
+            # num_cpus=0: must be schedulable even when the fetch actor
+            # pool has reserved every logical CPU
+            task = ray.remote(num_cpus=0)(
                 lambda t, allow, deny: admit_candidates(t, UrlFilter(allow, deny))
             )
             n_chunks = 16
@@ -652,85 +721,98 @@ def run_crawl(
             int(pc.max(frontier.column("seq")).as_py()) + 1 if frontier.num_rows else 0
         )
         k, fetch_seq, epochs_done = 0, 0, 0
+    pending_specs: dict[int, list[tuple]] = {}
+    pending_ready = 0
 
     while epochs_done < cfg.max_epochs and (
         cfg.max_fetches is None or fetch_seq < cfg.max_fetches
     ):
         horizon = (k + 1) * W - 1
-        grants = _sort_grants(shards.pop_epoch(horizon))
-        if grants.num_rows == 0:
+        if mode == "ray":
+            # ONE round trip: deliver last epoch's candidates + pop
+            popped = shards.step(pending_specs, pending_ready, horizon)
+            pending_specs = {}
+            n_grants = sum(kt.num_rows for _, kt in popped)
+        else:
+            if pending_specs:
+                shards.offer_specs(pending_specs, pending_ready)
+                pending_specs = {}
+            grants = _sort_grants(shards.pop_epoch(horizon))
+            n_grants = grants.num_rows
+        if n_grants == 0:
             mr = shards.min_ready()
             if mr is None:
                 break  # frontier exhausted
             k = mr // W
             continue
-        log, links, links_rejected = runner(grants, k)
+        log, key_tables, payloads, links_rejected = runner(
+            popped if mode == "ray" else grants, k
+        )
         if links_rejected.num_rows:
             rejected_parts.append(links_rejected)
-        log = log.add_column(
-            0, "fetch_seq", pa.array(np.arange(fetch_seq, fetch_seq + log.num_rows))
-        )
-        # runner output order can be arbitrary (Ray) → re-sort by the
-        # schedule-time key to restore the deterministic global order
-        log = log.sort_by([("fetch_seq", "ascending")]) if mode == "local" else log
-        if mode == "ray":
-            log = (
-                log.drop_columns(["fetch_seq"])
-                .sort_by(
+        if cfg.detailed_logs:
+            # runner output order can be arbitrary (Ray) → re-sort by
+            # the schedule-time key for the deterministic global order
+            if mode == "ray":
+                log = log.sort_by(
                     [
                         ("fetch_time", "ascending"),
                         ("priority", "descending"),
                         ("seq", "ascending"),
                     ]
                 )
-                .add_column(
-                    0,
-                    "fetch_seq",
-                    pa.array(np.arange(fetch_seq, fetch_seq + log.num_rows)),
-                )
+            log = log.add_column(
+                0, "fetch_seq", pa.array(np.arange(fetch_seq, fetch_seq + log.num_rows))
             )
-        log = log.append_column("epoch", pa.array(np.full(log.num_rows, k)))
-        fetch_seq += log.num_rows
-        if log_sink is not None:
-            log_sink(log)
-        else:
-            logs.append(log)
-
-        if links.num_rows:
-            # deterministic seq assignment: links ordered by (parent's
-            # schedule-time seq, link position) regardless of which
-            # worker produced them
-            links = links.sort_by(
-                [("parent_seq", "ascending"), ("link_index", "ascending")]
-            )
-            accepted = pa.table(
-                {
-                    "url_canon": links.column("url_canon"),
-                    "url_hash": links.column("url_hash"),
-                    "host": links.column("host"),
-                    "path": links.column("path"),
-                    "priority": links.column("priority"),
-                    "next_fetch_time": pa.array(
-                        np.full(links.num_rows, (k + 1) * W, dtype=np.int64)
-                    ),
-                    "route": links.column("route"),
-                    "doc_id": links.column("doc_id"),
-                    "options_json": links.column("options_json"),
-                    "seq": pa.array(
-                        np.arange(next_seq, next_seq + links.num_rows, dtype=np.int64)
-                    ),
-                },
-                schema=CANDIDATE_SCHEMA,
-            )
-            next_seq += links.num_rows
-            if "partition" in links.column_names:
-                parts = links.column("partition").to_numpy(zero_copy_only=False)
-                accepted = accepted  # partition column intentionally not offered
+            log = log.append_column("epoch", pa.array(np.full(log.num_rows, k)))
+            fetch_seq += log.num_rows
+            if log_sink is not None:
+                log_sink(log)
             else:
-                parts = partition_of(
-                    accepted.column("host").to_pylist(), cfg.n_partitions
-                )
-            shards.offer(_split_by_partition(accepted, parts, cfg.n_partitions))
+                logs.append(log)
+        else:
+            fetch_seq += log.num_rows
+
+        n_links = sum(t.num_rows for t in key_tables)
+        if n_links:
+            # deterministic seq assignment from ROUTING KEYS ONLY: links
+            # are ordered by (parent's schedule-time seq, link position)
+            # regardless of which worker produced them; the candidate
+            # payloads never transit the driver — shards pull their rows
+            # straight from the workers' object-store tables.
+            parent = np.concatenate(
+                [t.column("parent_seq").to_numpy(zero_copy_only=False) for t in key_tables]
+            )
+            lidx = np.concatenate(
+                [t.column("link_index").to_numpy(zero_copy_only=False) for t in key_tables]
+            )
+            part = np.concatenate(
+                [t.column("partition").to_numpy(zero_copy_only=False) for t in key_tables]
+            )
+            chunk_id = np.concatenate(
+                [np.full(t.num_rows, ci, dtype=np.int64) for ci, t in enumerate(key_tables)]
+            )
+            row_idx = np.concatenate(
+                [np.arange(t.num_rows, dtype=np.int64) for t in key_tables]
+            )
+            order = np.lexsort((lidx, parent))
+            seqs = np.empty(n_links, dtype=np.int64)
+            seqs[order] = np.arange(next_seq, next_seq + n_links, dtype=np.int64)
+            next_seq += n_links
+            combo = part * len(payloads) + chunk_id
+            o2 = np.argsort(combo, kind="stable")
+            sc = combo[o2]
+            seg_starts = np.concatenate(([0], np.nonzero(np.diff(sc))[0] + 1))
+            seg_ends = np.concatenate((seg_starts[1:], [len(sc)]))
+            specs: dict[int, list[tuple]] = {}
+            for a, b in zip(seg_starts, seg_ends):
+                ids = o2[a:b]
+                p = int(part[ids[0]])
+                c = int(chunk_id[ids[0]])
+                specs.setdefault(p, []).append((payloads[c], row_idx[ids], seqs[ids]))
+            # deferred: delivered inside next epoch's step() round trip
+            pending_specs = specs
+            pending_ready = (k + 1) * W
         k += 1
         epochs_done += 1
         if (
@@ -738,6 +820,9 @@ def run_crawl(
             and cfg.checkpoint_every
             and epochs_done % cfg.checkpoint_every == 0
         ):
+            if pending_specs:  # undelivered links are frontier state
+                shards.offer_specs(pending_specs, pending_ready)
+                pending_specs = {}
             ckpt.write(
                 checkpoint_dir,
                 shards.checkpoints(),
@@ -750,6 +835,9 @@ def run_crawl(
                 },
             )
 
+    if pending_specs:  # loop exited with undelivered links
+        shards.offer_specs(pending_specs, pending_ready)
+        pending_specs = {}
     if checkpoint_dir:
         ckpt.write(
             checkpoint_dir,

@@ -89,12 +89,71 @@ class FrontierShard:
         self.payloads: dict[int, tuple[str, str, str, str, str]] = {}
         self.counters = dict.fromkeys(COUNTER_KEYS, 0)
         self._delay_set: set[str] = set()  # hosts whose crawl-delay is applied
+        self._pending: list[pa.Table] = []  # buffered offers, applied at flush
 
     # ------------------------------------------------------------------ offer
-    def offer(self, batch: pa.Table) -> dict:
+    def offer(self, batch: pa.Table) -> int:
+        """Buffer candidate rows; they are APPLIED (seen-dedup, robots,
+        heap insert) at the next flush, sorted by seq — so the admitted
+        state is a pure function of the candidate SET, not of the order
+        worker pushes happened to arrive in (bit-identical checkpoints
+        across orchestrations)."""
+        if batch.num_rows:
+            self._pending.append(batch)
+        return batch.num_rows
+
+    def offer_assembled(
+        self, parts: list[tuple], ready_time: int
+    ) -> int:
+        """Assemble candidate rows pushed by fetch workers: each part is
+        (payload_handle, row_indices, seqs) where payload_handle is a
+        LINK_CANDIDATE table or a ray.ObjectRef to one (resolved here,
+        inside the shard — the driver never touches candidate payloads).
+        """
+        total = 0
+        for handle, idx, seqs in parts:
+            if not isinstance(handle, pa.Table):  # ObjectRef from a worker
+                import ray
+
+                handle = ray.get(handle)
+            sub = handle.take(pa.array(np.asarray(idx, dtype=np.int64)))
+            n = sub.num_rows
+            batch = pa.table(
+                {
+                    "url_canon": sub.column("url_canon"),
+                    "url_hash": sub.column("url_hash"),
+                    "host": sub.column("host"),
+                    "path": sub.column("path"),
+                    "priority": sub.column("priority"),
+                    "next_fetch_time": pa.array(
+                        np.full(n, ready_time, dtype=np.int64)
+                    ),
+                    "route": sub.column("route"),
+                    "doc_id": sub.column("doc_id"),
+                    "options_json": sub.column("options_json"),
+                    "seq": pa.array(np.asarray(seqs, dtype=np.int64)),
+                }
+            )
+            self._pending.append(batch)
+            total += n
+        return total
+
+    def flush(self) -> None:
+        """Apply buffered offers in global seq order (deterministic)."""
+        if not self._pending:
+            return
+        merged = (
+            pa.concat_tables(self._pending, promote_options="none")
+            if len(self._pending) > 1
+            else self._pending[0]
+        )
+        self._pending = []
+        self._apply_offer(merged.sort_by([("seq", "ascending")]))
+
+    def _apply_offer(self, batch: pa.Table) -> dict:
         """Admit candidate URLs: seen-dedup (bloom→cuckoo), robots gate,
-        heap insert. Batch columns: url_canon, url_hash, host, priority,
-        next_fetch_time, route, doc_id, options_json, seq.
+        heap insert. Batch columns: url_canon, url_hash, host, path,
+        priority, next_fetch_time, route, doc_id, options_json, seq.
 
         A URL enters the seen set the first time it is *considered* —
         robots-denied URLs are seen too (never reconsidered), mirroring
@@ -165,6 +224,7 @@ class FrontierShard:
         grant order per host follows pop order; globally the caller
         sorts by (fetch_time, -priority, seq).
         """
+        self.flush()
         rows: list[tuple] = []
         while limit is None or len(rows) < limit:
             popped = self.heap.pop_ready(horizon, limit=1)
@@ -196,18 +256,40 @@ class FrontierShard:
         ]
         return pa.Table.from_arrays(arrays, schema=GRANT_SCHEMA)
 
+    def pop_epoch_ref(self, horizon: int, limit: int | None = None):
+        """pop_epoch, but the grant table goes to the object store and
+        only (ref, key columns) return — grant payloads never transit
+        the driver. Requires a ray runtime (used via the actor path)."""
+        import ray
+
+        grants = self.pop_epoch(horizon, limit)
+        keys = grants.select(["seq", "fetch_time", "priority"])
+        return ray.put(grants), keys
+
+    def offer_and_pop(
+        self, parts: list[tuple], ready_time: int, horizon: int
+    ):
+        """One round trip per epoch: deliver the previous epoch's link
+        candidates, then grant this epoch's fetches."""
+        if parts:
+            self.offer_assembled(parts, ready_time)
+        return self.pop_epoch_ref(horizon)
+
     def min_ready(self) -> int | None:
+        self.flush()
         return self.heap.peek_ready_time()
 
     def live_count(self) -> int:
         return len(self.heap)
 
     def get_counters(self) -> dict:
+        self.flush()
         return dict(self.counters)
 
     # ------------------------------------------------------------ checkpoint
     def checkpoint(self) -> dict:
         """Canonical state snapshot (bit-identical across orchestrations)."""
+        self.flush()  # pending offers are part of the state
         seqs = sorted(self.payloads)
         payloads = pa.table(
             {

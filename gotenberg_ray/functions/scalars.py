@@ -1,0 +1,130 @@
+"""Scalar helper functions mirrored from the reference (SURVEY §2.8).
+
+- alphanumeric_key: the natural-sort comparator of
+  /root/reference/pkg/gotenberg/sort.go:26-113 — prefix number, then
+  extension-suffix number, then trailing number, then lexicographic —
+  and digit_suffix_key (pdfcpu/sort.go:10-68) for split outputs. Our
+  engine sorts by explicit part_index columns; these exist for
+  fixture-name parity.
+- inches / duration / byte-size parsers (api/formdata.go:152-268,
+  api.go:197).
+- cap_attr / redact_url (gotenberg/attrs.go): log-attribute hygiene.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit, urlunsplit
+
+_NUM_PREFIX = re.compile(r"^(\d+)")
+_NUM_TRAIL = re.compile(r"(\d+)$")
+_UNIT_RE = re.compile(r"^\s*([0-9.]+)\s*([a-zA-Z%]*)\s*$")
+
+_INCH_FACTORS = {
+    "": 1.0,  # bare numbers are inches
+    "in": 1.0,
+    "pt": 1.0 / 72.0,
+    "px": 1.0 / 96.0,
+    "mm": 1.0 / 25.4,
+    "cm": 1.0 / 2.54,
+    "pc": 1.0 / 6.0,
+}
+
+_BYTE_FACTORS = {
+    "": 1,
+    "b": 1,
+    "kb": 1000,
+    "mb": 1000**2,
+    "gb": 1000**3,
+    "tb": 1000**4,
+    "kib": 1024,
+    "mib": 1024**2,
+    "gib": 1024**3,
+}
+
+_DUR_FACTORS = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def parse_inches(value: str) -> float:
+    """'8.5', '72pt', '297mm' → inches (formdata.go:173-268)."""
+    m = _UNIT_RE.match(value)
+    if not m:
+        raise ValueError(f"invalid dimension {value!r}")
+    num, unit = float(m.group(1)), m.group(2).lower()
+    if unit not in _INCH_FACTORS:
+        raise ValueError(f"unknown unit {unit!r} in {value!r}")
+    return num * _INCH_FACTORS[unit]
+
+
+def parse_byte_size(value: str) -> int:
+    """'5MB', '1GiB', '700kb' → bytes (api-body-limit parsing)."""
+    m = _UNIT_RE.match(value)
+    if not m:
+        raise ValueError(f"invalid byte size {value!r}")
+    num, unit = float(m.group(1)), m.group(2).lower()
+    if unit not in _BYTE_FACTORS:
+        raise ValueError(f"unknown unit {unit!r} in {value!r}")
+    return int(num * _BYTE_FACTORS[unit])
+
+
+def parse_duration(value: str) -> float:
+    """Go-style duration ('1h30m', '2.5s', '500ms') → seconds."""
+    value = value.strip()
+    if not value:
+        raise ValueError("empty duration")
+    total = 0.0
+    for num, unit in re.findall(r"([0-9.]+)(ns|us|µs|ms|s|m|h)", value):
+        total += float(num) * _DUR_FACTORS[unit]
+    if total == 0.0 and not re.fullmatch(r"(?:[0-9.]+(?:ns|us|µs|ms|s|m|h))+", value):
+        raise ValueError(f"invalid duration {value!r}")
+    return total
+
+
+def alphanumeric_key(name: str):
+    """Sort key matching gotenberg/sort.go:26-113: leading number,
+    else number before the extension, else trailing number, else
+    lexicographic."""
+    stem, dot, _ext = name.rpartition(".")
+    base = stem if dot else name
+    m = _NUM_PREFIX.match(name)
+    if m:
+        return (0, int(m.group(1)), name)
+    m = _NUM_TRAIL.search(base)
+    if m:
+        return (1, base[: m.start()], int(m.group(1)), name)
+    return (2, name, 0, "")
+
+
+def digit_suffix_key(name: str):
+    """pdfcpu split-output sort (pdfcpu/sort.go:10-68): numeric suffix
+    before the extension."""
+    stem, dot, _ext = name.rpartition(".")
+    base = stem if dot else name
+    m = _NUM_TRAIL.search(base)
+    return (base[: m.start()] if m else base, int(m.group(1)) if m else -1)
+
+
+def cap_attr(value: str, limit: int = 512) -> str:
+    """Truncate long log attributes (gotenberg/attrs.go CapAttr)."""
+    if len(value) <= limit:
+        return value
+    return value[: limit - 1] + "…"
+
+
+def redact_url(url: str) -> str:
+    """Strip userinfo + query values from logged URLs (RedactURL)."""
+    try:
+        p = urlsplit(url)
+    except ValueError:
+        return url
+    netloc = p.hostname or ""
+    if p.port:
+        netloc = f"{netloc}:{p.port}"
+    if p.username:
+        netloc = f"xxx@{netloc}"
+    query = "&".join(
+        f"{kv.split('=', 1)[0]}=xxx" if "=" in kv else kv
+        for kv in p.query.split("&")
+        if kv
+    )
+    return urlunsplit((p.scheme, netloc, p.path, query, ""))

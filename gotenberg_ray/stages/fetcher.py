@@ -84,9 +84,12 @@ def synthetic_links(
 class SimulatedFetcher:
     """Callable-class stage for ``map_batches(..., concurrency=N)``.
 
-    ``docs`` may be a pyarrow Table, a ``ray.ObjectRef`` to one
-    (broadcast with ``ray.put`` — resolved once per actor here, never
-    per batch), or a prebuilt dict.
+    ``docs`` may be a pyarrow Table, a prebuilt ``build_state`` tuple,
+    or a ``ray.ObjectRef`` to either (broadcast with ``ray.put``,
+    resolved once per actor here, never per batch). State stays
+    ARROW-NATIVE: the spans column lives in the object store and is
+    shared zero-copy by every actor — no per-actor unpickling of a
+    Python document dict; page spans flow into the output via ``take``.
     """
 
     def __init__(self, docs, link_universe: int = 1000, max_links: int = 3):
@@ -97,58 +100,63 @@ class SimulatedFetcher:
                 docs = ray.get(docs)
         except ImportError:
             pass
-        if isinstance(docs, tuple):  # prebuilt (docs, doc_stats) state
-            self.docs, self.doc_stats = docs
-        else:
-            if isinstance(docs, pa.Table):
-                ids = docs.column("doc_id").to_pylist()
-                spans = docs.column("spans").to_pylist()
-                docs = dict(zip(ids, spans))
-            self.docs = docs
-            self.doc_stats = self.build_doc_stats(docs)
+        if not isinstance(docs, tuple):
+            docs = self.build_state(docs)
+        docs_table, stats = docs
+        self.n_docs = docs_table.num_rows
+        # spans column with one sentinel EMPTY row appended at index
+        # n_docs — error rows `take` it instead of a branch per row
+        spans_col = docs_table.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        empty = pa.array([[]], type=spans_col.type)
+        self.spans_col = pa.concat_arrays([spans_col, empty])
+        self.empty_idx = self.n_docs
+        self.row_of: dict[str, int] = {
+            d: i for i, d in enumerate(docs_table.column("doc_id").to_pylist())
+        }
+        self.stats = stats  # dict of np arrays + origins sets
         self.link_universe = int(link_universe)
         self.max_links = int(max_links)
         self._fail_cache: dict[str, np.ndarray] = {}
 
-    @staticmethod
-    def build_doc_stats(docs: dict[str, list[dict]]) -> dict:
+    @classmethod
+    def build_state(cls, docs: pa.Table) -> tuple[pa.Table, dict]:
         """Per-doc network aggregates — pure functions of the doc,
-        computed ONCE (build centrally, broadcast with the docs dict;
-        every actor then skips this work). All media refs are hashed in
+        computed ONCE centrally and broadcast; all media refs hashed in
         one vectorized pass."""
+        spans_rows = docs.column("spans").to_pylist()
         all_refs = [
-            s["media_ref"]
-            for spans in docs.values()
-            for s in spans
-            if s["kind"] == "media"
+            s["media_ref"] for spans in spans_rows for s in spans if s["kind"] == "media"
         ]
         ref_hash = dict(zip(all_refs, (int(h) for h in fnv64(all_refs))))
-        doc_stats: dict[str, tuple[int, int, int, frozenset]] = {}
-        for doc_id, spans in docs.items():
-            req, byts, failed = 1, 0, 0
-            origins: set[str] = set()
+        n = len(spans_rows)
+        req = np.ones(n, dtype=np.int64)
+        byts = np.zeros(n, dtype=np.int64)
+        failed = np.zeros(n, dtype=np.int64)
+        origins: list[frozenset] = []
+        for i, spans in enumerate(spans_rows):
+            o: set[str] = set()
             for s in spans:
                 if s["kind"] == "media":
-                    req += 1
+                    req[i] += 1
                     mh = ref_hash[s["media_ref"]]
                     if splitmix64(mh ^ int(MEDIA_SALT)) % 100 < 5:
-                        failed += 1
+                        failed[i] += 1
                     else:
-                        byts += splitmix64(mh) % 50000 + 1000
-                    origins.add(
-                        s["media_ref"].split("/")[2] if "://" in s["media_ref"] else ""
-                    )
+                        byts[i] += splitmix64(mh) % 50000 + 1000
+                    o.add(s["media_ref"].split("/")[2] if "://" in s["media_ref"] else "")
                 else:
-                    byts += len(s["text"])
-            doc_stats[doc_id] = (req, byts, failed, frozenset(origins))
-        return doc_stats
-
-    @classmethod
-    def build_state(cls, docs: pa.Table) -> tuple[dict, dict]:
-        ids = docs.column("doc_id").to_pylist()
-        spans = docs.column("spans").to_pylist()
-        d = dict(zip(ids, spans))
-        return d, cls.build_doc_stats(d)
+                    byts[i] += len(s["text"])
+            origins.append(frozenset(o))
+        stats = {
+            "req": req,
+            "bytes": byts,
+            "failed": failed,
+            "origins": origins,
+            "origins_len": np.fromiter((len(o) for o in origins), np.int64, n),
+        }
+        return docs, stats
 
     def _fail_set(self, options_json: str) -> np.ndarray:
         cached = self._fail_cache.get(options_json)
@@ -168,73 +176,80 @@ class SimulatedFetcher:
         url_hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
         hosts = batch.column("host").to_pylist()
         doc_ids = batch.column("doc_id").to_pylist()
-        options = batch.column("options_json").to_pylist()
         statuses = synthetic_status(url_hashes)
 
-        spans_out: list[list[dict] | None] = []
-        links_out: list[list[dict]] = []
-        status_col: list[str] = []
-        err_col: list[str] = []
-        metrics: dict[str, list[int]] = {
-            "request_count": [],
-            "bytes_total": [],
-            "failed_count": [],
-            "unique_origins": [],
-        }
-        for i in range(n):
-            uh = int(url_hashes[i])
-            http = int(statuses[i])
-            fail_set = self._fail_set(options[i])
-            if http != 200 and bool(np.isin(np.uint16(http), fail_set)):
-                # failure predicate wins before any render work
-                # (ErrInvalidHttpStatusCode, events.go:215-227)
-                spans_out.append([])
-                links_out.append([])
-                status_col.append(STATUS_ERROR)
-                err_col.append(ERR_INVALID_INPUT)
-                metrics["request_count"].append(1)
-                metrics["bytes_total"].append(0)
-                metrics["failed_count"].append(1)
-                metrics["unique_origins"].append(1)
-                continue
-            spans = self.docs.get(doc_ids[i])
-            if spans is None:
-                spans_out.append([])
-                links_out.append([])
-                status_col.append(STATUS_ERROR)
-                err_col.append(ERR_INVALID_INPUT)
-                metrics["request_count"].append(1)
-                metrics["bytes_total"].append(0)
-                metrics["failed_count"].append(1)
-                metrics["unique_origins"].append(1)
-                continue
-            req, byts, failed, origins = self.doc_stats[doc_ids[i]]
-            n_origins = min(
-                MAX_UNIQUE_ORIGINS, len(origins) + (hosts[i] not in origins)
+        idx = np.fromiter(
+            (self.row_of.get(d, -1) for d in doc_ids), dtype=np.int64, count=n
+        )
+        found = idx >= 0
+        # failure predicate wins before any render work
+        # (ErrInvalidHttpStatusCode, events.go:215-227); only non-200
+        # rows consult their fail set
+        bad = np.zeros(n, dtype=bool)
+        nz = np.nonzero(statuses != 200)[0]
+        if len(nz):
+            options = batch.column("options_json").take(pa.array(nz)).to_pylist()
+            for j, i in enumerate(nz):
+                bad[i] = bool(
+                    np.isin(np.uint16(statuses[i]), self._fail_set(options[j]))
+                )
+        ok = found & ~bad
+
+        # spans via zero-copy take (errors take the sentinel empty row)
+        take_idx = np.where(ok, idx, self.empty_idx)
+        spans_out = self.spans_col.take(pa.array(take_idx))
+
+        st = self.stats
+        req = np.where(ok, st["req"][np.where(found, idx, 0)], 1)
+        byts = np.where(ok, st["bytes"][np.where(found, idx, 0)], 0)
+        failed = np.where(ok, st["failed"][np.where(found, idx, 0)], 1)
+        n_orig = np.where(ok, st["origins_len"][np.where(found, idx, 0)], 0)
+        origins_list = st["origins"]
+
+        urls_flat: list[str] = []
+        lidx_flat: list[int] = []
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        ok_idx = np.nonzero(ok)[0]
+        for i in ok_idx:
+            # host counts as an origin unless it already served an asset
+            if hosts[i] not in origins_list[idx[i]]:
+                n_orig[i] += 1
+            links = synthetic_links(
+                int(url_hashes[i]), hosts[i], self.link_universe, self.max_links
             )
-            spans_out.append(spans)
-            links = synthetic_links(uh, hosts[i], self.link_universe, self.max_links)
-            links_out.append(
-                [{"url": u, "link_index": j} for j, u in enumerate(links)]
-            )
-            status_col.append(STATUS_SUCCESS)
-            err_col.append(ERR_NONE)
-            metrics["request_count"].append(req)
-            metrics["bytes_total"].append(byts)
-            metrics["failed_count"].append(failed)
-            metrics["unique_origins"].append(n_origins)
+            urls_flat.extend(links)
+            lidx_flat.extend(range(len(links)))
+            offsets[i + 1] = len(links)
+        np.minimum(n_orig, MAX_UNIQUE_ORIGINS, out=n_orig)
+        n_orig[~ok] = 1
+        np.cumsum(offsets, out=offsets)
+        links_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(urls_flat, pa.string()), pa.array(lidx_flat, pa.int32())],
+                ["url", "link_index"],
+            ),
+        )
 
         out = batch.append_column("http_status", pa.array(statuses, pa.uint16()))
-        out = out.append_column("spans", pa.array(spans_out, SPANS_TYPE))
-        out = out.append_column("status", pa.array(status_col, pa.string()))
-        out = out.append_column("error_type", pa.array(err_col, pa.string()))
+        out = out.append_column("spans", spans_out)
+        out = out.append_column(
+            "status", pa.array(np.where(ok, STATUS_SUCCESS, STATUS_ERROR))
+        )
+        out = out.append_column(
+            "error_type", pa.array(np.where(ok, ERR_NONE, ERR_INVALID_INPUT))
+        )
         out = out.append_column(
             "metrics",
             pa.StructArray.from_arrays(
-                [pa.array(metrics[k], pa.int64()) for k in
-                 ("request_count", "bytes_total", "failed_count", "unique_origins")],
+                [
+                    pa.array(req, pa.int64()),
+                    pa.array(byts, pa.int64()),
+                    pa.array(failed, pa.int64()),
+                    pa.array(n_orig, pa.int64()),
+                ],
                 ["request_count", "bytes_total", "failed_count", "unique_origins"],
             ),
         )
-        out = out.append_column("links", pa.array(links_out, LINKS_TYPE))
+        out = out.append_column("links", links_col)
         return out

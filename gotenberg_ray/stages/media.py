@@ -1,0 +1,150 @@
+"""Multimodal media pipeline: decode / feature-extract / resize over
+opaque binary payload columns.
+
+Media items are rows ``(media_ref:string, payload:binary,
+media_type:string, meta_json:string)`` — the image/audio libraries are
+not present in this container, so the DECODE KERNEL is stubbed behind
+``DecodeBackend`` (a deterministic fake by default, NotImplementedError
+for real codecs); everything around it — the Arrow schema, the
+actor-pool stage shape, batch sizing for large binaries, and the output
+layout — is real and tested.
+
+Scale notes: payloads are kept in a dedicated binary column (not inline
+in span lists — SURVEY §7.5 "very wide rows"), batches stay SMALL
+(hundreds of rows) so batch × concurrency fits worker heaps, and the
+stage is a callable class so a real model/codec would load once per
+actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import fnv64, splitmix64
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),  # "image" | "audio" | "video"
+        ("meta_json", pa.string()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("media_type", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("features", pa.list_(pa.float32(), FEATURE_DIM)),
+        ("decode_ok", pa.bool_()),
+        ("error", pa.string()),
+    ]
+)
+
+
+class DecodeBackend:
+    """Codec seam. ``fake`` mode derives deterministic dimensions and a
+    feature vector from the payload bytes; ``real`` mode is the
+    integration point for PIL/ffmpeg-style codecs, absent here."""
+
+    def __init__(self, mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(f"unknown decode mode {mode!r}")
+        self.mode = mode
+
+    def decode(self, payload: bytes, media_type: str) -> dict:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "real image/audio codecs are not available in this container; "
+                "plug PIL/ffmpeg here"
+            )
+        h = int(fnv64([payload.hex() if len(payload) < 64 else payload[:64].hex()])[0])
+        rng = np.uint64(h)
+        width = int(splitmix64(int(rng) ^ 0x1) % 1920) + 16
+        height = int(splitmix64(int(rng) ^ 0x2) % 1080) + 16
+        n_frames = 1 if media_type == "image" else int(splitmix64(int(rng) ^ 0x3) % 300) + 1
+        feats = np.empty(FEATURE_DIM, dtype=np.float32)
+        for i in range(FEATURE_DIM):
+            feats[i] = (splitmix64(int(rng) ^ (0x10 + i)) % 10_000) / 10_000.0
+        return {"width": width, "height": height, "n_frames": n_frames, "features": feats}
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: ``map_batches(MediaFeatureExtractor,
+    batch_format="pyarrow", batch_size=256, concurrency=N)``.
+
+    The backend (codec/model) loads once per actor; corrupt payloads
+    become error ROWS, never exceptions.
+    """
+
+    def __init__(self, mode: str = "fake", min_payload: int = 8):
+        self.backend = DecodeBackend(mode)
+        self.min_payload = min_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        rows = {k: [] for k in ("width", "height", "n_frames", "features", "decode_ok", "error")}
+        for p, t in zip(payloads, types):
+            if p is None or len(p) < self.min_payload:
+                rows["width"].append(0)
+                rows["height"].append(0)
+                rows["n_frames"].append(0)
+                rows["features"].append([0.0] * FEATURE_DIM)
+                rows["decode_ok"].append(False)
+                rows["error"].append("payload too small")
+                continue
+            d = self.backend.decode(p, t)
+            rows["width"].append(d["width"])
+            rows["height"].append(d["height"])
+            rows["n_frames"].append(d["n_frames"])
+            rows["features"].append([float(x) for x in d["features"]])
+            rows["decode_ok"].append(True)
+            rows["error"].append("")
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, pa.string()),
+                pa.array(types, pa.string()),
+                pa.array(rows["width"], pa.int32()),
+                pa.array(rows["height"], pa.int32()),
+                pa.array(rows["n_frames"], pa.int32()),
+                pa.array(rows["features"], pa.list_(pa.float32(), FEATURE_DIM)),
+                pa.array(rows["decode_ok"], pa.bool_()),
+                pa.array(rows["error"], pa.string()),
+            ],
+            schema=FEATURES_SCHEMA,
+        )
+
+
+def synth_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media corpus (compressible pseudo-bytes)."""
+    rng = np.random.RandomState(seed)
+    refs, payloads, types, metas = [], [], [], []
+    kinds = ["image", "image", "image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[int(rng.randint(0, len(kinds)))]
+        size = int(rng.randint(64, 4096))
+        raw = rng.randint(0, 32, size).astype(np.uint8).tobytes()
+        payloads.append(zlib.compress(raw))
+        refs.append(f"https://assets.example.com/media/{i:06d}.{kind[:3]}")
+        types.append(kind)
+        metas.append(json.dumps({"src_bytes": size}, sort_keys=True))
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(types, pa.string()),
+            "meta_json": pa.array(metas, pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )

@@ -1,0 +1,254 @@
+"""Media pipeline, supervisor semantics, webhook sink, scalar helpers."""
+
+import pyarrow as pa
+import pytest
+
+from gotenberg_ray.functions import scalars as SC
+from gotenberg_ray.stages.media import (
+    FEATURES_SCHEMA,
+    MediaFeatureExtractor,
+    synth_media_table,
+)
+from gotenberg_ray.stages.supervisor import CoreDumped, Supervisor, SupervisorConfig
+from gotenberg_ray.stages.webhook import WebhookSender, sniff_content_type
+
+
+# ----------------------------------------------------------------- media
+
+
+def test_media_extract_deterministic_and_schema():
+    t = synth_media_table(50, seed=42)
+    ex = MediaFeatureExtractor()
+    out1, out2 = ex(t), ex(t)
+    assert out1.equals(out2)
+    assert out1.schema.equals(FEATURES_SCHEMA)
+    assert out1.num_rows == 50
+    ok = out1.column("decode_ok").to_pylist()
+    assert all(ok)
+    widths = out1.column("width").to_pylist()
+    assert all(16 <= w < 1936 for w in widths)
+    # images are single-frame
+    for mt, nf in zip(out1.column("media_type").to_pylist(), out1.column("n_frames").to_pylist()):
+        if mt == "image":
+            assert nf == 1
+
+
+def test_media_corrupt_payload_is_error_row_not_exception():
+    t = pa.table(
+        {
+            "media_ref": pa.array(["x"]),
+            "payload": pa.array([b"abc"], pa.binary()),
+            "media_type": pa.array(["image"]),
+            "meta_json": pa.array(["{}"]),
+        }
+    )
+    out = MediaFeatureExtractor()(t)
+    assert out.column("decode_ok").to_pylist() == [False]
+    assert out.column("error").to_pylist() == ["payload too small"]
+
+
+def test_media_real_backend_is_gated():
+    from gotenberg_ray.stages.media import DecodeBackend
+
+    with pytest.raises(NotImplementedError):
+        DecodeBackend("real").decode(b"x" * 100, "image")
+
+
+def test_media_stage_runs_in_ray_data(ray_session):
+    import ray.data as rd
+
+    t = synth_media_table(200, seed=7)
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    df = out.to_pandas()
+    assert len(df) == 200
+    assert df["decode_ok"].all()
+
+
+# ------------------------------------------------------------- supervisor
+
+
+class FakeBackend:
+    def __init__(self):
+        self.starts = 0
+        self.stops = 0
+        self.health = True
+
+    def start(self):
+        self.starts += 1
+
+    def stop(self):
+        self.stops += 1
+
+    def healthy(self):
+        return self.health
+
+
+def test_supervisor_lazy_start_and_recycle_after_n():
+    b = FakeBackend()
+    s = Supervisor(b, SupervisorConfig(restart_after=3))
+    assert b.starts == 0  # lazy (supervisor.go:475-495)
+    for i in range(7):
+        out, err, attempts = s.run(lambda x: x * 2, i)
+        assert err == "" and out == i * 2
+    # restarts after every 3 conversions → 2 recycles in 7 runs
+    assert s.restart_count == 2
+    assert b.starts == 3 and b.stops == 2
+
+
+def test_supervisor_coredump_retries_bounded():
+    b = FakeBackend()
+    s = Supervisor(b, SupervisorConfig(max_retries=4))
+    calls = {"n": 0}
+
+    def flaky(_):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise CoreDumped()
+        return "ok"
+
+    out, err, attempts = s.run(flaky, None)
+    assert out == "ok" and err == "" and attempts == 3
+    assert s.restart_count == 2  # each crash restarted the backend
+
+    def always(_):
+        raise CoreDumped()
+
+    out, err, attempts = s.run(always, None)
+    assert out is None and err == "restart" and attempts == 4
+
+
+def test_supervisor_health_cache_and_threshold():
+    b = FakeBackend()
+    clock = {"t": 0.0}
+    s = Supervisor(b, SupervisorConfig(health_ttl_s=2.0), clock=lambda: clock["t"])
+    s.run(lambda x: x, 1)
+    b.health = False
+    clock["t"] = 3.0
+    assert s.healthy()  # first failure tolerated (threshold 2)
+    clock["t"] = 6.0
+    assert not s.healthy()  # second consecutive failure
+    # TTL cache: flipping health back isn't seen until TTL expires
+    b.health = True
+    assert not s.healthy()
+    clock["t"] = 9.0
+    assert s.healthy()
+
+
+def test_supervisor_deadline_and_unknown():
+    b = FakeBackend()
+    clock = {"t": 0.0}
+    s = Supervisor(
+        b, SupervisorConfig(task_deadline_s=5.0), clock=lambda: clock["t"]
+    )
+
+    def slow(_):
+        clock["t"] += 10.0
+        return "late"
+
+    out, err, _ = s.run(slow, None)
+    assert err == "timeout" and out is None
+    out, err, _ = s.run(lambda _: 1 / 0, None)
+    assert err == "unknown"
+
+
+# ---------------------------------------------------------------- webhook
+
+
+def test_webhook_delivery_retry_and_error_json():
+    calls = []
+
+    def transport(method, url, headers, body):
+        calls.append((method, url, headers["Content-Type"], body))
+        if url == "http://hook/flaky" and len([c for c in calls if c[1] == url]) < 3:
+            return 503
+        return 200
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "webhook_url": pa.array(["http://hook/ok", "http://hook/flaky", "http://hook/x"]),
+            "error_url": pa.array(["http://hook/err"] * 3),
+            "body": pa.array([b"%PDF-1.7 data", b"PK\x03\x04zip", None], pa.binary()),
+            "error_type": pa.array(["", "", "timeout"]),
+        }
+    )
+    out = WebhookSender(transport)(batch)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows["a"]["event"] == "webhook.success"
+    assert rows["a"]["content_type"] == "application/pdf"
+    assert rows["b"]["attempts"] == 3  # retried with backoff
+    assert rows["b"]["content_type"] == "application/zip"
+    # error row → error URL with JSON body carrying the mapped status
+    assert rows["c"]["url"] == "http://hook/err"
+    err_call = [c for c in calls if c[1] == "http://hook/err"][0]
+    assert err_call[2] == "application/json"
+    assert b'"status": 503' in err_call[3]
+
+
+def test_webhook_gives_up_after_max_retries():
+    def transport(method, url, headers, body):
+        return 500
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["a"]),
+            "webhook_url": pa.array(["http://hook"]),
+            "error_url": pa.array(["http://hook/e"]),
+            "body": pa.array([b"hi"], pa.binary()),
+            "error_type": pa.array([""]),
+        }
+    )
+    out = WebhookSender(transport, max_retries=4)(batch)
+    assert out.column("event").to_pylist() == ["webhook.error"]
+    assert out.column("attempts").to_pylist() == [5]  # 1 + 4 retries
+
+
+def test_sniff_content_type():
+    assert sniff_content_type(b"%PDF-1.4") == "application/pdf"
+    assert sniff_content_type(b"PK\x03\x04...") == "application/zip"
+    assert sniff_content_type(b'  {"a": 1}') == "application/json"
+    assert sniff_content_type("text".encode()) == "text/plain; charset=utf-8"
+    assert sniff_content_type(b"\xff\xfe\x00binary") == "application/octet-stream"
+
+
+# ----------------------------------------------------------------- scalars
+
+
+def test_inches_parser():
+    assert SC.parse_inches("8.5") == 8.5
+    assert SC.parse_inches("72pt") == 1.0
+    assert abs(SC.parse_inches("25.4mm") - 1.0) < 1e-9
+    assert SC.parse_inches("96px") == 1.0
+    with pytest.raises(ValueError):
+        SC.parse_inches("10furlongs")
+
+
+def test_byte_size_and_duration():
+    assert SC.parse_byte_size("5MB") == 5_000_000
+    assert SC.parse_byte_size("1GiB") == 1024**3
+    assert SC.parse_duration("30s") == 30.0
+    assert SC.parse_duration("1h30m") == 5400.0
+    assert SC.parse_duration("500ms") == 0.5
+    with pytest.raises(ValueError):
+        SC.parse_duration("nope")
+
+
+def test_alphanumeric_sort_matches_reference_families():
+    # sort.go: prefix-number, ext-suffix-number, trailing-number, lexicographic
+    names = ["10.pdf", "2.pdf", "a_10.pdf", "a_2.pdf", "b.pdf", "a.pdf"]
+    got = sorted(names, key=SC.alphanumeric_key)
+    assert got == ["2.pdf", "10.pdf", "a_2.pdf", "a_10.pdf", "a.pdf", "b.pdf"]
+    split = ["doc_10.pdf", "doc_2.pdf", "doc_1.pdf"]
+    assert sorted(split, key=SC.digit_suffix_key) == ["doc_1.pdf", "doc_2.pdf", "doc_10.pdf"]
+
+
+def test_cap_attr_and_redact_url():
+    assert SC.cap_attr("x" * 600, 512).endswith("…")
+    assert len(SC.cap_attr("x" * 600, 512)) == 512
+    assert SC.cap_attr("short") == "short"
+    red = SC.redact_url("https://user:pw@h.example.com:8443/p?token=secret&x=1#f")
+    assert "secret" not in red and "user" not in red and "pw" not in red
+    assert red == "https://xxx@h.example.com:8443/p?token=xxx&x=xxx"
