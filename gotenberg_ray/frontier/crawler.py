@@ -149,6 +149,11 @@ class CrawlConfig:
     # logical reservation only — shards are idle during the fetch phase,
     # so they must never block fetch actors from scheduling
     shard_num_cpus: float = 0.01
+    # "tasks": stateless fetch tasks, dynamically balanced by the Ray
+    # scheduler (fetch state is arrow/plasma — reconstruction per worker
+    # is cheap and cached). "actors": persistent pool with static
+    # round-robin assignment.
+    fetch_mode: str = "tasks"
     convert_inline: bool = True  # run the conversion chain in the fetch workers
     # False → workers return only a row-count log (seq column); the
     # driver skips per-epoch log sorting entirely (bench mode)
@@ -579,6 +584,29 @@ class _FetchWorker(SimulatedFetcher):
         return self.fetch(grants.slice(off, ln), epoch, chunk, pages_dir)
 
 
+# per-worker-process cache: fetch state reconstructed once per worker,
+# keyed by the state ObjectRef (plasma get is zero-copy for the arrow
+# parts; only the small dicts/arrays rebuild)
+_FETCH_STATE_CACHE: dict[str, "_FetchWorker"] = {}
+
+
+def _fetch_task(state_box, grants: pa.Table, off: int, ln: int, epoch: int,
+                chunk: int, pages_dir: str | None, params: dict):
+    """Stateless fetch task: Ray schedules these dynamically across all
+    free CPUs — no static chunk→actor assignment, so host-speed jitter
+    and uneven epochs self-balance. ``state_box`` holds the state ref
+    un-resolved (nested) so the per-worker cache can key on it."""
+    import ray
+
+    key = state_box[0].hex()
+    worker = _FETCH_STATE_CACHE.get(key)
+    if worker is None:
+        _FETCH_STATE_CACHE.clear()  # one crawl's state per worker
+        worker = _FetchWorker(docs=ray.get(state_box[0]), **params)
+        _FETCH_STATE_CACHE[key] = worker
+    return worker.fetch(grants.slice(off, ln), epoch, chunk, pages_dir)
+
+
 class RayFetchRunner:
     """Fetch stage as a PERSISTENT actor pool.
 
@@ -600,23 +628,26 @@ class RayFetchRunner:
         self.pages_dir = pages_dir
         self._ray = ray
         self.spans_total = 0
-        # build (docs dict + per-doc stats) ONCE, broadcast the result —
-        # actors only pay one zero-setup ray.get instead of N rebuilds
-        state_ref = ray.put(SimulatedFetcher.build_state(docs))
-        actor_cls = ray.remote(num_cpus=cfg.fetch_num_cpus)(_FetchWorker)
-        self.actors = [
-            actor_cls.remote(
-                docs=state_ref,
-                link_universe=cfg.link_universe,
-                max_links=cfg.max_links,
-                allow=tuple(cfg.allow),
-                deny=tuple(cfg.deny),
-                convert_inline=cfg.convert_inline,
-                n_partitions=cfg.n_partitions,
-                detailed_logs=cfg.detailed_logs,
-            )
-            for _ in range(cfg.fetch_concurrency)
-        ]
+        # build (docs table + per-doc stats) ONCE, broadcast the result
+        self.state_ref = ray.put(SimulatedFetcher.build_state(docs))
+        self.params = dict(
+            link_universe=cfg.link_universe,
+            max_links=cfg.max_links,
+            allow=tuple(cfg.allow),
+            deny=tuple(cfg.deny),
+            convert_inline=cfg.convert_inline,
+            n_partitions=cfg.n_partitions,
+            detailed_logs=cfg.detailed_logs,
+        )
+        if cfg.fetch_mode == "tasks":
+            self.actors = None
+            self._task = ray.remote(num_cpus=cfg.fetch_num_cpus)(_fetch_task)
+        else:
+            actor_cls = ray.remote(num_cpus=cfg.fetch_num_cpus)(_FetchWorker)
+            self.actors = [
+                actor_cls.remote(docs=self.state_ref, **self.params)
+                for _ in range(cfg.fetch_concurrency)
+            ]
 
     def __call__(self, popped: list[tuple], epoch: int):
         """``popped`` = [(grant_table_ref, key_table)] from
@@ -624,20 +655,32 @@ class RayFetchRunner:
         driver never serializes grant rows; workers resolve the ref
         plasma-locally and slice zero-copy."""
         total = sum(kt.num_rows for _, kt in popped)
-        # one chunk per actor when possible (uniform work → balanced);
-        # batch_size caps chunk size for memory. Chunk COUNT is driver
-        # submission latency — keep it at O(actors).
-        size = max(1, min(self.cfg.fetch_batch_size, -(-total // len(self.actors))))
+        if self.actors is None:
+            # tasks mode: chunks of batch_size, dynamically scheduled
+            size = max(1, min(self.cfg.fetch_batch_size, -(-total // self.cfg.fetch_concurrency)))
+        else:
+            # actors mode: one chunk per actor when possible (uniform
+            # work → balanced); chunk COUNT is driver latency.
+            size = max(1, min(self.cfg.fetch_batch_size, -(-total // len(self.actors))))
         refs = []
         ci = 0
         for ref, kt in popped:
             n = kt.num_rows
             for off in range(0, n, size):
-                refs.append(
-                    self.actors[ci % len(self.actors)].fetch_chunk.remote(
-                        ref, off, min(size, n - off), epoch, ci, self.pages_dir
+                ln = min(size, n - off)
+                if self.actors is None:
+                    refs.append(
+                        self._task.remote(
+                            [self.state_ref], ref, off, ln, epoch, ci,
+                            self.pages_dir, self.params,
+                        )
                     )
-                )
+                else:
+                    refs.append(
+                        self.actors[ci % len(self.actors)].fetch_chunk.remote(
+                            ref, off, ln, epoch, ci, self.pages_dir
+                        )
+                    )
                 ci += 1
         parts = self._ray.get(refs)
         log = pa.concat_tables([p[0] for p in parts])
