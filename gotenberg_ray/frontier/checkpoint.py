@@ -65,7 +65,12 @@ def table_to_shard_state(table: pa.Table) -> dict:
     }
 
 
-def write(ckpt_dir: str, shard_states: list[dict], driver: dict) -> str:
+def write(
+    ckpt_dir: str,
+    shard_states: list[dict],
+    driver: dict,
+    metrics: pa.Table | None = None,
+) -> str:
     epoch = driver["epoch"]
     d = os.path.join(ckpt_dir, f"epoch={epoch:06d}")
     os.makedirs(d, exist_ok=True)
@@ -74,6 +79,10 @@ def write(ckpt_dir: str, shard_states: list[dict], driver: dict) -> str:
             shard_state_to_table(st),
             os.path.join(d, f"shard_{st['partition_id']:04d}.parquet"),
         )
+    if metrics is not None and metrics.num_rows:
+        # observability only — excluded from the bit-identity digest
+        # (wall clocks are not scheduler state)
+        pq.write_table(metrics, os.path.join(d, "metrics.parquet"))
     with open(os.path.join(d, "driver.json"), "w") as f:
         json.dump(driver, f, sort_keys=True)
     with open(os.path.join(d, "_COMPLETE"), "w") as f:

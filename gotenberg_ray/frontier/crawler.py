@@ -44,6 +44,7 @@ from ..functions.urlkit import UrlFilter, canonicalize_batch, host_ip_policy
 from ..pipelines.convert import convert_batch
 from ..schemas import ERR_FILTERED, ERR_INVALID_INPUT
 from ..stages.fetcher import SimulatedFetcher
+from .metrics import EPOCH_METRICS_SCHEMA, EpochMetrics
 from .shard import GRANT_SCHEMA, FrontierShard
 
 LOG_SCHEMA = pa.schema(
@@ -703,6 +704,7 @@ class CrawlResult:
     next_seq: int
     fetch_seq: int
     spans_total: int = 0
+    metrics: pa.Table = None
 
 
 def run_crawl(
@@ -766,11 +768,15 @@ def run_crawl(
         k, fetch_seq, epochs_done = 0, 0, 0
     pending_specs: dict[int, list[tuple]] = {}
     pending_ready = 0
+    import time as _time
+
+    epoch_metrics = EpochMetrics()
 
     while epochs_done < cfg.max_epochs and (
         cfg.max_fetches is None or fetch_seq < cfg.max_fetches
     ):
         horizon = (k + 1) * W - 1
+        _t_pop = _time.time()
         if mode == "ray":
             # ONE round trip: deliver last epoch's candidates + pop
             popped = shards.step(pending_specs, pending_ready, horizon)
@@ -788,9 +794,12 @@ def run_crawl(
                 break  # frontier exhausted
             k = mr // W
             continue
+        _t_fetch = _time.time()
+        _spans_before = getattr(runner, "spans_total", 0)
         log, key_tables, payloads, links_rejected = runner(
             popped if mode == "ray" else grants, k
         )
+        _t_route = _time.time()
         if links_rejected.num_rows:
             rejected_parts.append(links_rejected)
         if cfg.detailed_logs:
@@ -856,6 +865,21 @@ def run_crawl(
             # deferred: delivered inside next epoch's step() round trip
             pending_specs = specs
             pending_ready = (k + 1) * W
+        epoch_metrics.record(
+            epoch=k,
+            grants=n_grants,
+            errors=(
+                log.filter(pc.not_equal(log.column("error_type"), "")).num_rows
+                if "error_type" in log.column_names
+                else 0
+            ),
+            links_offered=n_links,
+            links_rejected=links_rejected.num_rows,
+            spans_out=getattr(runner, "spans_total", 0) - _spans_before,
+            pop_s=round(_t_fetch - _t_pop, 4),
+            fetch_s=round(_t_route - _t_fetch, 4),
+            route_s=round(_time.time() - _t_route, 4),
+        )
         k += 1
         epochs_done += 1
         if (
@@ -876,6 +900,7 @@ def run_crawl(
                     "epochs_done": epochs_done,
                     "config": cfg.to_json(),
                 },
+                metrics=epoch_metrics.to_table(),
             )
 
     if pending_specs:  # loop exited with undelivered links
@@ -892,6 +917,7 @@ def run_crawl(
                 "epochs_done": epochs_done,
                 "config": cfg.to_json(),
             },
+            metrics=epoch_metrics.to_table(),
         )
     fetch_log = (
         pa.concat_tables(logs) if logs else LOG_SCHEMA.empty_table()
@@ -909,4 +935,5 @@ def run_crawl(
         next_seq=next_seq,
         fetch_seq=fetch_seq,
         spans_total=getattr(runner, "spans_total", 0),
+        metrics=epoch_metrics.to_table(),
     )
