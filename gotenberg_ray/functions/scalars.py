@@ -128,3 +128,49 @@ def redact_url(url: str) -> str:
         if kv
     )
     return urlunsplit((p.scheme, netloc, p.path, query, ""))
+
+
+def sanitize_filename(name: str) -> str:
+    """Strip path separators + control chars, NFC-normalize — the
+    Zip-Slip defense of api/context.go:692-703."""
+    import unicodedata
+
+    out = "".join(c for c in name if c not in "/\\" and ord(c) >= 0x20)
+    return unicodedata.normalize("NFC", out)
+
+
+_SAMESITE_RE = re.compile(r"^(lax|strict|none)$", re.I)
+
+
+def normalize_samesite(value: str) -> str:
+    """Case-insensitive Lax/Strict/None canonicalization
+    (chromium/routes.go:27-30,117-158); invalid values raise."""
+    m = _SAMESITE_RE.match(value.strip())
+    if not m:
+        raise ValueError(f"invalid sameSite value {value!r}")
+    return m.group(1).capitalize()
+
+
+def parse_scoped_header(value: str) -> tuple[str, re.Pattern | None]:
+    """The `value; scope=regex` extraHttpHeaders mini-grammar
+    (chromium/routes.go:160-218): returns (header value, compiled scope
+    regex or None). A malformed scope raises."""
+    if "; scope=" not in value:
+        return value, None
+    head, _, pattern = value.partition("; scope=")
+    return head, re.compile(pattern)
+
+
+def xml_escape(value: str) -> str:
+    """XML entity escaping for XMP splicing (qpdf.go:1088-1092)."""
+    from xml.sax.saxutils import escape
+
+    return escape(value, {'"': "&quot;", "'": "&apos;"})
+
+
+def strip_qpdf_prefix(value: str) -> tuple[str, str]:
+    """qpdf string-prefix convention `u:`/`b:`/`e:` (qpdf.go:698-707):
+    returns (kind, payload); no prefix → ("u", value)."""
+    if len(value) >= 2 and value[1] == ":" and value[0] in "ube":
+        return value[0], value[2:]
+    return "u", value

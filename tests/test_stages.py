@@ -252,3 +252,35 @@ def test_cap_attr_and_redact_url():
     red = SC.redact_url("https://user:pw@h.example.com:8443/p?token=secret&x=1#f")
     assert "secret" not in red and "user" not in red and "pw" not in red
     assert red == "https://xxx@h.example.com:8443/p?token=xxx&x=xxx"
+
+def test_sanitize_filename_zip_slip():
+    # separators and control chars stripped, NFC applied (context.go:692-703)
+    assert SC.sanitize_filename("../../etc/passwd") == "....etcpasswd"
+    assert "/" not in SC.sanitize_filename("a/../b.pdf")
+    assert "\\" not in SC.sanitize_filename("a\\b.pdf")
+    assert SC.sanitize_filename("a\x00\x1fb.pdf") == "ab.pdf"
+    assert SC.sanitize_filename("café.pdf") == "café.pdf"  # NFC
+
+
+def test_samesite_normalizer():
+    import pytest as _pytest
+
+    assert SC.normalize_samesite("LAX") == "Lax"
+    assert SC.normalize_samesite(" strict ") == "Strict"
+    assert SC.normalize_samesite("None") == "None"
+    with _pytest.raises(ValueError):
+        SC.normalize_samesite("bogus")
+
+
+def test_scoped_header_parser():
+    v, scope = SC.parse_scoped_header("Bearer tok; scope=https://api\\..*")
+    assert v == "Bearer tok" and scope.match("https://api.example.com/x")
+    v, scope = SC.parse_scoped_header("plain-value")
+    assert v == "plain-value" and scope is None
+
+
+def test_xml_escape_and_qpdf_prefix():
+    assert SC.xml_escape('<a b="c">&\'') == "&lt;a b=&quot;c&quot;&gt;&amp;&apos;"
+    assert SC.strip_qpdf_prefix("u:hello") == ("u", "hello")
+    assert SC.strip_qpdf_prefix("b:aGk=") == ("b", "aGk=")
+    assert SC.strip_qpdf_prefix("plain") == ("u", "plain")
