@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import ipaddress
 import re
-from urllib.parse import urlsplit, urlunsplit, quote, unquote
+from urllib.parse import urlsplit, urlunsplit, quote
 
 import numpy as np
 import pyarrow as pa
@@ -36,11 +36,27 @@ _PCT_RE = re.compile(r"%[0-9a-fA-F]{2}")
 _PATH_SAFE = "/:@!$&'()*+,;=~.-_"
 
 
+_UNRESERVED = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+
+
+def _fix_escape(m: re.Match) -> str:
+    """%XX → decoded char if unreserved, else uppercase-hex escape.
+
+    RFC 3986 §6.2.2 permits decoding only unreserved escapes: %2F must
+    stay %2F (a literal '/' would change path segmentation) and %3F must
+    stay %3F (a literal '?' would migrate path bytes into the query)."""
+    ch = chr(int(m.group(0)[1:], 16))
+    return ch if ch in _UNRESERVED else m.group(0).upper()
+
+
 def _normalize_percent(s: str) -> str:
-    """Uppercase hex digits of percent escapes; decode unreserved chars."""
-    if "%" not in s:
-        return s
-    return quote(unquote(s), safe=_PATH_SAFE + "%?=")
+    """Uppercase hex of reserved escapes; decode only unreserved escapes;
+    percent-encode raw chars that need it."""
+    if "%" in s:
+        s = _PCT_RE.sub(_fix_escape, s)
+    # encode any raw out-of-set chars (spaces etc.); '%' is safe so the
+    # already-normalized escapes pass through untouched
+    return quote(s, safe=_PATH_SAFE + "%?=")
 
 
 def _remove_dot_segments(path: str) -> str:

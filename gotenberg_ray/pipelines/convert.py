@@ -359,10 +359,12 @@ def convert_batch(batch: pa.Table) -> pa.Table:
                 PartRow(0, [], doc_ids[i], status=statuses[i], error_type=errs[i]),
             )
             continue
-        if opts_col[i] == "{}":
+        if opts_col[i] == "{}" and routes[i] != "convert/markdown":
             # identity fast path: default options run the whole chain as
             # a no-op on normalized spans (join_pages∘pages_of == id) —
-            # skip the per-span copying for the common crawl case
+            # skip the per-span copying for the common crawl case. The
+            # markdown route always renders (routes.go:709-782), so it
+            # must take the slow path even with default options.
             emit(doc_ids[i], PartRow(0, spans_col[i], doc_ids[i]))
             continue
         try:

@@ -26,10 +26,12 @@ import pyarrow as pa
 
 from .. import spans as S
 from ..schemas import (
+    ERR_INVALID_INPUT,
     ERR_NONE,
     KIND_TEXT,
     LIBREOFFICE_RESTART_AFTER,
     SPANS_TYPE,
+    STATUS_ERROR,
     STATUS_SUCCESS,
 )
 from ..stages.supervisor import Supervisor, SupervisorConfig
@@ -85,27 +87,46 @@ class OfficeConverter:
                                  [(f.name, f.type) for f in PAGES_OUT_SCHEMA]}
         cols["merge_group"] = []
         cols["filename"] = []
+        doc_ids = batch.column("doc_id").to_pylist()
+        fnames = batch.column("filename").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        opts_col = batch.column("options_json").to_pylist()
+        merge_groups = batch.column("merge_group").to_pylist()
         for i in range(batch.num_rows):
-            doc_id = batch.column("doc_id")[i].as_py()
-            fname = batch.column("filename")[i].as_py()
-            spans = batch.column("spans")[i].as_py()
-            opts_json = batch.column("options_json")[i].as_py()
+            doc_id = doc_ids[i]
+            fname = fnames[i]
             converted, err, _attempts = self.supervisor.run(
-                self.supervisor.backend.convert, spans
+                self.supervisor.backend.convert, spans_col[i]
             )
             if err:
                 parts = [
                     PartRow(0, [], fname, status="error", error_type=err)
                 ]
             else:
-                opts = ConvertOptions.from_json(opts_json)
-                parts = convert_row(doc_id, converted, opts)
+                try:
+                    opts = ConvertOptions.from_json(opts_col[i])
+                    parts = convert_row(doc_id, converted, opts)
+                except (S.InvalidInput, S.MethodNotSupported):
+                    # invalid options become a 400-family error row, same
+                    # as convert_batch (errors are data, middlewares.go)
+                    parts = [
+                        PartRow(
+                            0, [], fname,
+                            status=STATUS_ERROR, error_type=ERR_INVALID_INPUT,
+                        )
+                    ]
             for p in parts:
                 cols["doc_id"].append(doc_id)
                 cols["part_index"].append(p.part_index)
                 cols["spans"].append(p.spans)
-                # zip naming: original filename + ".pdf" (routes.go:531-544)
-                cols["output_name"].append(f"{fname}.pdf")
+                # zip naming: original filename + ".pdf" (routes.go:531-544),
+                # preserving convert_row's split-part suffix so multi-part
+                # splits don't collide on one name
+                if p.output_name != doc_id:
+                    suffix = p.output_name[len(doc_id):]  # e.g. "_2"
+                    cols["output_name"].append(f"{fname}{suffix}.pdf")
+                else:
+                    cols["output_name"].append(f"{fname}.pdf")
                 cols["pdfa"].append(p.pdfa)
                 cols["pdfua"].append(p.pdfua)
                 cols["metadata_json"].append(p.metadata_json)
@@ -114,7 +135,7 @@ class OfficeConverter:
                 cols["status"].append(p.status)
                 cols["error_type"].append(p.error_type)
                 cols["page_count"].append(S.page_count(p.spans))
-                cols["merge_group"].append(batch.column("merge_group")[i].as_py())
+                cols["merge_group"].append(merge_groups[i])
                 cols["filename"].append(fname)
         arrays = [pa.array(cols[f.name], f.type) for f in PAGES_OUT_SCHEMA]
         arrays.append(pa.array(cols["merge_group"], pa.int64()))

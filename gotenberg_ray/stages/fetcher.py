@@ -183,16 +183,21 @@ class SimulatedFetcher:
         )
         found = idx >= 0
         # failure predicate wins before any render work
-        # (ErrInvalidHttpStatusCode, events.go:215-227); only non-200
-        # rows consult their fail set
+        # (ErrInvalidHttpStatusCode, events.go:215-227). EVERY status is
+        # tested against its row's fail set — a set containing 200 (e.g.
+        # sentinel 299 expanding to 200-299) must fail 200 responses too.
+        # Vectorized by distinct options value (typically 1-2 per batch).
         bad = np.zeros(n, dtype=bool)
-        nz = np.nonzero(statuses != 200)[0]
-        if len(nz):
-            options = batch.column("options_json").take(pa.array(nz)).to_pylist()
-            for j, i in enumerate(nz):
-                bad[i] = bool(
-                    np.isin(np.uint16(statuses[i]), self._fail_set(options[j]))
-                )
+        opts_arr = batch.column("options_json")
+        if isinstance(opts_arr, pa.ChunkedArray):
+            opts_arr = opts_arr.combine_chunks()
+        enc = opts_arr.dictionary_encode()
+        opt_codes = enc.indices.to_numpy(zero_copy_only=False)
+        for code, val in enumerate(enc.dictionary.to_pylist()):
+            rows = opt_codes == code
+            bad[rows] = np.isin(
+                statuses[rows].astype(np.uint16), self._fail_set(val)
+            )
         ok = found & ~bad
 
         # spans via zero-copy take (errors take the sentinel empty row)

@@ -192,3 +192,38 @@ def test_full_chain_order_split_then_overlays():
         pages = S.pages_of(p.spans)
         assert all(pg[-1]["kind"] == "watermark" for pg in pages)
         assert pages[0][0]["kind"] == "rotate"
+
+
+def test_markdown_route_renders_with_default_options():
+    # ADVICE r1 (high): the row-level fast path must not skip markdown
+    # rendering for convert/markdown rows carrying default options "{}" —
+    # the reference always renders markdown (routes.go:709-782). Mix in a
+    # non-identity row so the batch takes the row-by-row path.
+    md = [make_span(KIND_TEXT, text="# Title **bold**")]
+    t = pa.table(
+        {
+            "doc_id": pa.array(["m", "u"]),
+            "spans": pa.array([md, doc(1)], SPANS_TYPE),
+            "options_json": pa.array(["{}", json.dumps({"rotate_angle": 90})]),
+            "route": pa.array(["convert/markdown", "convert/url"]),
+        }
+    )
+    out = convert_batch(t)
+    row_m = out.filter(pa.compute.equal(out.column("doc_id"), "m"))
+    txt = [s["text"] for s in row_m.column("spans")[0].as_py() if s["kind"] == KIND_TEXT]
+    assert len(txt) == 1
+    assert "<h1>" in txt[0] and "<strong>bold</strong>" in txt[0]
+    assert "# Title" not in txt[0]
+
+    # all-markdown batch with all-default options must also render
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(["m2"]),
+            "spans": pa.array([md], SPANS_TYPE),
+            "options_json": pa.array(["{}"]),
+            "route": pa.array(["convert/markdown"]),
+        }
+    )
+    out2 = convert_batch(t2)
+    txt2 = [s["text"] for s in out2.column("spans")[0].as_py() if s["kind"] == KIND_TEXT]
+    assert "<h1>" in txt2[0]

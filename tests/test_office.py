@@ -72,3 +72,25 @@ def test_office_route_runs_as_actor_pool(ray_session):
     )
     assert len(out) == 40
     assert (out["status"] == "success").all()
+
+
+def test_office_split_parts_get_distinct_names():
+    # ADVICE r1 (low): split-mode office conversions must keep the split
+    # suffix in the zip name — not N identical "f.docx.pdf" parts
+    t = files_table(
+        [("d1", "report.docx", doc(4), 0)],
+        opts=json.dumps({"split_mode": "intervals", "split_span": "2"}),
+    )
+    out = OfficeConverter()(t)
+    names = out.column("output_name").to_pylist()
+    assert len(names) == 2
+    assert len(set(names)) == 2
+    assert names == ["report.docx_0.pdf", "report.docx_1.pdf"]
+
+
+def test_office_invalid_options_become_error_row():
+    # invalid options_json must become a 400-family error row, not raise
+    t = files_table([("d1", "a.docx", doc(1), 0)], opts='{"nope": 1}')
+    out = OfficeConverter()(t)
+    assert out.column("status").to_pylist() == ["error"]
+    assert out.column("error_type").to_pylist() == ["invalid_input"]

@@ -17,7 +17,18 @@ def test_canonicalize_strips_default_port_fragment_and_dot_segments():
 def test_canonicalize_empty_path_and_percent():
     assert U.canonicalize_url("http://example.com") == "http://example.com/"
     assert U.canonicalize_url("http://example.com/%7euser") == "http://example.com/~user"
-    assert U.canonicalize_url("http://example.com/a%2fb") == "http://example.com/a/b"
+    # RFC 3986 §6.2.2: only unreserved escapes decode — reserved escapes
+    # keep their escaped form (uppercased hex). %2F must NOT become '/'
+    # (would change path segmentation and collide distinct seen-keys);
+    # %3F must NOT become '?' (would migrate path bytes into the query).
+    assert U.canonicalize_url("http://example.com/a%2fb") == "http://example.com/a%2Fb"
+    assert U.canonicalize_url("http://example.com/a%3fb") == "http://example.com/a%3Fb"
+    assert (
+        U.canonicalize_url("http://example.com/a%2Fb")
+        != U.canonicalize_url("http://example.com/a/b")
+    )
+    # raw chars that need escaping still get encoded
+    assert U.canonicalize_url("http://example.com/a b") == "http://example.com/a%20b"
 
 
 def test_canonicalize_ipv6_literal_keeps_brackets():
