@@ -475,11 +475,15 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type
 def events_user_stats(sf_dir: str) -> pd.DataFrame:
     def prep(batch: pa.Table) -> pa.Table:
         purchases = pc.cast(pc.equal(batch["event_type"], "purchase"), pa.int64())
+        # value is 2-decimal fixed; sum exactly in integer cents so the
+        # result is independent of summation order (no float drift vs
+        # the oracle — the doc_quality integer-scaling trick)
+        value_e2 = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
         t = pa.table(
-            {"user_id": batch["user_id"], "value": batch["value"], "is_p": purchases}
+            {"user_id": batch["user_id"], "value_e2": value_e2, "is_p": purchases}
         )
         return t.group_by(["user_id"]).aggregate(
-            [("value", "sum"), ("is_p", "sum"), ([], "count_all")]
+            [("value_e2", "sum"), ("is_p", "sum"), ([], "count_all")]
         )
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
@@ -487,22 +491,25 @@ def events_user_stats(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(
-            Sum("value_sum", alias_name="sum_value"),
+            Sum("value_e2_sum", alias_name="sum_value_e2"),
             Sum("is_p_sum", alias_name="n_purchases"),
             Sum("count_all", alias_name="n_events"),
         )
         .to_pandas()
     )
-    df["avg_value"] = (df["sum_value"] / df["n_events"]).round(4)
-    df["sum_value"] = df["sum_value"].round(2)
+    df["sum_value_e2"] = df["sum_value_e2"].astype("int64")
+    df["avg_value_e4"] = (df["sum_value_e2"] * 100) // df["n_events"]
     return df.sort_values("user_id").reset_index(drop=True)
 
 
 EVENTS_USER_SQL = """
-SELECT user_id, round(sum(value), 2) AS sum_value,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+SELECT user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases,
        count(*) AS n_events,
-       round(sum(value) / count(*), 4) AS avg_value
+       (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 100) // count(*)
+           AS avg_value_e4
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
@@ -514,22 +521,26 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds()
-        n_sessions = int((gaps.isna() | (gaps > gap_s)).sum())
+        # integer-microsecond gaps: a gap of exactly gap_s must compare
+        # identically on both sides (no float epoch() tie ambiguity)
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        gaps_us = np.diff(ts_us)
+        n_sessions = 1 + int((gaps_us > gap_s * 1_000_000).sum()) if len(ts_us) else 0
         return pd.DataFrame(
             {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]}
         )
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    df["n_sessions"] = df["n_sessions"].astype("int64")
     return df.sort_values("user_id").reset_index(drop=True)
 
 
 EVENTS_SESSIONIZE_SQL = """
-SELECT user_id, sum(new_session) AS n_sessions FROM (
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts - lag(ts) OVER w) > 1800
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -45,13 +45,15 @@ def doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
         .to_pandas()
     )
-    df["avg_chars"] = (df["sum_chars"] / df["n_docs"]).round(4)
+    # exact integer-scaled average (no float round ties vs the oracle)
+    df["sum_chars"] = df["sum_chars"].astype("int64")
+    df["avg_chars_e4"] = (df["sum_chars"] * 10000) // df["n_docs"]
     return df.sort_values("lang").reset_index(drop=True)
 
 
 DOC_STATS_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-       round(sum(n_chars) / count(*), 4) AS avg_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       (CAST(sum(n_chars) AS BIGINT) * 10000) // count(*) AS avg_chars_e4
 FROM documents GROUP BY lang ORDER BY lang
 """
 
