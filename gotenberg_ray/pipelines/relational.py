@@ -11,11 +11,11 @@ Scale notes baked into every query:
 - per-batch PARTIAL aggregation (pyarrow ``Table.group_by``) shrinks
   the shuffle input from N rows to (#groups × #blocks) rows before the
   Ray ``groupby`` — the combiner pattern the ray_guide prescribes;
-- dimension tables (customer/orders subsets, nation, part) are
-  broadcast via ``ray.put`` and joined with dict/np lookups inside
-  ``map_batches`` — no all-to-all shuffle for small sides. At 100 TB a
-  customer-scale side would switch to the bucketed hash-join in
-  ``joins.py``.
+- TRUE dimension tables (nation: 25 rows, part brands) are broadcast
+  via ``ray.put`` and joined with dict/np lookups inside
+  ``map_batches``; dataset-scale sides (orders, customer) go through
+  the bucketed hash-partitioned shuffle join in ``joins.py`` — nothing
+  O(dataset) is ever materialized on the driver (q3/q5/q10).
 
 Float columns are rounded identically in the SQL oracles; all money
 sums round to 2 decimals, averages to 4.
@@ -36,6 +36,13 @@ from ray.data.aggregate import Count, Sum
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+JOIN_PARTITIONS = 16  # ≈ test-box cores/2; ∝ cluster size at scale
 
 
 # --------------------------------------------------------------------- Q1
@@ -113,57 +120,75 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Broadcast-join shape: small filtered dims → lookup in map_batches."""
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    building = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
-    )
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
+    """Bucketed-shuffle-join shape: no driver-side dict of any
+    dataset-scale table. lineitem partial-aggregates revenue per
+    orderkey per batch; the per-key combine happens INSIDE the join's
+    hash partitions (``left_agg``) — one shuffle, not two. customer
+    semi-joins orders the same way; final top-10 is per-block local
+    top-k merged on the driver."""
+    from .joins import hash_join
+
     cutoff = pa.scalar(np.datetime64("1997-01-01", "us"), type=pa.timestamp("us"))
-    orders = orders.filter(
-        pc.and_(
-            pc.less(orders["o_orderdate"], cutoff),
-            pc.is_in(orders["o_custkey"], value_set=pa.array(sorted(building))),
+
+    def building_only(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["c_mktsegment"], "BUILDING"))
+        return batch.select(["c_custkey"])
+
+    def orders_window(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
+        return batch.select(["o_orderkey", "o_custkey", "o_orderdate"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        building_only, batch_format="pyarrow"
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_window, batch_format="pyarrow")
+    ord_b = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        num_partitions=JOIN_PARTITIONS,
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-    )
-    odate = dict(
-        zip(orders["o_orderkey"].to_pylist(), orders["o_orderdate"].to_pylist())
-    )
-    odate_ref = ray.put(odate)
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": rev})
+        return _rename(
+            t.group_by("o_orderkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
+        )
 
-    class Revenue:
-        def __init__(self):
-            self.odate = ray.get(odate_ref)
-            self.keys = pa.array(sorted(self.odate), pa.int64())
+    def combine_by_key(t: pa.Table) -> pa.Table:
+        return _rename(
+            t.group_by("o_orderkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = batch.filter(
-                pc.greater(batch["l_shipdate"], cutoff)
-            )
-            batch = batch.filter(pc.is_in(batch["l_orderkey"], value_set=self.keys))
-            rev = pc.multiply(
-                batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-            )
-            batch = batch.append_column("rev", rev)
-            return batch.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
-
-    ds = _read(
+    li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(
+        li, ord_b, on="o_orderkey", num_partitions=JOIN_PARTITIONS,
+        left_agg=combine_by_key,
     )
-    agg = (
-        ds.map_batches(Revenue, batch_format="pyarrow", concurrency=2)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_sum", alias_name="revenue"))
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch["o_orderkey"],
+                "revenue": pc.round(batch["rev"], 2),
+                "o_orderdate": batch["o_orderdate"],
+            }
+        )
+        t = t.sort_by([("revenue", "descending"), ("l_orderkey", "ascending")])
+        return t.slice(0, 10)
+
+    df = joined.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    return (
+        df.sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
     )
-    df = agg.to_pandas()
-    df["revenue"] = df["revenue"].round(2)
-    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
-    df["o_orderdate"] = df["l_orderkey"].map(lambda k: pd.Timestamp(odate[k]))
-    return df.reset_index(drop=True)
 
 
 Q3_SQL = """
@@ -185,41 +210,51 @@ LIMIT 10
 
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """Two-hop broadcast join lineitem→orders→customer→nation."""
-    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    """lineitem⋈orders⋈customer via two bucketed shuffle joins; only
+    nation (25 rows — a true dimension) is broadcast. No driver-side
+    dict of orders or customer anywhere."""
+    from .joins import hash_join
+
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    cust_nat = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
-    order_cust = dict(zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()))
     nat_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    # compose on the driver: orderkey → nation name (dims are small; at
-    # scale each hop is its own broadcast or a bucketed join)
-    order_nation = {ok: nat_name[cust_nat[ck]] for ok, ck in order_cust.items()}
-    ref = ray.put(order_nation)
 
-    class PerNation:
-        def __init__(self):
-            self.map = ray.get(ref)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ord_nat = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        num_partitions=JOIN_PARTITIONS,
+    ).select_columns(["o_orderkey", "c_nationkey"])
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rev = pc.multiply(
-                batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-            )
-            nat = pa.array(
-                [self.map[k] for k in batch["l_orderkey"].to_pylist()], pa.string()
-            )
-            t = pa.table({"n_name": nat, "rev": rev})
-            return t.group_by(["n_name"]).aggregate([("rev", "sum")])
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": rev})
+        return _rename(
+            t.group_by("o_orderkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
+        )
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow"
+    )
+    joined = hash_join(li, ord_nat, on="o_orderkey", num_partitions=JOIN_PARTITIONS)
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["c_nationkey", "rev"]).group_by("c_nationkey").aggregate(
+            [("rev", "sum")]
+        )
+
     df = (
-        ds.map_batches(PerNation, batch_format="pyarrow", concurrency=2)
-        .groupby("n_name")
+        joined.map_batches(nat_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
         .aggregate(Sum("rev_sum", alias_name="revenue"))
         .to_pandas()
     )
+    df["n_name"] = df["c_nationkey"].map(nat_name)
     df["revenue"] = df["revenue"].round(2)
-    return df.sort_values("n_name").reset_index(drop=True)
+    return (
+        df[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+    )
 
 
 Q5_SQL = """
@@ -277,43 +312,67 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 
 def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
-    )
+    """lineitem(R)⋈orders⋈customer via bucketed shuffle joins with the
+    per-key combine fused into each join's hash partitions; nation is
+    the only broadcast. Top-20 = per-block local top-k → driver merge."""
+    from .joins import hash_join
+
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    order_cust = dict(zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()))
-    ref = ray.put(order_cust)
+    nat_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
 
-    class PerCust:
-        def __init__(self):
-            self.map = ray.get(ref)
+    def li_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": rev})
+        return _rename(
+            t.group_by("o_orderkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
-            rev = pc.multiply(
-                batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-            )
-            ck = pa.array([self.map[k] for k in batch["l_orderkey"].to_pylist()], pa.int64())
-            return (
-                pa.table({"c_custkey": ck, "rev": rev})
-                .group_by(["c_custkey"])
-                .aggregate([("rev", "sum")])
-            )
-
-    ds = _read(
+    li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = hash_join(
+        li, orders, on="o_orderkey", num_partitions=JOIN_PARTITIONS,
+        left_agg=lambda t: _rename(
+            t.group_by("o_orderkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
+        ),
     )
-    df = (
-        ds.map_batches(PerCust, batch_format="pyarrow", concurrency=2)
-        .groupby("c_custkey")
-        .aggregate(Sum("rev_sum", alias_name="revenue"))
-        .to_pandas()
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": batch["o_custkey"], "rev": batch["rev"]})
+        return _rename(
+            t.group_by("c_custkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    j2 = hash_join(
+        j1.map_batches(cust_partial, batch_format="pyarrow"),
+        cust,
+        on="c_custkey",
+        num_partitions=JOIN_PARTITIONS,
+        left_agg=lambda t: _rename(
+            t.group_by("c_custkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
+        ),
     )
-    df["revenue"] = df["revenue"].round(2)
-    cdf = cust.to_pandas().merge(nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey")
-    df = df.merge(cdf[["c_custkey", "c_name", "n_name"]], on="c_custkey")
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_name": batch["c_name"],
+                "c_nationkey": batch["c_nationkey"],
+                "revenue": pc.round(batch["rev"], 2),
+            }
+        )
+        t = t.sort_by([("revenue", "descending"), ("c_custkey", "ascending")])
+        return t.slice(0, 20)
+
+    df = j2.map_batches(local_top, batch_format="pyarrow").to_pandas()
     df = df.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(20)
+    df["n_name"] = df["c_nationkey"].map(nat_name)
     return df[["c_custkey", "c_name", "n_name", "revenue"]].reset_index(drop=True)
 
 

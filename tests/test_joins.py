@@ -1,0 +1,78 @@
+"""Bucketed shuffle join (pipelines/joins.py) — the non-broadcast join
+path VERDICT r1 required for q5/q10-scale sides."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from gotenberg_ray.pipelines.joins import hash_join, partition_ids
+
+
+def test_partition_ids_cover_and_are_deterministic():
+    keys = pa.array(list(range(1000)), pa.int64())
+    p1 = partition_ids(keys, 8).to_numpy(zero_copy_only=False)
+    p2 = partition_ids(keys, 8).to_numpy(zero_copy_only=False)
+    assert (p1 == p2).all()
+    # dense integer keys spread over all partitions, no single hot bucket
+    counts = np.bincount(p1, minlength=8)
+    assert (counts > 0).all() and counts.max() < 1000 * 0.3
+    s = partition_ids(pa.array(["a", "b", "a"]), 4).to_pylist()
+    assert s[0] == s[2]
+
+
+def test_hash_join_matches_pandas_merge(ray_session):
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 50, 500), "lv": rng.integers(0, 1000, 500)}
+    )
+    right = pd.DataFrame({"rk": np.arange(0, 40), "rv": np.arange(0, 40) * 10})
+    out = (
+        hash_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", right_on="rk", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, left_on="k", right_on="rk")
+        .drop(columns=["rk"])
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["k", "lv", "rv"]], exp[["k", "lv", "rv"]])
+
+
+def test_hash_join_left_agg_combines_per_key_without_second_shuffle(ray_session):
+    # partial sums per key arriving in different blocks must combine to
+    # one row per key inside the join partition
+    left = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    right = pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("v", "sum")])
+        return g.rename_columns(["v" if c == "v_sum" else c for c in g.column_names])
+
+    out = (
+        hash_join(
+            rd.from_pandas(left).repartition(3), rd.from_pandas(right),
+            on="k", num_partitions=2, left_agg=combine,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["v"].tolist() == [3.0, 7.0, 5.0]
+    assert out["name"].tolist() == ["a", "b", "c"]
+
+
+def test_hash_join_rejects_clashing_columns(ray_session):
+    l = rd.from_pandas(pd.DataFrame({"k": [1], "v": [1]}))
+    r = rd.from_pandas(pd.DataFrame({"k": [1], "v": [2]}))
+    with pytest.raises(ValueError, match="share non-key columns"):
+        hash_join(l, r, on="k")
