@@ -106,6 +106,36 @@ def _pad_to(fields: list[tuple[str, pa.DataType]], side: int, key: str, p: int):
     return fn
 
 
+def _split_nested(t: pa.Table, idx_name: str) -> tuple[pa.Table, list[tuple[str, pa.ChunkedArray]]]:
+    """Pull nested-typed (list/struct) columns out of a table, leaving a
+    row-index surrogate — acero joins reject nested payload columns."""
+    nested = [
+        (n, t.column(n))
+        for n in t.column_names
+        if pa.types.is_nested(t.schema.field(n).type)
+    ]
+    if not nested:
+        return t, []
+    t = t.drop_columns([n for n, _ in nested]).append_column(
+        idx_name, pa.array(np.arange(t.num_rows, dtype=np.int64))
+    )
+    return t, nested
+
+
+def _local_join(lt: pa.Table, rt: pa.Table, on: str, join_type: str) -> pa.Table:
+    """pyarrow hash join tolerant of nested payload columns (swapped for
+    row-index surrogates, re-attached with take())."""
+    lt2, l_nested = _split_nested(lt, "__lidx__")
+    rt2, r_nested = _split_nested(rt, "__ridx__")
+    joined = lt2.join(rt2, keys=on, join_type=join_type)
+    for name, col in l_nested:
+        joined = joined.append_column(name, col.take(joined["__lidx__"]))
+    for name, col in r_nested:
+        joined = joined.append_column(name, col.take(joined["__ridx__"]))
+    drop = [c for c in ("__lidx__", "__ridx__") if c in joined.column_names]
+    return joined.drop_columns(drop) if drop else joined
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -168,7 +198,7 @@ def hash_join(
             lt = left_agg(lt)
         if right_agg is not None:
             rt = right_agg(rt)
-        joined = lt.join(rt, keys=on, join_type=join_type)
+        joined = _local_join(lt, rt, on, join_type)
         # pyarrow may reorder columns; pin a deterministic output order
         # (combiner-added columns, if any, follow the declared ones)
         known = [n for n in out_names if n in joined.column_names]

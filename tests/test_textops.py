@@ -1,0 +1,99 @@
+"""Dedup-family operators: exactness vs the O(N²) brute force on a
+small synthetic corpus (the distributed plans must lose no pair)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gotenberg_ray.functions import textkit as T
+from gotenberg_ray.pipelines import embedops as E
+from gotenberg_ray.pipelines import textops as X
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    """60 docs: 40 random, 10 near-dup pairs (word edits), a couple of
+    exact dups and two empty docs."""
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(120)]
+    texts, ids = [], []
+    for i in range(40):
+        texts.append(" ".join(rng.choice(vocab, size=30)))
+        ids.append(i)
+    for i in range(10):  # near-dup of doc i: mutate ONE word (J≈0.8 —
+        # high enough that 16×4 LSH banding detects with p≈0.9998)
+        toks = texts[i].split()
+        toks[int(rng.integers(len(toks)))] = "mut" + str(i)
+        texts.append(" ".join(toks))
+        ids.append(100 + i)
+    texts += [texts[0], "", ""]
+    ids += [200, 201, 202]
+    d = tmp_path_factory.mktemp("corpus")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(ids)),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{d}/documents.parquet",
+    )
+    return str(d)
+
+
+def brute_pairs(sf_dir, threshold):
+    pdf = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas().sort_values("doc_id")
+    ids = pdf["doc_id"].to_numpy()
+    grams = [T.word_ngrams(t, 3) for t in pdf["text"]]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = T.jaccard(grams[i], grams[j])
+            if jac >= threshold:
+                rows.append((int(ids[i]), int(ids[j]), round(jac, 4)))
+    return (
+        pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"])
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_ngram_jaccard_is_exact(ray_session, corpus_dir):
+    # prefix filtering must find EVERY pair ≥ t, including the empty-doc
+    # pair (J(∅,∅)=1) and exact dups
+    got = X.dedup_ngram_jaccard(corpus_dir, threshold=0.3)
+    exp = brute_pairs(corpus_dir, 0.3)
+    pd.testing.assert_frame_equal(got, exp)
+    assert ((got["a_id"] == 201) & (got["b_id"] == 202)).any()  # empty pair
+    assert ((got["a_id"] == 0) & (got["b_id"] == 200)).any()  # exact dup
+
+
+def test_minhash_verification_is_distributed_and_correct(ray_session, corpus_dir):
+    got = X.dedup_minhash(corpus_dir, jaccard_threshold=0.5)
+    exp = brute_pairs(corpus_dir, 0.5)
+    # minhash banding is probabilistic for borderline pairs, but at
+    # J≥0.5 with 16 bands × 4 rows collision probability is ≈1; the
+    # constructed dups here are ≥0.7 so the candidate set must cover
+    # them all, and verification must prune everything below threshold
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_embedding_dup_pairs_tiled_exact(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    n, dim = 100, 16
+    m = rng.standard_normal((n, dim))
+    m[50] = m[10] + 0.01 * rng.standard_normal(dim)  # a planted near-dup
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+                  "label": pa.array(["x"] * n)}),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    got = E.embedding_dup_pairs(str(tmp_path), threshold=0.9, num_blocks=4)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    a, b = np.nonzero(np.triu(sims > 0.9, k=1))
+    exp = pd.DataFrame({"a_id": a.astype("int64"), "b_id": b.astype("int64")})
+    exp = exp.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert ((got["a_id"] == 10) & (got["b_id"] == 50)).any()
