@@ -94,7 +94,7 @@ def bench_crawl(num_cpus: int) -> dict:
         shard_capacity=1 << 19,
         fetch_concurrency=max(2, (num_cpus * 7) // 8),  # same pool:node ratio at both levels
         fetch_num_cpus=1,
-        fetch_batch_size=16384,
+        fetch_batch_size=4096,
         convert_inline=True,  # fetch → convert → write in one pipeline
         detailed_logs=False,  # bench: workers skip per-row log columns
     )

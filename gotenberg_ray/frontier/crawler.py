@@ -102,14 +102,22 @@ _OPTIONS_SALT = 0x5D1E37A9C4B68F02
 _ROUTE_SALT = 0x3B8F1C6E9A2D5740
 
 
-def _options_for_hashes(hashes: np.ndarray) -> tuple[list[str], list[str]]:
+_OPTIONS_DICT = pa.array(LINK_OPTIONS, pa.string())
+_ROUTES_DICT = pa.array(LINK_ROUTES, pa.string())
+
+
+def _options_for_hashes(hashes: np.ndarray) -> tuple[pa.Array, pa.Array]:
     o = splitmix64(
         np.asarray(hashes, dtype=np.uint64) ^ np.uint64(_OPTIONS_SALT)
     ) % np.uint64(len(LINK_OPTIONS))
     r = splitmix64(
         np.asarray(hashes, dtype=np.uint64) ^ np.uint64(_ROUTE_SALT)
     ) % np.uint64(len(LINK_ROUTES))
-    return [LINK_OPTIONS[int(i)] for i in o], [LINK_ROUTES[int(i)] for i in r]
+    # one C gather each instead of a per-row Python list index
+    return (
+        _OPTIONS_DICT.take(pa.array(o.astype(np.int64))),
+        _ROUTES_DICT.take(pa.array(r.astype(np.int64))),
+    )
 
 
 # accepted link candidates as produced INSIDE the fetch stage (before
@@ -144,7 +152,7 @@ class CrawlConfig:
     max_links: int = 3
     shard_capacity: int = 1 << 16
     checkpoint_every: int = 0  # epochs; 0 = only final
-    fetch_batch_size: int = 2048
+    fetch_batch_size: int = 4096
     fetch_concurrency: int = 4
     fetch_num_cpus: float = 1.0
     # logical reservation only — shards are idle during the fetch phase,
@@ -156,6 +164,12 @@ class CrawlConfig:
     # round-robin assignment.
     fetch_mode: str = "tasks"
     convert_inline: bool = True  # run the conversion chain in the fetch workers
+    # epochs between a link's DISCOVERY epoch and its earliest grant
+    # epoch. 2 (default) decouples the shard step from the fetch barrier:
+    # epoch k+1's offer+pop round trip only needs epoch k-1's links, so
+    # it runs CONCURRENTLY with epoch k's fetch (the classic crawl
+    # frontier-refresh pipeline). 1 = fully synchronous scheduling.
+    link_latency_epochs: int = 2
     # False → workers return only a row-count log (seq column); the
     # driver skips per-epoch log sorting entirely (bench mode)
     detailed_logs: bool = True
@@ -165,6 +179,47 @@ class CrawlConfig:
 
 
 # ---------------------------------------------------------------- admission
+
+# hosts that could possibly be IP literals start with a digit, colon or
+# bracket — everything else is a DNS name, no per-row ipaddress parse
+_IP_PREFIX_PAT = r"^[0-9:\[]"
+_PATH_OF_CANON_PAT = r"^https?://[^/?#]*(?P<path>/[^?#]*)?"
+
+
+def _admission_errors(
+    canon: pa.Array, hosts: pa.Array, url_filter: UrlFilter
+) -> np.ndarray:
+    """Vectorized scheme/regex/IP-policy gate → error-code object array
+    ('' = accepted). Same decisions as the reference chain
+    (routes.go:417-435 scheme reject, filter.go allow/deny,
+    outbound.go IP class), taken batch-at-a-time."""
+    n = len(canon)
+    err = np.full(n, "", dtype=object)
+    ok_scheme = pc.or_(
+        pc.starts_with(canon, "http://"), pc.starts_with(canon, "https://")
+    ).to_numpy(zero_copy_only=False)
+    err[~ok_scheme] = ERR_INVALID_INPUT  # scheme reject, routes.go:417-435
+    if url_filter.allow or url_filter.deny:
+        dec = url_filter.decide_batch(canon.to_pylist())
+        err[ok_scheme & ~dec] = ERR_FILTERED
+    # IP-class policy: only hosts that LOOK like IP literals get parsed
+    ip_like = pc.match_substring_regex(hosts, _IP_PREFIX_PAT).to_numpy(
+        zero_copy_only=False
+    )
+    if ip_like.any():
+        hosts_l = hosts.to_pylist()
+        for i in np.nonzero(ip_like & (err == ""))[0]:
+            if host_ip_policy(hosts_l[i]) == "non_public":
+                err[i] = ERR_FILTERED  # outbound.go IP-class policy
+    return err
+
+
+def _paths_of_canon(canon: pa.Array) -> pa.Array:
+    """Vectorized path extraction (query/fragment stripped, '' → '/')."""
+    ext = pc.extract_regex(canon, pattern=_PATH_OF_CANON_PAT)
+    p = pc.struct_field(ext, "path")
+    p = pc.fill_null(p, "/")
+    return pc.if_else(pc.equal(p, ""), pa.scalar("/"), p)
 
 
 def admit_candidates(
@@ -176,44 +231,31 @@ def admit_candidates(
     options_json, seq. Out: (accepted CANDIDATE_SCHEMA rows, rejected
     rows with error_type).
     """
-    urls = batch.column("url").to_pylist()
+    urls = batch.column("url")
     canon, hosts, hashes = canonicalize_batch(urls)
-    canon_l = canon.to_pylist()
-    hosts_l = hosts.to_pylist()
-    n = len(urls)
-    err = [""] * n
-    for i in range(n):
-        c = canon_l[i]
-        if c.startswith("file:") or not c.startswith(("http://", "https://")):
-            err[i] = ERR_INVALID_INPUT  # scheme reject, routes.go:417-435
-        elif not url_filter.decide(c):
-            err[i] = ERR_FILTERED
-        elif host_ip_policy(hosts_l[i]) == "non_public":
-            err[i] = ERR_FILTERED  # outbound.go IP-class policy
-    ok = np.array([e == "" for e in err], dtype=bool)
-    paths = [
-        c.split("://", 1)[1].split("/", 1)[1] if "://" in c and "/" in c.split("://", 1)[1] else ""
-        for c, o in zip(canon_l, ok)
-        if o
-    ]
+    err = _admission_errors(canon, hosts, url_filter)
+    ok = err == ""
+    ok_pa = pa.array(ok)
+    canon_ok = canon.filter(ok_pa)
     accepted = pa.table(
         {
-            "url_canon": pa.array([c for c, o in zip(canon_l, ok) if o], pa.string()),
+            "url_canon": canon_ok,
             "url_hash": pa.array(hashes[ok]),
-            "host": pa.array([h for h, o in zip(hosts_l, ok) if o], pa.string()),
-            "path": pa.array(["/" + p.split("?")[0].split("#")[0] for p in paths], pa.string()),
-            "priority": batch.column("priority").filter(pa.array(ok)).cast(pa.int32()),
-            "next_fetch_time": batch.column("next_fetch_time").filter(pa.array(ok)),
-            "route": batch.column("route").filter(pa.array(ok)),
-            "doc_id": batch.column("doc_id").filter(pa.array(ok)),
-            "options_json": batch.column("options_json").filter(pa.array(ok)),
-            "seq": batch.column("seq").filter(pa.array(ok)),
+            "host": hosts.filter(ok_pa),
+            "path": _paths_of_canon(canon_ok),
+            "priority": batch.column("priority").filter(ok_pa).cast(pa.int32()),
+            "next_fetch_time": batch.column("next_fetch_time").filter(ok_pa),
+            "route": batch.column("route").filter(ok_pa),
+            "doc_id": batch.column("doc_id").filter(ok_pa),
+            "options_json": batch.column("options_json").filter(ok_pa),
+            "seq": batch.column("seq").filter(ok_pa),
         },
         schema=CANDIDATE_SCHEMA,
     )
+    bad = pa.array(~ok)
     rejected = pa.table(
         {
-            "url": pa.array([u for u, o in zip(urls, ok) if not o], pa.string()),
+            "url": urls.filter(bad) if isinstance(urls, (pa.Array, pa.ChunkedArray)) else pa.array([u for u, o in zip(urls, ok) if not o], pa.string()),
             "error_type": pa.array([e for e in err if e], pa.string()),
         }
     )
@@ -228,45 +270,40 @@ def admit_links(
     parent_priority, url, link_index). Out: LINK_CANDIDATE_COLS rows +
     rejected (url, error_type). Link priority decays by 1 per hop;
     doc_id (the synthetic fetch-result key) is fnv64(url) % n_docs."""
-    urls = links.column("url").to_pylist()
+    urls = links.column("url")
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
     canon, hosts, hashes = canonicalize_batch(urls)
-    canon_l = canon.to_pylist()
-    hosts_l = hosts.to_pylist()
-    n = len(urls)
-    err = [""] * n
-    for i in range(n):
-        c = canon_l[i]
-        if c.startswith("file:") or not c.startswith(("http://", "https://")):
-            err[i] = ERR_INVALID_INPUT
-        elif not url_filter.decide(c):
-            err[i] = ERR_FILTERED
-        elif host_ip_policy(hosts_l[i]) == "non_public":
-            err[i] = ERR_FILTERED
-    ok = np.array([e == "" for e in err], dtype=bool)
+    err = _admission_errors(canon, hosts, url_filter)
+    ok = err == ""
     ok_pa = pa.array(ok)
-    canon_ok = [c for c, o in zip(canon_l, ok) if o]
-    paths = []
-    for c in canon_ok:
-        rest = c.split("://", 1)[1]
-        p = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
-        paths.append(p.split("?")[0].split("#")[0])
+    canon_ok = canon.filter(ok_pa)
+    hosts_ok = hosts.filter(ok_pa)
     hashes_ok = hashes[ok]
-    doc_ids = (hashes_ok % np.uint64(max(1, n_docs))).tolist()
+    doc_ids = hashes_ok % np.uint64(max(1, n_docs))
     options_mix, routes_mix = _options_for_hashes(hashes_ok)
     accepted = pa.table(
         {
             "parent_seq": links.column("parent_seq").filter(ok_pa),
             "link_index": links.column("link_index").filter(ok_pa),
-            "url_canon": pa.array(canon_ok, pa.string()),
-            "url_hash": pa.array(hashes[ok]),
-            "host": pa.array([h for h, o in zip(hosts_l, ok) if o], pa.string()),
-            "path": pa.array(paths, pa.string()),
+            "url_canon": canon_ok,
+            "url_hash": pa.array(hashes_ok),
+            "host": hosts_ok,
+            "path": _paths_of_canon(canon_ok),
             "priority": pc.max_element_wise(
                 pc.subtract(links.column("parent_priority").filter(ok_pa), 1), 0
             ).cast(pa.int32()),
-            "route": pa.array(routes_mix, pa.string()),
-            "doc_id": pa.array([f"doc-{i:06d}" for i in doc_ids], pa.string()),
-            "options_json": pa.array(options_mix, pa.string()),
+            "route": routes_mix,
+            "doc_id": pc.binary_join_element_wise(
+                pa.scalar("doc-"),
+                pc.utf8_lpad(
+                    pc.cast(pa.array(doc_ids.astype(np.int64)), pa.string()),
+                    width=6,
+                    padding="0",
+                ),
+                pa.scalar(""),
+            ),
+            "options_json": options_mix,
         }
     )
     if n_partitions:
@@ -274,15 +311,11 @@ def admit_links(
         # so the driver routes by a precomputed column
         accepted = accepted.append_column(
             "partition",
-            pa.array(
-                (fnv64([h for h, o in zip(hosts_l, ok) if o]) % np.uint64(n_partitions)).astype(
-                    np.int64
-                )
-            ),
+            pa.array((fnv64(hosts_ok) % np.uint64(n_partitions)).astype(np.int64)),
         )
     rejected = pa.table(
         {
-            "url": pa.array([u for u, o in zip(urls, ok) if not o], pa.string()),
+            "url": urls.filter(pa.array(~ok)),
             "error_type": pa.array([e for e in err if e], pa.string()),
         }
     )
@@ -415,12 +448,20 @@ class RayShards:
     ) -> list[tuple]:
         """Single RPC round per shard per epoch: deliver the previous
         epoch's candidates AND pop this epoch's grants."""
-        return self._ray.get(
-            [
-                a.offer_and_pop.remote(specs.get(p, []), ready_time, horizon)
-                for p, a in enumerate(self.actors)
-            ]
-        )
+        return self._ray.get(self.step_refs(specs, ready_time, horizon))
+
+    def step_refs(
+        self, specs: dict[int, list[tuple]], ready_time: int, horizon: int
+    ) -> list:
+        """Async step: fire the offer+pop round and return the refs —
+        the driver collects them AFTER the concurrent fetch finishes."""
+        return [
+            a.offer_and_pop.remote(specs.get(p, []), ready_time, horizon)
+            for p, a in enumerate(self.actors)
+        ]
+
+    def collect(self, refs: list) -> list[tuple]:
+        return self._ray.get(refs)
 
     def pop_epoch(self, horizon: int) -> list[pa.Table]:
         return self._ray.get([a.pop_epoch.remote(horizon) for a in self.actors])
@@ -651,10 +692,14 @@ class RayFetchRunner:
             ]
 
     def __call__(self, popped: list[tuple], epoch: int):
+        return self.collect(self.dispatch(popped, epoch))
+
+    def dispatch(self, popped: list[tuple], epoch: int) -> list:
         """``popped`` = [(grant_table_ref, key_table)] from
         pop_epoch_refs. Chunks are (ref, offset, length) triples — the
         driver never serializes grant rows; workers resolve the ref
-        plasma-locally and slice zero-copy."""
+        plasma-locally and slice zero-copy. Returns task refs; the
+        caller overlaps other work before ``collect``."""
         total = sum(kt.num_rows for _, kt in popped)
         if self.actors is None:
             # tasks mode: chunks of batch_size, dynamically scheduled
@@ -683,6 +728,9 @@ class RayFetchRunner:
                         )
                     )
                 ci += 1
+        return refs
+
+    def collect(self, refs: list):
         parts = self._ray.get(refs)
         log = pa.concat_tables([p[0] for p in parts])
         keys = [p[1] for p in parts]
@@ -766,39 +814,88 @@ def run_crawl(
             int(pc.max(frontier.column("seq")).as_py()) + 1 if frontier.num_rows else 0
         )
         k, fetch_seq, epochs_done = 0, 0, 0
-    pending_specs: dict[int, list[tuple]] = {}
-    pending_ready = 0
+    # pending link-spec generations: [(specs, ready_time)]. With
+    # link_latency_epochs=2, generation k is delivered inside the step
+    # for epoch k+2 — which is issued WHILE epoch k+1's fetch runs, so
+    # the shard offer+pop round trip costs ~zero wall time in steady
+    # state (the frontier-refresh pipeline).
+    pending: list[tuple[dict, int]] = []
+    L = max(1, int(cfg.link_latency_epochs))
     import time as _time
 
+    def _deliver_due(h: int) -> None:
+        due = [e for e in pending if e[1] <= h]
+        for e in due:
+            pending.remove(e)
+            shards.offer_specs(e[0], e[1])
+
+    def _deliver_all() -> None:
+        for specs_e, ready_e in pending:
+            shards.offer_specs(specs_e, ready_e)
+        pending.clear()
+
     epoch_metrics = EpochMetrics()
+    popped = None  # ray: [(grant_ref, keys)] for epoch k; local: grant table
+    step_refs = None  # in-flight pipelined step (ray only)
 
     while epochs_done < cfg.max_epochs and (
         cfg.max_fetches is None or fetch_seq < cfg.max_fetches
     ):
         horizon = (k + 1) * W - 1
         _t_pop = _time.time()
-        if mode == "ray":
-            # ONE round trip: deliver last epoch's candidates + pop
-            popped = shards.step(pending_specs, pending_ready, horizon)
-            pending_specs = {}
+        if step_refs is not None:
+            # pipelined: the step ran concurrently with last epoch's fetch
+            popped = shards.collect(step_refs)
+            step_refs = None
             n_grants = sum(kt.num_rows for _, kt in popped)
         else:
-            if pending_specs:
-                shards.offer_specs(pending_specs, pending_ready)
-                pending_specs = {}
-            grants = _sort_grants(shards.pop_epoch(horizon))
-            n_grants = grants.num_rows
+            _deliver_due(horizon)
+            if mode == "ray":
+                popped = shards.step({}, 0, horizon)
+                n_grants = sum(kt.num_rows for _, kt in popped)
+            else:
+                popped = _sort_grants(shards.pop_epoch(horizon))
+                n_grants = popped.num_rows
         if n_grants == 0:
+            _deliver_all()
             mr = shards.min_ready()
             if mr is None:
                 break  # frontier exhausted
             k = mr // W
+            popped = None
             continue
         _t_fetch = _time.time()
         _spans_before = getattr(runner, "spans_total", 0)
-        log, key_tables, payloads, links_rejected = runner(
-            popped if mode == "ray" else grants, k
-        )
+        if mode == "ray":
+            fetch_refs = runner.dispatch(popped, k)
+            # issue epoch k+1's step while the fetch runs — exact exit
+            # prediction (fetch_seq grows by exactly n_grants) so a step
+            # never fires for an epoch the loop won't reach
+            will_continue = (epochs_done + 1 < cfg.max_epochs) and (
+                cfg.max_fetches is None or fetch_seq + n_grants < cfg.max_fetches
+            )
+            # never pipeline into a checkpoint epoch: the snapshot at the
+            # end of THIS epoch must not miss grants a concurrent step
+            # already popped
+            will_checkpoint = bool(
+                checkpoint_dir
+                and cfg.checkpoint_every
+                and (epochs_done + 1) % cfg.checkpoint_every == 0
+            )
+            if L >= 2 and will_continue and not will_checkpoint:
+                nh = (k + 2) * W - 1
+                due = [e for e in pending if e[1] <= nh]
+                for e in due:
+                    pending.remove(e)
+                specs_d = due[0][0] if due else {}
+                ready_d = due[0][1] if due else 0
+                for extra_specs, extra_ready in due[1:]:  # post-jump merge
+                    shards.offer_specs(extra_specs, extra_ready)
+                step_refs = shards.step_refs(specs_d, ready_d, nh)
+            log, key_tables, payloads, links_rejected = runner.collect(fetch_refs)
+        else:
+            log, key_tables, payloads, links_rejected = runner(popped, k)
+            popped = None
         _t_route = _time.time()
         if links_rejected.num_rows:
             rejected_parts.append(links_rejected)
@@ -862,9 +959,9 @@ def run_crawl(
                 p = int(part[ids[0]])
                 c = int(chunk_id[ids[0]])
                 specs.setdefault(p, []).append((payloads[c], row_idx[ids], seqs[ids]))
-            # deferred: delivered inside next epoch's step() round trip
-            pending_specs = specs
-            pending_ready = (k + 1) * W
+            # deferred: generation k becomes grantable at epoch k+L and
+            # is delivered inside the step round trip for that epoch
+            pending.append((specs, (k + L) * W))
         epoch_metrics.record(
             epoch=k,
             grants=n_grants,
@@ -887,9 +984,11 @@ def run_crawl(
             and cfg.checkpoint_every
             and epochs_done % cfg.checkpoint_every == 0
         ):
-            if pending_specs:  # undelivered links are frontier state
-                shards.offer_specs(pending_specs, pending_ready)
-                pending_specs = {}
+            # (a pipelined step is never in flight here — the dispatch
+            # predicate below skips pipelining into a checkpoint epoch,
+            # so the snapshot can't lose popped-but-unfetched grants)
+            assert step_refs is None
+            _deliver_all()  # undelivered links are frontier state
             ckpt.write(
                 checkpoint_dir,
                 shards.checkpoints(),
@@ -903,9 +1002,7 @@ def run_crawl(
                 metrics=epoch_metrics.to_table(),
             )
 
-    if pending_specs:  # loop exited with undelivered links
-        shards.offer_specs(pending_specs, pending_ready)
-        pending_specs = {}
+    _deliver_all()  # loop exited with undelivered links
     if checkpoint_dir:
         ckpt.write(
             checkpoint_dir,

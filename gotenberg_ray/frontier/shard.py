@@ -85,8 +85,14 @@ class FrontierShard:
         self.buckets = HostBuckets(default_delay=default_delay, capacity=burst)
         robots_texts = robots_texts or {}
         self.robots = RobotsCache(robots_texts.get)
-        # seq -> (url_canon, host, route, doc_id, options_json)
-        self.payloads: dict[int, tuple[str, str, str, str, str]] = {}
+        # pending-URL payload store: admitted rows stay in their Arrow
+        # tables; a packed locator (table_idx << 32 | row_idx) maps seq →
+        # row, and a liveness mask tracks grants. Strings never become
+        # Python objects between admission and grant.
+        self._ptables: list[pa.Table | None] = []
+        self._pmask: list[np.ndarray] = []
+        self._plive: list[int] = []
+        self._ploc: dict[int, int] = {}
         self.counters = dict.fromkeys(COUNTER_KEYS, 0)
         self._delay_set: set[str] = set()  # hosts whose crawl-delay is applied
         self._pending: list[pa.Table] = []  # buffered offers, applied at flush
@@ -152,8 +158,9 @@ class FrontierShard:
 
     def _apply_offer(self, batch: pa.Table) -> dict:
         """Admit candidate URLs: seen-dedup (bloom→cuckoo), robots gate,
-        heap insert. Batch columns: url_canon, url_hash, host, path,
-        priority, next_fetch_time, route, doc_id, options_json, seq.
+        heap insert — all vectorized. Batch columns: url_canon, url_hash,
+        host, path, priority, next_fetch_time, route, doc_id,
+        options_json, seq.
 
         A URL enters the seen set the first time it is *considered* —
         robots-denied URLs are seen too (never reconsidered), mirroring
@@ -182,36 +189,90 @@ class FrontierShard:
         if not fresh.any():
             return dict(self.counters)
 
-        urls = batch.column("url_canon").to_pylist()
-        hosts = batch.column("host").to_pylist()
-        prios = batch.column("priority").to_pylist()
-        readies = batch.column("next_fetch_time").to_pylist()
-        routes = batch.column("route").to_pylist()
-        doc_ids = batch.column("doc_id").to_pylist()
-        opts = batch.column("options_json").to_pylist()
-        seqs = batch.column("seq").to_pylist()
-        paths = (
-            batch.column("path").to_pylist()
-            if "path" in batch.column_names
-            else [None] * n
-        )
-        for i in np.nonzero(fresh)[0]:
-            host = hosts[i]
-            path = paths[i] or (urlsplit(urls[i]).path or "/")
-            if not self.robots.allowed(host, path):
-                self.counters["robots_denied"] += 1
-                continue
-            if host not in self._delay_set:
+        sub = batch.take(pa.array(np.nonzero(fresh)[0]))
+        m = sub.num_rows
+        if "path" in sub.column_names:
+            paths = sub.column("path").combine_chunks()
+        else:
+            paths = pa.array(
+                [(urlsplit(u).path or "/") for u in sub.column("url_canon").to_pylist()],
+                pa.string(),
+            )
+        # robots gate per unique host (vectorized prefix rules)
+        import pyarrow.compute as pc
+
+        enc = sub.column("host").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        allowed = np.ones(m, dtype=bool)
+        for code, host in enumerate(enc.dictionary.to_pylist()):
+            rows = np.nonzero(codes == code)[0]
+            rules = self.robots.rules_for(host)
+            if rules._compiled:
+                ok = rules.allowed_batch(paths.take(pa.array(rows)))
+                allowed[rows] = ok
+                any_ok = bool(ok.any())
+            else:
+                any_ok = True
+            if any_ok and host not in self._delay_set:
                 self._delay_set.add(host)
-                cd = self.robots.crawl_delay(host)
-                if cd is not None:
-                    self.buckets.set_delay(host, cd)
-            self.counters["admitted"] += 1
-            self.payloads[int(seqs[i])] = (urls[i], host, routes[i], doc_ids[i], opts[i])
-            self.heap.push(int(readies[i]), int(prios[i]), int(seqs[i]), int(hashes[i]))
+                if rules.crawl_delay is not None:
+                    self.buckets.set_delay(host, rules.crawl_delay)
+        self.counters["robots_denied"] += int(m - allowed.sum())
+        if not allowed.any():
+            return dict(self.counters)
+        adm = sub.filter(pa.array(allowed))
+        k = adm.num_rows
+        self.counters["admitted"] += k
+
+        seqs = adm.column("seq").to_numpy(zero_copy_only=False)
+        ti = len(self._ptables)
+        self._ptables.append(adm.select(list(PAYLOAD_SCHEMA.names)))
+        self._pmask.append(np.ones(k, dtype=bool))
+        self._plive.append(k)
+        base = ti << 32
+        self._ploc.update(
+            zip(seqs.tolist(), (np.arange(k, dtype=np.int64) + base).tolist())
+        )
+        self.heap.push_bulk(
+            adm.column("next_fetch_time").to_numpy(zero_copy_only=False),
+            adm.column("priority").to_numpy(zero_copy_only=False).astype(np.int64),
+            seqs,
+            adm.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64),
+        )
         return dict(self.counters)
 
     # ------------------------------------------------------------------- pop
+    def _gather_payload(self, seqs: np.ndarray) -> pa.Table:
+        """Rows for ``seqs`` (in that order) from the payload tables —
+        one take() per source table plus one reorder take."""
+        ploc = self._ploc
+        locs = np.fromiter((ploc[int(s)] for s in seqs), dtype=np.int64, count=len(seqs))
+        order = np.argsort(locs, kind="stable")
+        sorted_locs = locs[order]
+        tis = sorted_locs >> 32
+        ris = sorted_locs & 0xFFFFFFFF
+        bounds = np.nonzero(np.r_[True, tis[1:] != tis[:-1]])[0]
+        ends = np.r_[bounds[1:], len(tis)]
+        parts = [
+            self._ptables[int(tis[a])].take(pa.array(ris[a:b]))
+            for a, b in zip(bounds, ends)
+        ]
+        merged = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        return merged.take(pa.array(inv))
+
+    def _release_payload(self, seqs: np.ndarray) -> None:
+        ploc = self._ploc
+        for s in seqs.tolist():
+            loc = ploc.pop(s)
+            ti = loc >> 32
+            self._pmask[ti][loc & 0xFFFFFFFF] = False
+            self._plive[ti] -= 1
+            if self._plive[ti] == 0:
+                self._ptables[ti] = None  # free consumed chunk
+                self._pmask[ti] = np.empty(0, dtype=bool)
+
     def pop_epoch(self, horizon: int, limit: int | None = None) -> pa.Table:
         """Grant fetches for every heap entry ready by ``horizon``.
 
@@ -223,36 +284,76 @@ class FrontierShard:
         its host's queue is. Per-host slots advance monotonically, so
         grant order per host follows pop order; globally the caller
         sorts by (fetch_time, -priority, seq).
-        """
+
+        The bulk pop returns every ready entry in key order; the token
+        arithmetic below is the inlined HostBuckets refill/commit over
+        per-host state lists — same integer math, no per-row method
+        dispatch."""
         self.flush()
-        rows: list[tuple] = []
-        while limit is None or len(rows) < limit:
-            popped = self.heap.pop_ready(horizon, limit=1)
-            if not popped:
-                break
-            ready, prio, seq, uh = popped[0]
-            url, host, route, doc_id, opts = self.payloads[seq]
-            slot = self.buckets.next_slot(host, ready)
-            if slot <= horizon:
-                self.buckets.commit(host, slot)
-                del self.payloads[seq]
-                self.counters["granted"] += 1
-                rows.append((seq, slot, prio, uh, url, host, route, doc_id, opts))
-            else:
-                self.heap.push(slot, prio, seq, uh)
-        if not rows:
+        ready, prio, seq, uh = self.heap.pop_ready_bulk(horizon)
+        n = len(ready)
+        if n == 0:
             return GRANT_SCHEMA.empty_table()
-        cols = list(zip(*rows))
+        if limit is not None and n > limit:
+            # compatibility path: bounded pops push the overflow back
+            self.heap.push_bulk(ready[limit:], prio[limit:], seq[limit:], uh[limit:])
+            ready, prio, seq, uh = (
+                ready[:limit], prio[:limit], seq[:limit], uh[:limit],
+            )
+            n = limit
+        payload = self._gather_payload(seq)
+        hosts_l = payload.column("host").to_pylist()
+        ensure = self.buckets._ensure
+        slots = np.empty(n, dtype=np.int64)
+        granted = np.zeros(n, dtype=bool)
+        capacity = self.buckets.capacity
+        for i in range(n):
+            st = ensure(hosts_l[i])
+            d, tok, last = st
+            t = int(ready[i])
+            # refill(t)
+            if t > last:
+                gained = (t - last) // d
+                if gained:
+                    tok = min(capacity, tok + gained)
+                    last = last + gained * d
+                if tok >= capacity:
+                    last = t
+            slot = t if tok > 0 else last + d
+            if slot <= horizon:
+                # commit: refill at slot, then consume
+                if slot > last:
+                    gained = (slot - last) // d
+                    if gained:
+                        tok = min(capacity, tok + gained)
+                        last = last + gained * d
+                    if tok >= capacity:
+                        last = slot
+                tok -= 1
+                granted[i] = True
+            slots[i] = slot
+            st[1] = tok
+            st[2] = last
+        n_grant = int(granted.sum())
+        self.counters["granted"] += n_grant
+        if n_grant < n:
+            nb = ~granted
+            self.heap.push_bulk(slots[nb], prio[nb], seq[nb], uh[nb])
+        if n_grant == 0:
+            return GRANT_SCHEMA.empty_table()
+        g = np.nonzero(granted)[0]
+        self._release_payload(seq[g])
+        gp = payload.take(pa.array(g)) if n_grant < n else payload
         arrays = [
-            pa.array(cols[0], pa.int64()),
-            pa.array(cols[1], pa.int64()),
-            pa.array(cols[2], pa.int32()),
-            pa.array(np.array(cols[3], dtype=np.uint64)),
-            pa.array(cols[4], pa.string()),
-            pa.array(cols[5], pa.string()),
-            pa.array(cols[6], pa.string()),
-            pa.array(cols[7], pa.string()),
-            pa.array(cols[8], pa.string()),
+            pa.array(seq[g]),
+            pa.array(slots[g]),
+            pa.array(prio[g].astype(np.int32)),
+            pa.array(uh[g]),
+            gp.column("url_canon"),
+            gp.column("host"),
+            gp.column("route"),
+            gp.column("doc_id"),
+            gp.column("options_json"),
         ]
         return pa.Table.from_arrays(arrays, schema=GRANT_SCHEMA)
 
@@ -290,18 +391,18 @@ class FrontierShard:
     def checkpoint(self) -> dict:
         """Canonical state snapshot (bit-identical across orchestrations)."""
         self.flush()  # pending offers are part of the state
-        seqs = sorted(self.payloads)
-        payloads = pa.table(
-            {
-                "seq": pa.array(seqs, pa.int64()),
-                "url_canon": pa.array([self.payloads[s][0] for s in seqs], pa.string()),
-                "host": pa.array([self.payloads[s][1] for s in seqs], pa.string()),
-                "route": pa.array([self.payloads[s][2] for s in seqs], pa.string()),
-                "doc_id": pa.array([self.payloads[s][3] for s in seqs], pa.string()),
-                "options_json": pa.array([self.payloads[s][4] for s in seqs], pa.string()),
-            },
-            schema=PAYLOAD_SCHEMA,
-        )
+        live_parts = [
+            t.filter(pa.array(m))
+            for t, m, lv in zip(self._ptables, self._pmask, self._plive)
+            if t is not None and lv
+        ]
+        if live_parts:
+            payloads = (
+                pa.concat_tables(live_parts) if len(live_parts) > 1 else live_parts[0]
+            ).sort_by([("seq", "ascending")])
+            payloads = payloads.combine_chunks().select(PAYLOAD_SCHEMA.names)
+        else:
+            payloads = PAYLOAD_SCHEMA.empty_table()
         return {
             "partition_id": self.partition_id,
             "cuckoo": self.cuckoo.to_bytes(),
@@ -320,17 +421,12 @@ class FrontierShard:
         self.buckets = HostBuckets.from_table(
             state["buckets"], default_delay=self.default_delay, capacity=self.burst
         )
-        p = state["payloads"]
-        self.payloads = {
-            int(s): (u, h, r, d, o)
-            for s, u, h, r, d, o in zip(
-                p.column("seq").to_pylist(),
-                p.column("url_canon").to_pylist(),
-                p.column("host").to_pylist(),
-                p.column("route").to_pylist(),
-                p.column("doc_id").to_pylist(),
-                p.column("options_json").to_pylist(),
-            )
-        }
+        p = state["payloads"].select(PAYLOAD_SCHEMA.names)
+        k = p.num_rows
+        self._ptables = [p] if k else []
+        self._pmask = [np.ones(k, dtype=bool)] if k else []
+        self._plive = [k] if k else []
+        seqs = p.column("seq").to_numpy(zero_copy_only=False) if k else np.empty(0, np.int64)
+        self._ploc = dict(zip(seqs.tolist(), np.arange(k, dtype=np.int64).tolist()))
         self.counters = dict(state["counters"])
         self._delay_set = set(state["delay_hosts"])

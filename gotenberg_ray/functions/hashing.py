@@ -30,8 +30,37 @@ def _as_byte_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
     One vectorized scatter from the concatenated byte buffer — no
     per-string numpy calls.
     """
-    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
-        strings = strings.to_pylist()
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if isinstance(strings, pa.Array) and pa.types.is_string(strings.type):
+        # zero-copy from the arrow offsets/data buffers — no per-string
+        # Python encode for arrow inputs (URL batches are millions/run)
+        arr = strings
+        if arr.null_count:
+            import pyarrow.compute as pc
+
+            arr = pc.fill_null(arr, "")
+        n = len(arr)
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        lengths = offsets[1:] - offsets[:-1]
+        max_len = int(lengths.max()) if n else 0
+        mat = np.zeros((n, max_len), dtype=np.uint8)
+        total = int(lengths.sum())
+        if total:
+            rows = np.repeat(np.arange(n), lengths)
+            out_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            cols = np.arange(total) - np.repeat(out_starts, lengths)
+            src = np.repeat(offsets[:-1], lengths) + cols
+            mat[rows, cols] = data[src]
+        return mat, lengths
     encoded = [s.encode("utf-8") if s is not None else b"" for s in strings]
     n = len(encoded)
     lengths = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)

@@ -23,17 +23,29 @@ from ..spans import InvalidInput
 
 _TO_HTML_RE = re.compile(r"\{\{\s*toHTML\s+\"([^\"]+)\"\s*\}\}")
 
+# precompiled hot-path patterns (this renderer runs once per text span
+# per crawled markdown page — re.sub with string patterns pays a cache
+# lookup per call)
+_CODE_RE = re.compile(r"`([^`]+)`")
+_STRONG_RE = re.compile(r"\*\*([^*]+)\*\*")
+_EM_RE = re.compile(r"\*([^*]+)\*")
+_LINK_RE = re.compile(r"\[([^\]]+)\]\(([^)\s]+)\)")
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
+_HR_RE = re.compile(r"(-{3,}|\*{3,}|_{3,})")
+_ULI_RE = re.compile(r"^[-*+]\s+(.*)$")
+_OLI_RE = re.compile(r"^\d+\.\s+(.*)$")
+_BQ_RE = re.compile(r"^>\s?(.*)$")
+
 # --------------------------------------------------------------------------
 # inline rendering
 
 
 def _inline(text: str) -> str:
     out = html.escape(text, quote=False)
-    out = re.sub(r"`([^`]+)`", r"<code>\1</code>", out)
-    out = re.sub(r"\*\*([^*]+)\*\*", r"<strong>\1</strong>", out)
-    out = re.sub(r"\*([^*]+)\*", r"<em>\1</em>", out)
-    out = re.sub(
-        r"\[([^\]]+)\]\(([^)\s]+)\)",
+    out = _CODE_RE.sub(r"<code>\1</code>", out)
+    out = _STRONG_RE.sub(r"<strong>\1</strong>", out)
+    out = _EM_RE.sub(r"<em>\1</em>", out)
+    out = _LINK_RE.sub(
         lambda m: f'<a href="{m.group(2)}">{m.group(1)}</a>',
         out,
     )
@@ -75,18 +87,18 @@ def markdown_to_html(md: str) -> str:
             flush_list()
             in_code = True
             continue
-        m = re.match(r"^(#{1,6})\s+(.*)$", stripped)
+        m = _HEADING_RE.match(stripped)
         if m:
             flush_para()
             flush_list()
             out.append(f"<h{len(m.group(1))}>{_inline(m.group(2))}</h{len(m.group(1))}>")
             continue
-        if re.fullmatch(r"(-{3,}|\*{3,}|_{3,})", stripped):
+        if _HR_RE.fullmatch(stripped):
             flush_para()
             flush_list()
             out.append("<hr/>")
             continue
-        m = re.match(r"^[-*+]\s+(.*)$", stripped)
+        m = _ULI_RE.match(stripped)
         if m:
             flush_para()
             if list_tag != "ul":
@@ -95,7 +107,7 @@ def markdown_to_html(md: str) -> str:
                 list_tag = "ul"
             out.append(f"<li>{_inline(m.group(1))}</li>")
             continue
-        m = re.match(r"^\d+\.\s+(.*)$", stripped)
+        m = _OLI_RE.match(stripped)
         if m:
             flush_para()
             if list_tag != "ol":
@@ -104,7 +116,7 @@ def markdown_to_html(md: str) -> str:
                 list_tag = "ol"
             out.append(f"<li>{_inline(m.group(1))}</li>")
             continue
-        m = re.match(r"^>\s?(.*)$", stripped)
+        m = _BQ_RE.match(stripped)
         if m:
             flush_para()
             flush_list()
@@ -139,6 +151,7 @@ _ALLOWED_ATTRS = {"href", "src", "alt", "title", "width", "height", "colspan", "
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>")
 _ATTR_RE = re.compile(r"([a-zA-Z-]+)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)")
 _DROP_CONTENT_TAGS = ("script", "style")
+_JS_URL_RE = re.compile(r"\s*javascript:", re.I)
 
 
 def sanitize_html(src: str) -> str:
@@ -163,7 +176,7 @@ def sanitize_html(src: str) -> str:
             aval = am.group(2).strip("\"'")
             if aname.startswith("on") or aname not in _ALLOWED_ATTRS:
                 continue
-            if aname in _URL_ATTRS and re.match(r"\s*javascript:", aval, re.I):
+            if aname in _URL_ATTRS and _JS_URL_RE.match(aval):
                 continue
             kept.append(f'{aname}="{aval}"')
         inner = (" " + " ".join(kept)) if kept else ""

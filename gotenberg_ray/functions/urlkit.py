@@ -140,15 +140,52 @@ def url_host(url: str) -> str:
         return ""
 
 
+# fast-path pattern as RE2 capture groups for pyarrow's extract_regex —
+# MUST stay equivalent to _FAST_CANON_RE so both paths canonicalize
+# identically (checkpoint bytes depend on it)
+_FAST_EXTRACT_PAT = (
+    r"^(?P<scheme>https?)://(?P<host>[a-z0-9-]+(?:\.[a-z0-9-]+)*)"
+    r"(?P<path>/[A-Za-z0-9_\-/~,:@!$&'()*+;=]*)?$"
+)
+
+
 def canonicalize_batch(urls) -> tuple[pa.Array, pa.Array, np.ndarray]:
-    """Vectorized entry point: (url_canon, host, url_hash:uint64)."""
-    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
-        urls = urls.to_pylist()
-    pairs = [canonicalize_url_host(u) if u is not None else ("", "") for u in urls]
-    canon = [p[0] for p in pairs]
-    hosts = [p[1] for p in pairs]
-    hashes = fnv64(canon)
-    return pa.array(canon, type=pa.string()), pa.array(hosts, type=pa.string()), hashes
+    """Vectorized entry point: (url_canon, host, url_hash:uint64).
+
+    Already-canonical http(s) URLs (the crawl hot path) are recognized
+    and re-assembled entirely in Arrow C kernels (one extract_regex +
+    one join per batch); only the residue goes through the per-row
+    RFC-3986 parser."""
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pa.ChunkedArray):
+        arr = urls.combine_chunks()
+    elif isinstance(urls, pa.Array):
+        arr = urls
+    else:
+        arr = pa.array(["" if u is None else u for u in urls], pa.string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    ext = pc.extract_regex(arr, pattern=_FAST_EXTRACT_PAT)
+    fast = ext.is_valid().to_numpy(zero_copy_only=False)
+    scheme = pc.struct_field(ext, "scheme")
+    host_f = pc.struct_field(ext, "host")
+    path_f = pc.struct_field(ext, "path")
+    path_f = pc.if_else(pc.equal(path_f, ""), pa.scalar("/"), path_f)
+    canon_a = pc.binary_join_element_wise(scheme, pa.scalar("://"), host_f, path_f, pa.scalar(""))
+    if not fast.all():
+        canon_list = canon_a.to_pylist()
+        hosts_list = host_f.to_pylist()
+        slow_idx = np.nonzero(~fast)[0]
+        raw = arr.take(pa.array(slow_idx)).to_pylist()
+        for i, u in zip(slow_idx, raw):
+            c, h = canonicalize_url_host(u or "")
+            canon_list[i] = c
+            hosts_list[i] = h
+        canon_a = pa.array(canon_list, pa.string())
+        host_f = pa.array(hosts_list, pa.string())
+    hashes = fnv64(canon_a)
+    return canon_a, host_f, hashes
 
 
 # --------------------------------------------------------------------------

@@ -85,6 +85,9 @@ class ConvertOptions:
 
     @classmethod
     def from_json(cls, raw: str) -> "ConvertOptions":
+        cached = _OPTIONS_CACHE.get(raw)
+        if cached is not None:
+            return cached
         try:
             data = json.loads(raw or "{}")
         except json.JSONDecodeError:
@@ -94,7 +97,16 @@ class ConvertOptions:
         if unknown:
             raise S.InvalidInput(f"unknown options {sorted(unknown)}")
         kwargs = {k: v for k, v in data.items() if k in fields}
-        return cls(**kwargs)
+        opts = cls(**kwargs)
+        if len(_OPTIONS_CACHE) < 4096:
+            _OPTIONS_CACHE[raw] = opts
+        return opts
+
+
+# parsed-options memo: crawls reuse a handful of distinct option
+# strings millions of times; ConvertOptions is treated as immutable by
+# every consumer (convert_row only reads fields)
+_OPTIONS_CACHE: dict[str, "ConvertOptions"] = {}
 
 
 @dataclasses.dataclass

@@ -20,6 +20,9 @@ class RobotsRules:
         self._compiled = [
             (allow, len(pat), self._compile(pat)) for allow, pat in rules if pat
         ]
+        # literal-prefix rules (no * or $) admit a vectorized batch path
+        self._all_literal = all("*" not in pat and "$" not in pat for _, pat in rules)
+        self._literal = [(allow, len(pat), pat) for allow, pat in rules if pat]
 
     @staticmethod
     def _compile(pattern: str) -> re.Pattern:
@@ -40,6 +43,36 @@ class RobotsRules:
                 if best is None or spec > best[0] or (spec == best[0] and allow and not best[1]):
                     best = (spec, allow)
         return True if best is None else best[1]
+
+    def allowed_batch(self, paths) -> "np.ndarray":
+        """Vectorized ``allowed`` over a path array. Literal-prefix rule
+        sets (the overwhelmingly common case) evaluate as one
+        ``starts_with`` kernel per rule; wildcard rules fall back to the
+        per-row matcher."""
+        import numpy as np
+
+        n = len(paths)
+        if not self._compiled:
+            return np.ones(n, dtype=bool)
+        if not self._all_literal:
+            return np.fromiter(
+                (self.allowed(p) for p in paths), dtype=bool, count=n
+            )
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = paths if isinstance(paths, (pa.Array, pa.ChunkedArray)) else pa.array(paths, pa.string())
+        best_spec = np.zeros(n, dtype=np.int64)  # 0 = no rule matched
+        best_allow = np.ones(n, dtype=bool)
+        for allow, spec, pat in self._literal:
+            m = pc.starts_with(arr, pat).to_numpy(zero_copy_only=False)
+            upd = m & (
+                (best_spec < spec)
+                | ((best_spec == spec) & allow & ~best_allow)
+            )
+            best_spec[upd] = spec
+            best_allow[upd] = allow
+        return best_allow
 
 
 def parse_robots(text: str, agent: str = "*") -> RobotsRules:
