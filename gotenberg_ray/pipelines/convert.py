@@ -37,6 +37,7 @@ from ..schemas import (
     ERR_NONE,
     KIND_PAGE_BREAK,
     KIND_TEXT,
+    SPAN_STRUCT as SPAN_STRUCT_TYPE,
     SPANS_TYPE,
     STATUS_ERROR,
     STATUS_SUCCESS,
@@ -306,29 +307,130 @@ def _identity_parts(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=PAGES_OUT_SCHEMA)
 
 
+def _const_parts(batch: pa.Table, status_col, error_col) -> pa.Table:
+    """Vectorized pass-through/error parts: empty spans, constant cols."""
+    n = batch.num_rows
+    doc_ids = batch.column("doc_id")
+    empty_struct = pa.array([], SPAN_STRUCT_TYPE)
+    empty_spans = pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32)), empty_struct
+    )
+    arrays = [
+        doc_ids,
+        pa.array(np.zeros(n, dtype=np.int32)),
+        empty_spans,
+        doc_ids,
+        pa.array([""] * n, pa.string()),
+        pa.array(np.zeros(n, dtype=bool)),
+        pa.array(["{}"] * n, pa.string()),
+        pa.array(["[]"] * n, pa.string()),
+        pa.array([""] * n, pa.string()),
+        status_col,
+        error_col,
+        pa.array(np.zeros(n, dtype=np.int32)),
+    ]
+    return pa.Table.from_arrays(arrays, schema=PAGES_OUT_SCHEMA)
+
+
 def convert_batch(batch: pa.Table) -> pa.Table:
     """map_batches adapter: rows (doc_id, spans, options_json[, status])
     → part rows. Rows that arrived as fetch errors pass through as
     error parts; option/validation failures become 400-family rows
-    (never exceptions — errors are data, middlewares.go:38-88)."""
-    identity = pc.equal(batch.column("options_json"), "{}")
+    (never exceptions — errors are data, middlewares.go:38-88).
+
+    Dispatch is per (options_json, route) GROUP: default-option rows are
+    the zero-copy identity, the recurring option mixes run through the
+    Arrow-native kernels in ``convert_vec``, and anything else falls
+    back to the per-row chain. Output row order is grouped (first
+    occurrence order), not input order — consumers key on
+    doc_id/part_index."""
+    from . import convert_vec as CV
+
+    if batch.num_rows == 0:
+        return PAGES_OUT_SCHEMA.empty_table()
     if "status" in batch.column_names:
-        identity = pc.and_(
-            identity, pc.equal(batch.column("status"), STATUS_SUCCESS)
-        )
+        err_mask = pc.not_equal(batch.column("status"), STATUS_SUCCESS)
+        n_err = pc.sum(pc.cast(err_mask, pa.int64())).as_py() or 0
+        if n_err:
+            err_rows = batch.filter(err_mask)
+            ok_rows = batch.filter(pc.invert(err_mask))
+            parts = [
+                _const_parts(
+                    err_rows, err_rows.column("status"),
+                    err_rows.column("error_type")
+                    if "error_type" in err_rows.column_names
+                    else pa.array([ERR_NONE] * err_rows.num_rows, pa.string()),
+                )
+            ]
+            if ok_rows.num_rows:
+                parts.append(convert_batch(ok_rows))
+            return pa.concat_tables(parts)
+
+    opts_col = batch.column("options_json")
+    if isinstance(opts_col, pa.ChunkedArray):
+        opts_col = opts_col.combine_chunks()
     if "route" in batch.column_names:
-        # the markdown route renders every text span (routes.go:709-782)
-        # — never the identity chain
-        identity = pc.and_(
-            identity, pc.not_equal(batch.column("route"), "convert/markdown")
+        route_col = batch.column("route")
+        combo = pc.binary_join_element_wise(opts_col, route_col, pa.scalar("\x1f"))
+        if isinstance(combo, pa.ChunkedArray):
+            combo = combo.combine_chunks()
+    else:
+        combo = pc.binary_join_element_wise(
+            opts_col, pa.scalar("convert/url"), pa.scalar("\x1f")
         )
-    n_id = pc.sum(pc.cast(identity, pa.int64())).as_py() or 0
-    if n_id == batch.num_rows:
-        return _identity_parts(batch)
-    if n_id:
-        fast = _identity_parts(batch.filter(identity))
-        slow = convert_batch(batch.filter(pc.invert(identity)))
-        return pa.concat_tables([fast, slow])
+        if isinstance(combo, pa.ChunkedArray):
+            combo = combo.combine_chunks()
+    enc = combo.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    keys = enc.dictionary.to_pylist()
+    outs: list[pa.Table] = []
+    for code, key in enumerate(keys):
+        opts_json, route = key.rsplit("\x1f", 1)
+        sub = (
+            batch
+            if len(keys) == 1
+            else batch.take(pa.array(np.nonzero(codes == code)[0]))
+        )
+        if opts_json == "{}" and route != "convert/markdown":
+            # identity chain: zero-copy spans (routes.go default path)
+            outs.append(_identity_parts(sub))
+            continue
+        try:
+            opts = ConvertOptions.from_json(opts_json)
+        except (S.InvalidInput, S.MethodNotSupported):
+            n = sub.num_rows
+            outs.append(
+                _const_parts(
+                    sub,
+                    pa.array([STATUS_ERROR] * n, pa.string()),
+                    pa.array([ERR_INVALID_INPUT] * n, pa.string()),
+                )
+            )
+            continue
+        if CV.vectorizable(opts, route):
+            cols = CV.convert_group(
+                sub.column("spans"), _col(sub, "doc_id"), opts, route
+            )
+            if cols is not None:
+                outs.append(
+                    pa.Table.from_arrays(
+                        [cols[name] for name, _ in PAGES_OUT_FIELDS],
+                        schema=PAGES_OUT_SCHEMA,
+                    )
+                )
+                continue
+        outs.append(_convert_rows_fallback(sub))
+    return outs[0] if len(outs) == 1 else pa.concat_tables(outs)
+
+
+def _col(t: pa.Table, name: str) -> pa.Array:
+    c = t.column(name)
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def _convert_rows_fallback(batch: pa.Table) -> pa.Table:
+    """Per-row chain — the semantics reference and the escape hatch for
+    option combinations the kernels don't cover."""
     doc_ids = batch.column("doc_id").to_pylist()
     spans_col = batch.column("spans").to_pylist()
     opts_col = batch.column("options_json").to_pylist()
