@@ -421,6 +421,10 @@ class RayShards:
             )
             for p in range(cfg.n_partitions)
         ]
+        # actor processes spawn lazily at the first call — fire the
+        # readiness probe now so they warm up while the driver builds
+        # fetch state and admits the seed frontier
+        self._warmup = [a.__ray_ready__.remote() for a in self.actors]
         self._ray = ray
 
     def offer(self, tables: list[pa.Table]) -> None:
@@ -702,8 +706,16 @@ class RayFetchRunner:
         caller overlaps other work before ``collect``."""
         total = sum(kt.num_rows for _, kt in popped)
         if self.actors is None:
-            # tasks mode: chunks of batch_size, dynamically scheduled
-            size = max(1, min(self.cfg.fetch_batch_size, -(-total // self.cfg.fetch_concurrency)))
+            # tasks mode: chunks of batch_size, dynamically scheduled;
+            # the 1024 floor keeps small epochs from fragmenting into
+            # dozens of overhead-dominated micro-tasks
+            size = max(
+                1,
+                min(
+                    self.cfg.fetch_batch_size,
+                    max(1024, -(-total // self.cfg.fetch_concurrency)),
+                ),
+            )
         else:
             # actors mode: one chunk per actor when possible (uniform
             # work → balanced); chunk COUNT is driver latency.
@@ -787,26 +799,13 @@ def run_crawl(
         fetch_seq = state["driver"]["fetch_seq"]
         epochs_done = state["driver"]["epochs_done"]
     else:
-        if mode == "ray" and frontier.num_rows > 20_000:
-            # parallel seed admission — canonicalization is pure
-            import ray
-
-            # num_cpus=0: must be schedulable even when the fetch actor
-            # pool has reserved every logical CPU
-            task = ray.remote(num_cpus=0)(
-                lambda t, allow, deny: admit_candidates(t, UrlFilter(allow, deny))
-            )
-            n_chunks = 16
-            size = -(-frontier.num_rows // n_chunks)
-            refs = [
-                task.remote(frontier.slice(o, size), list(cfg.allow), list(cfg.deny))
-                for o in range(0, frontier.num_rows, size)
-            ]
-            parts_out = ray.get(refs)
-            accepted = pa.concat_tables([p[0] for p in parts_out])
-            rejected = pa.concat_tables([p[1] for p in parts_out])
-        else:
-            accepted, rejected = admit_candidates(frontier, url_filter)
+        # seed admission runs on the driver: it is fully vectorized
+        # (canonicalize_batch + _admission_errors are Arrow kernels), so
+        # even 10^5 seeds cost well under a second — cheaper than
+        # spawning cold worker processes for it. (At 10^10-seed scale the
+        # seed list itself arrives as parquet and is admitted inside the
+        # fetch workers' first epoch instead.)
+        accepted, rejected = admit_candidates(frontier, url_filter)
         rejected_parts.append(rejected)
         parts = partition_of(accepted.column("host").to_pylist(), cfg.n_partitions)
         shards.offer(_split_by_partition(accepted, parts, cfg.n_partitions))

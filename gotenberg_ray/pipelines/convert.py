@@ -31,7 +31,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import spans as S
+from . import convert_vec as CV
 from ..functions.markdown import markdown_to_html, sanitize_html
+from .convert_vec import _render_template
 from ..schemas import (
     ERR_INVALID_INPUT,
     ERR_NONE,
@@ -122,12 +124,6 @@ class PartRow:
     encrypt_json: str = ""
     error_type: str = ERR_NONE
     status: str = STATUS_SUCCESS
-
-
-def _render_template(tpl: str, page_no: int, total: int) -> str:
-    return tpl.replace(PAGE_NUMBER_MARK, str(page_no)).replace(
-        TOTAL_PAGES_MARK, str(total)
-    )
 
 
 def apply_render_options(spans: list[dict], opts: ConvertOptions) -> tuple[list[dict], str]:
@@ -344,8 +340,6 @@ def convert_batch(batch: pa.Table) -> pa.Table:
     back to the per-row chain. Output row order is grouped (first
     occurrence order), not input order — consumers key on
     doc_id/part_index."""
-    from . import convert_vec as CV
-
     if batch.num_rows == 0:
         return PAGES_OUT_SCHEMA.empty_table()
     if "status" in batch.column_names:

@@ -61,6 +61,16 @@ TEXT, MEDIA, PB, WM, STAMP, EMBED, ROT = range(7)
 _INPUT_KINDS = {TEXT, MEDIA, PB}
 
 
+PAGE_NUMBER_MARK = '<span class="pageNumber"></span>'
+TOTAL_PAGES_MARK = '<span class="totalPages"></span>'
+
+
+def _render_template(tpl: str, page_no: int, total: int) -> str:
+    return tpl.replace(PAGE_NUMBER_MARK, str(page_no)).replace(
+        TOTAL_PAGES_MARK, str(total)
+    )
+
+
 def vectorizable(opts, route: str) -> bool:
     """True iff the kernel pipeline reproduces convert_row exactly for
     these options (option-level validation errors also excluded — the
@@ -213,8 +223,6 @@ class _Group:
         pos, row, sub, page = pos[order], row[order], sub[order], page[order]
         total = pages[row]
         ids = np.empty(len(pos), dtype=np.int64)
-        from .convert import _render_template
-
         for j in range(len(pos)):
             tpl = header_tpl if sub[j] == 0 else footer_tpl
             ids[j] = self._new_span(

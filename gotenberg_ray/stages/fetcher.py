@@ -102,26 +102,35 @@ class SimulatedFetcher:
             pass
         if not isinstance(docs, tuple):
             docs = self.build_state(docs)
-        docs_table, stats = docs
+        if len(docs) == 2:  # legacy (docs_table, stats) shape
+            docs = self._extend_state(*docs)
+        docs_table, stats, spans_plus, row_of = docs
         self.n_docs = docs_table.num_rows
-        # spans column with one sentinel EMPTY row appended at index
-        # n_docs — error rows `take` it instead of a branch per row
-        spans_col = docs_table.column("spans")
-        if isinstance(spans_col, pa.ChunkedArray):
-            spans_col = spans_col.combine_chunks()
-        empty = pa.array([[]], type=spans_col.type)
-        self.spans_col = pa.concat_arrays([spans_col, empty])
+        self.spans_col = spans_plus
         self.empty_idx = self.n_docs
-        self.row_of: dict[str, int] = {
-            d: i for i, d in enumerate(docs_table.column("doc_id").to_pylist())
-        }
+        self.row_of = row_of
         self.stats = stats  # dict of np arrays + origins sets
         self.link_universe = int(link_universe)
         self.max_links = int(max_links)
         self._fail_cache: dict[str, np.ndarray] = {}
 
+    @staticmethod
+    def _extend_state(docs_table: pa.Table, stats: dict) -> tuple:
+        """Heavy derived state, built ONCE on the driver and broadcast —
+        worker __init__ must stay O(1) (small epochs land on arbitrary
+        task workers; a per-worker spans copy was a 0.4 s floor)."""
+        spans_col = docs_table.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        # sentinel EMPTY row at index n_docs — error rows `take` it
+        # instead of a branch per row
+        empty = pa.array([[]], type=spans_col.type)
+        spans_plus = pa.concat_arrays([spans_col, empty])
+        row_of = {d: i for i, d in enumerate(docs_table.column("doc_id").to_pylist())}
+        return docs_table, stats, spans_plus, row_of
+
     @classmethod
-    def build_state(cls, docs: pa.Table) -> tuple[pa.Table, dict]:
+    def build_state(cls, docs: pa.Table) -> tuple:
         """Per-doc network aggregates — pure functions of the doc,
         computed ONCE centrally and broadcast; all media refs hashed in
         one vectorized pass."""
@@ -156,7 +165,7 @@ class SimulatedFetcher:
             "origins": origins,
             "origins_len": np.fromiter((len(o) for o in origins), np.int64, n),
         }
-        return docs, stats
+        return cls._extend_state(docs, stats)
 
     def _fail_set(self, options_json: str) -> np.ndarray:
         cached = self._fail_cache.get(options_json)
