@@ -33,11 +33,13 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Callable
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..functions.hashing import fnv64, splitmix64
 from ..functions.urlkit import UrlFilter, canonicalize_batch, host_ip_policy
@@ -604,6 +606,9 @@ class _FetchWorker(SimulatedFetcher):
     def fetch(
         self, batch: pa.Table, epoch: int, chunk: int, pages_dir: str | None
     ) -> tuple:
+        import time as _t
+
+        _w0 = _t.time()
         result = self(batch)
         n_spans = _convert_and_write(
             result, epoch, chunk, pages_dir, self.convert_inline
@@ -618,7 +623,8 @@ class _FetchWorker(SimulatedFetcher):
 
         payload_ref = ray.put(accepted.drop_columns(["partition"]))
         keys = accepted.select(["parent_seq", "link_index", "partition"])
-        return result.select(self.log_cols), keys, payload_ref, rejected, n_spans
+        busy = _t.time() - _w0
+        return result.select(self.log_cols), keys, payload_ref, rejected, n_spans, busy
 
     def fetch_chunk(
         self, grants: pa.Table, off: int, ln: int, epoch: int, chunk: int,
@@ -749,6 +755,7 @@ class RayFetchRunner:
         payloads = [p[2] for p in parts]
         rejected = pa.concat_tables([p[3] for p in parts])
         self.spans_total += sum(p[4] for p in parts)
+        self.last_busy_s = sum(p[5] for p in parts)  # worker-side wall
         return log, keys, payloads, rejected
 
 
@@ -765,6 +772,7 @@ class CrawlResult:
     fetch_seq: int
     spans_total: int = 0
     metrics: pa.Table = None
+    fetch_log_dir: str | None = None  # set when the log streamed to parquet
 
 
 def run_crawl(
@@ -788,6 +796,20 @@ def run_crawl(
     )
     url_filter = UrlFilter(list(cfg.allow), list(cfg.deny))
     W = cfg.epoch_width
+
+    # Fetch-log routing: an explicit log_sink wins; otherwise a crawl
+    # with a pages_dir streams per-epoch log partitions to parquet
+    # (bounded driver RSS at 10^10 fetches — one file per epoch, so a
+    # resumed run can skip finished partitions).  The in-memory list is
+    # the fallback for small/pages-less runs (tests, parity checks).
+    fetch_log_dir: str | None = None
+    if log_sink is None and pages_dir is not None and cfg.detailed_logs:
+        fetch_log_dir = os.path.join(pages_dir, "fetch_log")
+        os.makedirs(fetch_log_dir, exist_ok=True)
+
+        def log_sink(t: pa.Table, _d=fetch_log_dir) -> None:
+            epoch_val = t.column("epoch")[0].as_py() if t.num_rows else 0
+            pq.write_table(t, os.path.join(_d, f"epoch={epoch_val:06d}.parquet"))
 
     logs: list[pa.Table] = []
     rejected_parts: list[pa.Table] = []
@@ -974,6 +996,7 @@ def run_crawl(
             spans_out=getattr(runner, "spans_total", 0) - _spans_before,
             pop_s=round(_t_fetch - _t_pop, 4),
             fetch_s=round(_t_route - _t_fetch, 4),
+            busy_s=round(getattr(runner, "last_busy_s", 0.0), 4),
             route_s=round(_time.time() - _t_route, 4),
         )
         k += 1
@@ -1032,4 +1055,5 @@ def run_crawl(
         fetch_seq=fetch_seq,
         spans_total=getattr(runner, "spans_total", 0),
         metrics=epoch_metrics.to_table(),
+        fetch_log_dir=fetch_log_dir,
     )

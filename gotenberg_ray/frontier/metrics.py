@@ -25,6 +25,7 @@ EPOCH_METRICS_SCHEMA = pa.schema(
         ("spans_out", pa.int64()),
         ("pop_s", pa.float64()),
         ("fetch_s", pa.float64()),
+        ("busy_s", pa.float64()),
         ("route_s", pa.float64()),
     ]
 )
