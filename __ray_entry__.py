@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_confusion": T.lang_id_confusion,
         "doc_fingerprints": T.doc_fingerprints,
         "convert_page_counts": T.convert_page_counts,
+        "screenshot_page_counts": T.screenshot_page_counts,
         # multimodal plumbing (decode stubbed, stage real; rows-only)
         "media_features": _media_features,
         # similarity search
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": T.DOC_QUALITY_SQL,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "convert_page_counts": T.CONVERT_PAGES_SQL,
+        "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
         "knn_topk": E.KNN_SQL,
         "embedding_label_stats": E.LABEL_STATS_SQL,
         "embedding_dup_pairs": E.DUP_PAIRS_SQL,

@@ -99,13 +99,30 @@ LINK_OPTIONS = (
     '"pdfa": "PDF/A-2b"}',
     '{"generate_document_outline": true, "flatten": true}',
 )
-LINK_ROUTES = ("convert/url", "convert/url", "convert/url", "convert/url", "convert/markdown")
+LINK_ROUTES = (
+    "convert/url",
+    "convert/url",
+    "convert/url",
+    "convert/url",
+    "convert/markdown",
+    "screenshot/url",
+)
+# screenshot routes draw from their own option group — the screenshot
+# form fields (routes.go:337-410) are disjoint from the PDF chain's
+SCREENSHOT_LINK_OPTIONS = (
+    "{}",
+    '{"format": "jpeg", "quality": 80}',
+    '{"format": "webp", "optimize_for_speed": true}',
+    '{"clip": true, "width": 1280, "height": 720}',
+    '{"format": "png", "omit_background": true, "device_scale_factor": 2.0}',
+)
 _OPTIONS_SALT = 0x5D1E37A9C4B68F02
 _ROUTE_SALT = 0x3B8F1C6E9A2D5740
 
 
 _OPTIONS_DICT = pa.array(LINK_OPTIONS, pa.string())
 _ROUTES_DICT = pa.array(LINK_ROUTES, pa.string())
+_SHOT_OPTIONS_DICT = pa.array(SCREENSHOT_LINK_OPTIONS, pa.string())
 
 
 def _options_for_hashes(hashes: np.ndarray) -> tuple[pa.Array, pa.Array]:
@@ -115,11 +132,17 @@ def _options_for_hashes(hashes: np.ndarray) -> tuple[pa.Array, pa.Array]:
     r = splitmix64(
         np.asarray(hashes, dtype=np.uint64) ^ np.uint64(_ROUTE_SALT)
     ) % np.uint64(len(LINK_ROUTES))
-    # one C gather each instead of a per-row Python list index
-    return (
-        _OPTIONS_DICT.take(pa.array(o.astype(np.int64))),
-        _ROUTES_DICT.take(pa.array(r.astype(np.int64))),
-    )
+    routes = _ROUTES_DICT.take(pa.array(r.astype(np.int64)))
+    # one C gather each instead of a per-row Python list index; screenshot
+    # rows re-gather from the screenshot option group
+    opts = _OPTIONS_DICT.take(pa.array(o.astype(np.int64)))
+    shot = r == np.uint64(len(LINK_ROUTES) - 1)
+    if shot.any():
+        shot_opts = _SHOT_OPTIONS_DICT.take(
+            pa.array((o % np.uint64(len(SCREENSHOT_LINK_OPTIONS))).astype(np.int64))
+        )
+        opts = pc.if_else(pa.array(shot), shot_opts, opts)
+    return opts, routes
 
 
 # accepted link candidates as produced INSIDE the fetch stage (before

@@ -111,6 +111,56 @@ class ConvertOptions:
 # every consumer (convert_row only reads fields)
 _OPTIONS_CACHE: dict[str, "ConvertOptions"] = {}
 
+_SCREENSHOT_FORMATS = ("png", "jpeg", "webp")
+
+
+@dataclasses.dataclass
+class ScreenshotOptions:
+    """Screenshot form options (chromium.go:335-378 ScreenshotOptions;
+    validation mirrors routes.go:337-410 FormDataChromiumScreenshotOptions).
+    Unlike the PDF chain, omitBackground here does NOT require
+    printBackground (browser.go:380 passes allowWithoutPrintBackground)."""
+
+    width: int = 800
+    height: int = 600
+    clip: bool = False
+    format: str = "png"
+    quality: int = 100
+    optimize_for_speed: bool = False
+    device_scale_factor: float = 1.0
+    omit_background: bool = False
+
+    @classmethod
+    def from_json(cls, raw: str) -> "ScreenshotOptions":
+        cached = _SCREENSHOT_CACHE.get(raw)
+        if cached is not None:
+            return cached
+        try:
+            data = json.loads(raw or "{}")
+        except json.JSONDecodeError:
+            raise S.InvalidInput("options are not valid JSON")
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(data) - fields - {"failOnHttpStatusCodes"}
+        if unknown:
+            raise S.InvalidInput(f"unknown screenshot options {sorted(unknown)}")
+        kwargs = {k: v for k, v in data.items() if k in fields}
+        opts = cls(**kwargs)
+        if opts.format not in _SCREENSHOT_FORMATS:
+            # routes.go:362: "wrong value, expected either 'png', 'jpeg' or 'webp'"
+            raise S.InvalidInput(f"wrong format {opts.format!r}")
+        if not isinstance(opts.quality, int) or isinstance(opts.quality, bool):
+            raise S.InvalidInput("quality must be an integer")
+        if opts.quality < 0:
+            raise S.InvalidInput("quality is negative")
+        if opts.quality > 100:
+            raise S.InvalidInput("quality is superior to 100")
+        if len(_SCREENSHOT_CACHE) < 4096:
+            _SCREENSHOT_CACHE[raw] = opts
+        return opts
+
+
+_SCREENSHOT_CACHE: dict[str, "ScreenshotOptions"] = {}
+
 
 @dataclasses.dataclass
 class PartRow:
@@ -328,6 +378,70 @@ def _const_parts(batch: pa.Table, status_col, error_col) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=PAGES_OUT_SCHEMA)
 
 
+def _screenshot_parts(sub: pa.Table, opts: ScreenshotOptions) -> pa.Table:
+    """Vectorized screenshot capture for one (options, route) group:
+    one image part per input row (browser.go:365-390 screenshot task
+    chain; tasks.go:183-229 captureScreenshot).
+
+    Span-model semantics: the capture is a raster, represented as a
+    single media span whose media_ref is the output image name. The
+    capture parameters land in metadata_json, including
+    ``captured_pages`` — CaptureBeyondViewport(true) captures the whole
+    document (page_count of the input spans) unless ``clip`` limits the
+    capture to the device viewport (1). ``quality`` is recorded for
+    jpeg only (tasks.go:199-202). page_count of an image part is 1."""
+    n = sub.num_rows
+    doc_ids = _col(sub, "doc_id")
+    out_names = pc.binary_join_element_wise(doc_ids, pa.scalar("." + opts.format), pa.scalar(""))
+    # one media span per row: {kind: media, media_ref: output_name}
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(["media"] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+            out_names,
+            pa.array(np.zeros(n, dtype=np.int32)),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int32)), struct
+    )
+    base = {
+        "clip": opts.clip,
+        "deviceScaleFactor": opts.device_scale_factor,
+        "format": opts.format,
+        "height": opts.height,
+        "omitBackground": opts.omit_background,
+        "optimizeForSpeed": opts.optimize_for_speed,
+        "width": opts.width,
+    }
+    if opts.format == "jpeg":
+        base["quality"] = opts.quality
+    prefix = json.dumps(base, sort_keys=True)[:-1] + ', "captured_pages": '
+    if opts.clip:
+        captured = pa.array(np.ones(n, dtype=np.int64))
+    else:
+        captured = pc.cast(_page_counts_vector(sub.column("spans")), pa.int64())
+    metadata = pc.binary_join_element_wise(
+        pa.scalar(prefix), pc.cast(captured, pa.string()), pa.scalar("}"), pa.scalar("")
+    )
+    arrays = [
+        doc_ids,
+        pa.array(np.zeros(n, dtype=np.int32)),
+        spans,
+        out_names,
+        pa.array([""] * n, pa.string()),
+        pa.array(np.zeros(n, dtype=bool)),
+        metadata,
+        pa.array(["[]"] * n, pa.string()),
+        pa.array([""] * n, pa.string()),
+        pa.array([STATUS_SUCCESS] * n, pa.string()),
+        pa.array([ERR_NONE] * n, pa.string()),
+        pa.array(np.ones(n, dtype=np.int32)),
+    ]
+    return pa.Table.from_arrays(arrays, schema=PAGES_OUT_SCHEMA)
+
+
 def convert_batch(batch: pa.Table) -> pa.Table:
     """map_batches adapter: rows (doc_id, spans, options_json[, status])
     → part rows. Rows that arrived as fetch errors pass through as
@@ -385,6 +499,23 @@ def convert_batch(batch: pa.Table) -> pa.Table:
             if len(keys) == 1
             else batch.take(pa.array(np.nonzero(codes == code)[0]))
         )
+        if route.startswith("screenshot/"):
+            # screenshot routes produce image parts, never the PDF
+            # post-processing chain (routes.go:845-859 screenshot routes)
+            try:
+                sopts = ScreenshotOptions.from_json(opts_json)
+            except (S.InvalidInput, S.MethodNotSupported):
+                n = sub.num_rows
+                outs.append(
+                    _const_parts(
+                        sub,
+                        pa.array([STATUS_ERROR] * n, pa.string()),
+                        pa.array([ERR_INVALID_INPUT] * n, pa.string()),
+                    )
+                )
+                continue
+            outs.append(_screenshot_parts(sub, sopts))
+            continue
         if opts_json == "{}" and route != "convert/markdown":
             # identity chain: zero-copy spans (routes.go default path)
             outs.append(_identity_parts(sub))

@@ -28,7 +28,7 @@ from ..functions.hashing import (
     shingle_hashes,
     simhash64,
 )
-from ..schemas import KIND_TEXT, make_span
+from ..schemas import KIND_TEXT, SPANS_TYPE, make_span
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
@@ -534,6 +534,83 @@ def convert_page_counts(sf_dir: str) -> pd.DataFrame:
 
     df = _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def screenshot_page_counts(sf_dir: str) -> pd.DataFrame:
+    """Screenshot route end-to-end with an ARITHMETIC oracle: build
+    span pages of 40 tokens per document, capture through the REAL
+    screenshot branch of ``convert_batch`` (chromium.go:335-378
+    ScreenshotOptions; tasks.go:183-229 captureScreenshot semantics).
+    Format cycles png/jpeg/webp by doc_id; every 5th doc clips to the
+    viewport. The SQL twin computes the closed form of
+    captured_pages (clip → 1, else CaptureBeyondViewport = whole
+    document) and the output naming."""
+    import json as _json
+
+    from .convert import convert_batch
+
+    _FMTS = ("png", "jpeg", "webp")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col, opts_col = [], []
+        for did, text in zip(doc_ids, batch["text"].to_pylist()):
+            toks = (text or "").split()
+            pages = [
+                [make_span(KIND_TEXT, text=" ".join(toks[i : i + TOKENS_PER_PAGE]))]
+                for i in range(0, len(toks), TOKENS_PER_PAGE)
+            ] or [[make_span(KIND_TEXT, text="")]]
+            spans_col.append(S.join_pages(pages))
+            fmt = _FMTS[did % 3]
+            opts = {"format": fmt}
+            if fmt == "jpeg":
+                opts["quality"] = 80
+            if did % 5 == 0:
+                opts["clip"] = True
+            opts_col.append(_json.dumps(opts, sort_keys=True))
+        shot_in = pa.table(
+            {
+                "doc_id": pa.array([str(d) for d in doc_ids], pa.string()),
+                "spans": pa.array(spans_col, SPANS_TYPE),
+                "options_json": pa.array(opts_col, pa.string()),
+                "route": pa.array(["screenshot/url"] * len(doc_ids), pa.string()),
+            }
+        )
+        out = convert_batch(shot_in)
+        meta = [_json.loads(m) for m in out["metadata_json"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(d) for d in out["doc_id"].to_pylist()], pa.int64()
+                ),
+                "output_name": out["output_name"],
+                "format": pa.array([m["format"] for m in meta], pa.string()),
+                "captured_pages": pa.array(
+                    [m["captured_pages"] for m in meta], pa.int64()
+                ),
+            }
+        )
+
+    df = _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SCREENSHOT_PAGES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+  FROM documents
+)
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || '.' || format AS output_name,
+       format,
+       CASE WHEN doc_id % 5 = 0 THEN 1
+            ELSE greatest(1, CAST(ceil(n_tokens / {TOKENS_PER_PAGE}.0) AS BIGINT))
+       END AS captured_pages
+FROM t ORDER BY doc_id
+"""
 
 
 CONVERT_PAGES_SQL = f"""

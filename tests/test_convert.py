@@ -227,3 +227,83 @@ def test_markdown_route_renders_with_default_options():
     out2 = convert_batch(t2)
     txt2 = [s["text"] for s in out2.column("spans")[0].as_py() if s["kind"] == KIND_TEXT]
     assert "<h1>" in txt2[0]
+
+
+def test_screenshot_route_semantics():
+    """Screenshot routes produce single image parts (chromium.go:335-378,
+    tasks.go:183-229), never the PDF chain."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"]),
+            "spans": pa.array([doc(3), doc(3), doc(3), doc(2)], SPANS_TYPE),
+            "options_json": pa.array(
+                [
+                    "{}",
+                    json.dumps({"format": "jpeg", "quality": 80}),
+                    json.dumps({"clip": True, "width": 1280, "height": 720}),
+                    json.dumps({"format": "webp", "optimize_for_speed": True}),
+                ]
+            ),
+            "route": pa.array(["screenshot/url"] * 4),
+        }
+    )
+    out = convert_batch(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    # default png; capture-beyond-viewport → whole doc page count in metadata
+    a = rows["a"]
+    assert a["output_name"] == "a.png" and a["status"] == "success"
+    assert a["page_count"] == 1  # the image part itself is one page
+    ma = json.loads(a["metadata_json"])
+    assert ma["format"] == "png" and ma["captured_pages"] == 3
+    assert "quality" not in ma  # quality is jpeg-only (tasks.go:199-202)
+    assert a["spans"] == [
+        {"kind": "media", "text": "", "media_ref": "a.png", "offset": 0}
+    ]
+    mb = json.loads(rows["b"]["metadata_json"])
+    assert mb["quality"] == 80 and rows["b"]["output_name"] == "b.jpeg"
+    # clip limits the capture to the viewport
+    mc = json.loads(rows["c"]["metadata_json"])
+    assert mc["captured_pages"] == 1 and mc["width"] == 1280
+    md_ = json.loads(rows["d"]["metadata_json"])
+    assert md_["format"] == "webp" and md_["optimizeForSpeed"] is True
+
+
+def test_screenshot_route_validation_errors():
+    """format/quality validation mirrors routes.go:337-410; PDF-chain
+    options are unknown fields for the screenshot form."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(["x", "y", "z", "w"]),
+            "spans": pa.array([doc(1)] * 4, SPANS_TYPE),
+            "options_json": pa.array(
+                [
+                    json.dumps({"format": "gif"}),
+                    json.dumps({"quality": 101}),
+                    json.dumps({"quality": -1}),
+                    json.dumps({"split_mode": "intervals"}),
+                ]
+            ),
+            "route": pa.array(["screenshot/url"] * 4),
+        }
+    )
+    out = convert_batch(t)
+    assert out.num_rows == 4
+    assert set(out.column("status").to_pylist()) == {"error"}
+    assert set(out.column("error_type").to_pylist()) == {"invalid_input"}
+
+
+def test_screenshot_omit_background_without_print_background():
+    """Unlike the PDF chain, screenshots allow omitBackground alone
+    (browser.go:380 passes allowWithoutPrintBackground=true)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(["o"]),
+            "spans": pa.array([doc(1)], SPANS_TYPE),
+            "options_json": pa.array([json.dumps({"omit_background": True})]),
+            "route": pa.array(["screenshot/url"]),
+        }
+    )
+    out = convert_batch(t)
+    assert out.column("status").to_pylist() == ["success"]
+    assert json.loads(out.column("metadata_json")[0].as_py())["omitBackground"] is True

@@ -55,8 +55,13 @@ def canon(t: pa.Table):
     return t.to_pylist()
 
 
+# screenshot routes never take the row fallback — they dispatch to the
+# vectorized image-part branch (covered by tests/test_convert.py)
+PDF_ROUTES = sorted(set(LINK_ROUTES) - {"screenshot/url"})
+
+
 @pytest.mark.parametrize("opts_json", sorted(set(LINK_OPTIONS)))
-@pytest.mark.parametrize("route", sorted(set(LINK_ROUTES)))
+@pytest.mark.parametrize("route", PDF_ROUTES)
 def test_kernels_match_row_path(opts_json, route):
     rng = np.random.default_rng(hash((opts_json, route)) % 2**32)
     rows = [(f"doc-{i:03d}", random_spans(rng)) for i in range(40)]
@@ -91,8 +96,21 @@ def test_mixed_batch_groups_cover_all_rows():
         }
     )
     got = canon(convert_batch(batch))
-    exp = canon(CM._convert_rows_fallback(batch))
+    # expected: PDF-chain rows via the row-path reference; screenshot
+    # rows via the (single-group) screenshot branch
+    import pyarrow.compute as pc
+
+    is_shot = pc.equal(batch.column("route"), "screenshot/url")
+    pdf_rows = batch.filter(pc.invert(is_shot))
+    shot_rows = batch.filter(is_shot)
+    exp_parts = [CM._convert_rows_fallback(pdf_rows)]
+    for opt in sorted(set(shot_rows.column("options_json").to_pylist())):
+        exp_parts.append(
+            convert_batch(shot_rows.filter(pc.equal(shot_rows.column("options_json"), opt)))
+        )
+    exp = canon(pa.concat_tables(exp_parts))
     assert got == exp
+    assert shot_rows.num_rows > 0
 
 
 def test_unsupported_options_fall_back():
