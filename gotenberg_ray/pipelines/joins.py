@@ -206,6 +206,10 @@ def hash_join(
         return joined.select(known + extra)
 
     return (
-        tagged.groupby(_PID)
+        # num_partitions pins the all-to-all's output partition count to
+        # P (instead of the sort-shuffle default) — measured ~2× less
+        # fixed overhead at bench scale, same explicit-partitioning
+        # semantics
+        tagged.groupby(_PID, num_partitions=num_partitions)
         .map_groups(join_partition, batch_format="pyarrow")
     )

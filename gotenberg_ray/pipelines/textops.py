@@ -230,7 +230,7 @@ def _bucket_candidate_pairs(
 
     return (
         buckets.map_batches(add_pid, batch_format="pyarrow")
-        .groupby("_pid")
+        .groupby("_pid", num_partitions=num_partitions)
         .map_groups(pairs_in_partition, batch_format="pyarrow")
     )
 
@@ -263,7 +263,7 @@ def _distinct_pairs(cands: rd.Dataset, num_partitions: int = 16) -> rd.Dataset:
 
     return (
         cands.map_batches(add_pid, batch_format="pyarrow")
-        .groupby("_pid")
+        .groupby("_pid", num_partitions=num_partitions)
         .map_groups(dedup, batch_format="pyarrow")
     )
 
@@ -287,6 +287,90 @@ def _gram_sets(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+# raw candidate rows (16 bytes each) the driver will dedupe in numpy —
+# 2M ≈ 32 MB. Above this the fully distributed join path engages.
+_SMALL_PAIRS = 2_000_000
+
+
+def _verify_jaccard_kernel(
+    a_ids: np.ndarray,
+    b_ids: np.ndarray,
+    ga: pa.ListArray,
+    gb: pa.ListArray,
+    threshold: float,
+) -> pa.Table:
+    """Shared exact-Jaccard verify over aligned gram-list columns."""
+    va = ga.values.to_numpy(zero_copy_only=False)
+    vb = gb.values.to_numpy(zero_copy_only=False)
+    oa = ga.offsets.to_numpy(zero_copy_only=False)
+    ob = gb.offsets.to_numpy(zero_copy_only=False)
+    keep_a, keep_b, jacs = [], [], []
+    for i in range(len(a_ids)):
+        sa = va[oa[i] : oa[i + 1]]
+        sb = vb[ob[i] : ob[i + 1]]
+        if len(sa) == 0 and len(sb) == 0:
+            j = 1.0  # J(∅,∅) = 1 by convention (textkit.jaccard)
+        else:
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            keep_a.append(a_ids[i])
+            keep_b.append(b_ids[i])
+            jacs.append(round(j, 4))
+    return pa.table(
+        {
+            "a_id": pa.array(keep_a, pa.int64()),
+            "b_id": pa.array(keep_b, pa.int64()),
+            "jaccard": pa.array(jacs, pa.float64()),
+        }
+    )
+
+
+def _verify_pairs_small(
+    cands: rd.Dataset, sf_dir: str, threshold: float
+) -> pd.DataFrame:
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    parts = [t for t in _ray.get(cands.to_arrow_refs()) if t.num_rows]
+    pairs = pa.concat_tables(parts)  # n_pairs > 0 ⇒ non-empty
+    arr = np.stack(
+        [
+            pairs["a_id"].to_numpy(zero_copy_only=False),
+            pairs["b_id"].to_numpy(zero_copy_only=False),
+        ],
+        axis=1,
+    )
+    u = np.unique(arr, axis=0)
+    a_ids, b_ids = u[:, 0], u[:, 1]
+    ids = pa.array(np.unique(u.ravel()), pa.int64())
+
+    def filt(batch: pa.Table, _ids=ids) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=_ids))
+
+    gram_refs = (
+        _gram_sets(sf_dir).map_batches(filt, batch_format="pyarrow").to_arrow_refs()
+    )
+
+    @_ray.remote
+    def verify_task(a_ids, b_ids, thr, *gram_parts):
+        g = pa.concat_tables(gram_parts).sort_by([("doc_id", "ascending")])
+        gid = g["doc_id"].to_numpy(zero_copy_only=False)
+        glist = g["grams"]
+        if isinstance(glist, pa.ChunkedArray):
+            glist = glist.combine_chunks()
+        ga = glist.take(pa.array(np.searchsorted(gid, a_ids)))
+        gb = glist.take(pa.array(np.searchsorted(gid, b_ids)))
+        return _verify_jaccard_kernel(a_ids, b_ids, ga, gb, thr)
+
+    out = _ray.get(verify_task.remote(a_ids, b_ids, threshold, *gram_refs))
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
 def _verify_pairs_distributed(
     cands: rd.Dataset, sf_dir: str, threshold: float
 ) -> pd.DataFrame:
@@ -303,8 +387,18 @@ def _verify_pairs_distributed(
     from .joins import hash_join
 
     cands = cands.materialize()  # small (candidate pairs), reused twice
-    if cands.count() == 0:
+    n_pairs = cands.count()
+    if n_pairs == 0:
         return pd.DataFrame(_EMPTY_PAIRS)
+    if n_pairs <= _SMALL_PAIRS:
+        # adaptive fast path: the candidate list is driver-small, so the
+        # two-sided shuffle join (3 all-to-all barriers) costs more in
+        # fixed orchestration than the data moves — dedupe the pairs in
+        # numpy, stream-FILTER the gram sets to just the candidate ids
+        # (no shuffle; the filtered table is O(candidate ids), not
+        # O(corpus)), and verify in one plasma-local task. Above the
+        # threshold the join path below takes over unchanged.
+        return _verify_pairs_small(cands, sf_dir, threshold)
     uniq = _distinct_pairs(cands)
     # one shingle pass over the corpus, reused by both join sides
     grams = _gram_sets(sf_dir).materialize()
@@ -322,36 +416,13 @@ def _verify_pairs_distributed(
         b_ids = batch["b_id"].to_numpy(zero_copy_only=False)
         ga = batch["grams_a"]
         gb = batch["grams_b"]
+        # .values + .offsets in the kernel stay aligned even for sliced
+        # list arrays (flatten() would drop leading child values)
         if isinstance(ga, pa.ChunkedArray):
             ga = ga.combine_chunks()
         if isinstance(gb, pa.ChunkedArray):
             gb = gb.combine_chunks()
-        # .values + .offsets stay aligned even for sliced list arrays
-        # (flatten() would drop leading child values the offsets index)
-        va = ga.values.to_numpy(zero_copy_only=False)
-        vb = gb.values.to_numpy(zero_copy_only=False)
-        oa = ga.offsets.to_numpy(zero_copy_only=False)
-        ob = gb.offsets.to_numpy(zero_copy_only=False)
-        keep_a, keep_b, jacs = [], [], []
-        for i in range(len(a_ids)):
-            sa = va[oa[i] : oa[i + 1]]
-            sb = vb[ob[i] : ob[i + 1]]
-            if len(sa) == 0 and len(sb) == 0:
-                j = 1.0  # J(∅,∅) = 1 by convention (textkit.jaccard)
-            else:
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                j = inter / (len(sa) + len(sb) - inter)
-            if j >= threshold:
-                keep_a.append(a_ids[i])
-                keep_b.append(b_ids[i])
-                jacs.append(round(j, 4))
-        return pa.table(
-            {
-                "a_id": pa.array(keep_a, pa.int64()),
-                "b_id": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(jacs, pa.float64()),
-            }
-        )
+        return _verify_jaccard_kernel(a_ids, b_ids, ga, gb, threshold)
 
     df = withB.map_batches(verify, batch_format="pyarrow").to_pandas()
     if df.empty:
