@@ -198,6 +198,14 @@ class CrawlConfig:
     # False → workers return only a row-count log (seq column); the
     # driver skips per-epoch log sorting entirely (bench mode)
     detailed_logs: bool = True
+    # hot-host skew salting (SURVEY §4.2 row 3): hosts listed here have
+    # their URLs spread over salt_k shard sub-queues (partition_of);
+    # politeness compensates inside each shard (delay × salt_k), so the
+    # host's total fetch rate is unchanged while admission/heap/grant
+    # work for it parallelizes k-ways. At production scale the list is
+    # fed from the previous run's host histogram.
+    salt_hosts: tuple[str, ...] = ()
+    salt_k: int = 1
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)
@@ -288,7 +296,12 @@ def admit_candidates(
 
 
 def admit_links(
-    links: pa.Table, url_filter: UrlFilter, n_docs: int, n_partitions: int = 0
+    links: pa.Table,
+    url_filter: UrlFilter,
+    n_docs: int,
+    n_partitions: int = 0,
+    salt_hosts: tuple[str, ...] = (),
+    salt_k: int = 1,
 ) -> tuple[pa.Table, pa.Table]:
     """Stateless admission for discovered links — runs INSIDE the fetch
     workers (parallel), not on the driver. In: (parent_seq,
@@ -336,7 +349,15 @@ def admit_links(
         # so the driver routes by a precomputed column
         accepted = accepted.append_column(
             "partition",
-            pa.array((fnv64(hosts_ok) % np.uint64(n_partitions)).astype(np.int64)),
+            pa.array(
+                partition_of(
+                    hosts_ok,
+                    n_partitions,
+                    url_hashes=hashes_ok,
+                    salt_hosts=salt_hosts,
+                    salt_k=salt_k,
+                )
+            ),
         )
     rejected = pa.table(
         {
@@ -347,9 +368,35 @@ def admit_links(
     return accepted, rejected
 
 
-def partition_of(hosts: list[str] | pa.Array, n_partitions: int) -> np.ndarray:
-    """North-rule partitioner: fnv64(host) % P."""
-    return (fnv64(hosts) % np.uint64(n_partitions)).astype(np.int64)
+def partition_of(
+    hosts: list[str] | pa.Array,
+    n_partitions: int,
+    url_hashes: np.ndarray | None = None,
+    salt_hosts: tuple[str, ...] = (),
+    salt_k: int = 1,
+) -> np.ndarray:
+    """North-rule partitioner: ``fnv64(host) % P``, with hot-host skew
+    salting (SURVEY §4.2 row 3): hosts named in ``salt_hosts`` spread
+    their URLs over ``salt_k`` sub-queues via
+    ``(fnv64(host) ⊕ splitmix64(1 + url_hash % k)) % P``. The salt is a
+    pure function of the URL, so a duplicate URL always routes to the
+    same shard (seen-set stays exact). Politeness compensates inside
+    the shard: a salted host's token bucket runs at delay × k, so the
+    host's TOTAL steady-state fetch rate is unchanged (k sub-queues ×
+    rate/k); only the initial burst allowance is transiently k×.
+    At production scale ``salt_hosts`` is fed from the previous run's
+    host histogram (any host above ~1/P of the corpus)."""
+    h = fnv64(hosts)
+    if salt_hosts and salt_k > 1 and url_hashes is not None:
+        hosts_pa = hosts if isinstance(hosts, pa.Array) else pa.array(hosts, pa.string())
+        hot = pc.is_in(hosts_pa, value_set=pa.array(list(salt_hosts), pa.string()))
+        hot_np = hot.to_numpy(zero_copy_only=False)
+        if hot_np.any():
+            salts = splitmix64(
+                np.uint64(1) + np.asarray(url_hashes, dtype=np.uint64) % np.uint64(salt_k)
+            )
+            h = np.where(hot_np, h ^ salts, h)
+    return (h % np.uint64(n_partitions)).astype(np.int64)
 
 
 def _split_by_partition(table: pa.Table, parts: np.ndarray, n: int) -> list[pa.Table]:
@@ -391,6 +438,8 @@ class LocalShards:
                 default_delay=cfg.default_delay,
                 burst=cfg.burst,
                 robots_texts=robots,
+                salt_hosts=cfg.salt_hosts,
+                salt_k=cfg.salt_k,
             )
             for p in range(cfg.n_partitions)
         ]
@@ -443,6 +492,8 @@ class RayShards:
                 default_delay=cfg.default_delay,
                 burst=cfg.burst,
                 robots_texts=robots_ref,
+                salt_hosts=cfg.salt_hosts,
+                salt_k=cfg.salt_k,
             )
             for p in range(cfg.n_partitions)
         ]
@@ -604,7 +655,12 @@ class LocalFetchRunner:
             result, epoch, 0, self.pages_dir, self.cfg.convert_inline
         )
         accepted, rejected = admit_links(
-            _extract_links(result), self.url_filter, self.n_docs, self.cfg.n_partitions
+            _extract_links(result),
+            self.url_filter,
+            self.n_docs,
+            self.cfg.n_partitions,
+            salt_hosts=self.cfg.salt_hosts,
+            salt_k=self.cfg.salt_k,
         )
         keys = accepted.select(["parent_seq", "link_index", "partition"])
         payload = accepted.drop_columns(["partition"])
@@ -619,12 +675,14 @@ class _FetchWorker(SimulatedFetcher):
     link URLs), and returns only the small log/candidate columns."""
 
     def __init__(self, *args, allow=(), deny=(), convert_inline=True, n_partitions=0,
-                 detailed_logs=True, **kwargs):
+                 detailed_logs=True, salt_hosts=(), salt_k=1, **kwargs):
         super().__init__(*args, **kwargs)
         self.url_filter = UrlFilter(list(allow), list(deny))
         self.convert_inline = convert_inline
         self.n_partitions = n_partitions
         self.log_cols = _LOG_COLS if detailed_logs else ["seq"]
+        self.salt_hosts = tuple(salt_hosts)
+        self.salt_k = int(salt_k)
 
     def fetch(
         self, batch: pa.Table, epoch: int, chunk: int, pages_dir: str | None
@@ -637,7 +695,12 @@ class _FetchWorker(SimulatedFetcher):
             result, epoch, chunk, pages_dir, self.convert_inline
         )
         accepted, rejected = admit_links(
-            _extract_links(result), self.url_filter, self.n_docs, self.n_partitions
+            _extract_links(result),
+            self.url_filter,
+            self.n_docs,
+            self.n_partitions,
+            salt_hosts=self.salt_hosts,
+            salt_k=self.salt_k,
         )
         # candidate payloads stay in the object store — only the small
         # routing keys go back to the driver; shards pull the payload
@@ -713,6 +776,8 @@ class RayFetchRunner:
             convert_inline=cfg.convert_inline,
             n_partitions=cfg.n_partitions,
             detailed_logs=cfg.detailed_logs,
+            salt_hosts=tuple(cfg.salt_hosts),
+            salt_k=cfg.salt_k,
         )
         if cfg.fetch_mode == "tasks":
             self.actors = None
@@ -852,7 +917,13 @@ def run_crawl(
         # fetch workers' first epoch instead.)
         accepted, rejected = admit_candidates(frontier, url_filter)
         rejected_parts.append(rejected)
-        parts = partition_of(accepted.column("host").to_pylist(), cfg.n_partitions)
+        parts = partition_of(
+            accepted.column("host").combine_chunks(),
+            cfg.n_partitions,
+            url_hashes=accepted.column("url_hash").to_numpy(zero_copy_only=False),
+            salt_hosts=cfg.salt_hosts,
+            salt_k=cfg.salt_k,
+        )
         shards.offer(_split_by_partition(accepted, parts, cfg.n_partitions))
         next_seq = (
             int(pc.max(frontier.column("seq")).as_py()) + 1 if frontier.num_rows else 0

@@ -73,16 +73,25 @@ class FrontierShard:
         default_delay: int = 2,
         burst: int = 1,
         robots_texts: dict[str, str] | None = None,
+        salt_hosts: tuple[str, ...] = (),
+        salt_k: int = 1,
     ):
         self.partition_id = int(partition_id)
         self.seed = int(seed)
         self.capacity = int(capacity)
         self.default_delay = int(default_delay)
         self.burst = int(burst)
+        self.salt_hosts = tuple(salt_hosts)
+        self.salt_k = max(1, int(salt_k))
         self.cuckoo = CuckooFilter(capacity, seed=seed + partition_id)
         self.bloom = BloomFilter(capacity, fp_rate=0.01)
         self.heap = FrontierHeap()
-        self.buckets = HostBuckets(default_delay=default_delay, capacity=burst)
+        self.buckets = HostBuckets(
+            default_delay=default_delay,
+            capacity=burst,
+            salted=frozenset(salt_hosts),
+            salt_k=self.salt_k,
+        )
         robots_texts = robots_texts or {}
         self.robots = RobotsCache(robots_texts.get)
         # pending-URL payload store: admitted rows stay in their Arrow
@@ -419,7 +428,11 @@ class FrontierShard:
         self.bloom = BloomFilter.from_bytes(state["bloom"])
         self.heap = FrontierHeap.from_table(state["heap"])
         self.buckets = HostBuckets.from_table(
-            state["buckets"], default_delay=self.default_delay, capacity=self.burst
+            state["buckets"],
+            default_delay=self.default_delay,
+            capacity=self.burst,
+            salted=frozenset(self.salt_hosts),
+            salt_k=self.salt_k,
         )
         p = state["payloads"].select(PAYLOAD_SCHEMA.names)
         k = p.num_rows

@@ -29,20 +29,37 @@ DEFAULT_CAPACITY = 1
 
 
 class HostBuckets:
-    def __init__(self, default_delay: int = DEFAULT_DELAY, capacity: int = DEFAULT_CAPACITY):
+    def __init__(
+        self,
+        default_delay: int = DEFAULT_DELAY,
+        capacity: int = DEFAULT_CAPACITY,
+        salted: frozenset[str] | set[str] = frozenset(),
+        salt_k: int = 1,
+    ):
         self.default_delay = int(default_delay)
         self.capacity = int(capacity)
+        # skew-salted hosts (crawler.partition_of): their URLs are spread
+        # over salt_k shard sub-queues, so EACH sub-queue's bucket runs at
+        # delay × salt_k — the host's total steady-state rate across all
+        # sub-queues equals the unsalted budget
+        self.salted = frozenset(salted)
+        self.salt_k = max(1, int(salt_k))
         # host -> [delay, tokens, last_refill]
         self._state: dict[str, list[int]] = {}
 
+    def _stretch(self, host: str, delay: int) -> int:
+        if host in self.salted:
+            return max(1, int(delay)) * self.salt_k
+        return max(1, int(delay))
+
     def set_delay(self, host: str, delay: int) -> None:
         st = self._ensure(host)
-        st[0] = max(1, int(delay))
+        st[0] = self._stretch(host, delay)
 
     def _ensure(self, host: str) -> list[int]:
         st = self._state.get(host)
         if st is None:
-            st = [max(1, self.default_delay), self.capacity, 0]
+            st = [self._stretch(host, self.default_delay), self.capacity, 0]
             self._state[host] = st
         return st
 
@@ -103,9 +120,16 @@ class HostBuckets:
 
     @classmethod
     def from_table(
-        cls, table: pa.Table, default_delay: int = DEFAULT_DELAY, capacity: int = DEFAULT_CAPACITY
+        cls,
+        table: pa.Table,
+        default_delay: int = DEFAULT_DELAY,
+        capacity: int = DEFAULT_CAPACITY,
+        salted: frozenset[str] | set[str] = frozenset(),
+        salt_k: int = 1,
     ) -> "HostBuckets":
-        obj = cls(default_delay, capacity)
+        # stored delays already include the salt stretch; the salt config
+        # is re-attached so hosts first seen AFTER the restore stretch too
+        obj = cls(default_delay, capacity, salted=salted, salt_k=salt_k)
         for h, d, tok, lr in zip(
             table.column("host").to_pylist(),
             table.column("delay").to_pylist(),

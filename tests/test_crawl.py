@@ -128,3 +128,82 @@ def test_checkpoint_roundtrip(tmp_path, small_world):
     # shard state tables survive the parquet+IPC roundtrip
     st = state["shards"][0]
     assert st["heap"].num_rows >= 0 and st["buckets"].num_rows > 0
+
+
+def test_hot_host_salting_spreads_and_preserves_budget(ray_session, tmp_path):
+    """Skew handling (SURVEY §4.2 row 3, VERDICT r1 item 8): a host
+    holding ~50% of the frontier is salted across salt_k sub-queues so
+    no single shard serializes it, while politeness compensation
+    (delay × k per sub-queue) keeps the host's TOTAL fetch rate at the
+    unsalted budget. Determinism (ray ≡ sequential) must survive."""
+    import dataclasses
+
+    import numpy as np
+
+    from gotenberg_ray.corpus import HOT_HOST
+    from gotenberg_ray.frontier.crawler import partition_of
+
+    docs = make_documents(40, seed=7)
+    frontier = make_frontier(250, n_docs=40, seed=7, hot_frac=0.5)
+    robots = make_robots(host_pool(20), seed=7)
+    base = CrawlConfig(
+        n_partitions=4,
+        epoch_width=8,
+        max_epochs=500,  # generous: both runs exhaust the reachable closure
+        link_universe=200,
+        fetch_concurrency=2,
+        fetch_num_cpus=0.5,
+    )
+    salted = dataclasses.replace(base, salt_hosts=(HOT_HOST,), salt_k=4)
+
+    # (a) partitioner spreads the hot host over >1 shard, and the salt is
+    # a pure function of the URL (duplicate URLs keep one seen-set home)
+    hashes = np.arange(1000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    hosts = [HOT_HOST] * 1000
+    parts = partition_of(
+        hosts, 4, url_hashes=hashes, salt_hosts=(HOT_HOST,), salt_k=4
+    )
+    assert len(set(parts.tolist())) > 1
+    parts2 = partition_of(
+        hosts, 4, url_hashes=hashes, salt_hosts=(HOT_HOST,), salt_k=4
+    )
+    assert (parts == parts2).all()
+    # unsalted hosts are untouched by the salt arguments
+    cold = ["site-001.example.org"] * 10
+    assert (
+        partition_of(cold, 4)
+        == partition_of(cold, 4, url_hashes=hashes[:10], salt_hosts=(HOT_HOST,), salt_k=4)
+    ).all()
+
+    res_base = run_crawl(frontier, docs, robots, base, mode="local")
+    res_salt = run_crawl(frontier, docs, robots, salted, mode="local")
+
+    log_b = res_base.fetch_log.to_pandas()
+    log_s = res_salt.fetch_log.to_pandas()
+    hot_b = log_b[log_b["host"] == HOT_HOST]
+    hot_s = log_s[log_s["host"] == HOT_HOST]
+    assert len(hot_s) > 20
+
+    # (b) politeness compensation: over any run, the salted host's fetch
+    # count stays within the unsalted budget envelope (1 fetch per
+    # `delay` ticks + the transient k×burst allowance)
+    span = int(hot_s["fetch_time"].max() - hot_s["fetch_time"].min()) + 1
+    budget = span / base.default_delay + salted.salt_k * base.burst
+    assert len(hot_s) <= budget + 1
+    # ... and the salted rate is within ~25% of the unsalted rate (the
+    # same budget, just spread over k sub-queues)
+    span_b = int(hot_b["fetch_time"].max() - hot_b["fetch_time"].min()) + 1
+    rate_b, rate_s = len(hot_b) / span_b, len(hot_s) / span
+    assert rate_s <= rate_b * 1.25 + 0.01
+
+    # (c) the URL-seen set is partition-layout-independent: run to
+    # frontier exhaustion, the reachable closure (and hence the fetched
+    # URL set and duplicate count) is identical under any salting
+    assert set(log_b["url_canon"]) == set(log_s["url_canon"])
+    assert res_base.counters["duplicate"] == res_salt.counters["duplicate"]
+
+    # (d) determinism: ray orchestration of the salted config reproduces
+    # the sequential salted run exactly (fetch order + counters)
+    res_ray = run_crawl(frontier, docs, robots, salted, mode="ray")
+    assert res_salt.fetch_log.equals(res_ray.fetch_log)
+    assert res_salt.counters == res_ray.counters
