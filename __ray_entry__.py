@@ -108,6 +108,7 @@ def _media_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from gotenberg_ray.pipelines import admission as A
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import textops as T
@@ -143,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "screenshot_page_counts": T.screenshot_page_counts,
         # multimodal plumbing (decode stubbed, stage real; rows-only)
         "media_features": _media_features,
+        # sub-resource admission (pause-filter decision algebra)
+        "subresource_admission": A.subresource_admission,
         # similarity search
         "knn_topk": E.knn_topk,
         "knn_lsh": E.knn_lsh,
@@ -152,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from gotenberg_ray.pipelines import admission as A
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import textops as T
@@ -176,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
+        "subresource_admission": A.ADMISSION_SQL,
         "knn_topk": E.KNN_SQL,
         "embedding_label_stats": E.LABEL_STATS_SQL,
         "embedding_dup_pairs": E.DUP_PAIRS_SQL,
