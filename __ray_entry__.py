@@ -34,58 +34,14 @@ def entry() -> Any:
     """Flagship: build the interleaved span corpus FROM the sf0.001
     documents table, crawl it with the Ray frontier (actor shards +
     fetch pool + inline conversion chain), and return the converted
-    pages as a Ray Data dataset."""
-    import tempfile
+    pages as a Ray Data dataset. Compiled from the stage registry
+    (SURVEY §2.10 — gotenberg_ray/registry.py)."""
+    from gotenberg_ray import registry
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
-    from gotenberg_ray.corpus import host_pool, make_frontier, make_robots
-    from gotenberg_ray.frontier.crawler import CrawlConfig, run_crawl
-    from gotenberg_ray.schemas import DOCUMENTS_SCHEMA, KIND_PAGE_BREAK, KIND_TEXT, make_span
-
-    src = pq.read_table(
-        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    registry.register_builtins()
+    return registry.compile_pipeline(
+        [("crawl_convert", {"sf_dir": "/root/testdata/sf0.001"})]
     )
-    doc_ids, spans_col = [], []
-    for i, (did, text) in enumerate(
-        zip(src.column("doc_id").to_pylist(), src.column("text").to_pylist())
-    ):
-        toks = (text or "").split()
-        pages = [
-            [make_span(KIND_TEXT, text=" ".join(toks[j : j + 40]))]
-            for j in range(0, len(toks), 40)
-        ] or [[make_span(KIND_TEXT, text="")]]
-        spans = []
-        for p, page in enumerate(pages):
-            if p:
-                spans.append(make_span(KIND_PAGE_BREAK))
-            spans.extend(page)
-        doc_ids.append(f"doc-{i:06d}")
-        spans_col.append([{**s, "offset": o} for o, s in enumerate(spans)])
-    docs = pa.table(
-        {
-            "doc_id": pa.array(doc_ids, pa.string()),
-            "spans": pa.array(spans_col, DOCUMENTS_SCHEMA.field("spans").type),
-        },
-        schema=DOCUMENTS_SCHEMA,
-    )
-    frontier = make_frontier(400, n_docs=docs.num_rows, seed=42)
-    robots = make_robots(host_pool(20), seed=42)
-    cfg = CrawlConfig(
-        n_partitions=4,
-        epoch_width=8,
-        max_epochs=30,
-        link_universe=600,
-        fetch_concurrency=2,
-        fetch_num_cpus=0.5,
-    )
-    pages_dir = tempfile.mkdtemp(prefix="gotenberg_ray_pages_")
-    run_crawl(frontier, docs, robots, cfg, mode="ray", pages_dir=pages_dir)
-    # fetch workers already ran the conversion chain inline
-    # (cfg.convert_inline) — the sink holds converted part rows
-    return rd.read_parquet(pages_dir)
 
 
 def _media_features(sf_dir: str):

@@ -1,0 +1,105 @@
+"""Stage-protocol registry (SURVEY §2.10): descriptor semantics mirror
+the reference module system
+(/root/reference/pkg/gotenberg/modules.go:31-147 — unique IDs, panic on
+duplicates/empty, sorted descriptor listing), re-expressed for Ray Data
+stage compilation."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from gotenberg_ray import registry
+from gotenberg_ray.registry import StageSpec, apply_stage, compile_pipeline
+
+
+@pytest.fixture(autouse=True)
+def _fresh_registry(monkeypatch):
+    monkeypatch.setattr(registry, "_REGISTRY", {})
+    monkeypatch.setattr(registry, "_BUILTINS_DONE", False)
+    yield
+
+
+# lambda (pickled by value) — a named test-module function would fail
+# to import inside Ray workers, which don't see tests/ on sys.path
+_double = lambda batch: batch.set_column(  # noqa: E731
+    batch.schema.get_field_index("x"), "x", pa.compute.multiply(batch["x"], 2)
+)
+
+
+def test_registration_rules():
+    spec = StageSpec(name="s1", kind="batch", fn=_double)
+    registry.register(spec)
+    with pytest.raises(ValueError, match="already registered"):
+        registry.register(spec)
+    with pytest.raises(ValueError, match="empty name"):
+        registry.register(StageSpec(name="", kind="batch", fn=_double))
+    with pytest.raises(ValueError, match="unknown kind"):
+        registry.register(StageSpec(name="s2", kind="wide", fn=_double))
+    with pytest.raises(KeyError, match="unknown stage"):
+        registry.get("nope")
+    registry.register(StageSpec(name="a0", kind="batch", fn=_double))
+    assert [s.name for s in registry.descriptors()] == ["a0", "s1"]
+
+
+def test_compile_chains_batch_and_dataset_stages(ray_session):
+    registry.register(
+        StageSpec(name="double", kind="batch", fn=_double, schema_in=("x",))
+    )
+    registry.register(
+        StageSpec(
+            name="top2",
+            kind="dataset",
+            fn=lambda ds, k=2: ds.sort("x", descending=True).limit(k),
+        )
+    )
+    src = rd.from_arrow(pa.table({"x": [1, 2, 3, 4]}))
+    out = compile_pipeline(["double", ("top2", {"k": 3})], source_ds=src)
+    assert [r["x"] for r in out.take_all()] == [8, 6, 4]
+
+
+def test_schema_validation_rejects_missing_columns(ray_session):
+    registry.register(
+        StageSpec(name="needs_y", kind="batch", fn=_double, schema_in=("y",))
+    )
+    src = rd.from_arrow(pa.table({"x": [1]}))
+    with pytest.raises(ValueError, match="requires columns"):
+        compile_pipeline(["needs_y"], source_ds=src)
+
+
+def test_source_ordering_rules(ray_session):
+    registry.register(
+        StageSpec(
+            name="src",
+            kind="source",
+            fn=lambda n=3: rd.from_arrow(pa.table({"x": list(range(n))})),
+        )
+    )
+    registry.register(StageSpec(name="double", kind="batch", fn=_double))
+    out = compile_pipeline([("src", {"n": 4}), "double"])
+    assert [r["x"] for r in out.take_all()] == [0, 2, 4, 6]
+    src_spec = registry.get("src")
+    with pytest.raises(ValueError, match="must come first"):
+        apply_stage(rd.from_arrow(pa.table({"x": [1]})), src_spec)
+    with pytest.raises(ValueError, match="needs an upstream"):
+        apply_stage(None, registry.get("double"))
+
+
+def test_builtins_register_engine_stages(ray_session):
+    registry.register_builtins()
+    names = [s.name for s in registry.descriptors()]
+    assert {
+        "convert_chain",
+        "crawl_convert",
+        "media_features",
+        "subresource_admission",
+        "webhook_sink",
+    } <= set(names)
+    # idempotent (module graph built once)
+    registry.register_builtins()
+    assert len(registry.descriptors()) == len(names)
+    # an actor stage compiles with constructor config from the spec
+    from gotenberg_ray.stages.media import synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(32, seed=1))
+    out = compile_pipeline(["media_features"], source_ds=ds)
+    assert out.count() == 32
