@@ -171,6 +171,8 @@ def register_builtins() -> None:
 
     from .pipelines.convert import convert_batch
     from .pipelines.flagship import crawl_convert
+    from .stages.download import RESULT_SCHEMA as _DL_SCHEMA
+    from .stages.download import DownloadFromStage
     from .stages.media import MediaFeatureExtractor
     from .stages.subresource import DECISION_SCHEMA, SubResourceAdmission
     from .stages.webhook import WebhookSender
@@ -213,6 +215,17 @@ def register_builtins() -> None:
             batch_size=128,
             concurrency=2,
             description="multimodal decode/feature stage (codec seam stubbed)",
+        )
+    )
+    register(
+        StageSpec(
+            name="download_from",
+            kind="batch",
+            fn=DownloadFromStage,
+            schema_in=("doc_id", "download_from_json"),
+            schema_out=_DL_SCHEMA,
+            concurrency=2,
+            description="remote-input acquisition w/ SSRF filter + retries (context.go:208-431)",
         )
     )
     register(
