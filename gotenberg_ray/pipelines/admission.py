@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data as rd
 
+from ..io import read_table
 from ..schemas import DOCUMENTS_SCHEMA
 from ..stages.subresource import SubResourceAdmission
 
@@ -68,7 +69,7 @@ def subresource_admission(sf_dir: str):
     import pandas as pd
 
     ds = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        read_table(sf_dir, "documents", columns=["doc_id"])
         .map_batches(_spanify, batch_format="pyarrow")
         .map_batches(
             SubResourceAdmission,

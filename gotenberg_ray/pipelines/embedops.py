@@ -28,7 +28,10 @@ DUP_THRESHOLD = 0.46  # sits in a wide gap of the pairwise-sim spectrum
 
 
 def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from ..io import parallelism_hint, read_table
+
+    # matmul/hamming kernels are CPU-bound: block floor = core count
+    return read_table(sf_dir, "embeddings", min_blocks=parallelism_hint())
 
 
 def _query_vector(sf_dir: str) -> np.ndarray:

@@ -146,6 +146,8 @@ def hash_join(
     left_agg: Callable[[pa.Table], pa.Table] | None = None,
     right_agg: Callable[[pa.Table], pa.Table] | None = None,
     join_type: str = "inner",
+    left_schema: pa.Schema | list[tuple[str, pa.DataType]] | None = None,
+    right_schema: pa.Schema | list[tuple[str, pa.DataType]] | None = None,
 ) -> rd.Dataset:
     """Distributed hash join of two Datasets on an equality key.
 
@@ -157,14 +159,26 @@ def hash_join(
     Non-key column names must be disjoint between the sides (rename
     upstream with ``map_batches`` if needed). The right key column is
     renamed to ``on`` in the output.
+
+    ``left_schema``/``right_schema``: pass the (statically known)
+    column schema of each side. Without them the join must call
+    ``Dataset.schema()``, and on a lazy side that EXECUTES the
+    side's whole upstream plan once just to learn column names — a
+    chained join would run its first exchange twice.
     """
     right_key = right_on or on
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_fields = [(n, _pa_type(t)) for n, t in zip(l_schema.names, l_schema.types)]
+
+    def _fields(ds, schema) -> list[tuple[str, pa.DataType]]:
+        if schema is not None:
+            if isinstance(schema, pa.Schema):
+                return [(f.name, f.type) for f in schema]
+            return [(n, t) for n, t in schema]
+        s = ds.schema()
+        return [(n, _pa_type(t)) for n, t in zip(s.names, s.types)]
+
+    l_fields = _fields(left, left_schema)
     r_fields = [
-        (on if n == right_key else n, _pa_type(t))
-        for n, t in zip(r_schema.names, r_schema.types)
+        (on if n == right_key else n, t) for n, t in _fields(right, right_schema)
     ]
     l_names = [n for n, _ in l_fields]
     r_names = [n for n, _ in r_fields]

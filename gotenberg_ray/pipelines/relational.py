@@ -35,7 +35,9 @@ from ray.data.aggregate import Count, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..io import read_table
+
+    return read_table(sf_dir, table, columns)
 
 
 def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
@@ -147,6 +149,9 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     ord_b = hash_join(
         orders, cust, on="o_custkey", right_on="c_custkey",
         num_partitions=JOIN_PARTITIONS,
+        left_schema=[("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                     ("o_orderdate", pa.timestamp("us"))],
+        right_schema=[("c_custkey", pa.int64())],
     ).select_columns(["o_orderkey", "o_orderdate"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
@@ -170,6 +175,8 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     joined = hash_join(
         li, ord_b, on="o_orderkey", num_partitions=JOIN_PARTITIONS,
         left_agg=combine_by_key,
+        left_schema=[("o_orderkey", pa.int64()), ("rev", pa.float64())],
+        right_schema=[("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))],
     )
 
     def local_top(batch: pa.Table) -> pa.Table:
@@ -223,6 +230,8 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     ord_nat = hash_join(
         orders, cust, on="o_custkey", right_on="c_custkey",
         num_partitions=JOIN_PARTITIONS,
+        left_schema=[("o_orderkey", pa.int64()), ("o_custkey", pa.int64())],
+        right_schema=[("c_custkey", pa.int64()), ("c_nationkey", pa.int64())],
     ).select_columns(["o_orderkey", "c_nationkey"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
@@ -237,7 +246,11 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         li_partial, batch_format="pyarrow"
     )
-    joined = hash_join(li, ord_nat, on="o_orderkey", num_partitions=JOIN_PARTITIONS)
+    joined = hash_join(
+        li, ord_nat, on="o_orderkey", num_partitions=JOIN_PARTITIONS,
+        left_schema=[("o_orderkey", pa.int64()), ("rev", pa.float64())],
+        right_schema=[("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())],
+    )
 
     def nat_partial(batch: pa.Table) -> pa.Table:
         return batch.select(["c_nationkey", "rev"]).group_by("c_nationkey").aggregate(
@@ -339,6 +352,8 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         left_agg=lambda t: _rename(
             t.group_by("o_orderkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
         ),
+        left_schema=[("o_orderkey", pa.int64()), ("rev", pa.float64())],
+        right_schema=[("o_orderkey", pa.int64()), ("o_custkey", pa.int64())],
     )
 
     def cust_partial(batch: pa.Table) -> pa.Table:
@@ -356,6 +371,9 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         left_agg=lambda t: _rename(
             t.group_by("c_custkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
         ),
+        left_schema=[("c_custkey", pa.int64()), ("rev", pa.float64())],
+        right_schema=[("c_custkey", pa.int64()), ("c_name", pa.string()),
+                      ("c_nationkey", pa.int64())],
     )
 
     def local_top(batch: pa.Table) -> pa.Table:
@@ -474,26 +492,38 @@ GROUP BY n_name ORDER BY n_name
 
 
 def part_brand_stats(sf_dir: str) -> pd.DataFrame:
-    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    """avg price as an exact scaled integer (cents·100 // n): float
+    summation order varies with block layout, so the money column is
+    summed in integer cents — bit-identical under any partitioning
+    (same trick as doc_quality)."""
     from ray.data.aggregate import Max
 
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["p_retailprice"], 100.0)), pa.int64())
+        return pa.table(
+            {"p_brand": batch["p_brand"], "cents": cents, "p_size": batch["p_size"]}
+        )
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
     df = (
         ds.groupby("p_brand")
         .aggregate(
             Count(alias_name="n_parts"),
-            Sum("p_retailprice", alias_name="sum_price"),
+            Sum("cents", alias_name="sum_cents"),
             Max("p_size", alias_name="max_size"),
         )
         .to_pandas()
     )
-    df["avg_price"] = (df["sum_price"] / df["n_parts"]).round(4)
-    df = df.drop(columns=["sum_price"])
+    df["avg_price_e4"] = (df["sum_cents"] * 100) // df["n_parts"]
+    df = df.drop(columns=["sum_cents"])
     return df.sort_values("p_brand").reset_index(drop=True)
 
 
 PART_BRAND_SQL = """
 SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
-       round(sum(p_retailprice) / count(*), 4) AS avg_price
+       sum(CAST(round(p_retailprice * 100) AS BIGINT)) * 100 // count(*) AS avg_price_e4
 FROM part GROUP BY p_brand ORDER BY p_brand
 """
 

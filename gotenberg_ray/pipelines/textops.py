@@ -32,7 +32,11 @@ from ..schemas import KIND_TEXT, SPANS_TYPE, make_span
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from ..io import parallelism_hint, read_table
+
+    # text stages are CPU-bound per doc (tokenize/shingle/minhash):
+    # floor the block count at the core count so they parallelize
+    return read_table(sf_dir, "documents", columns, min_blocks=parallelism_hint())
 
 
 # ----------------------------------------------------------------- analysis
@@ -268,6 +272,30 @@ def _distinct_pairs(cands: rd.Dataset, num_partitions: int = 16) -> rd.Dataset:
     )
 
 
+def _gram_values(
+    batch: pa.Table, fill_empty: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(values, offsets) of the ``grams`` list column with every empty
+    row replaced by one ``fill_empty`` element (so reduceat/prefix
+    slicing never sees a zero-length segment)."""
+    larr = batch["grams"]
+    if isinstance(larr, pa.ChunkedArray):
+        larr = larr.combine_chunks()
+    vals = larr.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    offs = larr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # sliced list arrays: offsets need not start at 0
+    vals = vals[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    empty = np.flatnonzero(lens == 0)
+    if len(empty):
+        vals = np.insert(vals, offs[empty], np.uint64(fill_empty))
+        lens = lens.copy()
+        lens[empty] = 1
+        offs = np.r_[0, np.cumsum(lens)]
+    return vals, offs
+
+
 def _gram_sets(sf_dir: str) -> rd.Dataset:
     """Per-doc sorted distinct word-3-gram hashes as a list<uint64>
     column (computed once per doc — pair verification then never
@@ -327,7 +355,8 @@ def _verify_jaccard_kernel(
 
 
 def _verify_pairs_small(
-    cands: rd.Dataset, sf_dir: str, threshold: float
+    cands: rd.Dataset, sf_dir: str, threshold: float,
+    grams: rd.Dataset | None = None,
 ) -> pd.DataFrame:
     import pyarrow.compute as pc
 
@@ -349,9 +378,8 @@ def _verify_pairs_small(
     def filt(batch: pa.Table, _ids=ids) -> pa.Table:
         return batch.filter(pc.is_in(batch["doc_id"], value_set=_ids))
 
-    gram_refs = (
-        _gram_sets(sf_dir).map_batches(filt, batch_format="pyarrow").to_arrow_refs()
-    )
+    gram_src = grams if grams is not None else _gram_sets(sf_dir)
+    gram_refs = gram_src.map_batches(filt, batch_format="pyarrow").to_arrow_refs()
 
     @_ray.remote
     def verify_task(a_ids, b_ids, thr, *gram_parts):
@@ -364,7 +392,16 @@ def _verify_pairs_small(
         gb = glist.take(pa.array(np.searchsorted(gid, b_ids)))
         return _verify_jaccard_kernel(a_ids, b_ids, ga, gb, thr)
 
-    out = _ray.get(verify_task.remote(a_ids, b_ids, threshold, *gram_refs))
+    # the per-pair intersect loop is the cost — slice the (sorted,
+    # unique) pair list across one task per ~16k pairs so verification
+    # uses every core; each task plasma-shares the same filtered gram
+    # refs (no copies)
+    chunk = 16_384
+    refs = [
+        verify_task.remote(a_ids[i : i + chunk], b_ids[i : i + chunk], threshold, *gram_refs)
+        for i in range(0, len(a_ids), chunk)
+    ]
+    out = pa.concat_tables(_ray.get(refs))
     df = out.to_pandas()
     if df.empty:
         return pd.DataFrame(_EMPTY_PAIRS)
@@ -372,7 +409,8 @@ def _verify_pairs_small(
 
 
 def _verify_pairs_distributed(
-    cands: rd.Dataset, sf_dir: str, threshold: float
+    cands: rd.Dataset, sf_dir: str, threshold: float,
+    grams: rd.Dataset | None = None,
 ) -> pd.DataFrame:
     """Exact word-3-gram Jaccard verification of candidate (a_id, b_id)
     pairs WITHOUT materializing the documents table anywhere.
@@ -398,18 +436,28 @@ def _verify_pairs_distributed(
         # (no shuffle; the filtered table is O(candidate ids), not
         # O(corpus)), and verify in one plasma-local task. Above the
         # threshold the join path below takes over unchanged.
-        return _verify_pairs_small(cands, sf_dir, threshold)
+        return _verify_pairs_small(cands, sf_dir, threshold, grams=grams)
     uniq = _distinct_pairs(cands)
     # one shingle pass over the corpus, reused by both join sides
-    grams = _gram_sets(sf_dir).materialize()
+    if grams is None:
+        grams = _gram_sets(sf_dir).materialize()
     docs_a = grams.map_batches(
         lambda b: b.rename_columns(["a_id", "grams_a"]), batch_format="pyarrow"
     )
     docs_b = grams.map_batches(
         lambda b: b.rename_columns(["b_id", "grams_b"]), batch_format="pyarrow"
     )
-    withA = hash_join(uniq, docs_a, on="a_id", num_partitions=16)
-    withB = hash_join(withA, docs_b, on="b_id", num_partitions=16)
+    _g = pa.list_(pa.uint64())
+    withA = hash_join(
+        uniq, docs_a, on="a_id", num_partitions=16,
+        left_schema=[("a_id", pa.int64()), ("b_id", pa.int64())],
+        right_schema=[("a_id", pa.int64()), ("grams_a", _g)],
+    )
+    withB = hash_join(
+        withA, docs_b, on="b_id", num_partitions=16,
+        left_schema=[("a_id", pa.int64()), ("b_id", pa.int64()), ("grams_a", _g)],
+        right_schema=[("b_id", pa.int64()), ("grams_b", _g)],
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         a_ids = batch["a_id"].to_numpy(zero_copy_only=False)
@@ -446,26 +494,20 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
     band_seeds = splitmix64(np.arange(1, LSH_BANDS + 1, dtype=np.uint64))
 
     def sig_stage(batch: pa.Table) -> pa.Table:
-        """Whole-batch vectorized minhash: ONE hash_family pass over the
-        concatenated shingles of every doc (64 numpy ops per batch, not
-        per doc), per-doc column minima via ``np.minimum.reduceat``,
-        and numeric band-bucket mixing (no per-band string hashing)."""
+        """Whole-batch vectorized minhash FROM the precomputed gram
+        sets (min over a set equals min over the raw shingle multiset):
+        ONE hash_family pass over the concatenated grams, per-doc
+        column minima via ``np.minimum.reduceat``, numeric band-bucket
+        mixing (no per-band string hashing)."""
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        parts, counts = [], []
-        for text in batch["text"].to_pylist():
-            sh = shingle_hashes((text or "").split(), n=3)
-            if len(sh) == 0:
-                sh = _SENTINEL  # empty docs share one signature
-            parts.append(sh)
-            counts.append(len(sh))
-        if not parts:
+        if len(doc_ids) == 0:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
                  "bucket": pa.array([], pa.uint64())}
             )
-        fam = hash_family(np.concatenate(parts), MINHASH_PERMS)
-        offsets = np.r_[0, np.cumsum(counts)[:-1]]
-        sigs = np.minimum.reduceat(fam, offsets, axis=0)  # (n_docs, perms)
+        vals, offs = _gram_values(batch, fill_empty=int(_SENTINEL[0]))
+        fam = hash_family(vals, MINHASH_PERMS)
+        sigs = np.minimum.reduceat(fam, offs[:-1], axis=0)  # (n_docs, perms)
         sig3 = sigs.reshape(len(doc_ids), LSH_BANDS, rows_per_band)
         # band index seeds the mix so equal chunks in different bands
         # don't collide into one bucket
@@ -475,15 +517,17 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
                 acc = splitmix64(acc ^ sig3[:, :, r])
         return pa.table(
             {
-                "doc_id": pa.array(np.repeat(doc_ids, LSH_BANDS).astype(np.int64)),
+                "doc_id": pa.array(doc_ids.repeat(LSH_BANDS).astype(np.int64)),
                 "bucket": pa.array(acc.ravel()),
             }
         )
 
+    # ONE shingle pass: gram sets feed signatures AND exact verification
+    grams = _gram_sets(sf_dir).materialize()
     cands = _bucket_candidate_pairs(
-        _docs(sf_dir, ["doc_id", "text"]).map_batches(sig_stage, batch_format="pyarrow")
+        grams.map_batches(sig_stage, batch_format="pyarrow")
     )
-    return _verify_pairs_distributed(cands, sf_dir, jaccard_threshold)
+    return _verify_pairs_distributed(cands, sf_dir, jaccard_threshold, grams=grams)
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 10) -> pd.DataFrame:
@@ -545,29 +589,36 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
     "what's wrong" #3."""
 
     def prefix_stage(batch: pa.Table) -> pa.Table:
-        gram_col, id_col = [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            grams = np.unique(shingle_hashes((text or "").split(), n=3))
-            if len(grams) == 0:
-                # empty docs: J(∅,∅)=1 by convention — bucket them
-                # together under a sentinel so the pair isn't lost
-                gram_col.append(0)
-                id_col.append(doc_id)
-                continue
-            k = len(grams) - int(np.ceil(threshold * len(grams))) + 1
-            gram_col.extend(int(g) for g in grams[:k])  # smallest-hash order
-            id_col.extend([doc_id] * k)
+        """Vectorized prefix extraction from the precomputed gram sets:
+        grams are sorted-unique per doc, so the prefix is the first
+        ``k_i`` values of each list — one fancy-index, no re-hashing.
+        Empty docs post a 0 sentinel (J(∅,∅)=1 — the pair survives)."""
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(doc_ids)
+        if n == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        vals, offs = _gram_values(batch, fill_empty=0)
+        lens = np.diff(offs)
+        k = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+        row_of = np.repeat(np.arange(n), k)
+        within = np.arange(k.sum()) - np.repeat(np.cumsum(k) - k, k)
+        flat_idx = offs[:-1][row_of] + within
         return pa.table(
             {
-                "bucket": pa.array(np.array(gram_col, dtype=np.uint64)),
-                "doc_id": pa.array(id_col, pa.int64()),
+                "bucket": pa.array(vals[flat_idx]),
+                "doc_id": pa.array(doc_ids[row_of].astype(np.int64)),
             }
         )
 
+    # ONE shingle pass shared by candidate generation and verification
+    grams = _gram_sets(sf_dir).materialize()
     cands = _bucket_candidate_pairs(
-        _docs(sf_dir, ["doc_id", "text"]).map_batches(prefix_stage, batch_format="pyarrow")
+        grams.map_batches(prefix_stage, batch_format="pyarrow")
     )
-    return _verify_pairs_distributed(cands, sf_dir, threshold)
+    return _verify_pairs_distributed(cands, sf_dir, threshold, grams=grams)
 
 
 # ------------------------------------------------- span-pipeline round trip
