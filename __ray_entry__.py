@@ -65,6 +65,7 @@ def _media_features(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import admission as A
+    from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import textops as T
@@ -102,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         # sub-resource admission (pause-filter decision algebra)
         "subresource_admission": A.subresource_admission,
+        # deterministic distributed sampling
+        "sample_bernoulli": SA.sample_bernoulli,
+        "sample_bottomk": SA.sample_bottomk,
+        "sample_stratified": SA.sample_stratified,
         # similarity search
         "knn_topk": E.knn_topk,
         "knn_lsh": E.knn_lsh,
@@ -112,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import admission as A
+    from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import textops as T
@@ -137,6 +143,9 @@ def oracle_sql() -> dict[str, str]:
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
         "subresource_admission": A.ADMISSION_SQL,
+        "sample_bernoulli": SA.SAMPLE_BERNOULLI_SQL,
+        "sample_bottomk": SA.SAMPLE_BOTTOMK_SQL,
+        "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,
         "knn_topk": E.KNN_SQL,
         "embedding_label_stats": E.LABEL_STATS_SQL,
         "embedding_dup_pairs": E.DUP_PAIRS_SQL,

@@ -1,0 +1,134 @@
+"""Distributed sampling operators over the documents table.
+
+Three sampling shapes a training-data pipeline needs, all deterministic
+(hash-keyed, not RNG-state-keyed) so runs are reproducible, resumable,
+and oracle-checkable exactly:
+
+- **Bernoulli**: keep a row iff ``mix(doc_id) mod M < p·M`` — a pure
+  per-batch filter, no shuffle, no coordination; the classic
+  hash-gated sample that composes with resume (a re-run keeps the
+  same rows).
+- **Bottom-k**: the k rows with the smallest ``mix(doc_id)`` — a
+  uniform fixed-size sample as a mergeable sketch: each batch keeps a
+  local bottom-k, the driver merges block results (k·blocks rows move,
+  never the corpus). This is the distributed reservoir-sample
+  equivalent with deterministic priorities.
+- **Stratified bottom-k**: bottom-k per group (``lang``) — local
+  per-(group,k) prune per batch, tiny groupby-free merge.
+
+``mix`` is Knuth's multiplicative hash ``(doc_id · 2654435761) mod
+2^32`` — bijective for doc_id < 2^32 (odd multiplier), so priorities
+are unique (no ties) and the SAME arithmetic runs in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..io import read_table
+
+_KNUTH = 2654435761
+_M32 = 1 << 32
+
+
+def _mix(ids: np.ndarray) -> np.ndarray:
+    return (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(_M32)
+
+
+def sample_bernoulli(sf_dir: str, pct: int = 10) -> pd.DataFrame:
+    """Deterministic p% Bernoulli sample — stateless per-batch filter."""
+    thresh = np.uint64(pct * _M32 // 100)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = _mix(ids) < thresh
+        return batch.filter(pa.array(keep))
+
+    df = (
+        read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+        .map_batches(fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_BERNOULLI_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * {_KNUTH}) % {_M32} < {10 * _M32 // 100}
+ORDER BY doc_id
+"""
+
+
+def sample_bottomk(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Fixed-size uniform sample: k smallest hash priorities. Each
+    batch prunes to a local bottom-k; only k rows per block reach the
+    driver merge."""
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pri = _mix(ids)
+        if len(pri) > k:
+            idx = np.argpartition(pri, k)[:k]
+            batch = batch.take(pa.array(idx))
+            pri = pri[idx]
+        return batch.append_column("_pri", pa.array(pri))
+
+    df = (
+        read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+        .map_batches(local_bottomk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df = df.nsmallest(k, "_pri").drop(columns=["_pri"])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_BOTTOMK_SQL = f"""
+SELECT doc_id, lang FROM documents
+ORDER BY (doc_id * {_KNUTH}) % {_M32} LIMIT 100
+"""
+# NOTE: the oracle comparator sorts rows, so the ORDER BY above only
+# selects WHICH k rows survive (priorities are unique — no tie risk).
+
+
+def sample_stratified(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Bottom-k per ``lang`` stratum: per-batch per-group prune, then a
+    (groups × k × blocks)-row driver merge — never a corpus shuffle."""
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        batch = batch.append_column("_pri", pa.array(_mix(ids)))
+        t = batch.sort_by([("lang", "ascending"), ("_pri", "ascending")])
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+        ends = np.r_[starts[1:], len(langs)]
+        keep = np.concatenate(
+            [np.arange(s, min(s + k, e)) for s, e in zip(starts, ends)]
+        ) if len(starts) else np.array([], dtype=np.int64)
+        return t.take(pa.array(keep))
+
+    df = (
+        read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+        .map_batches(local_prune, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df = (
+        df.sort_values(["lang", "_pri"])
+        .groupby("lang", sort=True)
+        .head(k)
+        .drop(columns=["_pri"])
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * {_KNUTH}) % {_M32}) AS rn
+  FROM documents
+) WHERE rn <= 20
+ORDER BY doc_id
+"""

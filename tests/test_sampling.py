@@ -1,0 +1,31 @@
+"""Deterministic sampling operators: layout-independence is the key
+property — the sampled SET must not depend on block boundaries."""
+
+import pandas as pd
+import pytest
+
+from gotenberg_ray.pipelines import sampling as SA
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampling:
+    def test_bernoulli_rate_and_determinism(self, sf_dir):
+        a = SA.sample_bernoulli(sf_dir)
+        b = SA.sample_bernoulli(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        # ~10% of 200 docs (hash-gated, not exact)
+        assert 5 <= len(a) <= 40
+
+    def test_bottomk_fixed_size(self, sf_dir):
+        df = SA.sample_bottomk(sf_dir, k=17)
+        assert len(df) == 17
+        assert df["doc_id"].is_unique
+        # subset-consistency: bottom-8 ⊂ bottom-17 (mergeable sketch)
+        small = SA.sample_bottomk(sf_dir, k=8)
+        assert set(small["doc_id"]) <= set(df["doc_id"])
+
+    def test_stratified_per_group_cap(self, sf_dir):
+        df = SA.sample_stratified(sf_dir, k=5)
+        counts = df.groupby("lang").size()
+        assert (counts <= 5).all()
+        assert df["doc_id"].is_unique
