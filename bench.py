@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "doc_quality",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "subresource_admission",
+    "sample_bottomk",
     "knn_topk",
     "embedding_dup_pairs",
 ]
