@@ -44,6 +44,17 @@ def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
     return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
 
+def _rev_e4(batch: pa.Table) -> pa.Array:
+    """``l_extendedprice·(1−l_discount)`` as an EXACT ×10⁴ int64:
+    both money columns are 2-decimal, so ``cents × (100 − disc_pct)``
+    is integer arithmetic — revenue sums are bit-identical under any
+    block layout / reduction order (the float-drift class that broke
+    part_brand_stats can't recur)."""
+    cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
+    disc = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64())
+    return pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+
+
 JOIN_PARTITIONS = 16  # ≈ test-box cores/2; ∝ cluster size at scale
 
 
@@ -156,10 +167,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
     def li_partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
-        rev = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-        )
-        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": rev})
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": _rev_e4(batch)})
         return _rename(
             t.group_by("o_orderkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
         )
@@ -175,7 +183,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     joined = hash_join(
         li, ord_b, on="o_orderkey", num_partitions=JOIN_PARTITIONS,
         left_agg=combine_by_key,
-        left_schema=[("o_orderkey", pa.int64()), ("rev", pa.float64())],
+        left_schema=[("o_orderkey", pa.int64()), ("rev", pa.int64())],
         right_schema=[("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))],
     )
 
@@ -183,23 +191,25 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         t = pa.table(
             {
                 "l_orderkey": batch["o_orderkey"],
-                "revenue": pc.round(batch["rev"], 2),
+                "revenue_e4": batch["rev"],
                 "o_orderdate": batch["o_orderdate"],
             }
         )
-        t = t.sort_by([("revenue", "descending"), ("l_orderkey", "ascending")])
+        t = t.sort_by([("revenue_e4", "descending"), ("l_orderkey", "ascending")])
         return t.slice(0, 10)
 
     df = joined.map_batches(local_top, batch_format="pyarrow").to_pandas()
     return (
-        df.sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        df.sort_values(["revenue_e4", "l_orderkey"], ascending=[False, True])
         .head(10)
         .reset_index(drop=True)
     )
 
 
 Q3_SQL = """
-SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
        any_value(o_orderdate) AS o_orderdate
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -208,7 +218,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1997-01-01'
   AND l_shipdate > TIMESTAMP '1997-01-01'
 GROUP BY l_orderkey
-ORDER BY revenue DESC, l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey
 LIMIT 10
 """
 
@@ -235,10 +245,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     ).select_columns(["o_orderkey", "c_nationkey"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-        )
-        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": rev})
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": _rev_e4(batch)})
         return _rename(
             t.group_by("o_orderkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
         )
@@ -248,7 +255,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     )
     joined = hash_join(
         li, ord_nat, on="o_orderkey", num_partitions=JOIN_PARTITIONS,
-        left_schema=[("o_orderkey", pa.int64()), ("rev", pa.float64())],
+        left_schema=[("o_orderkey", pa.int64()), ("rev", pa.int64())],
         right_schema=[("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())],
     )
 
@@ -260,18 +267,20 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     df = (
         joined.map_batches(nat_partial, batch_format="pyarrow")
         .groupby("c_nationkey")
-        .aggregate(Sum("rev_sum", alias_name="revenue"))
+        .aggregate(Sum("rev_sum", alias_name="revenue_e4"))
         .to_pandas()
     )
     df["n_name"] = df["c_nationkey"].map(nat_name)
-    df["revenue"] = df["revenue"].round(2)
+    df["revenue_e4"] = df["revenue_e4"].astype("int64")
     return (
-        df[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+        df[["n_name", "revenue_e4"]].sort_values("n_name").reset_index(drop=True)
     )
 
 
 Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -335,10 +344,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
 
     def li_partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
-        rev = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-        )
-        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": rev})
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": _rev_e4(batch)})
         return _rename(
             t.group_by("o_orderkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
         )
@@ -352,7 +358,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         left_agg=lambda t: _rename(
             t.group_by("o_orderkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
         ),
-        left_schema=[("o_orderkey", pa.int64()), ("rev", pa.float64())],
+        left_schema=[("o_orderkey", pa.int64()), ("rev", pa.int64())],
         right_schema=[("o_orderkey", pa.int64()), ("o_custkey", pa.int64())],
     )
 
@@ -371,7 +377,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         left_agg=lambda t: _rename(
             t.group_by("c_custkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
         ),
-        left_schema=[("c_custkey", pa.int64()), ("rev", pa.float64())],
+        left_schema=[("c_custkey", pa.int64()), ("rev", pa.int64())],
         right_schema=[("c_custkey", pa.int64()), ("c_name", pa.string()),
                       ("c_nationkey", pa.int64())],
     )
@@ -382,28 +388,29 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
                 "c_custkey": batch["c_custkey"],
                 "c_name": batch["c_name"],
                 "c_nationkey": batch["c_nationkey"],
-                "revenue": pc.round(batch["rev"], 2),
+                "revenue_e4": batch["rev"],
             }
         )
-        t = t.sort_by([("revenue", "descending"), ("c_custkey", "ascending")])
+        t = t.sort_by([("revenue_e4", "descending"), ("c_custkey", "ascending")])
         return t.slice(0, 20)
 
     df = j2.map_batches(local_top, batch_format="pyarrow").to_pandas()
-    df = df.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(20)
+    df = df.sort_values(["revenue_e4", "c_custkey"], ascending=[False, True]).head(20)
     df["n_name"] = df["c_nationkey"].map(nat_name)
-    return df[["c_custkey", "c_name", "n_name", "revenue"]].reset_index(drop=True)
+    return df[["c_custkey", "c_name", "n_name", "revenue_e4"]].reset_index(drop=True)
 
 
 Q10_SQL = """
 SELECT c_custkey, any_value(c_name) AS c_name, any_value(n_name) AS n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
 GROUP BY c_custkey
-ORDER BY revenue DESC, c_custkey
+ORDER BY revenue_e4 DESC, c_custkey
 LIMIT 20
 """
 
@@ -413,11 +420,8 @@ LIMIT 20
 
 def top_parts_by_revenue(sf_dir: str) -> pd.DataFrame:
     def per_batch(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-        )
         return (
-            pa.table({"l_partkey": batch["l_partkey"], "rev": rev})
+            pa.table({"l_partkey": batch["l_partkey"], "rev": _rev_e4(batch)})
             .group_by(["l_partkey"])
             .aggregate([("rev", "sum")])
         )
@@ -425,23 +429,24 @@ def top_parts_by_revenue(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
     df = (
         ds.map_batches(per_batch, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("rev_sum", alias_name="revenue"))
+        .groupby("l_partkey", num_partitions=JOIN_PARTITIONS)
+        .aggregate(Sum("rev_sum", alias_name="revenue_e4"))
         .to_pandas()
     )
-    df["revenue"] = df["revenue"].round(2)
-    df = df.sort_values(["revenue", "l_partkey"], ascending=[False, True]).head(10)
+    df["revenue_e4"] = df["revenue_e4"].astype("int64")
+    df = df.sort_values(["revenue_e4", "l_partkey"], ascending=[False, True]).head(10)
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]).to_pandas()
     df = df.merge(part, left_on="l_partkey", right_on="p_partkey")
-    return df[["p_partkey", "p_name", "revenue"]].reset_index(drop=True)
+    return df[["p_partkey", "p_name", "revenue_e4"]].reset_index(drop=True)
 
 
 TOP_PARTS_SQL = """
 SELECT p_partkey, any_value(p_name) AS p_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_partkey
-ORDER BY revenue DESC, p_partkey
+ORDER BY revenue_e4 DESC, p_partkey
 LIMIT 10
 """
 
