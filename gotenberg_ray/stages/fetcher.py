@@ -132,32 +132,55 @@ class SimulatedFetcher:
     @classmethod
     def build_state(cls, docs: pa.Table) -> tuple:
         """Per-doc network aggregates — pure functions of the doc,
-        computed ONCE centrally and broadcast; all media refs hashed in
-        one vectorized pass."""
-        spans_rows = docs.column("spans").to_pylist()
-        all_refs = [
-            s["media_ref"] for spans in spans_rows for s in spans if s["kind"] == "media"
-        ]
-        ref_hash = dict(zip(all_refs, (int(h) for h in fnv64(all_refs))))
-        n = len(spans_rows)
-        req = np.ones(n, dtype=np.int64)
-        byts = np.zeros(n, dtype=np.int64)
-        failed = np.zeros(n, dtype=np.int64)
-        origins: list[frozenset] = []
-        for i, spans in enumerate(spans_rows):
-            o: set[str] = set()
-            for s in spans:
-                if s["kind"] == "media":
-                    req[i] += 1
-                    mh = ref_hash[s["media_ref"]]
-                    if splitmix64(mh ^ int(MEDIA_SALT)) % 100 < 5:
-                        failed[i] += 1
-                    else:
-                        byts[i] += splitmix64(mh) % 50000 + 1000
-                    o.add(s["media_ref"].split("/")[2] if "://" in s["media_ref"] else "")
-                else:
-                    byts[i] += len(s["text"])
-            origins.append(frozenset(o))
+        computed ONCE centrally and broadcast. Fully Arrow/numpy
+        vectorized (flatten + parent-index bincounts): the previous
+        per-span Python loop was ~1.3 s of serial driver time per run,
+        a fixed term in the N-vs-4N scaling measurement."""
+        import pyarrow.compute as pc
+
+        spans_col = docs.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        n = docs.num_rows
+        flat = spans_col.flatten()
+        parents = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
+        is_media = pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False)
+        # text spans contribute their CHARACTER length (matches len())
+        text_len = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False)
+
+        media_idx = np.nonzero(is_media)[0]
+        mp = parents[media_idx]
+        refs = flat.field("media_ref").take(pa.array(media_idx))
+        rh = fnv64(refs)
+        fail_m = splitmix64(rh ^ np.uint64(int(MEDIA_SALT))) % np.uint64(100) < 5
+        media_bytes = np.where(
+            fail_m, 0, (splitmix64(rh) % np.uint64(50000)).astype(np.int64) + 1000
+        )
+        req = np.ones(n, dtype=np.int64) + np.bincount(mp, minlength=n).astype(np.int64)
+        failed = np.bincount(
+            mp, weights=fail_m.astype(np.float64), minlength=n
+        ).astype(np.int64)
+        text_idx = np.nonzero(~is_media)[0]
+        byts = (
+            np.bincount(mp, weights=media_bytes.astype(np.float64), minlength=n)
+            + np.bincount(
+                parents[text_idx],
+                weights=text_len[text_idx].astype(np.float64),
+                minlength=n,
+            )
+        ).astype(np.int64)
+
+        # per-doc distinct asset origins (host of each media ref)
+        ref_list = refs.to_pylist()
+        hosts_m = [r.split("/")[2] if "://" in r else "" for r in ref_list]
+        origins = [frozenset()] * n
+        if len(mp):
+            order = np.argsort(mp, kind="stable")
+            b = mp[order]
+            starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+            ends = np.r_[starts[1:], len(b)]
+            for s, e in zip(starts, ends):
+                origins[b[s]] = frozenset(hosts_m[order[j]] for j in range(s, e))
         stats = {
             "req": req,
             "bytes": byts,
