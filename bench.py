@@ -47,7 +47,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CRAWL_URLS = 100_000
 CRAWL_DOCS = 8_000
 CRAWL_HOSTS = 2_400
-CRAWL_MAX_FETCHES = 2_500_000
+CRAWL_MAX_FETCHES = int(os.environ.get("GRAFT_BENCH_FETCHES", 2_500_000))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -177,6 +177,9 @@ def _crawl_once(num_cpus: int) -> dict:
         RAY_GRAFT_CPUS=str(num_cpus),
         GRAFT_BENCH_CRAWL_ONLY="1",
         GRAFT_BENCH_EXACT_WORKERS="1",  # exactly num_cpus fetch workers
+        # GRAFT_SCALING_FETCHES overrides the crawl depth per level
+        # (the SAME input runs at both levels either way).
+        GRAFT_BENCH_FETCHES=os.environ.get("GRAFT_SCALING_FETCHES", "2500000"),
     )
     out = subprocess.run(
         [sys.executable, __file__],
@@ -222,7 +225,8 @@ def run_scaling() -> dict:
         "host": "16 physical cores / SMT-32; pure-numpy 8->32-proc "
         "ceiling 0.47, 2->8 ceiling 0.90 (tools/host_probe.py)",
     }
-    out.update(_scaling_pair(2, 8, rounds=3))
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    out.update(_scaling_pair(2, 8, rounds=rounds))
     if "--smt-reference" in sys.argv:
         out["smt_reference_8_32"] = _scaling_pair(8, 32, rounds=2)
     return out

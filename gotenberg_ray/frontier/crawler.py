@@ -374,28 +374,49 @@ def _admit_slice(frontier: pa.Table, off: int, ln: int, url_filter) -> tuple:
     return admit_candidates(frontier.slice(off, ln), url_filter)
 
 
-def admit_seed_frontier(
+def admit_seed_frontier_async(
     frontier: pa.Table, url_filter, parallel: bool, chunk_rows: int = 16_384
-) -> tuple[pa.Table, pa.Table]:
-    """Seed admission, fanned out over Ray tasks when ``parallel`` and
-    the list is large enough to beat task overhead. Chunk boundaries
-    are deterministic and results concatenate in chunk order, so the
-    output is ROW-IDENTICAL to the sequential path — parity and
-    checkpoint bit-stability are unaffected by the fan-out."""
+):
+    """Dispatch seed admission, fanned out over Ray tasks when
+    ``parallel`` and the list is large enough to beat task overhead.
+    Returns a handle for :func:`admit_seed_frontier_collect` — callers
+    dispatch FIRST, do other setup (shard/runner construction), then
+    collect, so admission overlaps the rest of crawl startup. Chunk
+    boundaries are deterministic and results concatenate in chunk
+    order, so the output is ROW-IDENTICAL to the sequential path —
+    parity and checkpoint bit-stability are unaffected."""
     n = frontier.num_rows
     if not parallel or n < 2 * chunk_rows:
-        return admit_candidates(frontier, url_filter)
+        return ("sync", frontier, url_filter)
     import ray
 
     task = ray.remote(num_cpus=1)(_admit_slice)
     ref = ray.put(frontier)
     bounds = list(range(0, n, chunk_rows))
-    parts = ray.get(
-        [task.remote(ref, off, min(chunk_rows, n - off), url_filter) for off in bounds]
-    )
+    refs = [
+        task.remote(ref, off, min(chunk_rows, n - off), url_filter) for off in bounds
+    ]
+    return ("async", refs, None)
+
+
+def admit_seed_frontier_collect(handle) -> tuple[pa.Table, pa.Table]:
+    kind, a, b = handle
+    if kind == "sync":
+        return admit_candidates(a, b)
+    import ray
+
+    parts = ray.get(a)
     accepted = pa.concat_tables([p[0] for p in parts])
     rejected = pa.concat_tables([p[1] for p in parts])
     return accepted, rejected
+
+
+def admit_seed_frontier(
+    frontier: pa.Table, url_filter, parallel: bool, chunk_rows: int = 16_384
+) -> tuple[pa.Table, pa.Table]:
+    return admit_seed_frontier_collect(
+        admit_seed_frontier_async(frontier, url_filter, parallel, chunk_rows)
+    )
 
 
 def partition_of(
@@ -893,6 +914,8 @@ class CrawlResult:
     spans_total: int = 0
     metrics: pa.Table = None
     fetch_log_dir: str | None = None  # set when the log streamed to parquet
+    setup_s: float = 0.0  # shard/runner ctor + seed admission wall
+    drain_s: float = 0.0  # post-loop delivery/checkpoint/log-assembly wall
 
 
 def run_crawl(
@@ -908,13 +931,24 @@ def run_crawl(
 ) -> CrawlResult:
     from . import checkpoint as ckpt
 
+    import time as _time_mod
+
+    _t_setup0 = _time_mod.time()
+    url_filter = UrlFilter(list(cfg.allow), list(cfg.deny))
+    # dispatch seed admission BEFORE building shard actors and fetch
+    # state: the admission tasks chew the raw URL list (and warm the
+    # worker processes) while the driver constructs everything else
+    _admit_handle = (
+        admit_seed_frontier_async(frontier, url_filter, parallel=(mode == "ray"))
+        if not resume
+        else None
+    )
     shards = LocalShards(cfg, robots) if mode == "local" else RayShards(cfg, robots)
     runner = (
         LocalFetchRunner(docs, cfg, pages_dir)
         if mode == "local"
         else RayFetchRunner(docs, cfg, pages_dir)
     )
-    url_filter = UrlFilter(list(cfg.allow), list(cfg.deny))
     W = cfg.epoch_width
 
     # Fetch-log routing: an explicit log_sink wins; otherwise a crawl
@@ -950,9 +984,7 @@ def run_crawl(
         # seed cost was the largest fixed term in the N-vs-4N scaling
         # measurement. Ordered concat keeps the result identical to the
         # sequential reference (determinism parity by construction).
-        accepted, rejected = admit_seed_frontier(
-            frontier, url_filter, parallel=(mode == "ray")
-        )
+        accepted, rejected = admit_seed_frontier_collect(_admit_handle)
         rejected_parts.append(rejected)
         parts = partition_of(
             accepted.column("host").combine_chunks(),
@@ -987,6 +1019,7 @@ def run_crawl(
         pending.clear()
 
     epoch_metrics = EpochMetrics()
+    _setup_s = _time_mod.time() - _t_setup0
     popped = None  # ray: [(grant_ref, keys)] for epoch k; local: grant table
     step_refs = None  # in-flight pipelined step (ray only)
 
@@ -1155,6 +1188,7 @@ def run_crawl(
                 metrics=epoch_metrics.to_table(),
             )
 
+    _t_drain0 = _time_mod.time()
     _deliver_all()  # loop exited with undelivered links
     if checkpoint_dir:
         ckpt.write(
@@ -1187,4 +1221,6 @@ def run_crawl(
         spans_total=getattr(runner, "spans_total", 0),
         metrics=epoch_metrics.to_table(),
         fetch_log_dir=fetch_log_dir,
+        setup_s=round(_setup_s, 3),
+        drain_s=round(_time_mod.time() - _t_drain0, 3),
     )
