@@ -1022,83 +1022,38 @@ def run_crawl(
     _setup_s = _time_mod.time() - _t_setup0
     popped = None  # ray: [(grant_ref, keys)] for epoch k; local: grant table
     step_refs = None  # in-flight pipelined step (ray only)
+    # in-flight FETCH epoch (ray only): collected only after the next
+    # epoch's chunks are dispatched, so one epoch's straggler tail hides
+    # under the next epoch's execution. Disabled for checkpointed runs —
+    # a snapshot must never race a dispatched-but-uncollected epoch.
+    inflight = None  # (fetch_refs, k_f, n_grants_f, t_pop_f, t_fetch_f)
+    overlap_fetch = (
+        mode == "ray" and not (checkpoint_dir and cfg.checkpoint_every)
+    )
 
-    while epochs_done < cfg.max_epochs and (
-        cfg.max_fetches is None or fetch_seq < cfg.max_fetches
-    ):
-        horizon = (k + 1) * W - 1
-        _t_pop = _time.time()
-        if step_refs is not None:
-            # pipelined: the step ran concurrently with last epoch's fetch
-            popped = shards.collect(step_refs)
-            step_refs = None
-            n_grants = sum(kt.num_rows for _, kt in popped)
-        else:
-            _deliver_due(horizon)
-            if mode == "ray":
-                popped = shards.step({}, 0, horizon)
-                n_grants = sum(kt.num_rows for _, kt in popped)
-            else:
-                popped = _sort_grants(shards.pop_epoch(horizon))
-                n_grants = popped.num_rows
-        if n_grants == 0:
-            _deliver_all()
-            mr = shards.min_ready()
-            if mr is None:
-                break  # frontier exhausted
-            k = mr // W
-            popped = None
-            continue
-        _t_fetch = _time.time()
+    def _finish_epoch(fetch_refs, k_f, n_grants_f, t_pop_f, t_fetch_f) -> None:
+        """Collect one epoch's fetch results and fold them into logs,
+        link-candidate specs, metrics, and counters."""
+        nonlocal fetch_seq, next_seq, epochs_done
         _spans_before = getattr(runner, "spans_total", 0)
-        if mode == "ray":
-            fetch_refs = runner.dispatch(popped, k)
-            # issue epoch k+1's step while the fetch runs — exact exit
-            # prediction (fetch_seq grows by exactly n_grants) so a step
-            # never fires for an epoch the loop won't reach
-            will_continue = (epochs_done + 1 < cfg.max_epochs) and (
-                cfg.max_fetches is None or fetch_seq + n_grants < cfg.max_fetches
-            )
-            # never pipeline into a checkpoint epoch: the snapshot at the
-            # end of THIS epoch must not miss grants a concurrent step
-            # already popped
-            will_checkpoint = bool(
-                checkpoint_dir
-                and cfg.checkpoint_every
-                and (epochs_done + 1) % cfg.checkpoint_every == 0
-            )
-            if L >= 2 and will_continue and not will_checkpoint:
-                nh = (k + 2) * W - 1
-                due = [e for e in pending if e[1] <= nh]
-                for e in due:
-                    pending.remove(e)
-                specs_d = due[0][0] if due else {}
-                ready_d = due[0][1] if due else 0
-                for extra_specs, extra_ready in due[1:]:  # post-jump merge
-                    shards.offer_specs(extra_specs, extra_ready)
-                step_refs = shards.step_refs(specs_d, ready_d, nh)
-            log, key_tables, payloads, links_rejected = runner.collect(fetch_refs)
-        else:
-            log, key_tables, payloads, links_rejected = runner(popped, k)
-            popped = None
+        log, key_tables, payloads, links_rejected = runner.collect(fetch_refs)
         _t_route = _time.time()
         if links_rejected.num_rows:
             rejected_parts.append(links_rejected)
         if cfg.detailed_logs:
             # runner output order can be arbitrary (Ray) → re-sort by
             # the schedule-time key for the deterministic global order
-            if mode == "ray":
-                log = log.sort_by(
-                    [
-                        ("fetch_time", "ascending"),
-                        ("priority", "descending"),
-                        ("seq", "ascending"),
-                    ]
-                )
+            log = log.sort_by(
+                [
+                    ("fetch_time", "ascending"),
+                    ("priority", "descending"),
+                    ("seq", "ascending"),
+                ]
+            )
             log = log.add_column(
                 0, "fetch_seq", pa.array(np.arange(fetch_seq, fetch_seq + log.num_rows))
             )
-            log = log.append_column("epoch", pa.array(np.full(log.num_rows, k)))
+            log = log.append_column("epoch", pa.array(np.full(log.num_rows, k_f)))
             fetch_seq += log.num_rows
             if log_sink is not None:
                 log_sink(log)
@@ -1146,10 +1101,10 @@ def run_crawl(
                 specs.setdefault(p, []).append((payloads[c], row_idx[ids], seqs[ids]))
             # deferred: generation k becomes grantable at epoch k+L and
             # is delivered inside the step round trip for that epoch
-            pending.append((specs, (k + L) * W))
+            pending.append((specs, (k_f + L) * W))
         epoch_metrics.record(
-            epoch=k,
-            grants=n_grants,
+            epoch=k_f,
+            grants=n_grants_f,
             errors=(
                 log.filter(pc.not_equal(log.column("error_type"), "")).num_rows
                 if "error_type" in log.column_names
@@ -1158,22 +1113,170 @@ def run_crawl(
             links_offered=n_links,
             links_rejected=links_rejected.num_rows,
             spans_out=getattr(runner, "spans_total", 0) - _spans_before,
-            pop_s=round(_t_fetch - _t_pop, 4),
-            fetch_s=round(_t_route - _t_fetch, 4),
+            pop_s=round(t_fetch_f - t_pop_f, 4),
+            # with overlap this window includes the next epoch's pop +
+            # dispatch; busy_s carries the true per-epoch work signal
+            fetch_s=round(_t_route - t_fetch_f, 4),
             busy_s=round(getattr(runner, "last_busy_s", 0.0), 4),
             route_s=round(_time.time() - _t_route, 4),
         )
-        k += 1
         epochs_done += 1
+
+    def _flush_inflight() -> None:
+        nonlocal inflight
+        if inflight is not None:
+            _finish_epoch(*inflight)
+            inflight = None
+
+    while (epochs_done + (1 if inflight else 0)) < cfg.max_epochs and (
+        cfg.max_fetches is None
+        or fetch_seq + (inflight[2] if inflight else 0) < cfg.max_fetches
+    ):
+        horizon = (k + 1) * W - 1
+        _t_pop = _time.time()
+        if step_refs is not None:
+            # pipelined: the step ran concurrently with last epoch's fetch
+            popped = shards.collect(step_refs)
+            step_refs = None
+            n_grants = sum(kt.num_rows for _, kt in popped)
+        else:
+            # sync step path needs every discovered link delivered first
+            _flush_inflight()
+            _deliver_due(horizon)
+            if mode == "ray":
+                popped = shards.step({}, 0, horizon)
+                n_grants = sum(kt.num_rows for _, kt in popped)
+            else:
+                popped = _sort_grants(shards.pop_epoch(horizon))
+                n_grants = popped.num_rows
+        if n_grants == 0:
+            _flush_inflight()
+            _deliver_all()
+            mr = shards.min_ready()
+            if mr is None:
+                break  # frontier exhausted
+            k = mr // W
+            popped = None
+            continue
+        _t_fetch = _time.time()
+        _spans_before = getattr(runner, "spans_total", 0)
+        if mode == "ray":
+            fetch_refs = runner.dispatch(popped, k)
+            # the PREVIOUS epoch's stragglers now overlap this epoch's
+            # fetch; its links must land before the next step is issued
+            _flush_inflight()
+            # issue epoch k+1's step while the fetch runs — exact exit
+            # prediction (fetch_seq grows by exactly n_grants) so a step
+            # never fires for an epoch the loop won't reach
+            will_continue = (epochs_done + 1 < cfg.max_epochs) and (
+                cfg.max_fetches is None or fetch_seq + n_grants < cfg.max_fetches
+            )
+            # never pipeline into a checkpoint epoch: the snapshot at the
+            # end of THIS epoch must not miss grants a concurrent step
+            # already popped
+            will_checkpoint = bool(
+                checkpoint_dir
+                and cfg.checkpoint_every
+                and (epochs_done + 1) % cfg.checkpoint_every == 0
+            )
+            if L >= 2 and will_continue and not will_checkpoint:
+                nh = (k + 2) * W - 1
+                due = [e for e in pending if e[1] <= nh]
+                for e in due:
+                    pending.remove(e)
+                specs_d = due[0][0] if due else {}
+                ready_d = due[0][1] if due else 0
+                for extra_specs, extra_ready in due[1:]:  # post-jump merge
+                    shards.offer_specs(extra_specs, extra_ready)
+                step_refs = shards.step_refs(specs_d, ready_d, nh)
+            if overlap_fetch:
+                inflight = (fetch_refs, k, n_grants, _t_pop, _t_fetch)
+            else:
+                _finish_epoch(fetch_refs, k, n_grants, _t_pop, _t_fetch)
+            k += 1
+        else:
+            log, key_tables, payloads, links_rejected = runner(popped, k)
+            popped = None
+            _t_route = _time.time()
+            if links_rejected.num_rows:
+                rejected_parts.append(links_rejected)
+            if cfg.detailed_logs:
+                log = log.add_column(
+                    0,
+                    "fetch_seq",
+                    pa.array(np.arange(fetch_seq, fetch_seq + log.num_rows)),
+                )
+                log = log.append_column(
+                    "epoch", pa.array(np.full(log.num_rows, k))
+                )
+                fetch_seq += log.num_rows
+                if log_sink is not None:
+                    log_sink(log)
+                else:
+                    logs.append(log)
+            else:
+                fetch_seq += log.num_rows
+            n_links = sum(t.num_rows for t in key_tables)
+            if n_links:
+                parent = np.concatenate(
+                    [t.column("parent_seq").to_numpy(zero_copy_only=False) for t in key_tables]
+                )
+                lidx = np.concatenate(
+                    [t.column("link_index").to_numpy(zero_copy_only=False) for t in key_tables]
+                )
+                part = np.concatenate(
+                    [t.column("partition").to_numpy(zero_copy_only=False) for t in key_tables]
+                )
+                chunk_id = np.concatenate(
+                    [np.full(t.num_rows, ci, dtype=np.int64) for ci, t in enumerate(key_tables)]
+                )
+                row_idx = np.concatenate(
+                    [np.arange(t.num_rows, dtype=np.int64) for t in key_tables]
+                )
+                order = np.lexsort((lidx, parent))
+                seqs = np.empty(n_links, dtype=np.int64)
+                seqs[order] = np.arange(next_seq, next_seq + n_links, dtype=np.int64)
+                next_seq += n_links
+                combo = part * len(payloads) + chunk_id
+                o2 = np.argsort(combo, kind="stable")
+                sc = combo[o2]
+                seg_starts = np.concatenate(([0], np.nonzero(np.diff(sc))[0] + 1))
+                seg_ends = np.concatenate((seg_starts[1:], [len(sc)]))
+                specs: dict[int, list[tuple]] = {}
+                for a, b in zip(seg_starts, seg_ends):
+                    ids = o2[a:b]
+                    p = int(part[ids[0]])
+                    c = int(chunk_id[ids[0]])
+                    specs.setdefault(p, []).append((payloads[c], row_idx[ids], seqs[ids]))
+                pending.append((specs, (k + L) * W))
+            epoch_metrics.record(
+                epoch=k,
+                grants=n_grants,
+                errors=(
+                    log.filter(pc.not_equal(log.column("error_type"), "")).num_rows
+                    if "error_type" in log.column_names
+                    else 0
+                ),
+                links_offered=n_links,
+                links_rejected=links_rejected.num_rows,
+                spans_out=getattr(runner, "spans_total", 0) - _spans_before,
+                pop_s=round(_t_fetch - _t_pop, 4),
+                fetch_s=round(_t_route - _t_fetch, 4),
+                busy_s=round(getattr(runner, "last_busy_s", 0.0), 4),
+                route_s=round(_time.time() - _t_route, 4),
+            )
+            k += 1
+            epochs_done += 1
         if (
             checkpoint_dir
             and cfg.checkpoint_every
             and epochs_done % cfg.checkpoint_every == 0
         ):
             # (a pipelined step is never in flight here — the dispatch
-            # predicate below skips pipelining into a checkpoint epoch,
-            # so the snapshot can't lose popped-but-unfetched grants)
-            assert step_refs is None
+            # predicate above skips pipelining into a checkpoint epoch,
+            # so the snapshot can't lose popped-but-unfetched grants;
+            # fetch overlap is disabled for checkpointed runs entirely)
+            assert step_refs is None and inflight is None
             _deliver_all()  # undelivered links are frontier state
             ckpt.write(
                 checkpoint_dir,
@@ -1188,6 +1291,7 @@ def run_crawl(
                 metrics=epoch_metrics.to_table(),
             )
 
+    _flush_inflight()
     _t_drain0 = _time_mod.time()
     _deliver_all()  # loop exited with undelivered links
     if checkpoint_dir:
