@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import textops as T
+    from gotenberg_ray.pipelines import windows as W
 
     return {
         # relational operator set (filter/project/partial-agg/groupby/
@@ -87,6 +88,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": R.events_user_stats,
         "events_sessionize": R.events_sessionize,
         "events_top_purchasers": R.events_top_purchasers,
+        # temporal custom operators (as-of join / range join / sliding
+        # window) — compositions over one explicit hash partitioning
+        "events_asof_attribution": W.events_asof_attribution,
+        "events_range_campaigns": W.events_range_campaigns,
+        "events_rolling_peak": W.events_rolling_peak,
         # text corpus analysis + dedup family
         "doc_stats_by_lang": T.doc_stats_by_lang,
         "doc_token_counts": T.doc_token_counts,
@@ -110,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_topk": E.knn_topk,
         "knn_lsh": E.knn_lsh,
+        "knn_ivf": E.knn_ivf,
         "embedding_label_stats": E.embedding_label_stats,
         "embedding_dup_pairs": E.embedding_dup_pairs,
     }
@@ -121,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import textops as T
+    from gotenberg_ray.pipelines import windows as W
 
     return {
         "q1_pricing_summary": R.Q1_SQL,
@@ -136,6 +144,9 @@ def oracle_sql() -> dict[str, str]:
         "events_user_stats": R.EVENTS_USER_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
         "events_top_purchasers": R.EVENTS_TOP_SQL,
+        "events_asof_attribution": W.ASOF_SQL,
+        "events_range_campaigns": W.RANGE_SQL,
+        "events_rolling_peak": W.ROLLING_SQL,
         "doc_stats_by_lang": T.DOC_STATS_SQL,
         "doc_token_counts": T.DOC_TOKENS_SQL,
         "doc_quality": T.DOC_QUALITY_SQL,
@@ -151,5 +162,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": E.DUP_PAIRS_SQL,
         # no oracle (sketches / heuristics / approximate search):
         # dedup_minhash, dedup_simhash, dedup_ngram_jaccard,
-        # lang_id_confusion, doc_fingerprints, knn_lsh
+        # lang_id_confusion, doc_fingerprints, knn_lsh, knn_ivf
     }

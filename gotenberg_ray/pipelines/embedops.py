@@ -233,3 +233,109 @@ def knn_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(
         {"rank": np.arange(1, len(cands) + 1), "vec_id": cands["vec_id"].astype("int64")}
     )
+
+
+IVF_K = 16  # centroid count; ∝ sqrt(N) at scale
+IVF_NPROBE = 4
+IVF_ITERS = 2
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Distributed mini-kmeans: deterministic init (the K lowest
+    vec_ids), then ``IVF_ITERS`` Lloyd rounds where each round is ONE
+    streaming pass — per-batch partial (cid, count, Σvec) rows — and a
+    driver reduce over only K × #blocks tiny partials (the centroid
+    matrix is K×d floats, never the dataset)."""
+    init = (
+        _emb(sf_dir)
+        .filter(expr=f"vec_id < {IVF_K}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cents = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(IVF_ITERS):
+        c_ref = ray.put(cents)
+
+        class PartialAssign:
+            def __init__(self):
+                self.c = ray.get(c_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                m = _batch_matrix(batch)
+                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                cid = np.argmax(mn @ self.c.T, axis=1)
+                out_c, out_n, out_s = [], [], []
+                for c in np.unique(cid):
+                    sel = mn[cid == c]
+                    out_c.append(int(c))
+                    out_n.append(len(sel))
+                    out_s.append(sel.sum(axis=0))
+                return pa.table(
+                    {
+                        "cid": pa.array(out_c, pa.int64()),
+                        "n": pa.array(out_n, pa.int64()),
+                        "svec": pa.array([s.tolist() for s in out_s]),
+                    }
+                )
+
+        parts = (
+            _emb(sf_dir)
+            .map_batches(PartialAssign, batch_format="pyarrow", concurrency=2)
+            .to_pandas()  # K × #blocks rows — small by construction
+        )
+        new = cents.copy()
+        for c, grp in parts.groupby("cid"):
+            s = np.stack(grp["svec"].to_numpy()).sum(axis=0)
+            new[int(c)] = s / max(int(grp["n"].sum()), 1)
+        cents = new / np.linalg.norm(new, axis=1, keepdims=True)
+    return cents
+
+
+def knn_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """IVF ANN (rows-only; knn_topk is the exact ground truth): build
+    K centroids with streaming mini-kmeans, then probe only the
+    ``IVF_NPROBE`` inverted lists nearest the query — each batch
+    filters to probed-list members before the cosine matmul, so the
+    scan cost drops by ≈ nprobe/K at unchanged plan shape."""
+    q = _query_vector(sf_dir)
+    qn = q / np.linalg.norm(q)
+    cents = _ivf_centroids(sf_dir)
+    probe = set(np.argsort(-(cents @ qn))[:IVF_NPROBE].tolist())
+    refs = ray.put((qn, cents, probe))
+
+    class ProbeLists:
+        def __init__(self):
+            self.q, self.c, self.probe = ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cid = np.argmax(mn @ self.c.T, axis=1)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mask = np.isin(cid, list(self.probe)) & (ids != QUERY_VEC_ID)
+            if not mask.any():
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+                )
+            sims = mn[mask] @ self.q
+            top = np.argsort(-sims, kind="stable")[:k]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[mask][top].astype(np.int64)),
+                    "sim": pa.array(sims[top]),
+                }
+            )
+
+    cands = (
+        _emb(sf_dir)
+        .map_batches(ProbeLists, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+        .sort_values(["sim", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(cands) + 1), "vec_id": cands["vec_id"].astype("int64")}
+    )

@@ -1,0 +1,243 @@
+"""Temporal operators Ray Data lacks natively: as-of join, range
+(interval) join, and sliding-window aggregation — the custom-operator
+tier of the task brief, built from map_batches + groupby().map_groups
+compositions (no raw tasks needed).
+
+Partitioning contracts (documented per the brief):
+
+- ``events_asof_attribution`` / ``events_rolling_peak`` hash-partition
+  by ``user_id`` (one explicit all-to-all), then run a vectorized
+  sorted-merge / binary-search kernel per key group. The assumption is
+  per-key history fits one worker — true for per-user event logs; a
+  pathological hot key would be salted by time range (the same salting
+  machinery the frontier uses for hot hosts).
+- ``events_range_campaigns`` broadcasts the tiny interval dimension
+  (``ray.put`` once, read per actor) and pre-aggregates per batch, so
+  the shuffle input is (#campaigns × #blocks) partial rows, never the
+  events table — the broadcast-range-join analogue of the combiner
+  pattern in ``relational.py``.
+
+All aggregates are exact-integer (µs timestamps, ×100 money) so result
+hashes are reduction-order independent.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Sum
+
+from .relational import _read
+
+US = 1_000_000
+
+
+def _ts_us(col) -> np.ndarray:
+    """timestamp[us] column → int64 epoch-µs numpy array."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+def events_asof_attribution(sf_dir: str) -> pd.DataFrame:
+    """As-of join inside the events log: each ``purchase`` event is
+    attributed to the same user's most recent ``view`` at-or-before it
+    (classic last-touch attribution).
+
+    Shape: ONE read of events → hash-partition by ``user_id``
+    (``groupby``) → per-group vectorized as-of merge: sort both sides
+    by ts, ``np.searchsorted(view_ts, purchase_ts, side="right") - 1``
+    gives the latest view ≤ each purchase in O((n+m) log m). Output is
+    the per-user rollup (n_purchases, n_attributed, total attribution
+    latency in whole seconds) — integer-exact.
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        kinds = g["event_type"].to_numpy()
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        p_ts = np.sort(ts_us[kinds == "purchase"])
+        if len(p_ts) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_purchases": pd.Series([], dtype="int64"),
+                    "n_attributed": pd.Series([], dtype="int64"),
+                    "latency_s": pd.Series([], dtype="int64"),
+                }
+            )
+        v_ts = np.sort(ts_us[kinds == "view"])
+        idx = np.searchsorted(v_ts, p_ts, side="right") - 1
+        hit = idx >= 0
+        lat_us = int((p_ts[hit] - v_ts[idx[hit]]).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_purchases": [int(len(p_ts))],
+                "n_attributed": [int(hit.sum())],
+                "latency_s": [lat_us // US],
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    for c in ("user_id", "n_purchases", "n_attributed", "latency_s"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+ASOF_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT)    AS n_purchases,
+       CAST(count(v_ts) AS BIGINT) AS n_attributed,
+       CAST(coalesce(sum(epoch_us(p_ts) - epoch_us(v_ts)), 0) // 1000000
+            AS BIGINT)             AS latency_s
+FROM (
+  SELECT p.user_id, p.ts AS p_ts, v.ts AS v_ts
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------- range join
+
+# Deterministic campaign dimension: 12 overlapping 5-day windows, every
+# 2 days from the corpus epoch. Tiny (24 timestamps) → broadcast side.
+CAMPAIGN_EPOCH = _dt.datetime(2024, 1, 1)
+N_CAMPAIGNS = 12
+CAMPAIGN_STEP_DAYS = 2
+CAMPAIGN_LEN_DAYS = 5
+
+
+def campaign_bounds_us() -> tuple[np.ndarray, np.ndarray]:
+    # tz-naive epoch-µs (matches the tz-naive timestamp[us] storage;
+    # .timestamp() would shift by the host tz)
+    epoch = int(np.datetime64(CAMPAIGN_EPOCH, "us").astype(np.int64))
+    day = 86_400 * US
+    lo = epoch + day * CAMPAIGN_STEP_DAYS * np.arange(N_CAMPAIGNS, dtype=np.int64)
+    return lo, lo + day * CAMPAIGN_LEN_DAYS
+
+
+def events_range_campaigns(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: events ⋈ campaigns ON lo ≤ ts < hi, with
+    overlapping intervals (an event can land in several campaigns).
+
+    Shape: broadcast the interval table (``ray.put`` once), evaluate
+    all intervals against each batch vectorized, and emit PARTIAL
+    (campaign_id, n, sum) rows — the all-to-all then moves only
+    #campaigns × #blocks rows. At 100 TB the same plan holds as long
+    as the interval dimension stays small; a large interval side would
+    instead bucket both sides by coarse time range and join per bucket.
+    """
+    lo, hi = campaign_bounds_us()
+    bounds_ref = ray.put((lo, hi))
+
+    class PartialRangeAgg:
+        def __init__(self):
+            self.lo, self.hi = ray.get(bounds_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ts = _ts_us(batch.column("ts"))
+            val_e2 = pc.cast(
+                pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            # (n_campaigns × batch) boolean — 12 × 4096 is tiny; a big
+            # interval side would switch to searchsorted per endpoint
+            in_win = (ts >= self.lo[:, None]) & (ts < self.hi[:, None])
+            n = in_win.sum(axis=1)
+            keep = n > 0
+            sums = np.where(in_win, val_e2, 0).sum(axis=1)
+            return pa.table(
+                {
+                    "campaign_id": pa.array(
+                        np.arange(N_CAMPAIGNS, dtype=np.int64)[keep]
+                    ),
+                    "n": pa.array(n[keep].astype(np.int64)),
+                    "s": pa.array(sums[keep].astype(np.int64)),
+                }
+            )
+
+    df = (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(PartialRangeAgg, batch_format="pyarrow", concurrency=2)
+        .groupby("campaign_id")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value_e2"))
+        .to_pandas()
+    )
+    for c in ("campaign_id", "n_events", "sum_value_e2"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("campaign_id").reset_index(drop=True)
+
+
+RANGE_SQL = f"""
+WITH campaigns AS (
+  SELECT CAST(i AS BIGINT) AS campaign_id,
+         TIMESTAMP '2024-01-01' + INTERVAL {CAMPAIGN_STEP_DAYS} DAY * i AS lo,
+         TIMESTAMP '2024-01-01' + INTERVAL {CAMPAIGN_STEP_DAYS} DAY * i
+             + INTERVAL {CAMPAIGN_LEN_DAYS} DAY AS hi
+  FROM range({N_CAMPAIGNS}) t(i)
+)
+SELECT campaign_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
+FROM events e JOIN campaigns c ON e.ts >= c.lo AND e.ts < c.hi
+GROUP BY campaign_id ORDER BY campaign_id
+"""
+
+
+# ------------------------------------------------------- sliding window agg
+
+
+def events_rolling_peak(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
+    """Sliding-window aggregate: per user, the PEAK number of events in
+    any trailing 1-hour window (RANGE frame semantics — the window is
+    value-defined, peers with equal ts are all included).
+
+    Shape: hash-partition by ``user_id``, then per group sort once and
+    compute every event's trailing-window count with two binary-search
+    sweeps (``searchsorted``) — O(n log n) per key, no per-row Python.
+    """
+    win_us = window_s * US
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("datetime64[us]").astype("int64").to_numpy())
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - win_us, side="left")
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "peak_1h": [int((hi - lo).max())],
+                "n_events": [int(len(ts))],
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    for c in ("user_id", "peak_1h", "n_events"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+ROLLING_SQL = """
+SELECT user_id, CAST(max(c) AS BIGINT) AS peak_1h,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                              AND CURRENT ROW) AS c
+  FROM events
+)
+GROUP BY user_id ORDER BY user_id
+"""

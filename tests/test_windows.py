@@ -1,0 +1,110 @@
+"""Temporal custom operators (as-of join, range join, sliding window)
+— each checked against an independent pandas/duckdb recomputation at
+sf0.001 (the driver's DuckDB oracle re-checks at sf0.01)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from gotenberg_ray.pipelines import windows as W
+
+
+def _events(sf_dir) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsof:
+    def test_matches_duckdb_asof(self, sf_dir):
+        got = W.events_asof_attribution(sf_dir)
+        con = duckdb.connect()
+        con.register("events", _events(sf_dir))
+        want = con.sql(W.ASOF_SQL).df()
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64")
+        )
+
+    def test_attribution_semantics(self, sf_dir):
+        """Hand-check one user: purchase latency = ts − latest view ≤ ts."""
+        got = W.events_asof_attribution(sf_dir)
+        ev = _events(sf_dir)
+        uid = int(got["user_id"].iloc[0])
+        g = ev[ev["user_id"] == uid]
+        p = np.sort(g[g["event_type"] == "purchase"]["ts"].astype("datetime64[us]").astype("int64"))
+        v = np.sort(g[g["event_type"] == "view"]["ts"].astype("datetime64[us]").astype("int64"))
+        idx = np.searchsorted(v, p, side="right") - 1
+        hit = idx >= 0
+        row = got[got["user_id"] == uid].iloc[0]
+        assert row["n_purchases"] == len(p)
+        assert row["n_attributed"] == hit.sum()
+        assert row["latency_s"] == int((p[hit] - v[idx[hit]]).sum()) // W.US
+
+    def test_no_purchases_user_absent(self, sf_dir):
+        got = W.events_asof_attribution(sf_dir)
+        ev = _events(sf_dir)
+        buyers = set(ev[ev["event_type"] == "purchase"]["user_id"])
+        assert set(got["user_id"]) == buyers
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeJoin:
+    def test_matches_pandas_interval_join(self, sf_dir):
+        got = W.events_range_campaigns(sf_dir)
+        ev = _events(sf_dir)
+        ts = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        val = np.round(ev["value"].to_numpy() * 100).astype("int64")
+        lo, hi = W.campaign_bounds_us()
+        rows = []
+        for i in range(W.N_CAMPAIGNS):
+            m = (ts >= lo[i]) & (ts < hi[i])
+            if m.any():
+                rows.append((i, int(m.sum()), int(val[m].sum())))
+        want = pd.DataFrame(rows, columns=["campaign_id", "n_events", "sum_value_e2"])
+        pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+    def test_overlap_double_counts(self, sf_dir):
+        """5-day windows every 2 days overlap: an event in the overlap
+        belongs to >1 campaign, so Σ n_events > #events-in-range."""
+        got = W.events_range_campaigns(sf_dir)
+        ev = _events(sf_dir)
+        ts = ev["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        lo, hi = W.campaign_bounds_us()
+        in_any = (ts[None, :] >= lo[:, None]) & (ts[None, :] < hi[:, None])
+        assert got["n_events"].sum() > in_any.any(axis=0).sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingPeak:
+    def test_matches_duckdb_window(self, sf_dir):
+        got = W.events_rolling_peak(sf_dir)
+        con = duckdb.connect()
+        con.register("events", _events(sf_dir))
+        want = con.sql(W.ROLLING_SQL).df()
+        pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+    def test_peak_bounds(self, sf_dir):
+        got = W.events_rolling_peak(sf_dir)
+        assert (got["peak_1h"] >= 1).all()
+        assert (got["peak_1h"] <= got["n_events"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvf:
+    def test_ivf_recall_vs_brute_force(self, sf_dir):
+        from gotenberg_ray.pipelines import embedops as E
+
+        exact = E.knn_topk(sf_dir)
+        approx = E.knn_ivf(sf_dir)
+        assert list(approx.columns) == ["rank", "vec_id"]
+        assert approx["vec_id"].is_unique
+        # nprobe=4/16 lists: demand ≥half of the true top-10 recalled
+        overlap = set(approx["vec_id"]) & set(exact["vec_id"])
+        assert len(overlap) >= 5
+
+    def test_ivf_deterministic(self, sf_dir):
+        from gotenberg_ray.pipelines import embedops as E
+
+        a = E.knn_ivf(sf_dir)
+        b = E.knn_ivf(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
