@@ -65,6 +65,7 @@ def _media_features(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import admission as A
+    from gotenberg_ray.pipelines import analytics as AN
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
@@ -93,6 +94,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_attribution": W.events_asof_attribution,
         "events_range_campaigns": W.events_range_campaigns,
         "events_rolling_peak": W.events_rolling_peak,
+        # distributed analytics (anti-join / exact quantiles without a
+        # sort / two-phase distinct / mergeable HLL sketch)
+        "customers_no_urgent_orders": AN.customers_no_urgent_orders,
+        "order_price_quantiles": AN.order_price_quantiles,
+        "distinct_users_daily": AN.distinct_users_daily,
+        "hll_users_per_type": AN.hll_users_per_type,
         # text corpus analysis + dedup family
         "doc_stats_by_lang": T.doc_stats_by_lang,
         "doc_token_counts": T.doc_token_counts,
@@ -124,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import admission as A
+    from gotenberg_ray.pipelines import analytics as AN
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
@@ -147,6 +155,9 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_attribution": W.ASOF_SQL,
         "events_range_campaigns": W.RANGE_SQL,
         "events_rolling_peak": W.ROLLING_SQL,
+        "customers_no_urgent_orders": AN.NO_ORDERS_SQL,
+        "order_price_quantiles": AN.PRICE_QUANTILES_SQL,
+        "distinct_users_daily": AN.DISTINCT_DAILY_SQL,
         "doc_stats_by_lang": T.DOC_STATS_SQL,
         "doc_token_counts": T.DOC_TOKENS_SQL,
         "doc_quality": T.DOC_QUALITY_SQL,
@@ -162,5 +173,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": E.DUP_PAIRS_SQL,
         # no oracle (sketches / heuristics / approximate search):
         # dedup_minhash, dedup_simhash, dedup_ngram_jaccard,
-        # lang_id_confusion, doc_fingerprints, knn_lsh, knn_ivf
+        # lang_id_confusion, doc_fingerprints, knn_lsh, knn_ivf,
+        # hll_users_per_type
     }

@@ -1,0 +1,288 @@
+"""Distributed analytics operators beyond plain groupby: anti-join,
+exact distributed quantiles, two-phase exact distinct, and a mergeable
+HyperLogLog sketch.
+
+Scale contracts:
+
+- ``customers_no_orders``: bucketed hash-partitioned ANTI join (both
+  sides shuffled once by key hash via ``joins.hash_join``) — the right
+  side is pre-shrunk to distinct keys per partition by the fused
+  combiner, so the local anti probe sees keys, not orders rows.
+- ``order_price_quantiles``: exact quantiles WITHOUT a global sort —
+  per-batch value-count partials over the (priority, price) domain,
+  one groupby fold, then a per-priority weighted-histogram walk. Money
+  domains are bounded (≤10⁸ cent buckets), so the folded histogram is
+  O(domain), independent of row count — the pattern survives 100 TB
+  where a per-key ``np.sort`` of raw rows would not.
+- ``distinct_users_daily``: two-phase exact distinct — batch-local
+  dedup, ONE groupby over (day,user) pairs to dedup globally, then a
+  per-batch partial count folded per day; nothing holds a whole day's
+  users in memory at once.
+- ``hll_users_per_type``: HyperLogLog (Flajolet et al. 2007, public
+  algorithm) — per-batch 2^p-register sketches per key, merged with an
+  elementwise max in a small groupby fold; the canonical mergeable-
+  sketch shape for 100 TB distinct-counting (registers are 4 KiB per
+  key regardless of cardinality). Deterministic (fixed fnv64 hash);
+  rows-only check, with an error-bound test vs the exact counts.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Sum
+
+from ..functions.hashing import splitmix64
+from .joins import hash_join
+from .relational import JOIN_PARTITIONS, _read
+
+# ------------------------------------------------------------- anti-join
+
+
+def customers_no_urgent_orders(sf_dir: str, priority: str = "1-URGENT") -> pd.DataFrame:
+    """Per-nation count of customers who never placed a 1-URGENT order
+    — bucketed hash-partitioned LEFT ANTI join (customer ∖ σ(orders)),
+    then a 25-key groupby; nation names patched in via a driver-side
+    25-row lookup (true dimension)."""
+    import pyarrow.parquet as pq
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority"]
+    ).filter(expr=f"o_orderpriority == '{priority}'")
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return t.group_by(["c_custkey"]).aggregate([])
+
+    no_orders = hash_join(
+        cust,
+        orders.map_batches(
+            lambda b: b.select(["o_custkey"]).rename_columns(["c_custkey"]),
+            batch_format="pyarrow",
+        ),
+        on="c_custkey",
+        num_partitions=JOIN_PARTITIONS,
+        right_agg=distinct_keys,
+        join_type="left anti",
+        left_schema=[("c_custkey", pa.int64()), ("c_nationkey", pa.int64())],
+        right_schema=[("c_custkey", pa.int64())],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_nationkey"]).aggregate([("c_custkey", "count")])
+        return g.rename_columns(["c_nationkey", "n"])
+
+    df = (
+        no_orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n", alias_name="n_customers"))
+        .to_pandas()
+    )
+    if df.empty:  # empty groupby loses its column labels
+        df = pd.DataFrame({"c_nationkey": [], "n_customers": []})
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    df = df.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    df["n_customers"] = df["n_customers"].astype("int64")
+    return (
+        df[["n_name", "n_customers"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+NO_ORDERS_SQL = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ------------------------------------------------- exact quantiles (no sort)
+
+
+def order_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete p50/p90 of o_totalprice per order priority via
+    the bounded-domain histogram fold (module docstring). Matches
+    DuckDB ``quantile_disc`` (index = max(⌈q·n⌉−1, 0))."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_e2 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        t = pa.table(
+            {"o_orderpriority": batch["o_orderpriority"], "price_e2": price_e2}
+        )
+        g = t.group_by(["o_orderpriority", "price_e2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "price_e2", "cnt"])
+
+    folded = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "price_e2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def per_priority(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("price_e2")
+        v = g["price_e2"].to_numpy()
+        c = g["cnt"].to_numpy()
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def q(frac: float) -> int:
+            target = max(math.ceil(frac * n), 1)  # 1-based rank
+            return int(v[np.searchsorted(cum, target, side="left")])
+
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "p50_e2": [q(0.5)],
+                "p90_e2": [q(0.9)],
+                "n_orders": [n],
+            }
+        )
+
+    df = (
+        folded.groupby("o_orderpriority")
+        .map_groups(per_priority, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("p50_e2", "p90_e2", "n_orders"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+PRICE_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+            AS BIGINT) AS p50_e2,
+       CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)
+            AS BIGINT) AS p90_e2,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------- two-phase exact distinct
+
+
+def distinct_users_daily(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user_id) per day: batch-local dedup → one
+    global (day,user) groupby (the dedup shuffle) → per-batch partial
+    counts folded per day."""
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"), format="%Y-%m-%d")
+        t = pa.table({"day": day, "user_id": batch["user_id"]})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["day"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["day", "n"])
+
+    df = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(local_pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_c"))  # global dedup of pairs
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+    )
+    df["n_users"] = df["n_users"].astype("int64")
+    return df.sort_values("day").reset_index(drop=True)
+
+
+DISTINCT_DAILY_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY day ORDER BY day
+"""
+
+
+# ------------------------------------------------------- HyperLogLog sketch
+
+HLL_P = 12  # 2^12 registers → ~1.6% standard error
+HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _hll_add(reg: np.ndarray, hashes: np.ndarray) -> None:
+    """Fold 64-bit hashes into registers: index = top p bits, rank =
+    leading-zero count of the rest + 1 (vectorized)."""
+    idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+    cur = hashes << np.uint64(HLL_P)
+    # leading zeros of the remaining 64−p bits via vectorized binary
+    # reduction (float log2 is lossy near 2^53); all-zero words get the
+    # max count
+    lz = np.full(len(hashes), 64 - HLL_P, dtype=np.uint8)
+    active = cur != 0
+    lz[active] = 0
+    width = 32
+    while width:
+        hi_zero = active & ((cur >> np.uint64(64 - width)) == 0)
+        lz[hi_zero] += width
+        cur[hi_zero] = cur[hi_zero] << np.uint64(width)
+        width //= 2
+    rank = np.minimum(lz + 1, 64 - HLL_P + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+
+
+def _hll_estimate(reg: np.ndarray) -> int:
+    est = _HLL_ALPHA * HLL_M * HLL_M / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * HLL_M and zeros:
+        est = HLL_M * math.log(HLL_M / zeros)  # small-range correction
+    return int(round(est))
+
+
+def hll_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event_type via mergeable HLL:
+    per-batch sketches (one 2^p register array per key in the batch) →
+    groupby(event_type) merge = elementwise max → estimate. Register
+    payloads travel as fixed-size binary; only #keys × #blocks sketch
+    rows ever shuffle."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hashes = splitmix64(users)
+        kinds = np.asarray(batch["event_type"].to_pylist())
+        out_k, out_r = [], []
+        for k in sorted(set(kinds.tolist())):
+            sel = kinds == k
+            reg = np.zeros(HLL_M, dtype=np.uint8)
+            _hll_add(reg, hashes[sel])
+            out_k.append(k)
+            out_r.append(reg.tobytes())
+        return pa.table(
+            {"event_type": pa.array(out_k), "reg": pa.array(out_r, pa.binary())}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        reg = np.zeros(HLL_M, dtype=np.uint8)
+        for b in g["reg"]:
+            np.maximum(reg, np.frombuffer(b, dtype=np.uint8), out=reg)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "est_users": [_hll_estimate(reg)],
+            }
+        )
+
+    df = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(sketch_batch, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    df["est_users"] = df["est_users"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)

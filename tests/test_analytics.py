@@ -1,0 +1,106 @@
+"""Analytics operators: anti-join, sort-free exact quantiles,
+two-phase distinct, HLL sketch — checked vs duckdb/pandas at sf0.001
+(the driver's oracle re-checks the SQL twins at sf0.01)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from gotenberg_ray.pipelines import analytics as AN
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "nation", "events"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAntiJoin:
+    def test_matches_sql(self, sf_dir):
+        got = AN.customers_no_urgent_orders(sf_dir)
+        con = _con(sf_dir)
+        want = con.sql(AN.NO_ORDERS_SQL).df()
+        want["n_customers"] = want["n_customers"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+        assert got["n_customers"].sum() > 0  # non-degenerate input
+
+    def test_all_match_keeps_schema(self, sf_dir):
+        """Every customer has SOME order on this corpus, so the anti
+        join against an unfiltered right side is empty — the result
+        must still carry the (n_name, n_customers) schema."""
+        got = AN.customers_no_urgent_orders(sf_dir, priority="0-NONE")
+        # right side empty → NOTHING eliminated → all customers present
+        assert got["n_customers"].sum() == 150
+        con = _con(sf_dir)
+        empty = con.sql(
+            "SELECT count(DISTINCT o_orderpriority) FROM orders"
+        ).fetchone()[0]
+        assert empty == 5  # '0-NONE' really is absent
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantiles:
+    def test_matches_quantile_disc(self, sf_dir):
+        got = AN.order_price_quantiles(sf_dir)
+        con = _con(sf_dir)
+        want = con.sql(AN.PRICE_QUANTILES_SQL).df()
+        for c in ("p50_e2", "p90_e2", "n_orders"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_quantiles_are_order_stats(self, sf_dir):
+        got = AN.order_price_quantiles(sf_dir)
+        orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+        e2 = np.round(orders["o_totalprice"] * 100).astype("int64")
+        for _, row in got.iterrows():
+            vals = np.sort(e2[orders["o_orderpriority"] == row["o_orderpriority"]])
+            assert row["p50_e2"] in vals and row["p90_e2"] in vals
+            assert row["p50_e2"] <= row["p90_e2"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistinct:
+    def test_matches_count_distinct(self, sf_dir):
+        got = AN.distinct_users_daily(sf_dir)
+        con = _con(sf_dir)
+        want = con.sql(AN.DISTINCT_DAILY_SQL).df()
+        want["n_users"] = want["n_users"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHll:
+    def test_error_bound_vs_exact(self, sf_dir):
+        got = AN.hll_users_per_type(sf_dir)
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        exact = ev.groupby("event_type")["user_id"].nunique()
+        for _, row in got.iterrows():
+            true = exact[row["event_type"]]
+            # 2^12 registers → σ≈1.6%; allow 5σ plus small-count slack
+            assert abs(row["est_users"] - true) <= max(0.1 * true, 3)
+
+    def test_deterministic_and_layout_independent(self, sf_dir):
+        a = AN.hll_users_per_type(sf_dir)
+        b = AN.hll_users_per_type(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_merge_equals_single_sketch(self):
+        """Mergeability: sketching two halves and max-merging equals
+        one sketch over the union (the 100 TB correctness property)."""
+        from gotenberg_ray.functions.hashing import splitmix64
+
+        ids = np.arange(10_000, dtype=np.uint64)
+        h = splitmix64(ids)
+        whole = np.zeros(AN.HLL_M, dtype=np.uint8)
+        AN._hll_add(whole, h)
+        left = np.zeros(AN.HLL_M, dtype=np.uint8)
+        right = np.zeros(AN.HLL_M, dtype=np.uint8)
+        AN._hll_add(left, h[:6000])
+        AN._hll_add(right, h[4000:])  # overlap on purpose
+        merged = np.maximum(left, right)
+        assert np.array_equal(merged, whole)
+        est = AN._hll_estimate(whole)
+        assert abs(est - 10_000) <= 0.05 * 10_000
