@@ -437,9 +437,11 @@ def partition_of(
     rate/k); only the initial burst allowance is transiently k×.
     At production scale ``salt_hosts`` is fed from the previous run's
     host histogram (any host above ~1/P of the corpus)."""
-    h = fnv64(hosts)
+    if not isinstance(hosts, (pa.Array, pa.ChunkedArray)):
+        hosts = pa.array(["" if h is None else h for h in hosts], pa.string())
+    h = fnv64(hosts)  # bounded host pool → fnv64's dictionary dedup hits
     if salt_hosts and salt_k > 1 and url_hashes is not None:
-        hosts_pa = hosts if isinstance(hosts, pa.Array) else pa.array(hosts, pa.string())
+        hosts_pa = hosts if isinstance(hosts, pa.Array) else hosts.combine_chunks()
         hot = pc.is_in(hosts_pa, value_set=pa.array(list(salt_hosts), pa.string()))
         hot_np = hot.to_numpy(zero_copy_only=False)
         if hot_np.any():

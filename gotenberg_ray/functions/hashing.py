@@ -76,7 +76,26 @@ def _as_byte_matrix(strings) -> tuple[np.ndarray, np.ndarray]:
 
 
 def fnv64(strings) -> np.ndarray:
-    """FNV-1a 64-bit over UTF-8 bytes, vectorized. Returns uint64 ndarray."""
+    """FNV-1a 64-bit over UTF-8 bytes, vectorized. Returns uint64 ndarray.
+
+    Duplicate-heavy inputs (host columns over a bounded host pool,
+    re-offered link URLs, templated media refs) are dictionary-encoded
+    first: the byte-matrix hash runs once per DISTINCT string and a
+    C-kernel gather fans results back out. Byte-identical either way."""
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if (
+        isinstance(strings, pa.Array)
+        and pa.types.is_string(strings.type)
+        and len(strings) >= 256
+        and not strings.null_count
+    ):
+        enc = strings.dictionary_encode()
+        uniq = enc.dictionary
+        if len(uniq) * 4 <= len(strings) * 3:  # ≥25% duplication
+            h_uniq = fnv64(uniq)
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            return h_uniq[idx]
     mat, lengths = _as_byte_matrix(strings)
     n, max_len = mat.shape
     h = np.full(n, FNV64_OFFSET, dtype=np.uint64)

@@ -200,3 +200,26 @@ def render_markdown_template(template_html: str, md_files: dict[str, str]) -> st
         return sanitize_html(markdown_to_html(md_files[name]))
 
     return _TO_HTML_RE.sub(repl, template_html)
+
+
+# ------------------------------------------------------------- render memo
+#
+# Crawl corpora repeat source documents across fetched URLs (the bench
+# frontier renders ~20k distinct docs ~25×; real mirrors/boilerplate
+# behave the same), so the render is memoized per worker PROCESS.
+# Pure-function cache: results are byte-identical with or without it.
+_RENDER_CACHE: dict[str, str] = {}
+_RENDER_CACHE_MAX = 65_536  # entries; cleared wholesale when full
+
+
+def render_markdown_cached(md: str) -> str:
+    """``sanitize_html(markdown_to_html(md))`` with a process-level
+    memo (bounded; cleared when full rather than LRU-tracked — the hit
+    path must stay one dict probe)."""
+    out = _RENDER_CACHE.get(md)
+    if out is None:
+        if len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
+            _RENDER_CACHE.clear()
+        out = sanitize_html(markdown_to_html(md))
+        _RENDER_CACHE[md] = out
+    return out

@@ -149,13 +149,85 @@ _FAST_EXTRACT_PAT = (
 )
 
 
-def canonicalize_batch(urls) -> tuple[pa.Array, pa.Array, np.ndarray]:
+class _CanonCache:
+    """Process-level memo for (raw url → canon, host, fnv64) — the
+    crawl re-offers the same link URLs across epochs (a bounded link
+    universe / site graph revisits pages), so each worker converges to
+    an all-hit regime where admission costs ONE ``pc.index_in`` probe +
+    three takes per batch instead of regex + RFC-3986 + FNV per URL.
+
+    Pure-function cache: results are byte-identical with or without it
+    (determinism/checkpoint tests cover both paths). Bounded: reset
+    wholesale at ``cap`` distinct URLs."""
+
+    __slots__ = ("raw", "canon", "host", "hashes", "cap")
+
+    def __init__(self, cap: int = 1 << 20):
+        self.raw: pa.Array | None = None
+        self.canon: pa.Array | None = None
+        self.host: pa.Array | None = None
+        self.hashes: np.ndarray | None = None
+        self.cap = cap
+
+    def add(self, raw: pa.Array, canon: pa.Array, host: pa.Array, hashes: np.ndarray):
+        import pyarrow.compute as pc
+
+        if self.raw is not None and len(self.raw) + len(raw) > self.cap:
+            self.raw = None
+        if self.raw is None:
+            first = ~pd_duplicated(raw)
+            sel = pa.array(first)
+            self.raw = raw.filter(sel)
+            self.canon = canon.filter(sel)
+            self.host = host.filter(sel)
+            self.hashes = hashes[first]
+            return
+        # dedupe new entries against the known set before concat
+        idx = pc.index_in(raw, value_set=self.raw)
+        fresh = idx.is_null()
+        if isinstance(fresh, pa.ChunkedArray):  # pragma: no cover
+            fresh = fresh.combine_chunks()
+        fresh_np = fresh.to_numpy(zero_copy_only=False)
+        if not fresh_np.any():
+            return
+        # also dedupe within the batch itself
+        sel = pa.array(fresh_np)
+        raw_f = raw.filter(sel)
+        first = ~pd_duplicated(raw_f)
+        sel2 = pa.array(first)
+        self.raw = pa.concat_arrays([self.raw, raw_f.filter(sel2)])
+        self.canon = pa.concat_arrays([self.canon, canon.filter(sel).filter(sel2)])
+        self.host = pa.concat_arrays([self.host, host.filter(sel).filter(sel2)])
+        self.hashes = np.concatenate([self.hashes, hashes[fresh_np][first]])
+
+
+def pd_duplicated(arr: pa.Array) -> np.ndarray:
+    """True for second-and-later occurrences of a value (vectorized)."""
+    import pyarrow.compute as pc
+
+    idx = pc.index_in(arr, value_set=arr.unique())
+    idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    out = np.empty(len(arr), dtype=bool)
+    # first-occurrence detection without a Python loop: stable argsort
+    # by unique-id, mark position where the id changes
+    order = np.argsort(idx_np, kind="stable")
+    sorted_ids = idx_np[order]
+    first_sorted = np.r_[True, sorted_ids[1:] != sorted_ids[:-1]]
+    out[order] = ~first_sorted
+    return out
+
+
+_CANON_CACHE = _CanonCache()
+
+
+def canonicalize_batch(urls, use_cache: bool = True) -> tuple[pa.Array, pa.Array, np.ndarray]:
     """Vectorized entry point: (url_canon, host, url_hash:uint64).
 
     Already-canonical http(s) URLs (the crawl hot path) are recognized
     and re-assembled entirely in Arrow C kernels (one extract_regex +
     one join per batch); only the residue goes through the per-row
-    RFC-3986 parser."""
+    RFC-3986 parser. Repeated URLs hit the process-level memo
+    (``_CanonCache``) and skip both."""
     import pyarrow.compute as pc
 
     if isinstance(urls, pa.ChunkedArray):
@@ -166,6 +238,45 @@ def canonicalize_batch(urls) -> tuple[pa.Array, pa.Array, np.ndarray]:
         arr = pa.array(["" if u is None else u for u in urls], pa.string())
     if arr.null_count:
         arr = pc.fill_null(arr, "")
+
+    cache = _CANON_CACHE if use_cache else None
+    if cache is not None and cache.raw is not None and len(arr):
+        idx = pc.index_in(arr, value_set=cache.raw)
+        if isinstance(idx, pa.ChunkedArray):  # pragma: no cover
+            idx = idx.combine_chunks()
+        miss = idx.is_null().to_numpy(zero_copy_only=False)
+        if not miss.any():
+            idx_np = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            return (
+                cache.canon.take(idx),
+                cache.host.take(idx),
+                cache.hashes[idx_np],
+            )
+        # compute only the misses, merge with hits positionally.
+        # Snapshot the known arrays FIRST — add() may reset the cache
+        # at the cap, which would invalidate the hit indices.
+        k_canon, k_host, k_hashes = cache.canon, cache.host, cache.hashes
+        miss_pa = pa.array(miss)
+        m_canon, m_host, m_hash = canonicalize_batch(arr.filter(miss_pa), use_cache=False)
+        cache.add(arr.filter(miss_pa), m_canon, m_host, m_hash)
+        hit = ~miss
+        n = len(arr)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        canon_out = np.empty(n, dtype=object)
+        host_out = np.empty(n, dtype=object)
+        hash_out = np.empty(n, dtype=np.uint64)
+        hit_idx = idx_np[hit].astype(np.int64)
+        canon_out[hit] = k_canon.take(pa.array(hit_idx)).to_numpy(zero_copy_only=False)
+        host_out[hit] = k_host.take(pa.array(hit_idx)).to_numpy(zero_copy_only=False)
+        hash_out[hit] = k_hashes[hit_idx]
+        canon_out[miss] = m_canon.to_numpy(zero_copy_only=False)
+        host_out[miss] = m_host.to_numpy(zero_copy_only=False)
+        hash_out[miss] = m_hash
+        return (
+            pa.array(canon_out, pa.string()),
+            pa.array(host_out, pa.string()),
+            hash_out,
+        )
     ext = pc.extract_regex(arr, pattern=_FAST_EXTRACT_PAT)
     fast = ext.is_valid().to_numpy(zero_copy_only=False)
     scheme = pc.struct_field(ext, "scheme")
@@ -184,7 +295,11 @@ def canonicalize_batch(urls) -> tuple[pa.Array, pa.Array, np.ndarray]:
             hosts_list[i] = h
         canon_a = pa.array(canon_list, pa.string())
         host_f = pa.array(hosts_list, pa.string())
+    if host_f.null_count:
+        host_f = pc.fill_null(host_f, "")
     hashes = fnv64(canon_a)
+    if cache is not None and len(arr):
+        cache.add(arr, canon_a, host_f, hashes)
     return canon_a, host_f, hashes
 
 

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 from .. import spans as S
 from . import convert_vec as CV
-from ..functions.markdown import markdown_to_html, sanitize_html
+from ..functions.markdown import render_markdown_cached
 from .convert_vec import _render_template
 from ..schemas import (
     ERR_INVALID_INPUT,
@@ -611,7 +611,7 @@ def _convert_rows_fallback(batch: pa.Table) -> pa.Table:
             spans_i = spans_col[i]
             if routes[i] == "convert/markdown":
                 spans_i = [
-                    {**s, "text": sanitize_html(markdown_to_html(s["text"]))}
+                    {**s, "text": render_markdown_cached(s["text"])}
                     if s["kind"] == KIND_TEXT
                     else s
                     for s in spans_i

@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import spans as S
-from ..functions.markdown import markdown_to_html, sanitize_html
+from ..functions.markdown import render_markdown_cached
 from ..schemas import (
     KIND_EMBED,
     KIND_MEDIA,
@@ -191,7 +191,7 @@ class _Group:
         texts = self.base_text.take(pa.array(self.src[idx])).to_pylist()
         start = len(self.new_text)
         for t in texts:
-            self.new_text.append(sanitize_html(markdown_to_html(t or "")))
+            self.new_text.append(render_markdown_cached(t or ""))
             self.new_kind.append(TEXT)
             self.new_media.append("")
         self.src[idx] = -(np.arange(start, start + len(idx), dtype=np.int64) + 1)
@@ -223,11 +223,17 @@ class _Group:
         pos, row, sub, page = pos[order], row[order], sub[order], page[order]
         total = pages[row]
         ids = np.empty(len(pos), dtype=np.int64)
+        # distinct (which-template, page, total) triples are O(max pages
+        # per row) — render each once, reuse the string object
+        memo: dict[tuple[int, int, int], str] = {}
         for j in range(len(pos)):
-            tpl = header_tpl if sub[j] == 0 else footer_tpl
-            ids[j] = self._new_span(
-                TEXT, _render_template(tpl, int(page[j]), int(total[j]))
-            )
+            key = (int(sub[j]), int(page[j]), int(total[j]))
+            txt = memo.get(key)
+            if txt is None:
+                tpl = header_tpl if sub[j] == 0 else footer_tpl
+                txt = _render_template(tpl, key[1], key[2])
+                memo[key] = txt
+            ids[j] = self._new_span(TEXT, txt)
         self._insert(row, pos, ids, np.full(len(pos), TEXT))
 
     def outline_bookmarks(self) -> list[str]:

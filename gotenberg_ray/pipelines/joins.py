@@ -64,7 +64,7 @@ def partition_ids(key_col: pa.ChunkedArray | pa.Array, num_partitions: int) -> p
         k = key_col.to_numpy(zero_copy_only=False).astype(np.uint64)
         h = _mix64(k)
     else:
-        h = fnv64(key_col.to_pylist())
+        h = fnv64(key_col)
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
 
 
