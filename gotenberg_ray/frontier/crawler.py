@@ -958,9 +958,13 @@ def run_crawl(
     # (bounded driver RSS at 10^10 fetches — one file per epoch, so a
     # resumed run can skip finished partitions).  The in-memory list is
     # the fallback for small/pages-less runs (tests, parity checks).
+    # NB: the log dir is a SIBLING of pages_dir, not a child — pages_dir
+    # is read back as one hive-partitioned dataset (epoch=NNNNNN/ dirs),
+    # and log files carry an int64 ``epoch`` column that would collide
+    # with the string partition field during schema unification.
     fetch_log_dir: str | None = None
     if log_sink is None and pages_dir is not None and cfg.detailed_logs:
-        fetch_log_dir = os.path.join(pages_dir, "fetch_log")
+        fetch_log_dir = pages_dir.rstrip("/") + "_fetch_log"
         os.makedirs(fetch_log_dir, exist_ok=True)
 
         def log_sink(t: pa.Table, _d=fetch_log_dir) -> None:

@@ -196,3 +196,69 @@ def hamming64(a: np.ndarray, b: int) -> np.ndarray:
     x = np.asarray(a, dtype=np.uint64) ^ np.uint64(b)
     # popcount via unpackbits on the byte view
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+def shingle_hashes_batch(
+    texts: pa.Array | pa.ChunkedArray, n: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-gram shingle hashes for a WHOLE text column at once:
+    (uint64 values, int64 row offsets). Identical values to calling
+    ``shingle_hashes(text.split(), n)`` per row — the shingle strings
+    are materialized by C kernels (split_whitespace + element-wise
+    join) and hashed in ONE ``fnv64`` call, so the per-row Python of
+    the scalar path (string slicing + joins) never runs."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    toks = pc.utf8_split_whitespace(texts)
+    n_rows = len(toks)
+    # Arrow's split keeps empty tokens at string edges; str.split() does
+    # not — drop them so both paths tokenize identically
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = toks.values
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+    lens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+
+    # rows with ≥ n tokens emit len - n + 1 shingles; shorter non-empty
+    # rows emit ONE shingle (all tokens joined); empty rows emit none
+    full = np.maximum(lens - n + 1, 0)
+    short = (lens > 0) & (lens < n)
+    out_lens = full + short.astype(np.int64)
+
+    # n-gram starts for the full rows: flat indices offs[r] .. offs[r]+full[r)
+    row_of = np.repeat(np.arange(n_rows), full)
+    within = np.arange(int(full.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(full) - full, full
+    )
+    starts = offs[:-1][row_of] + within
+    cols = [flat.take(pa.array(starts + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*cols, pa.scalar(" "))
+
+    if short.any():
+        short_rows = np.nonzero(short)[0]
+        clean = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat)
+        joined = pc.binary_join(
+            clean.take(pa.array(short_rows)), pa.scalar(" ")
+        )
+        # interleave: shingle stream is ordered by row, so concat the
+        # two streams and re-sort by (row, position)
+        g_row = np.concatenate([row_of, short_rows])
+        g_pos = np.concatenate([within, np.zeros(len(short_rows), np.int64)])
+        all_grams = pa.concat_arrays([grams, joined])
+        order = np.lexsort((g_pos, g_row))
+        all_grams = all_grams.take(pa.array(order))
+    else:
+        all_grams = grams
+
+    values = fnv64(all_grams)
+    out_offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_offs[1:])
+    return values, out_offs

@@ -9,11 +9,13 @@ Scale contracts:
   side is pre-shrunk to distinct keys per partition by the fused
   combiner, so the local anti probe sees keys, not orders rows.
 - ``order_price_quantiles``: exact quantiles WITHOUT a global sort —
-  per-batch value-count partials over the (priority, price) domain,
-  one groupby fold, then a per-priority weighted-histogram walk. Money
-  domains are bounded (≤10⁸ cent buckets), so the folded histogram is
-  O(domain), independent of row count — the pattern survives 100 TB
-  where a per-key ``np.sort`` of raw rows would not.
+  per-batch value-count partials, ONE groupby shuffle keyed by the
+  (low-cardinality) group column, then a weighted cumsum walk per key.
+  The shuffle moves at most Σ min(batch, domain) partial rows; money
+  domains are bounded (≤10⁸ cent buckets) so the per-key slice is
+  O(domain) not O(rows). If even the domain outgrows a worker, the
+  exact fallback is iterative bisection (count-below passes), trading
+  log(domain) streaming passes for O(1) memory.
 - ``distinct_users_daily``: two-phase exact distinct — batch-local
   dedup, ONE groupby over (day,user) pairs to dedup globally, then a
   per-batch partial count folded per day; nothing holds a whole day's
@@ -111,7 +113,7 @@ GROUP BY n_name ORDER BY n_name
 
 def order_price_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact discrete p50/p90 of o_totalprice per order priority via
-    the bounded-domain histogram fold (module docstring). Matches
+    per-batch value counts + one groupby (module docstring). Matches
     DuckDB ``quantile_disc`` (index = max(⌈q·n⌉−1, 0))."""
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -122,18 +124,12 @@ def order_price_quantiles(sf_dir: str) -> pd.DataFrame:
         g = t.group_by(["o_orderpriority", "price_e2"]).aggregate([([], "count_all")])
         return g.rename_columns(["o_orderpriority", "price_e2", "cnt"])
 
-    folded = (
-        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["o_orderpriority", "price_e2"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
-
     def per_priority(g: pd.DataFrame) -> pd.DataFrame:
+        # partials may repeat a price across blocks — sort keeps equal
+        # prices adjacent, so the weighted cumsum walk needs no pre-fold
         g = g.sort_values("price_e2")
         v = g["price_e2"].to_numpy()
-        c = g["cnt"].to_numpy()
-        cum = np.cumsum(c)
+        cum = np.cumsum(g["cnt"].to_numpy())
         n = int(cum[-1])
 
         def q(frac: float) -> int:
@@ -150,7 +146,9 @@ def order_price_quantiles(sf_dir: str) -> pd.DataFrame:
         )
 
     df = (
-        folded.groupby("o_orderpriority")
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
         .map_groups(per_priority, batch_format="pandas")
         .to_pandas()
     )

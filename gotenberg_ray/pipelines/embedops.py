@@ -240,55 +240,29 @@ IVF_NPROBE = 4
 IVF_ITERS = 2
 
 
+IVF_TRAIN_SAMPLE = 65_536  # rows; bounded regardless of dataset size
+
+
 def _ivf_centroids(sf_dir: str) -> np.ndarray:
-    """Distributed mini-kmeans: deterministic init (the K lowest
-    vec_ids), then ``IVF_ITERS`` Lloyd rounds where each round is ONE
-    streaming pass — per-batch partial (cid, count, Σvec) rows — and a
-    driver reduce over only K × #blocks tiny partials (the centroid
-    matrix is K×d floats, never the dataset)."""
-    init = (
-        _emb(sf_dir)
-        .filter(expr=f"vec_id < {IVF_K}")
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    cents = np.stack(init["embedding"].to_numpy()).astype(np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    """Sample-trained mini-kmeans: ONE bounded ``take_batch`` pulls a
+    deterministic training sample (first rows in storage order, capped
+    at ``IVF_TRAIN_SAMPLE`` — K×d centroids need only a representative
+    sample, the standard IVF training practice), then ``IVF_ITERS``
+    Lloyd rounds run in-memory numpy. Deterministic init: the K
+    lowest-vec_id sample rows. The full dataset is only ever touched by
+    the single distributed probe pass in ``knn_ivf``."""
+    t = _emb(sf_dir).take_batch(IVF_TRAIN_SAMPLE, batch_format="pyarrow")
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False), kind="stable")
+    m = _batch_matrix(t)[order]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cents = mn[:IVF_K].copy()
 
     for _ in range(IVF_ITERS):
-        c_ref = ray.put(cents)
-
-        class PartialAssign:
-            def __init__(self):
-                self.c = ray.get(c_ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                m = _batch_matrix(batch)
-                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-                cid = np.argmax(mn @ self.c.T, axis=1)
-                out_c, out_n, out_s = [], [], []
-                for c in np.unique(cid):
-                    sel = mn[cid == c]
-                    out_c.append(int(c))
-                    out_n.append(len(sel))
-                    out_s.append(sel.sum(axis=0))
-                return pa.table(
-                    {
-                        "cid": pa.array(out_c, pa.int64()),
-                        "n": pa.array(out_n, pa.int64()),
-                        "svec": pa.array([s.tolist() for s in out_s]),
-                    }
-                )
-
-        parts = (
-            _emb(sf_dir)
-            .map_batches(PartialAssign, batch_format="pyarrow", concurrency=2)
-            .to_pandas()  # K × #blocks rows — small by construction
-        )
+        cid = np.argmax(mn @ cents.T, axis=1)
         new = cents.copy()
-        for c, grp in parts.groupby("cid"):
-            s = np.stack(grp["svec"].to_numpy()).sum(axis=0)
-            new[int(c)] = s / max(int(grp["n"].sum()), 1)
+        for c in np.unique(cid):
+            sel = mn[cid == c]
+            new[c] = sel.sum(axis=0) / len(sel)
         cents = new / np.linalg.norm(new, axis=1, keepdims=True)
     return cents
 

@@ -419,18 +419,39 @@ LIMIT 20
 
 
 def top_parts_by_revenue(sf_dir: str) -> pd.DataFrame:
+    """Top-10 parts by revenue. The part-key domain is large (N/5
+    keys), so a key-level groupby pays per-group overhead N/5 times;
+    instead the partials carry an explicit ``pid = mix64(key) % P``
+    and ONE P-group shuffle co-locates each key, where a C-kernel
+    ``pyarrow.group_by`` folds it and only the per-bucket top-10
+    (P × 10 rows) leaves the workers."""
+    from .joins import partition_ids
+
     def per_batch(batch: pa.Table) -> pa.Table:
-        return (
+        g = (
             pa.table({"l_partkey": batch["l_partkey"], "rev": _rev_e4(batch)})
             .group_by(["l_partkey"])
             .aggregate([("rev", "sum")])
         )
+        return g.append_column("pid", partition_ids(g.column("l_partkey"), JOIN_PARTITIONS))
+
+    def fold_bucket(part: pa.Table) -> pa.Table:
+        g = (
+            part.select(["l_partkey", "rev_sum"])
+            .group_by(["l_partkey"])
+            .aggregate([("rev_sum", "sum")])
+            .rename_columns(["l_partkey", "revenue_e4"])
+        )
+        order = pc.sort_indices(
+            g, sort_keys=[("revenue_e4", "descending"), ("l_partkey", "ascending")]
+        )
+        return g.take(order[:10])
 
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
     df = (
         ds.map_batches(per_batch, batch_format="pyarrow")
-        .groupby("l_partkey", num_partitions=JOIN_PARTITIONS)
-        .aggregate(Sum("rev_sum", alias_name="revenue_e4"))
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(fold_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     df["revenue_e4"] = df["revenue_e4"].astype("int64")

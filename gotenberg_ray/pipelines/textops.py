@@ -26,6 +26,7 @@ from ..functions.hashing import (
     hamming64,
     minhash_signature,
     shingle_hashes,
+    shingle_hashes_batch,
     simhash64,
 )
 from ..schemas import KIND_TEXT, SPANS_TYPE, make_span
@@ -302,12 +303,13 @@ def _gram_sets(sf_dir: str) -> rd.Dataset:
     re-tokenizes a text)."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        vals, offs = shingle_hashes_batch(batch["text"], n=3)
+        n = len(offs) - 1
         parts = [
-            np.unique(shingle_hashes((text or "").split(), n=3))
-            for text in batch["text"].to_pylist()
+            np.unique(vals[offs[i] : offs[i + 1]]) for i in range(n)
         ]
         values = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
-        offsets = np.zeros(len(parts) + 1, dtype=np.int32)
+        offsets = np.zeros(n + 1, dtype=np.int32)
         np.cumsum([len(p) for p in parts], out=offsets[1:])
         lists = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
         return pa.table({"doc_id": batch["doc_id"], "grams": lists})
