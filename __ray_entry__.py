@@ -162,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": T.DOC_TOKENS_SQL,
         "doc_quality": T.DOC_QUALITY_SQL,
         "dedup_exact": T.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
         "subresource_admission": A.ADMISSION_SQL,
@@ -172,7 +173,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_stats": E.LABEL_STATS_SQL,
         "embedding_dup_pairs": E.DUP_PAIRS_SQL,
         # no oracle (sketches / heuristics / approximate search):
-        # dedup_minhash, dedup_simhash, dedup_ngram_jaccard,
-        # lang_id_confusion, doc_fingerprints, knn_lsh, knn_ivf,
-        # hll_users_per_type
+        # dedup_minhash, dedup_simhash, lang_id_confusion,
+        # doc_fingerprints, knn_lsh, knn_ivf, hll_users_per_type
     }

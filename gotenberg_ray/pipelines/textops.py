@@ -187,6 +187,51 @@ _EMPTY_PAIRS = {
 }
 
 
+# Brute-force twin of dedup_ngram_jaccard: grams are the same
+# space-joined word 3-grams (whitespace split, empties dropped; <3
+# tokens → one all-tokens shingle; empty text → none, with J(∅,∅)=1),
+# compared as strings where the engine compares fnv64 hashes — equal
+# results absent a 64-bit collision (validated exact at sf0.001/0.01).
+NGRAM_JACCARD_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(toks) = 0 THEN []::VARCHAR[]
+      WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+      ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          FOR i IN generate_series(1, len(toks) - 2)])
+    END AS grams
+  FROM w
+),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS i
+  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(grams)::BIGINT AS sz FROM g),
+pairs AS (
+  SELECT a_id, b_id, i / (sa.sz + sb.sz - i)::DOUBLE AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.a_id
+  JOIN sizes sb ON sb.doc_id = inter.b_id
+),
+empties AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, 1.0::DOUBLE AS j
+  FROM sizes a JOIN sizes b
+    ON a.sz = 0 AND b.sz = 0 AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, round(j, 4) AS jaccard
+FROM (SELECT * FROM pairs WHERE j >= 0.3 UNION ALL SELECT * FROM empties)
+ORDER BY a_id, b_id
+"""
+
+
 def _bucket_candidate_pairs(
     buckets: rd.Dataset, num_partitions: int = 16
 ) -> rd.Dataset:

@@ -68,6 +68,22 @@ def test_ngram_jaccard_is_exact(ray_session, corpus_dir):
     assert ((got["a_id"] == 0) & (got["b_id"] == 200)).any()  # exact dup
 
 
+def test_ngram_jaccard_sql_twin_matches_brute_force(corpus_dir):
+    # the DuckDB oracle (string grams) must equal the engine's
+    # definition (fnv64-hashed grams) — same tokenization, same
+    # short-doc and empty-doc conventions, same rounding
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{corpus_dir}/documents.parquet')"
+    )
+    got = con.execute(X.NGRAM_JACCARD_SQL).df()
+    exp = brute_pairs(corpus_dir, 0.3)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_minhash_verification_is_distributed_and_correct(ray_session, corpus_dir):
     got = X.dedup_minhash(corpus_dir, jaccard_threshold=0.5)
     exp = brute_pairs(corpus_dir, 0.5)
