@@ -668,6 +668,49 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
     return _verify_pairs_distributed(cands, sf_dir, threshold, grams=grams)
 
 
+def dedup_clusters(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
+    """Near-dup cluster resolution: connected components over the exact
+    n-gram-Jaccard pair graph (``pipelines/graph.py`` — distributed
+    hash-min label propagation, driver union-find below 2M edges).
+    Returns (doc_id, cluster_rep) for every doc in a near-dup cluster;
+    a training pipeline keeps the rows where doc_id == cluster_rep and
+    drops the rest."""
+    from .graph import connected_components
+
+    pairs = dedup_ngram_jaccard(sf_dir, threshold=threshold)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(pairs["a_id"].to_numpy(), pa.int64()),
+                "v": pa.array(pairs["b_id"].to_numpy(), pa.int64()),
+            }
+        )
+    )
+    return connected_components(edges).to_pandas()
+
+
+# Transitive closure of the same pair graph via a recursive CTE:
+# cluster_rep(u) = min id reachable from u (including u itself).
+CLUSTERS_SQL = (
+    "WITH RECURSIVE jac AS (\n"
+    + NGRAM_JACCARD_SQL
+    + """),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM jac
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM jac
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+)
+
+
 # ------------------------------------------------- span-pipeline round trip
 
 

@@ -1,0 +1,100 @@
+"""Connected components (near-dup cluster resolution): the driver
+union-find and the distributed hash-min label propagation must produce
+identical components, and the dedup_clusters SQL twin must match."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from gotenberg_ray.pipelines import graph as G
+
+
+def _edges(pairs):
+    u = [a for a, _ in pairs]
+    v = [b for _, b in pairs]
+    return rd.from_arrow(
+        pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+    )
+
+
+EXPECT = pd.DataFrame(
+    {
+        # chain 1-2-3-4 → rep 1; pair (10,11) → 10; star 20-{21,22,23} → 20
+        "doc_id": [1, 2, 3, 4, 10, 11, 20, 21, 22, 23],
+        "cluster_rep": [1, 1, 1, 1, 10, 10, 20, 20, 20, 20],
+    }
+)
+PAIRS = [(2, 1), (2, 3), (4, 3), (10, 11), (20, 21), (22, 20), (20, 23)]
+
+
+def test_union_find_path(ray_session):
+    got = G.connected_components(_edges(PAIRS)).to_pandas()
+    pd.testing.assert_frame_equal(got, EXPECT)
+
+
+def test_distributed_label_propagation_matches(ray_session):
+    # driver_max_edges=0 forces the shuffle-join rounds; a chain needs
+    # several rounds, so convergence detection is exercised too
+    got = G.connected_components(
+        _edges(PAIRS), driver_max_edges=0, num_partitions=4
+    ).to_pandas()
+    pd.testing.assert_frame_equal(got, EXPECT)
+
+
+def test_empty_edges(ray_session):
+    got = G.connected_components(_edges([])).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["doc_id", "cluster_rep"]
+
+
+def test_dedup_clusters_and_sql_twin(ray_session, tmp_path):
+    # corpus with two 3-doc near-dup chains (A≈B≈C via one-word edits)
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(80)]
+    base1 = " ".join(rng.choice(vocab, size=40))
+    base2 = " ".join(rng.choice(vocab, size=40))
+
+    def mutate(t, tag):
+        toks = t.split()
+        toks[5] = tag
+        return " ".join(toks)
+
+    texts = [base1, mutate(base1, "x1"), mutate(base1, "x2"),
+             base2, mutate(base2, "y1"), mutate(base2, "y2")]
+    texts += [" ".join(rng.choice(vocab, size=40)) for _ in range(10)]
+    ids = list(range(len(texts)))
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(ids)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+
+    from gotenberg_ray.pipelines import textops as X
+
+    got = X.dedup_clusters(str(tmp_path), threshold=0.5)
+    # both chains collapse to their min id
+    assert set(got[got["cluster_rep"] == 0]["doc_id"]) == {0, 1, 2}
+    assert set(got[got["cluster_rep"] == 3]["doc_id"]) == {3, 4, 5}
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sql = con.execute(X.CLUSTERS_SQL.replace(">= 0.3", ">= 0.5")).df()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), sql.astype("int64"), check_dtype=False
+    )
