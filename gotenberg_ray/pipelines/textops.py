@@ -342,13 +342,13 @@ def _gram_values(
     return vals, offs
 
 
-def _gram_sets(sf_dir: str) -> rd.Dataset:
-    """Per-doc sorted distinct word-3-gram hashes as a list<uint64>
+def _gram_sets(sf_dir: str, ngram: int = 3) -> rd.Dataset:
+    """Per-doc sorted distinct word-n-gram hashes as a list<uint64>
     column (computed once per doc — pair verification then never
     re-tokenizes a text)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        vals, offs = shingle_hashes_batch(batch["text"], n=3)
+        vals, offs = shingle_hashes_batch(batch["text"], n=ngram)
         n = len(offs) - 1
         parts = [
             np.unique(vals[offs[i] : offs[i + 1]]) for i in range(n)
@@ -709,6 +709,148 @@ SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
 FROM reach GROUP BY u ORDER BY doc_id
 """
 )
+
+
+def contamination_check(
+    sf_dir: str, ngram: int = 5, min_shared: int = 3, eval_mod: int = 20
+) -> pd.DataFrame:
+    """Benchmark-contamination scan: training docs that share ≥ k
+    distinct word-5-grams with any eval-set doc (here eval =
+    ``doc_id % eval_mod == 0``; in production, the held-out benchmark
+    table). The standard pre-training hygiene step — leaked eval
+    passages inflate benchmark scores.
+
+    Plan: one shingle pass builds per-doc distinct gram sets →
+    exploded (gram, doc_id) postings are hash-partitioned BY GRAM
+    (each gram lives in exactly one partition, so per-partition
+    eval×train matches are exact partial intersection counts) → one
+    groupby over (eval_id, train_id) sums the partials and filters
+    ≥ min_shared. Posting lists for 5-grams are near-unique, so no
+    partition hotspots; nothing touches the driver until the final
+    (tiny) flagged-pair list."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        larr = batch["grams"]
+        if isinstance(larr, pa.ChunkedArray):
+            larr = larr.combine_chunks()
+        vals = larr.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        offs = larr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = vals[offs[0] : offs[-1]]
+        lens = np.diff(offs)
+        rep = np.repeat(doc_ids, lens).astype(np.int64)
+        pid = (vals % np.uint64(16)).astype(np.int32)
+        return pa.table(
+            {
+                "gram": pa.array(vals),
+                "doc_id": pa.array(rep),
+                "_pid": pa.array(pid),
+            }
+        )
+
+    def pairs_in_partition(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        is_eval = (df["doc_id"] % eval_mod) == 0
+        ev, tr = df[is_eval], df[~is_eval]
+        if ev.empty or tr.empty:
+            return pa.table(
+                {
+                    "eval_id": pa.array([], pa.int64()),
+                    "train_id": pa.array([], pa.int64()),
+                    "shared_grams": pa.array([], pa.int64()),
+                    "_pair_pid": pa.array([], pa.int32()),
+                }
+            )
+        m = ev.merge(tr, on="gram", suffixes=("_e", "_t"))
+        c = (
+            m.groupby(["doc_id_e", "doc_id_t"], sort=False)
+            .size()
+            .reset_index(name="shared_grams")
+        )
+        e_ids = c["doc_id_e"].to_numpy(np.int64)
+        t_ids = c["doc_id_t"].to_numpy(np.int64)
+        # partition id for the fold shuffle, keyed by the PAIR so both
+        # partials of a pair land together
+        pid = (
+            (e_ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ^ t_ids.astype(np.uint64)
+        ) % np.uint64(16)
+        return pa.table(
+            {
+                "eval_id": pa.array(e_ids, pa.int64()),
+                "train_id": pa.array(t_ids, pa.int64()),
+                "shared_grams": pa.array(
+                    c["shared_grams"].to_numpy(), pa.int64()
+                ),
+                "_pair_pid": pa.array(pid.astype(np.int32)),
+            }
+        )
+
+    partials = (
+        _gram_sets(sf_dir, ngram=ngram)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("_pid", num_partitions=16)
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
+    )
+
+    # sub-threshold pairs (docs sharing just one common phrase) can be
+    # numerous on real text, so the partial sums fold in a SECOND
+    # distributed groupby — only pairs already ≥ min_shared reach the
+    # driver
+    def fold(part: pa.Table) -> pa.Table:
+        df = (
+            part.to_pandas()
+            .groupby(["eval_id", "train_id"], sort=False)["shared_grams"]
+            .sum()
+            .reset_index()
+        )
+        df = df[df["shared_grams"] >= min_shared]
+        return pa.table(
+            {
+                "eval_id": pa.array(df["eval_id"].to_numpy(), pa.int64()),
+                "train_id": pa.array(df["train_id"].to_numpy(), pa.int64()),
+                "shared_grams": pa.array(
+                    df["shared_grams"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    df = (
+        partials.groupby("_pair_pid", num_partitions=16)
+        .map_groups(fold, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values(["eval_id", "train_id"]).reset_index(drop=True)
+
+
+# String-gram twin of contamination_check (same tokenization and
+# short/empty-doc conventions as NGRAM_JACCARD_SQL, n=5).
+CONTAMINATION_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(toks) = 0 THEN []::VARCHAR[]
+      WHEN len(toks) < 5 THEN list_distinct([array_to_string(toks, ' ')])
+      ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4]
+                          FOR i IN generate_series(1, len(toks) - 4)])
+    END AS grams
+  FROM w
+),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+SELECT a.doc_id AS eval_id, b.doc_id AS train_id,
+       count(*)::BIGINT AS shared_grams
+FROM e a JOIN e b ON a.gram = b.gram
+WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+GROUP BY 1, 2
+HAVING count(*) >= 3
+ORDER BY eval_id, train_id
+"""
 
 
 # ------------------------------------------------- span-pipeline round trip

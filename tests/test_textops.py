@@ -84,6 +84,38 @@ def test_ngram_jaccard_sql_twin_matches_brute_force(corpus_dir):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_contamination_check_finds_planted_leak(ray_session, tmp_path):
+    # doc 0 and 40 are "eval" (id % 20 == 0); plant doc 0's opening
+    # passage inside train doc 7, leave everything else disjoint
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, size=40, replace=False)) for _ in range(12)]
+    ids = [0, 40, 7] + list(range(101, 110))
+    leak = " ".join(texts[0].split()[:12])  # 12 tokens → 8 shared 5-grams
+    texts[2] = texts[2] + " " + leak
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(ids)),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = X.contamination_check(str(tmp_path))
+    assert list(got.itertuples(index=False)) == [(0, 7, 8)]
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sql = con.execute(X.CONTAMINATION_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), sql.astype("int64"), check_dtype=False
+    )
+
+
 def test_minhash_verification_is_distributed_and_correct(ray_session, corpus_dir):
     got = X.dedup_minhash(corpus_dir, jaccard_threshold=0.5)
     exp = brute_pairs(corpus_dir, 0.5)
