@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
         "dedup_clusters": T.dedup_clusters,
         "contamination_check": T.contamination_check,
+        "curation_pipeline": T.curation_pipeline,
         "lang_id_confusion": T.lang_id_confusion,
         "doc_fingerprints": T.doc_fingerprints,
         "convert_page_counts": T.convert_page_counts,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_clusters": T.CLUSTERS_SQL,
         "contamination_check": T.CONTAMINATION_SQL,
+        "curation_pipeline": T.CURATION_SQL,
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
         "subresource_admission": A.ADMISSION_SQL,

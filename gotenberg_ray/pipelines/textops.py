@@ -820,6 +820,14 @@ def contamination_check(
         .map_groups(fold, batch_format="pyarrow")
         .to_pandas()
     )
+    if df.empty:  # empty result loses its column labels
+        return pd.DataFrame(
+            {
+                "eval_id": pd.Series([], dtype="int64"),
+                "train_id": pd.Series([], dtype="int64"),
+                "shared_grams": pd.Series([], dtype="int64"),
+            }
+        )
     return df.sort_values(["eval_id", "train_id"]).reset_index(drop=True)
 
 
@@ -851,6 +859,130 @@ GROUP BY 1, 2
 HAVING count(*) >= 3
 ORDER BY eval_id, train_id
 """
+
+
+def _exact_dup_drops(sf_dir: str) -> set[int]:
+    """Doc ids that are exact duplicates of an earlier doc (everything
+    but the min id per content hash). The output is O(duplicate
+    copies), not O(corpus) — the complement of dedup_exact's keep list
+    computed WITHOUT materializing the keep list."""
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        h = fnv64(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": pa.array(h),
+                "_pid": pa.array((h % np.uint64(16)).astype(np.int32)),
+            }
+        )
+
+    def drops_in_partition(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        keep = df.groupby("h", sort=False)["doc_id"].transform("min")
+        dropped = df.loc[df["doc_id"] != keep, "doc_id"]
+        return pa.table({"doc_id": pa.array(dropped.to_numpy(), pa.int64())})
+
+    df = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(hash_stage, batch_format="pyarrow")
+        .groupby("_pid", num_partitions=16)
+        .map_groups(drops_in_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if df.empty:  # empty result loses its column labels
+        return set()
+    return set(df["doc_id"].tolist())
+
+
+def curation_pipeline(sf_dir: str, min_tokens: int = 20) -> pd.DataFrame:
+    """Flagship training-data curation chain — the composition a 100 TB
+    pre-training run actually executes:
+
+    1. quality gate: n_tokens ≥ min_tokens (computed inline per batch);
+    2. exact-dup drop (non-minimal copies per content hash);
+    3. near-dup drop (``dedup_clusters`` members that aren't the
+       cluster representative);
+    4. contamination drop (train docs flagged by
+       ``contamination_check``).
+
+    Hygiene scans (2-4) run over the RAW corpus — their outputs are
+    each O(flagged docs), so the union drop-set broadcasts via one
+    ``ray.put`` and the corpus streams through a single filtering pass;
+    no drop list is ever O(corpus). Returns per-language kept counts."""
+    import ray as _ray
+
+    clusters = dedup_clusters(sf_dir)
+    near = set(
+        clusters.loc[clusters["doc_id"] != clusters["cluster_rep"], "doc_id"]
+    )
+    contam = set(contamination_check(sf_dir)["train_id"])
+    drops_ref = _ray.put(_exact_dup_drops(sf_dir) | near | contam)
+
+    class Filter:
+        def __init__(self):
+            drops = _ray.get(drops_ref)
+            self.drops = np.fromiter(drops, dtype=np.int64, count=len(drops))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            # vectorized token count, empty tokens dropped (same
+            # convention as shingle_hashes_batch / the SQL twin)
+            toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            nonempty = pc.greater(
+                pc.utf8_length(toks.values), 0
+            ).to_numpy(zero_copy_only=False)
+            n_tok = np.bincount(
+                parents[nonempty], minlength=batch.num_rows
+            )
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            keep = (n_tok >= min_tokens) & ~np.isin(ids, self.drops)
+            return pa.table({"lang": batch["lang"].filter(pa.array(keep))})
+
+    df = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(Filter, batch_format="pyarrow", concurrency=2)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+# The same four gates composed in SQL: clusters and contamination are
+# the oracle twins of the corresponding operators, inlined as CTE
+# subqueries.
+CURATION_SQL = (
+    """
+WITH q AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+           AS n_tokens
+  FROM documents
+),
+exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+clusters AS ("""
+    + CLUSTERS_SQL
+    + """),
+contam AS ("""
+    + CONTAMINATION_SQL
+    + """)
+SELECT lang, count(*)::BIGINT AS n_docs
+FROM q
+WHERE n_tokens >= 20
+  AND doc_id IN (SELECT doc_id FROM exact_keep)
+  AND doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep)
+  AND doc_id NOT IN (SELECT train_id FROM contam)
+GROUP BY lang ORDER BY lang
+"""
+)
 
 
 # ------------------------------------------------- span-pipeline round trip

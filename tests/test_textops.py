@@ -116,6 +116,28 @@ def test_contamination_check_finds_planted_leak(ray_session, tmp_path):
     )
 
 
+def test_curation_pipeline_matches_composed_sql(ray_session, corpus_dir):
+    # the 63-doc corpus has exact dups (doc 200 = doc 0), near-dup
+    # chains and two empty docs — all four gates fire
+    got = X.curation_pipeline(corpus_dir)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{corpus_dir}/documents.parquet')"
+    )
+    exp = con.execute(X.CURATION_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp.astype({"n_docs": "int64"}),
+        check_dtype=False,
+    )
+    # empties fail the quality gate; dup copies and near-dup non-reps
+    # are dropped, so strictly fewer than the 63 inputs survive
+    assert 0 < got["n_docs"].sum() < 63
+
+
 def test_minhash_verification_is_distributed_and_correct(ray_session, corpus_dir):
     got = X.dedup_minhash(corpus_dir, jaccard_threshold=0.5)
     exp = brute_pairs(corpus_dir, 0.5)
