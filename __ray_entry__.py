@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": T.dedup_clusters,
         "contamination_check": T.contamination_check,
         "curation_pipeline": T.curation_pipeline,
+        "vocab_top_df": T.vocab_top_df,
         "lang_id_confusion": T.lang_id_confusion,
         "doc_fingerprints": T.doc_fingerprints,
         "convert_page_counts": T.convert_page_counts,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": T.CLUSTERS_SQL,
         "contamination_check": T.CONTAMINATION_SQL,
         "curation_pipeline": T.CURATION_SQL,
+        "vocab_top_df": T.VOCAB_DF_SQL,
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
         "subresource_admission": A.ADMISSION_SQL,

@@ -985,6 +985,83 @@ GROUP BY lang ORDER BY lang
 )
 
 
+def vocab_top_df(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Corpus vocabulary by document frequency: the top-k terms by the
+    number of documents containing them (tokenizer-building /
+    stopword-discovery step of corpus analysis).
+
+    Per batch: C-kernel tokenization → per-doc distinct (a term counts
+    once per doc) → partial term counts, so the ``groupby(term)``
+    shuffle moves one row per (term, block), not per occurrence. Then
+    each output block keeps its local top-k and only blocks × k rows
+    reach the driver for the final merge — the full vocabulary never
+    sorts globally (same shape as ``embedops.knn_topk``)."""
+    import pyarrow.compute as pc
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = toks.values
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {"doc": parents[keep], "term": flat.filter(pa.array(keep))}
+        )
+        c = (
+            df.drop_duplicates()
+            .groupby("term", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "term": pa.array(c["term"], pa.string()),
+                "n": pa.array(c["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "term": batch["term"].to_pylist(),
+                "n_docs": batch["n_docs"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["n_docs", "term"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    df = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n_docs", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return df
+
+
+VOCAB_DF_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(
+           list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+         ) AS toks
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(toks) AS term FROM w)
+SELECT term, count(*)::BIGINT AS n_docs
+FROM e GROUP BY term
+ORDER BY n_docs DESC, term ASC LIMIT 100
+"""
+
+
 # ------------------------------------------------- span-pipeline round trip
 
 

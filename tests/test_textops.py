@@ -138,6 +138,21 @@ def test_curation_pipeline_matches_composed_sql(ray_session, corpus_dir):
     assert 0 < got["n_docs"].sum() < 63
 
 
+def test_vocab_top_df_matches_sql(ray_session, corpus_dir):
+    got = X.vocab_top_df(corpus_dir)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{corpus_dir}/documents.parquet')"
+    )
+    exp = con.execute(X.VOCAB_DF_SQL).df()
+    pd.testing.assert_frame_equal(got, exp.astype({"n_docs": "int64"}), check_dtype=False)
+    # a term counts once per doc: no n_docs may exceed the corpus size
+    assert got["n_docs"].max() <= 63
+
+
 def test_minhash_verification_is_distributed_and_correct(ray_session, corpus_dir):
     got = X.dedup_minhash(corpus_dir, jaccard_threshold=0.5)
     exp = brute_pairs(corpus_dir, 0.5)
