@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": T.contamination_check,
         "curation_pipeline": T.curation_pipeline,
         "vocab_top_df": T.vocab_top_df,
+        "normalize_text": T.normalize_text,
         "lang_id_confusion": T.lang_id_confusion,
         "doc_fingerprints": T.doc_fingerprints,
         "convert_page_counts": T.convert_page_counts,
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": T.CONTAMINATION_SQL,
         "curation_pipeline": T.CURATION_SQL,
         "vocab_top_df": T.VOCAB_DF_SQL,
+        "normalize_text": T.NORMALIZE_SQL,
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
         "subresource_admission": A.ADMISSION_SQL,

@@ -1062,6 +1062,38 @@ ORDER BY n_docs DESC, term ASC LIMIT 100
 """
 
 
+def normalize_text(sf_dir: str) -> pd.DataFrame:
+    """Text normalization pass (the canonical-form step before hashing
+    / dedup in a curation pipeline): lowercase, collapse whitespace
+    runs to one space, trim. Entirely Arrow C kernels inside one
+    ``map_batches`` — zero Python per row, streams at read bandwidth."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(batch["text"], "")),
+                pattern=r"\s+",
+                replacement=" ",
+            )
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text_norm": t})
+
+    df = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
+FROM documents ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- span-pipeline round trip
 
 

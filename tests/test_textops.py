@@ -153,6 +153,28 @@ def test_vocab_top_df_matches_sql(ray_session, corpus_dir):
     assert got["n_docs"].max() <= 63
 
 
+def test_normalize_text_matches_sql(ray_session, tmp_path):
+    texts = ["  Hello\t\tWORLD \n", "", "MiXeD   case", "a\r\nb\fc", "   "]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * 5),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = X.normalize_text(str(tmp_path))
+    assert got["text_norm"].tolist() == ["hello world", "", "mixed case", "a b c", ""]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.execute(X.NORMALIZE_SQL).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_minhash_verification_is_distributed_and_correct(ray_session, corpus_dir):
     got = X.dedup_minhash(corpus_dir, jaccard_threshold=0.5)
     exp = brute_pairs(corpus_dir, 0.5)
