@@ -25,10 +25,11 @@ comparison join.
 
 Driver fast path: a verified near-dup pair list is tiny relative to
 the corpus (it is the OUTPUT of dedup). Below ``driver_max_edges``
-(16 bytes/edge → ≤32 MB) a numpy union-find on the collected edge
-list is faster than any shuffle; above it the distributed rounds
-engage unchanged — mirroring the adaptive small-pairs path in
-``textops._verify_pairs_distributed``.
+(16 bytes/edge → ≤32 MB) a fully vectorized numpy min-propagation
+with pointer jumping (O(E) per round, O(log n) rounds, no Python per
+edge) on the collected edge list is faster than any shuffle; above it
+the distributed rounds engage unchanged — mirroring the adaptive
+small-pairs path in ``textops._verify_pairs_distributed``.
 """
 
 from __future__ import annotations
@@ -49,30 +50,27 @@ _EMPTY = pa.table(
 DRIVER_MAX_EDGES = 2_000_000
 
 
-def _union_find(u: np.ndarray, v: np.ndarray) -> pa.Table:
-    """Path-compressing union-find over the (small) collected edges."""
-    nodes = np.unique(np.concatenate([u, v]))
-    idx = {int(n): i for i, n in enumerate(nodes)}
-    parent = np.arange(len(nodes))
-
-    def find(i: int) -> int:
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:  # path compression
-            parent[i], i = root, parent[i]
-        return root
-
-    for a, b in zip(u, v):
-        ra, rb = find(idx[int(a)]), find(idx[int(b)])
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)  # min-root union → min id wins
-    reps = np.array([nodes[find(i)] for i in range(len(nodes))])
-    order = np.argsort(nodes)
+def _numpy_components(u: np.ndarray, v: np.ndarray) -> pa.Table:
+    """Vectorized min-label propagation with pointer jumping over the
+    (small) collected edges — O(E) numpy work per round, O(log n)
+    rounds, no Python per edge. At the fixed point every edge's
+    endpoints share a label c with lbl[c] == c; labels only decrease
+    and never leave the component, so c is the component's min node."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u) :]
+    lbl = np.arange(len(nodes))
+    while True:
+        new = lbl.copy()
+        np.minimum.at(new, ui, lbl[vi])
+        np.minimum.at(new, vi, lbl[ui])
+        new = new[new]  # pointer jumping: follow one label hop
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
     return pa.table(
         {
-            "doc_id": pa.array(nodes[order], _I64),
-            "cluster_rep": pa.array(reps[order], _I64),
+            "doc_id": pa.array(nodes, _I64),
+            "cluster_rep": pa.array(nodes[lbl], _I64),
         }
     )
 
@@ -94,7 +92,7 @@ def connected_components(
         return _EMPTY
     if n_edges <= driver_max_edges:
         df = edges.to_pandas()
-        return _union_find(
+        return _numpy_components(
             df["u"].to_numpy(np.int64), df["v"].to_numpy(np.int64)
         )
 
@@ -114,6 +112,7 @@ def connected_components(
 
     labels = bi.map_batches(init_labels, batch_format="pyarrow")
     prev_sum: int | None = None
+    converged = False
     for _ in range(max_iters):
         msgs = hash_join(
             bi,
@@ -156,8 +155,17 @@ def connected_components(
         s = int(new.sum("lbl"))
         labels = new
         if s == prev_sum:  # labels are monotone: equal sum ⇒ fixed point
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # intermediate labels are NOT component representatives —
+        # returning them would silently leak duplicate docs downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds; the graph has a component deeper than max_iters — "
+            "raise max_iters (rounds needed = component diameter)"
+        )
 
     out = labels.map_batches(
         lambda b: pa.table(

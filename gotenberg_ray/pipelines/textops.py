@@ -147,24 +147,34 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 # -------------------------------------------------------------------- dedup
 
 
+def _content_hash_stage(batch: pa.Table, num_partitions: int = 0) -> pa.Table:
+    """(doc_id, content-hash) map stage shared by dedup_exact and
+    curation's exact-dup drop list — ONE hashing convention, so the
+    keep list and the drop list can never diverge. With
+    ``num_partitions`` a ``_pid`` column is added for the fold shuffle.
+
+    ``h`` ships as an int64 REINTERPRET of the uint64 hash (bijective,
+    so equality grouping is unchanged): uint64 values above 2**63
+    overflow Ray's aggregate shuffle into pickled-python-object blocks
+    — correct but a disaster at corpus scale."""
+    h = fnv64(batch["text"].to_pylist())
+    cols = {"doc_id": batch["doc_id"], "h": pa.array(h.view(np.int64))}
+    if num_partitions:
+        cols["_pid"] = pa.array(
+            (h % np.uint64(num_partitions)).astype(np.int32)
+        )
+    return pa.table(cols)
+
+
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: content hash per batch → hash-partitioned groupby →
     keep the min doc_id per group. At corpus scale the string column
     never shuffles — only (hash, doc_id) pairs do."""
-
-    def hash_stage(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "h": pa.array(fnv64(batch["text"].to_pylist())),
-            }
-        )
-
     from ray.data.aggregate import Min
 
     df = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(hash_stage, batch_format="pyarrow")
+        .map_batches(_content_hash_stage, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="keep_id"))
         .to_pandas()
@@ -867,16 +877,6 @@ def _exact_dup_drops(sf_dir: str) -> set[int]:
     copies), not O(corpus) — the complement of dedup_exact's keep list
     computed WITHOUT materializing the keep list."""
 
-    def hash_stage(batch: pa.Table) -> pa.Table:
-        h = fnv64(batch["text"].to_pylist())
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "h": pa.array(h),
-                "_pid": pa.array((h % np.uint64(16)).astype(np.int32)),
-            }
-        )
-
     def drops_in_partition(part: pa.Table) -> pa.Table:
         df = part.to_pandas()
         keep = df.groupby("h", sort=False)["doc_id"].transform("min")
@@ -885,7 +885,11 @@ def _exact_dup_drops(sf_dir: str) -> set[int]:
 
     df = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(hash_stage, batch_format="pyarrow")
+        .map_batches(
+            _content_hash_stage,
+            batch_format="pyarrow",
+            fn_kwargs={"num_partitions": 16},
+        )
         .groupby("_pid", num_partitions=16)
         .map_groups(drops_in_partition, batch_format="pyarrow")
         .to_pandas()
@@ -917,38 +921,36 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 20) -> pd.DataFrame:
         clusters.loc[clusters["doc_id"] != clusters["cluster_rep"], "doc_id"]
     )
     contam = set(contamination_check(sf_dir)["train_id"])
-    drops_ref = _ray.put(_exact_dup_drops(sf_dir) | near | contam)
+    drops = _exact_dup_drops(sf_dir) | near | contam
+    # plain task pool (autoscaling), not an actor pool: the captured
+    # ObjectRef resolves with a zero-copy plasma read per batch, so a
+    # fixed actor concurrency would only cap the corpus-wide pass
+    drops_ref = _ray.put(
+        np.fromiter(drops, dtype=np.int64, count=len(drops))
+    )
 
-    class Filter:
-        def __init__(self):
-            drops = _ray.get(drops_ref)
-            self.drops = np.fromiter(drops, dtype=np.int64, count=len(drops))
+    def filt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            texts = batch["text"]
-            if isinstance(texts, pa.ChunkedArray):
-                texts = texts.combine_chunks()
-            # vectorized token count, empty tokens dropped (same
-            # convention as shingle_hashes_batch / the SQL twin)
-            toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
-            parents = pc.list_parent_indices(toks).to_numpy(
-                zero_copy_only=False
-            )
-            nonempty = pc.greater(
-                pc.utf8_length(toks.values), 0
-            ).to_numpy(zero_copy_only=False)
-            n_tok = np.bincount(
-                parents[nonempty], minlength=batch.num_rows
-            )
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            keep = (n_tok >= min_tokens) & ~np.isin(ids, self.drops)
-            return pa.table({"lang": batch["lang"].filter(pa.array(keep))})
+        drop_ids = _ray.get(drops_ref)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        # vectorized token count, empty tokens dropped (same
+        # convention as shingle_hashes_batch / the SQL twin)
+        toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.utf8_length(toks.values), 0).to_numpy(
+            zero_copy_only=False
+        )
+        n_tok = np.bincount(parents[nonempty], minlength=batch.num_rows)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (n_tok >= min_tokens) & ~np.isin(ids, drop_ids)
+        return pa.table({"lang": batch["lang"].filter(pa.array(keep))})
 
     df = (
         _docs(sf_dir, ["doc_id", "text", "lang"])
-        .map_batches(Filter, batch_format="pyarrow", concurrency=2)
+        .map_batches(filt, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(Count(alias_name="n_docs"))
         .to_pandas()
