@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
+    from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import windows as W
 
@@ -84,6 +85,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": R.order_priority_counts,
         "supplier_stats_by_nation": R.supplier_stats_by_nation,
         "part_brand_stats": R.part_brand_stats,
+        # advanced join shapes (semi-join EXISTS / 4-table multi-way /
+        # agg-self-join / HAVING / disjunctive join predicate / argmax)
+        "q4_late_ship_orders": R2.q4_late_ship_orders,
+        "q7_nation_trade": R2.q7_nation_trade,
+        "q14_promo_revenue": R2.q14_promo_revenue,
+        "q15_top_supplier": R2.q15_top_supplier,
+        "q17_small_quantity": R2.q17_small_quantity,
+        "q18_large_orders": R2.q18_large_orders,
+        "q19_branded_revenue": R2.q19_branded_revenue,
         # streaming-shaped event processing
         "events_daily_counts": R.events_daily_counts,
         "events_user_stats": R.events_user_stats,
@@ -140,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
+    from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import windows as W
 
@@ -153,6 +164,13 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": R.ORDER_PRIORITY_SQL,
         "supplier_stats_by_nation": R.SUPPLIER_STATS_SQL,
         "part_brand_stats": R.PART_BRAND_SQL,
+        "q4_late_ship_orders": R2.Q4_SQL,
+        "q7_nation_trade": R2.Q7_SQL,
+        "q14_promo_revenue": R2.Q14_SQL,
+        "q15_top_supplier": R2.Q15_SQL,
+        "q17_small_quantity": R2.Q17_SQL,
+        "q18_large_orders": R2.Q18_SQL,
+        "q19_branded_revenue": R2.Q19_SQL,
         "events_daily_counts": R.EVENTS_DAILY_SQL,
         "events_user_stats": R.EVENTS_USER_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
