@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
+    from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import windows as W
@@ -123,6 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": T.curation_pipeline,
         "vocab_top_df": T.vocab_top_df,
         "normalize_text": T.normalize_text,
+        # privacy scrub + Gopher-style repetition quality gate
+        "pii_scan": Q.pii_scan,
+        "pii_redact": Q.pii_redact,
+        "repetition_quality": Q.repetition_quality,
         "lang_id_confusion": T.lang_id_confusion,
         "doc_fingerprints": T.doc_fingerprints,
         "convert_page_counts": T.convert_page_counts,
@@ -150,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
+    from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import windows as W
@@ -191,6 +197,9 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": T.CURATION_SQL,
         "vocab_top_df": T.VOCAB_DF_SQL,
         "normalize_text": T.NORMALIZE_SQL,
+        "pii_scan": Q.PII_SCAN_SQL,
+        "pii_redact": Q.PII_REDACT_SQL,
+        "repetition_quality": Q.REPETITION_SQL,
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
         "subresource_admission": A.ADMISSION_SQL,
