@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
+    from gotenberg_ray.pipelines import packing as PK
     from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import textops as T
@@ -128,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": Q.pii_scan,
         "pii_redact": Q.pii_redact,
         "repetition_quality": Q.repetition_quality,
+        # training-batch assembly (distributed ordered prefix sum)
+        "pack_sequences": PK.pack_sequences,
         "lang_id_confusion": T.lang_id_confusion,
         "doc_fingerprints": T.doc_fingerprints,
         "convert_page_counts": T.convert_page_counts,
@@ -155,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
+    from gotenberg_ray.pipelines import packing as PK
     from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import textops as T
@@ -200,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": Q.PII_SCAN_SQL,
         "pii_redact": Q.PII_REDACT_SQL,
         "repetition_quality": Q.REPETITION_SQL,
+        "pack_sequences": PK.PACK_SQL,
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
         "subresource_admission": A.ADMISSION_SQL,

@@ -1,0 +1,141 @@
+"""Sequence packing — assign documents to fixed-size training context
+windows (the concat-and-chunk packing used for LLM pretraining
+batches): documents are concatenated in deterministic ``doc_id`` order
+and the token stream is cut into ``ctx``-token windows; each document
+is tagged with its start offset in the global token stream and the
+window (pack) its first token lands in.
+
+The global start offset is an order-dependent running sum — the one
+primitive Ray Data's unordered blocks don't give for free. It runs as
+a distributed two-pass prefix sum over an explicit RANGE partitioning
+(the same partitioning contract as ``joins.py``, but order-preserving):
+
+1. bucket ``rid = doc_id // span`` (span sized so #buckets ∝ cluster);
+   per-batch partial token sums per bucket → a tiny
+   ``groupby(rid).sum`` — only (#buckets) rows reach the driver;
+2. the driver computes the exclusive prefix over bucket totals
+   (#buckets entries, O(cluster) not O(corpus)) and closes it over a
+   second pass: ``groupby(rid).map_groups`` sorts each bucket by
+   doc_id, local-cumsums, and adds the bucket's base.
+
+Nothing corpus-sized ever sits on the driver; each bucket holds
+``N/#buckets`` rows. The DuckDB oracle is the equivalent
+``sum() OVER (ORDER BY doc_id)`` window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+from ..io import read_table
+
+_RID = "__range_id__"
+
+
+def _token_counts(batch: pa.Table) -> np.ndarray:
+    """Whitespace token count per row, C kernels only (empty tokens
+    from leading/duplicate whitespace are excluded, matching the SQL
+    ``list_filter(regexp_split_to_array(...), t -> t <> '')``)."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    total = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values
+    empty = pc.equal(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    if empty.any():
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        total -= np.bincount(parents[empty], minlength=len(total)).astype(np.int64)
+    return total
+
+
+def pack_sequences(sf_dir: str, ctx: int = 512, num_buckets: int = 32) -> pd.DataFrame:
+    """Per-document packing assignment: (doc_id, n_tokens,
+    start_offset, pack_id) under ``ctx``-token windows."""
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids, "n_tokens": pa.array(_token_counts(batch))})
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        tokenize, batch_format="pyarrow"
+    )
+
+    # range span from the id domain (one tiny column scan)
+    max_id = read_table(sf_dir, "documents", columns=["doc_id"]).max("doc_id")
+    span = max(1, (int(max_id) + num_buckets) // num_buckets)
+
+    def add_rid(batch: pa.Table) -> pa.Table:
+        rid = pc.cast(
+            pc.divide(batch["doc_id"], pa.scalar(span, pa.int64())), pa.int64()
+        )
+        return batch.append_column(_RID, rid)
+
+    with_rid = docs.map_batches(add_rid, batch_format="pyarrow")
+
+    # pass 1: bucket totals (partial per batch, then one tiny groupby)
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([_RID, "n_tokens"])
+            .group_by(_RID)
+            .aggregate([("n_tokens", "sum")])
+        )
+
+    totals = (
+        with_rid.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby(_RID)
+        .aggregate(Sum("n_tokens_sum", alias_name="bucket_tokens"))
+        .to_pandas()
+        .sort_values(_RID)
+    )
+    base = {}
+    run = 0
+    for rid, tot in zip(totals[_RID], totals["bucket_tokens"]):
+        base[int(rid)] = run
+        run += int(tot)
+
+    # pass 2: per-bucket ordered cumsum + bucket base
+    def close_bucket(part: pa.Table) -> pa.Table:
+        part = part.sort_by([("doc_id", "ascending")])
+        n = part["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = int(part[_RID][0].as_py())
+        start = base[rid] + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table(
+            {
+                "doc_id": part["doc_id"],
+                "n_tokens": pa.array(n),
+                "start_offset": pa.array(start),
+                "pack_id": pa.array(start // ctx),
+            }
+        )
+
+    df = (
+        with_rid.groupby(_RID, num_partitions=min(num_buckets, 16))
+        .map_groups(close_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+PACK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_offset,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) // 512 AS pack_id
+FROM tok ORDER BY doc_id
+"""

@@ -1,0 +1,42 @@
+"""Sequence packing (distributed order-preserving prefix sum) vs the
+DuckDB window oracle, plus partitioning-independence."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from gotenberg_ray.pipelines import packing as P
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_matches_window_oracle(sf_dir):
+    got = P.pack_sequences(sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+    want = con.sql(P.PACK_SQL).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+        got[c] = got[c].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reindex(sorted(got.columns), axis=1),
+        want.reindex(sorted(want.columns), axis=1),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucket_count_invariant(sf_dir):
+    """The prefix sum must not depend on the range partitioning — the
+    100 TB correctness property (more buckets on a bigger cluster,
+    same offsets)."""
+    a = P.pack_sequences(sf_dir, num_buckets=3)
+    b = P.pack_sequences(sf_dir, num_buckets=32)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_offsets_are_contiguous(sf_dir):
+    got = P.pack_sequences(sf_dir).sort_values("doc_id").reset_index(drop=True)
+    # each doc starts exactly where the previous one ended
+    expect = (got["n_tokens"].cumsum() - got["n_tokens"]).astype("int64")
+    assert (got["start_offset"] == expect).all()
+    assert (got["pack_id"] == got["start_offset"] // 512).all()
