@@ -143,12 +143,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bernoulli": SA.sample_bernoulli,
         "sample_bottomk": SA.sample_bottomk,
         "sample_stratified": SA.sample_stratified,
+        "mix_domains": SA.mix_domains,
         # similarity search
         "knn_topk": E.knn_topk,
         "knn_lsh": E.knn_lsh,
         "knn_ivf": E.knn_ivf,
         "embedding_label_stats": E.embedding_label_stats,
         "embedding_dup_pairs": E.embedding_dup_pairs,
+        # semantic dedup (k-means + within-cluster greedy prune;
+        # rows-only — k-means has no SQL twin)
+        "semdedup": E.semdedup,
     }
 
 
@@ -211,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_bernoulli": SA.SAMPLE_BERNOULLI_SQL,
         "sample_bottomk": SA.SAMPLE_BOTTOMK_SQL,
         "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,
+        "mix_domains": SA.MIX_DOMAINS_SQL,
         "knn_topk": E.KNN_SQL,
         "embedding_label_stats": E.LABEL_STATS_SQL,
         "embedding_dup_pairs": E.DUP_PAIRS_SQL,

@@ -313,3 +313,75 @@ def knn_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(
         {"rank": np.arange(1, len(cands) + 1), "vec_id": cands["vec_id"].astype("int64")}
     )
+
+
+# ------------------------------------------------------- SemDeDup
+
+
+def semdedup(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
+    """Semantic deduplication (SemDeDup-style, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then within
+    each cluster greedily drop any vector whose cosine similarity to
+    an already-kept lower-id vector exceeds ``threshold``.
+
+    Plan: the bounded-sample k-means trainer from ``_ivf_centroids``
+    (driver holds K×d, never the corpus) → one ``map_batches`` pass
+    assigns every vector its nearest centroid → ``groupby(cluster)``
+    co-locates each cluster → per-cluster vectorized greedy prune in
+    ``map_groups``. Cross-cluster near-dups are intentionally NOT
+    compared — that locality is the SemDeDup trade-off that makes the
+    pass sub-quadratic (O(Σ c_k²) with K ∝ N bounding cluster sizes,
+    vs O(N²) for the exact pair join in ``embedding_dup_pairs``).
+
+    Deterministic: centroid init, assignment argmax, and the
+    lowest-vec-id-wins greedy rule are all order-independent, so the
+    keep/prune verdict is identical under any block layout. Rows-only
+    check (the k-means step is not SQL-expressible); the pytest
+    oracle verifies the greedy invariants instead."""
+    cents = _ivf_centroids(sf_dir)
+    refs = ray.put(cents)
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cid = np.argmax(mn @ self.c.T, axis=1).astype(np.int64)
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "cluster_id": pa.array(cid),
+                    "embedding": batch.column("embedding"),
+                }
+            )
+
+    def prune_cluster(part: pa.Table) -> pa.Table:
+        part = part.sort_by([("vec_id", "ascending")])
+        ids = part.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _batch_matrix(part)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        for i in range(1, n):  # greedy over ≤|cluster| rows (bounded)
+            if (sims[i, :i][keep[:i]] > threshold).any():
+                keep[i] = False
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "cluster_id": part.column("cluster_id").slice(0, 1).take([0] * n),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+
+    df = (
+        _emb(sf_dir)
+        .map_batches(Assign, batch_format="pyarrow", concurrency=2)
+        .groupby("cluster_id")
+        .map_groups(prune_cluster, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df["cluster_id"] = df["cluster_id"].astype("int64")
+    return df.sort_values("vec_id").reset_index(drop=True)

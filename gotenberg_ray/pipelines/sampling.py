@@ -132,3 +132,70 @@ SELECT doc_id, lang FROM (
 ) WHERE rn <= 20
 ORDER BY doc_id
 """
+
+
+def mix_domains(sf_dir: str) -> pd.DataFrame:
+    """Domain-mixture resampling: downsample each source domain so the
+    kept corpus approaches target mixture weights — the domain
+    reweighting step of pretraining data assembly (DoReMi-style fixed
+    weights, here ``w_s = 1 + (source index mod 4)``).
+
+    Two-phase plan: (1) a tiny ``groupby(source).count()`` (domain
+    cardinality is small by assumption — sources, not documents);
+    (2) the driver turns counts into EXACT integer acceptance
+    thresholds ``min(M, w_s·N·M // (Σw·n_s))`` using Python big ints
+    (no 64-bit overflow at any corpus size; the oracle mirrors it in
+    HUGEINT), then a stateless hash-gated per-batch filter — the same
+    deterministic, resumable gate as ``sample_bernoulli``. Nothing
+    corpus-sized touches the driver."""
+
+    counts = (
+        read_table(sf_dir, "documents", columns=["source"])
+        .groupby("source")
+        .count()
+        .to_pandas()
+    )
+    n_total = int(counts["count()"].sum())
+    weights = {
+        s: 1 + int(s[3:]) % 4 for s in counts["source"]
+    }  # src<i> → deterministic target weight
+    sum_w = sum(weights.values())
+    thresh = {
+        s: min(
+            _M32,
+            (weights[s] * n_total * _M32) // (sum_w * int(n_s)),
+        )
+        for s, n_s in zip(counts["source"], counts["count()"])
+    }
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = batch["source"].to_pylist()
+        cut = np.fromiter((thresh[s] for s in srcs), dtype=np.uint64, count=len(srcs))
+        keep = _mix(ids) < cut
+        return batch.filter(pa.array(keep))
+
+    df = (
+        read_table(sf_dir, "documents", columns=["doc_id", "source"])
+        .map_batches(fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+MIX_DOMAINS_SQL = f"""
+WITH cnt AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+tot AS (SELECT count(*) AS n FROM documents),
+wt AS (SELECT source, n_s,
+              1 + CAST(substr(source, 4) AS BIGINT) % 4 AS w
+       FROM cnt),
+sw AS (SELECT sum(w) AS sum_w FROM wt),
+th AS (SELECT source,
+              least(CAST({_M32} AS HUGEINT),
+                    (CAST(w AS HUGEINT) * n * {_M32}) // (sum_w * n_s)) AS thresh
+       FROM wt, tot, sw)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th USING (source)
+WHERE (d.doc_id * {_KNUTH}) % {_M32} < thresh
+ORDER BY d.doc_id
+"""

@@ -29,3 +29,20 @@ class TestSampling:
         counts = df.groupby("lang").size()
         assert (counts <= 5).all()
         assert df["doc_id"].is_unique
+
+    def test_mix_domains_tracks_weights(self, sf_dir):
+        import duckdb
+
+        got = SA.mix_domains(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = con.sql(SA.MIX_DOMAINS_SQL).df()
+        want["doc_id"] = want["doc_id"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+        # heavier domains keep more docs on average
+        kept = got.groupby("source").size()
+        w = {s: 1 + int(s[3:]) % 4 for s in kept.index}
+        light = [n for s, n in kept.items() if w[s] == 1]
+        heavy = [n for s, n in kept.items() if w[s] >= 3]
+        if light and heavy:
+            assert sum(heavy) / len(heavy) > sum(light) / len(light)

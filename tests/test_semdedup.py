@@ -1,0 +1,54 @@
+"""SemDeDup-style semantic dedup: greedy-invariant and determinism
+checks (the k-means step has no SQL twin — rows-only at the driver)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gotenberg_ray.pipelines import embedops as E
+
+
+@pytest.fixture(scope="module")
+def result(sf_dir):
+    return E.semdedup(sf_dir)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemDedup:
+    def test_covers_every_vector_once(self, result, sf_dir):
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        assert sorted(result["vec_id"]) == sorted(emb["vec_id"])
+        assert result["vec_id"].is_unique
+
+    def test_deterministic(self, result, sf_dir):
+        pd.testing.assert_frame_equal(result, E.semdedup(sf_dir))
+
+    def test_greedy_invariants(self, result, sf_dir):
+        """Pruned ⇒ an earlier kept in-cluster vector is above the
+        threshold; kept ⇒ no earlier kept in-cluster vector is."""
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        vecs = {
+            int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()
+        }
+        for v in vecs:
+            vecs[v] = vecs[v] / np.linalg.norm(vecs[v])
+        thr = E.DUP_THRESHOLD
+        for cid, grp in result.groupby("cluster_id"):
+            grp = grp.sort_values("vec_id")
+            kept: list[int] = []
+            for row in grp.itertuples():
+                sims = [float(vecs[row.vec_id] @ vecs[k]) for k in kept]
+                should_keep = not any(s > thr for s in sims)
+                assert bool(row.keep) == should_keep, (cid, row.vec_id)
+                if should_keep:
+                    kept.append(row.vec_id)
+
+    def test_aggressive_threshold_prunes_more(self, sf_dir):
+        """Lowering the similarity threshold must prune MORE vectors
+        (monotonicity), and an aggressive threshold must prune some
+        (non-degeneracy) — the SemDeDup operating regime."""
+        tight = E.semdedup(sf_dir, threshold=0.9)
+        loose = E.semdedup(sf_dir, threshold=0.2)
+        assert (loose["keep"] == 0).sum() > (tight["keep"] == 0).sum()
+        assert (loose["keep"] == 0).any()
