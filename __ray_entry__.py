@@ -66,6 +66,7 @@ def _media_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import admission as A
     from gotenberg_ray.pipelines import analytics as AN
+    from gotenberg_ray.pipelines import analytics2 as A2
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
@@ -112,6 +113,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles": AN.order_price_quantiles,
         "distinct_users_daily": AN.distinct_users_daily,
         "hll_users_per_type": AN.hll_users_per_type,
+        # window-rank / pivot / rollup shapes
+        "top_orders_per_customer": A2.top_orders_per_customer,
+        "event_type_pivot": A2.event_type_pivot,
+        "lang_source_rollup": A2.lang_source_rollup,
         # text corpus analysis + dedup family
         "doc_stats_by_lang": T.doc_stats_by_lang,
         "doc_token_counts": T.doc_token_counts,
@@ -159,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import admission as A
     from gotenberg_ray.pipelines import analytics as AN
+    from gotenberg_ray.pipelines import analytics2 as A2
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import relational as R
@@ -195,6 +201,9 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_urgent_orders": AN.NO_ORDERS_SQL,
         "order_price_quantiles": AN.PRICE_QUANTILES_SQL,
         "distinct_users_daily": AN.DISTINCT_DAILY_SQL,
+        "top_orders_per_customer": A2.TOP_PER_CUSTOMER_SQL,
+        "event_type_pivot": A2.EVENT_PIVOT_SQL,
+        "lang_source_rollup": A2.ROLLUP_SQL,
         "doc_stats_by_lang": T.DOC_STATS_SQL,
         "doc_token_counts": T.DOC_TOKENS_SQL,
         "doc_quality": T.DOC_QUALITY_SQL,

@@ -1,0 +1,211 @@
+"""Windowed rank, pivot, and rollup operators — the remaining
+SQL-analytics shapes (ROW_NUMBER partitions, conditional-aggregation
+pivot, GROUPING SETS rollup) expressed Ray-Data-first.
+
+Scale notes:
+- the rank query prunes per batch BEFORE the shuffle (a batch's
+  non-top-k rows per key can never be global top-k), so the
+  ``groupby(key)`` moves ≤ k·keys·blocks rows, not the orders table;
+- the pivot is a plain partial-agg → groupby combine with the pivot
+  columns materialized per batch (no post-shuffle pivot pass needed);
+- the rollup computes the finest grouping distributed, then derives
+  the coarser levels from the (groups-sized, small by definition)
+  finest result — subtotals never re-scan the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+from ..io import read_table
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """ROW_NUMBER() OVER (PARTITION BY customer ORDER BY price DESC):
+    each customer's top-k orders by total price (cents-exact)."""
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "price_e2": cents,
+            }
+        ).sort_by(
+            [
+                ("o_custkey", "ascending"),
+                ("price_e2", "descending"),
+                ("o_orderkey", "ascending"),
+            ]
+        )
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        keep = (
+            np.concatenate([np.arange(s, min(s + k, e)) for s, e in zip(starts, ends)])
+            if len(starts)
+            else np.array([], dtype=np.int64)
+        )
+        return t.take(pa.array(keep))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_e2", "o_orderkey"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    df = (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(local_prune, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(rank_group, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("o_custkey", "o_orderkey", "price_e2", "rn"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+
+
+TOP_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, price_e2, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2,
+         CAST(row_number() OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey)
+           AS BIGINT) AS rn
+  FROM orders)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+def event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Long→wide pivot: one row per user with per-event-type counts
+    and cents-exact purchase value — conditional aggregation pushed
+    into the per-batch partial, so the shuffle carries the already
+    pivoted (user × 4-column) rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        val_e2 = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        cols = {
+            "user_id": batch["user_id"],
+            "n_click": pc.cast(pc.equal(et, "click"), pa.int64()),
+            "n_view": pc.cast(pc.equal(et, "view"), pa.int64()),
+            "n_purchase": pc.cast(pc.equal(et, "purchase"), pa.int64()),
+            "purchase_e2": pc.multiply(
+                pc.cast(pc.equal(et, "purchase"), pa.int64()), val_e2
+            ),
+        }
+        return (
+            pa.table(cols)
+            .group_by("user_id")
+            .aggregate(
+                [
+                    ("n_click", "sum"),
+                    ("n_view", "sum"),
+                    ("n_purchase", "sum"),
+                    ("purchase_e2", "sum"),
+                ]
+            )
+        )
+
+    df = (
+        read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_click_sum", alias_name="n_click"),
+            Sum("n_view_sum", alias_name="n_view"),
+            Sum("n_purchase_sum", alias_name="n_purchase"),
+            Sum("purchase_e2_sum", alias_name="purchase_e2"),
+        )
+        .to_pandas()
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+EVENT_PIVOT_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS purchase_e2
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def lang_source_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS ((lang, source), (lang), ()) over document counts
+    and characters: the finest level runs distributed (partial agg →
+    groupby combine); the subtotal/total levels derive from the finest
+    result, which is groups-sized (|langs|×|sources|) — the corpus is
+    scanned exactly once. 'ALL' marks rolled-up dimensions."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "lang": batch["lang"],
+                    "source": batch["source"],
+                    "n_chars": batch["n_chars"],
+                }
+            )
+            .group_by(["lang", "source"])
+            .aggregate([("n_chars", "sum"), ([], "count_all")])
+        )
+
+    fine = (
+        read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_chars_sum", alias_name="total_chars"),
+            Sum("count_all", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    fine["total_chars"] = fine["total_chars"].astype("int64")
+    fine["n_docs"] = fine["n_docs"].astype("int64")
+    by_lang = (
+        fine.groupby("lang", as_index=False)[["total_chars", "n_docs"]]
+        .sum()
+        .assign(source="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "lang": ["ALL"],
+            "source": ["ALL"],
+            "total_chars": [fine["total_chars"].sum()],
+            "n_docs": [fine["n_docs"].sum()],
+        }
+    )
+    out = pd.concat(
+        [fine, by_lang[fine.columns], total[fine.columns]], ignore_index=True
+    )
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+ROLLUP_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(*) AS n_docs
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+ORDER BY lang, source
+"""

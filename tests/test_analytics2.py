@@ -1,0 +1,60 @@
+"""Window-rank / pivot / rollup operators vs DuckDB at sf0.001."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from gotenberg_ray.pipelines import analytics2 as A2
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in ("orders", "events", "documents"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _check(got, want):
+    g = got.reindex(sorted(got.columns), axis=1).reset_index(drop=True)
+    w = want.reindex(sorted(want.columns), axis=1).reset_index(drop=True)
+    for c in w.columns:
+        if str(w[c].dtype).startswith("int") or str(g[c].dtype).startswith("int"):
+            w[c] = w[c].astype("int64")
+            g[c] = g[c].astype("int64")
+    pd.testing.assert_frame_equal(g, w)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize(
+    "fn,sql",
+    [
+        (A2.top_orders_per_customer, A2.TOP_PER_CUSTOMER_SQL),
+        (A2.event_type_pivot, A2.EVENT_PIVOT_SQL),
+        (A2.lang_source_rollup, A2.ROLLUP_SQL),
+    ],
+    ids=["top_orders_per_customer", "event_type_pivot", "lang_source_rollup"],
+)
+def test_matches_oracle(sf_dir, fn, sql):
+    got = fn(sf_dir)
+    con = _con(sf_dir)
+    _check(got, con.sql(sql).df())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rank_window_shape(sf_dir):
+    got = A2.top_orders_per_customer(sf_dir)
+    per = got.groupby("o_custkey")
+    assert (per.size() <= 3).all()
+    # rn is 1..k and prices non-increasing within each customer
+    for _, g in per:
+        assert list(g["rn"]) == list(range(1, len(g) + 1))
+        assert g["price_e2"].is_monotonic_decreasing or len(g) <= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_subtotals_consistent(sf_dir):
+    got = A2.lang_source_rollup(sf_dir)
+    total = got[(got["lang"] == "ALL") & (got["source"] == "ALL")]
+    fine = got[(got["lang"] != "ALL") & (got["source"] != "ALL")]
+    assert total["n_docs"].iloc[0] == fine["n_docs"].sum()
+    assert total["total_chars"].iloc[0] == fine["total_chars"].sum()
