@@ -65,6 +65,16 @@ BENCH_QUERIES = [
     "sample_bottomk",
     "knn_topk",
     "embedding_dup_pairs",
+    # round-2 additions: multi-way shuffle join, HAVING join, privacy
+    # scrub, repetition quality, ordered prefix-sum packing,
+    # window-rank, semantic dedup
+    "q7_nation_trade",
+    "q18_large_orders",
+    "pii_redact",
+    "repetition_quality",
+    "pack_sequences",
+    "top_orders_per_customer",
+    "semdedup",
 ]
 
 

@@ -27,7 +27,16 @@ from ..io import read_table
 
 def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """ROW_NUMBER() OVER (PARTITION BY customer ORDER BY price DESC):
-    each customer's top-k orders by total price (cents-exact)."""
+    each customer's top-k orders by total price (cents-exact).
+
+    The key domain is large (one group per customer), so a per-key
+    ``map_groups`` would pay per-group overhead |customers| times;
+    instead each partial carries ``pid = mix64(custkey) % P`` and ONE
+    P-group shuffle co-locates every customer's rows, where the whole
+    bucket ranks in a single vectorized segment pass (the
+    ``top_parts_by_revenue`` pattern)."""
+    from .joins import partition_ids
+    from .relational import JOIN_PARTITIONS
 
     def local_prune(batch: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
@@ -52,19 +61,32 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
             if len(starts)
             else np.array([], dtype=np.int64)
         )
-        return t.take(pa.array(keep))
+        t = t.take(pa.array(keep))
+        return t.append_column("pid", partition_ids(t.column("o_custkey"), JOIN_PARTITIONS))
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["price_e2", "o_orderkey"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def rank_bucket(part: pa.Table) -> pa.Table:
+        t = part.select(["o_custkey", "o_orderkey", "price_e2"]).sort_by(
+            [
+                ("o_custkey", "ascending"),
+                ("price_e2", "descending"),
+                ("o_orderkey", "ascending"),
+            ]
+        )
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return t.append_column("rn", pa.array([], pa.int64()))
+        new_seg = np.r_[True, keys[1:] != keys[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        rn = np.arange(n) - seg_start + 1
+        t = t.append_column("rn", pa.array(rn.astype(np.int64)))
+        return t.filter(pa.array(rn <= k))
 
     df = (
         read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
         .map_batches(local_prune, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(rank_group, batch_format="pandas")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(rank_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     for c in ("o_custkey", "o_orderkey", "price_e2", "rn"):
