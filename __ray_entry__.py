@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import textops as T
+    from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import windows as W
 
     return {
@@ -97,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity": R2.q17_small_quantity,
         "q18_large_orders": R2.q18_large_orders,
         "q19_branded_revenue": R2.q19_branded_revenue,
+        "q8_market_share": R2.q8_market_share,
         # streaming-shaped event processing
         "events_daily_counts": R.events_daily_counts,
         "events_user_stats": R.events_user_stats,
@@ -117,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": A2.top_orders_per_customer,
         "event_type_pivot": A2.event_type_pivot,
         "lang_source_rollup": A2.lang_source_rollup,
+        "events_half_spend": A2.events_half_spend,
         # text corpus analysis + dedup family
         "doc_stats_by_lang": T.doc_stats_by_lang,
         "doc_token_counts": T.doc_token_counts,
@@ -130,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": T.curation_pipeline,
         "vocab_top_df": T.vocab_top_df,
         "normalize_text": T.normalize_text,
+        # TF-IDF keyword extraction (two-shuffle term join + rank)
+        "tfidf_top_terms": TFIDF.tfidf_top_terms,
         # privacy scrub + Gopher-style repetition quality gate
         "pii_scan": Q.pii_scan,
         "pii_redact": Q.pii_redact,
@@ -172,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import textops as T
+    from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import windows as W
 
     return {
@@ -191,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity": R2.Q17_SQL,
         "q18_large_orders": R2.Q18_SQL,
         "q19_branded_revenue": R2.Q19_SQL,
+        "q8_market_share": R2.Q8_SQL,
         "events_daily_counts": R.EVENTS_DAILY_SQL,
         "events_user_stats": R.EVENTS_USER_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
@@ -204,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": A2.TOP_PER_CUSTOMER_SQL,
         "event_type_pivot": A2.EVENT_PIVOT_SQL,
         "lang_source_rollup": A2.ROLLUP_SQL,
+        "events_half_spend": A2.HALF_SPEND_SQL,
         "doc_stats_by_lang": T.DOC_STATS_SQL,
         "doc_token_counts": T.DOC_TOKENS_SQL,
         "doc_quality": T.DOC_QUALITY_SQL,
@@ -214,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": T.CURATION_SQL,
         "vocab_top_df": T.VOCAB_DF_SQL,
         "normalize_text": T.NORMALIZE_SQL,
+        "tfidf_top_terms": TFIDF.TFIDF_SQL,
         "pii_scan": Q.PII_SCAN_SQL,
         "pii_redact": Q.PII_REDACT_SQL,
         "repetition_quality": Q.REPETITION_SQL,

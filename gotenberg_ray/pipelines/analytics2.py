@@ -231,3 +231,51 @@ FROM documents
 GROUP BY GROUPING SETS ((lang, source), (lang), ())
 ORDER BY lang, source
 """
+
+
+def events_half_spend(sf_dir: str) -> pd.DataFrame:
+    """Cumulative-window query: per user, the timestamp at which the
+    running spend (ordered by ts, event_id) first reaches half the
+    user's total — exact integer cents, monotone running sum, so the
+    qualifying event is unique and layout-independent. Per-key ordered
+    processing via groupby(user).map_groups (the sessionize shape)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        cum = np.cumsum(v)
+        total = cum[-1] if len(cum) else 0
+        idx = int(np.argmax(2 * cum >= total)) if len(cum) else 0
+        # epoch micros (int64) so the ns-vs-us pandas dtype gap can't
+        # break the oracle hash
+        half_us = int(
+            g["ts"].astype("datetime64[us]").astype("int64").iloc[idx]
+        )
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "half_ts_us": [half_us]}
+        )
+
+    df = (
+        read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    df["user_id"] = df["user_id"].astype("int64")
+    df["half_ts_us"] = df["half_ts_us"].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+HALF_SPEND_SQL = """
+WITH c AS (
+  SELECT user_id, ts,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id) AS total
+  FROM events)
+SELECT user_id, epoch_us(min(ts)) AS half_ts_us
+FROM c WHERE 2 * cum >= total
+GROUP BY user_id ORDER BY user_id
+"""

@@ -752,3 +752,180 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+# ----------------------------------------- Q8 (market share by year)
+
+
+def q8_market_share(
+    sf_dir: str, region: str = "EUROPE", nation: str = "NATION_3"
+) -> pd.DataFrame:
+    """Market share: of all revenue sold to customers in ``region``,
+    the fraction supplied by ``nation``, per order year — reported as
+    two EXACT integer sums (nation_e4, total_e4) so no float division
+    enters the oracle compare.
+
+    Same 4-table bucketed-join chain as q7 (lineitem ⋈ supplier ⋈
+    orders ⋈ customer) with the region membership resolved from the
+    broadcast nation/region dims (25 + 5 rows) and pushed down to the
+    customer scan; supplier keeps ALL nations (the denominator needs
+    them) and carries only a boolean is-target flag into the exchanges."""
+    from .joins import hash_join
+
+    nation_t = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region_t = pq.read_table(f"{sf_dir}/region.parquet")
+    region_key = {
+        r: k
+        for k, r in zip(
+            region_t["r_regionkey"].to_pylist(), region_t["r_name"].to_pylist()
+        )
+    }[region]
+    region_nations = {
+        k
+        for k, rk in zip(
+            nation_t["n_nationkey"].to_pylist(), nation_t["n_regionkey"].to_pylist()
+        )
+        if rk == region_key
+    }
+    target_key = {
+        n: k
+        for k, n in zip(
+            nation_t["n_nationkey"].to_pylist(), nation_t["n_name"].to_pylist()
+        )
+    }[nation]
+    cust_keys = pa.array(sorted(region_nations), pa.int32())
+
+    def supp_prep(batch: pa.Table) -> pa.Table:
+        is_target = pc.cast(
+            pc.equal(pc.cast(batch["s_nationkey"], pa.int64()), target_key), pa.int64()
+        )
+        return pa.table({"l_suppkey": batch["s_suppkey"], "is_target": is_target})
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["c_nationkey"], value_set=cust_keys))
+        return batch.select(["c_custkey"])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        supp_prep, batch_format="pyarrow"
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_prep, batch_format="pyarrow"
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_suppkey": batch["l_suppkey"],
+                "l_orderkey": batch["l_orderkey"],
+                "rev": _rev_e4(batch),
+            }
+        )
+        return _rename(
+            t.group_by(["l_suppkey", "l_orderkey"]).aggregate([("rev", "sum")]),
+            {"rev_sum": "rev"},
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    j1 = hash_join(
+        li, supp, on="l_suppkey", num_partitions=JOIN_PARTITIONS,
+        left_schema=[("l_suppkey", pa.int64()), ("l_orderkey", pa.int64()),
+                     ("rev", pa.int64())],
+        right_schema=[("l_suppkey", pa.int64()), ("is_target", pa.int64())],
+    )
+
+    def j1_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev": batch["rev"],
+                "nat_rev": pc.multiply(batch["rev"], batch["is_target"]),
+            }
+        )
+        return _rename(
+            t.group_by("l_orderkey").aggregate([("rev", "sum"), ("nat_rev", "sum")]),
+            {"rev_sum": "rev", "nat_rev_sum": "nat_rev"},
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    j2 = hash_join(
+        j1.map_batches(j1_partial, batch_format="pyarrow"),
+        orders.map_batches(orders_prep, batch_format="pyarrow"),
+        on="l_orderkey", num_partitions=JOIN_PARTITIONS,
+        left_schema=[("l_orderkey", pa.int64()), ("rev", pa.int64()),
+                     ("nat_rev", pa.int64())],
+        right_schema=[("l_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                      ("o_year", pa.int64())],
+    )
+
+    def j2_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["o_custkey", "o_year", "rev", "nat_rev"])
+        return _rename(
+            t.group_by(["o_custkey", "o_year"]).aggregate(
+                [("rev", "sum"), ("nat_rev", "sum")]
+            ),
+            {"rev_sum": "rev", "nat_rev_sum": "nat_rev"},
+        )
+
+    j3 = hash_join(
+        j2.map_batches(j2_partial, batch_format="pyarrow"),
+        cust, on="o_custkey", right_on="c_custkey",
+        num_partitions=JOIN_PARTITIONS,
+        left_schema=[("o_custkey", pa.int64()), ("o_year", pa.int64()),
+                     ("rev", pa.int64()), ("nat_rev", pa.int64())],
+        right_schema=[("c_custkey", pa.int64())],
+    )
+
+    def final_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["o_year", "rev", "nat_rev"])
+        return _rename(
+            t.group_by("o_year").aggregate([("rev", "sum"), ("nat_rev", "sum")]),
+            {"rev_sum": "rev", "nat_rev_sum": "nat_rev"},
+        )
+
+    df = (
+        j3.map_batches(final_partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("nat_rev", alias_name="nation_e4"), Sum("rev", alias_name="total_e4")
+        )
+        .to_pandas()
+    )
+    for c in ("o_year", "nation_e4", "total_e4"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("o_year").reset_index(drop=True)
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       sum(CASE WHEN sn.n_name = 'NATION_3'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                ELSE 0 END) AS nation_e4,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_e4
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY o_year
+ORDER BY o_year
+"""

@@ -1,0 +1,143 @@
+"""TF-IDF keyword extraction at corpus scale — top-k terms per
+document scored by term frequency × inverse document frequency.
+
+The classic two-shuffle text-analytics plan, nothing driver-sized:
+
+1. one tokenize pass emits per-batch (doc_id, term, tf) partials;
+2. document frequency is a distributed ``groupby(term)`` over per-doc
+   DISTINCT terms (partial-counted per batch — the ``vocab_top_df``
+   combiner shape), so the exchange carries one row per (term, block);
+3. the (term→df) side joins back to the (doc, term, tf) rows with the
+   bucketed ``hash_join`` ON TERM — the vocabulary is dataset-scale
+   and is never broadcast or collected;
+4. scores rank per document in hash buckets (``pid = mix64(doc_id)``,
+   one P-group shuffle, vectorized segment ranking) — the
+   ``top_orders_per_customer`` pattern.
+
+Scoring is exact-integer: ``score = tf · (10⁴·N // df)`` (a plain
+inverse ratio — no float log, so the oracle compare is bit-exact).
+Ties break (score desc, term asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+from ..io import read_table
+
+
+def _explode_tf(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) rows for one batch — C-kernel tokenization,
+    pandas C groupby for the per-doc term counts."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = toks.values
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    df = pd.DataFrame({"doc_id": ids[parents[keep]], "term": flat.filter(pa.array(keep))})
+    c = df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+    return pa.table(
+        {
+            "doc_id": pa.array(c["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(c["term"], pa.string()),
+            "tf": pa.array(c["tf"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    from .joins import hash_join, partition_ids
+    from .relational import JOIN_PARTITIONS
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = int(read_table(sf_dir, "documents", columns=["doc_id"]).count())
+
+    tf_rows = docs.map_batches(_explode_tf, batch_format="pyarrow")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # a (doc, term) row is already distinct → df partial = count
+        t = pa.table({"term": batch["term"]})
+        return t.group_by("term").aggregate([([], "count_all")])
+
+    df_side = (
+        tf_rows.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("count_all", alias_name="df"))
+    )
+
+    joined = hash_join(
+        tf_rows,
+        df_side,
+        on="term",
+        num_partitions=JOIN_PARTITIONS,
+        left_schema=[("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())],
+        right_schema=[("term", pa.string()), ("df", pa.int64())],
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_e4 = pc.cast(
+            pc.divide(pa.scalar(10_000 * n_docs, pa.int64()), batch["df"]), pa.int64()
+        )
+        s = pc.multiply(batch["tf"], idf_e4)
+        t = pa.table(
+            {"doc_id": batch["doc_id"], "term": batch["term"], "score": s}
+        )
+        return t.append_column("pid", partition_ids(t.column("doc_id"), JOIN_PARTITIONS))
+
+    def rank_bucket(part: pa.Table) -> pa.Table:
+        t = part.select(["doc_id", "term", "score"]).sort_by(
+            [("doc_id", "ascending"), ("score", "descending"), ("term", "ascending")]
+        )
+        keys = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return t.append_column("rn", pa.array([], pa.int64()))
+        new_seg = np.r_[True, keys[1:] != keys[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        rn = np.arange(n) - seg_start + 1
+        t = t.append_column("rn", pa.array(rn.astype(np.int64)))
+        return t.filter(pa.array(rn <= k))
+
+    out = (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(rank_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for c in ("doc_id", "score", "rn"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "rn"]).reset_index(drop=True)
+
+
+TFIDF_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, term),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM w GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s AS (
+  SELECT doc_id, term, tf * ((10000 * n) // df) AS score
+  FROM tf JOIN df USING (term), n),
+r AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rn
+  FROM s)
+SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
+ORDER BY doc_id, rn
+"""

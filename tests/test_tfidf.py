@@ -1,0 +1,57 @@
+"""TF-IDF top terms and q8 market share vs DuckDB at sf0.001."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from gotenberg_ray.pipelines import analytics2 as A2
+from gotenberg_ray.pipelines import relational2 as R2
+from gotenberg_ray.pipelines import tfidf as TF
+
+
+def _con(sf_dir, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _check(got, want):
+    g = got.reindex(sorted(got.columns), axis=1).reset_index(drop=True)
+    w = want.reindex(sorted(want.columns), axis=1).reset_index(drop=True)
+    for c in w.columns:
+        if str(w[c].dtype).startswith("int") or str(g[c].dtype).startswith("int"):
+            w[c] = w[c].astype("int64")
+            g[c] = g[c].astype("int64")
+    pd.testing.assert_frame_equal(g, w)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_matches_oracle(sf_dir):
+    got = TF.tfidf_top_terms(sf_dir)
+    con = _con(sf_dir, ["documents"])
+    _check(got, con.sql(TF.TFIDF_SQL).df())
+    # rare terms outrank common ones: every doc's rank-1 score >= rank-3
+    r1 = got[got["rn"] == 1].set_index("doc_id")["score"]
+    r3 = got[got["rn"] == 3].set_index("doc_id")["score"]
+    common = r1.index.intersection(r3.index)
+    assert (r1[common].values >= r3[common].values).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_half_spend_matches_oracle(sf_dir):
+    got = A2.events_half_spend(sf_dir)
+    con = _con(sf_dir, ["events"])
+    _check(got, con.sql(A2.HALF_SPEND_SQL).df())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q8_matches_oracle(sf_dir):
+    got = R2.q8_market_share(sf_dir)
+    con = _con(
+        sf_dir, ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+    )
+    _check(got, con.sql(R2.Q8_SQL).df())
+    # share is a genuine fraction: 0 < nation <= total
+    assert (got["nation_e4"] <= got["total_e4"]).all()
+    assert got["nation_e4"].sum() > 0
