@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": T.normalize_text,
         # TF-IDF keyword extraction (two-shuffle term join + rank)
         "tfidf_top_terms": TFIDF.tfidf_top_terms,
+        # OOV rate vs broadcast bounded top-k vocabulary
+        "oov_rate": TFIDF.oov_rate,
         # privacy scrub + Gopher-style repetition quality gate
         "pii_scan": Q.pii_scan,
         "pii_redact": Q.pii_redact,
@@ -223,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top_df": T.VOCAB_DF_SQL,
         "normalize_text": T.NORMALIZE_SQL,
         "tfidf_top_terms": TFIDF.TFIDF_SQL,
+        "oov_rate": TFIDF.OOV_SQL,
         "pii_scan": Q.PII_SCAN_SQL,
         "pii_redact": Q.PII_REDACT_SQL,
         "repetition_quality": Q.REPETITION_SQL,

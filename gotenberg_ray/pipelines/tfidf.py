@@ -141,3 +141,89 @@ r AS (
 SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
 ORDER BY doc_id, rn
 """
+
+
+# ------------------------------------------------- OOV rate
+
+
+def oov_rate(sf_dir: str, vocab_k: int = 1000) -> pd.DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-k
+    vocabulary — the cheap LM-free proxy for 'how unusual is this
+    document's wording' (tokenizer-coverage / quality signal).
+
+    The vocabulary is BOUNDED (top-k by document frequency via the
+    ``vocab_top_df`` local-top-k merge), so unlike the TF-IDF join it
+    is legitimately broadcast: one ``ray.put`` of k terms, set-probed
+    per batch with an Arrow ``is_in`` kernel. Exact ×10⁴ integer rate."""
+    import ray
+
+    from .textops import vocab_top_df
+
+    vocab = vocab_top_df(sf_dir, k=vocab_k)["term"]
+    vocab_ref = ray.put(pa.array(sorted(vocab), pa.string()))
+
+    class Rate:
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+            parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+            flat = toks.values
+            keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+            in_vocab = pc.is_in(flat, value_set=self.vocab).to_numpy(
+                zero_copy_only=False
+            )
+            n_rows = batch.num_rows
+            n_tok = np.bincount(parents[keep], minlength=n_rows).astype(np.int64)
+            n_oov = np.bincount(
+                parents[keep & ~in_vocab], minlength=n_rows
+            ).astype(np.int64)
+            rate = np.where(n_tok > 0, n_oov * 10_000 // np.maximum(n_tok, 1), 0)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": pa.array(n_tok),
+                    "n_oov": pa.array(n_oov),
+                    "oov_rate_e4": pa.array(rate.astype(np.int64)),
+                }
+            )
+
+    df = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(Rate, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    for c in ("doc_id", "n_tokens", "n_oov", "oov_rate_e4"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+OOV_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY term
+    ORDER BY n_docs DESC, term ASC LIMIT 1000)),
+per AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+  FROM w LEFT JOIN vocab ON w.term = vocab.term
+  GROUP BY w.doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.n_oov, 0) AS n_oov,
+       CASE WHEN coalesce(per.n_tokens, 0) > 0
+            THEN per.n_oov * 10000 // per.n_tokens ELSE 0 END AS oov_rate_e4
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""

@@ -55,3 +55,13 @@ def test_q8_matches_oracle(sf_dir):
     # share is a genuine fraction: 0 < nation <= total
     assert (got["nation_e4"] <= got["total_e4"]).all()
     assert got["nation_e4"].sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_oov_rate_matches_oracle(sf_dir):
+    got = TF.oov_rate(sf_dir)
+    con = _con(sf_dir, ["documents"])
+    _check(got, con.sql(TF.OOV_SQL).df())
+    # sanity: rates are valid fractions and some docs contain OOV terms
+    assert (got["oov_rate_e4"] <= 10_000).all()
+    assert (got["n_oov"] <= got["n_tokens"]).all()
