@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": R2.q18_large_orders,
         "q19_branded_revenue": R2.q19_branded_revenue,
         "q8_market_share": R2.q8_market_share,
+        "supplier_window_revenue": R2.supplier_window_revenue,
         # streaming-shaped event processing
         "events_daily_counts": R.events_daily_counts,
         "events_user_stats": R.events_user_stats,
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": R2.Q18_SQL,
         "q19_branded_revenue": R2.Q19_SQL,
         "q8_market_share": R2.Q8_SQL,
+        "supplier_window_revenue": R2.SUPPLIER_WINDOW_SQL,
         "events_daily_counts": R.EVENTS_DAILY_SQL,
         "events_user_stats": R.EVENTS_USER_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,

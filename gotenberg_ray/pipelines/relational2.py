@@ -929,3 +929,78 @@ WHERE r_name = 'EUROPE'
 GROUP BY o_year
 ORDER BY o_year
 """
+
+
+# --------------------------------- left-outer join (zero-sale rows)
+
+
+def supplier_window_revenue(sf_dir: str) -> pd.DataFrame:
+    """Every supplier's revenue in a 3-day ship window, INCLUDING the
+    suppliers with no sales (revenue 0) — the left-outer variant of the
+    bucketed shuffle join (``join_type='left outer'``): unmatched left
+    rows survive the per-partition join with null right columns, which
+    coalesce to exact-integer zeros. Same partitioning contract as the
+    inner joins; the lineitem side pre-aggregates per supplier per
+    batch and folds inside the partitions."""
+    from .joins import hash_join
+
+    lo, hi = _ts("1996-01-01"), _ts("1996-01-04")
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo), pc.less(batch["l_shipdate"], hi)
+        )
+        batch = batch.filter(m)
+        t = pa.table({"s_suppkey": batch["l_suppkey"], "rev": _rev_e4(batch)})
+        t = t.append_column("n", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        return _rename(
+            t.group_by("s_suppkey").aggregate([("rev", "sum"), ("n", "sum")]),
+            {"rev_sum": "rev", "n_sum": "n"},
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    joined = hash_join(
+        supp,
+        li,
+        on="s_suppkey",
+        num_partitions=JOIN_PARTITIONS,
+        join_type="left outer",
+        right_agg=lambda t: _rename(
+            t.group_by("s_suppkey").aggregate([("rev", "sum"), ("n", "sum")]),
+            {"rev_sum": "rev", "n_sum": "n"},
+        ),
+        left_schema=[("s_suppkey", pa.int64()), ("s_name", pa.string())],
+        right_schema=[("s_suppkey", pa.int64()), ("rev", pa.int64()), ("n", pa.int64())],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "s_name": batch["s_name"],
+                "revenue_e4": pc.fill_null(batch["rev"], 0),
+                "n_sales": pc.fill_null(batch["n"], 0),
+            }
+        )
+
+    df = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    for c in ("s_suppkey", "revenue_e4", "n_sales"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("s_suppkey").reset_index(drop=True)
+
+
+SUPPLIER_WINDOW_SQL = """
+SELECT s_suppkey, s_name,
+       CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT)
+           AS revenue_e4,
+       CAST(count(l_suppkey) AS BIGINT) AS n_sales
+FROM supplier
+LEFT JOIN lineitem ON s_suppkey = l_suppkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-01-04'
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+"""

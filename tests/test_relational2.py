@@ -70,3 +70,16 @@ def test_q18_threshold_filters(sf_dir):
     assert (got["qty_e2"] > 150 * 100).all()
     # descending by quantity, orderkey tiebreak
     assert got["qty_e2"].is_monotonic_decreasing or len(got) <= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_left_outer_keeps_zero_sale_suppliers(sf_dir):
+    got = R2.supplier_window_revenue(sf_dir)
+    con = duckdb.connect()
+    for t in ("supplier", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+    _check(got, con.sql(R2.SUPPLIER_WINDOW_SQL).df())
+    # the outer join is non-degenerate both ways
+    assert (got["n_sales"] == 0).any()
+    assert (got["n_sales"] > 0).any()
+    assert ((got["n_sales"] == 0) == (got["revenue_e4"] == 0)).all()
