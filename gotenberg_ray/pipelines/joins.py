@@ -136,6 +136,46 @@ def _local_join(lt: pa.Table, rt: pa.Table, on: str, join_type: str) -> pa.Table
     return joined.drop_columns(drop) if drop else joined
 
 
+def _key_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Key column → uint64 hash domain (ints direct, strings fnv64) —
+    the same domain ``partition_ids`` hashes, so bloom membership and
+    partition routing agree."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return fnv64(col)
+
+
+def build_key_bloom(
+    ds: rd.Dataset, key: str, capacity: int, fp_rate: float = 0.01
+):
+    """Distributed bloom build over a Dataset's key column: each batch
+    folds its keys into a fixed-(m,k) partial bloom and emits ONLY the
+    bit array (m/8 bytes); the driver OR-merges blocks — the mergeable
+    -sketch shape, nothing key-count-sized leaves the workers."""
+    from ..state.bloom import BloomFilter
+
+    proto = BloomFilter(capacity, fp_rate)
+    m, k = proto.m, proto.k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fp_rate)
+        assert (bf.m, bf.k) == (m, k)  # deterministic params → mergeable
+        bf.add(_key_u64(batch.column(key)))
+        return pa.table(
+            {"bits": pa.array([bf.bits.tobytes()], pa.binary()),
+             "n": pa.array([batch.num_rows], pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = BloomFilter(capacity, fp_rate)
+    for raw in parts["bits"]:
+        merged.bits |= np.frombuffer(raw, dtype=np.uint64)
+    merged.count = int(parts["n"].sum())
+    return merged
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -148,6 +188,9 @@ def hash_join(
     join_type: str = "inner",
     left_schema: pa.Schema | list[tuple[str, pa.DataType]] | None = None,
     right_schema: pa.Schema | list[tuple[str, pa.DataType]] | None = None,
+    bloom_prune_left: bool = False,
+    bloom_capacity: int = 1 << 20,
+    bloom_fp: float = 0.01,
 ) -> rd.Dataset:
     """Distributed hash join of two Datasets on an equality key.
 
@@ -165,7 +208,20 @@ def hash_join(
     ``Dataset.schema()``, and on a lazy side that EXECUTES the
     side's whole upstream plan once just to learn column names — a
     chained join would run its first exchange twice.
+
+    ``bloom_prune_left``: semi-join pushdown — build a distributed
+    bloom over the RIGHT side's keys first (mergeable per-block
+    partials, m/8 bytes each), broadcast it via ``ray.put``, and drop
+    left rows whose key cannot match BEFORE the all-to-all. False
+    positives only add rows the inner join drops anyway; correctness is
+    unchanged. Worth it when the right side is selective (a filtered
+    dimension slice) and the left is the fact table — the exchange then
+    moves only candidate rows. Costs one extra pass over the right
+    side, so reserve it for selective rights; INNER joins only (an
+    outer join must keep unmatched left rows).
     """
+    if bloom_prune_left and join_type != "inner":
+        raise ValueError("bloom_prune_left requires join_type='inner'")
     right_key = right_on or on
 
     def _fields(ds, schema) -> list[tuple[str, pa.DataType]]:
@@ -195,6 +251,23 @@ def hash_join(
             ),
             batch_format="pyarrow",
         )
+
+    if bloom_prune_left:
+        import ray as _ray
+
+        from ..state.bloom import BloomFilter
+
+        bloom_bytes = build_key_bloom(right, on, bloom_capacity, bloom_fp).to_bytes()
+        bloom_ref = _ray.put(bloom_bytes)
+
+        def prune(batch: pa.Table) -> pa.Table:
+            # ray.get on a plasma ref is cached per worker process; the
+            # rebuild is one O(m/8) frombuffer, cheap next to the probe
+            bf = BloomFilter.from_bytes(_ray.get(bloom_ref))
+            keep = bf.contains(_key_u64(batch.column(on)))
+            return batch.filter(pa.array(keep))
+
+        left = left.map_batches(prune, batch_format="pyarrow")
 
     tagged = left.map_batches(
         _pad_to(union_fields, 0, on, num_partitions), batch_format="pyarrow"

@@ -137,8 +137,11 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     dataset-scale table. lineitem partial-aggregates revenue per
     orderkey per batch; the per-key combine happens INSIDE the join's
     hash partitions (``left_agg``) — one shuffle, not two. customer
-    semi-joins orders the same way; final top-10 is per-block local
-    top-k merged on the driver."""
+    semi-joins orders the same way, with a BLOOM SEMI-JOIN PUSHDOWN:
+    the BUILDING slice is selective (~1/5 of customers), so a
+    distributed bloom of its custkeys prunes orders before the
+    exchange — only candidate orders enter the all-to-all. Final
+    top-10 is per-block local top-k merged on the driver."""
     from .joins import hash_join
 
     cutoff = pa.scalar(np.datetime64("1997-01-01", "us"), type=pa.timestamp("us"))
@@ -163,6 +166,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         left_schema=[("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
                      ("o_orderdate", pa.timestamp("us"))],
         right_schema=[("c_custkey", pa.int64())],
+        bloom_prune_left=True,
     ).select_columns(["o_orderkey", "o_orderdate"])
 
     def li_partial(batch: pa.Table) -> pa.Table:

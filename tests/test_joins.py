@@ -76,3 +76,45 @@ def test_hash_join_rejects_clashing_columns(ray_session):
     r = rd.from_pandas(pd.DataFrame({"k": [1], "v": [2]}))
     with pytest.raises(ValueError, match="share non-key columns"):
         hash_join(l, r, on="k")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomPushdown:
+    def test_same_result_as_plain_join(self):
+        import numpy as np
+        import ray.data as rd
+
+        from gotenberg_ray.pipelines.joins import build_key_bloom, hash_join
+
+        left = rd.from_items([{"k": i, "v": i * 2} for i in range(5_000)])
+        right = rd.from_items([{"k": i * 41, "w": i} for i in range(100)])
+        sl = [("k", pa.int64()), ("v", pa.int64())]
+        sr = [("k", pa.int64()), ("w", pa.int64())]
+        plain = (
+            hash_join(left, right, on="k", num_partitions=4,
+                      left_schema=sl, right_schema=sr)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        pruned = (
+            hash_join(left, right, on="k", num_partitions=4,
+                      left_schema=sl, right_schema=sr,
+                      bloom_prune_left=True, bloom_capacity=512)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(plain, pruned)
+        # the bloom itself is selective: most non-matching keys reject
+        bloom = build_key_bloom(right, "k", 512)
+        keep = bloom.contains(np.arange(5_000, dtype=np.uint64))
+        assert keep.sum() < 500  # 100 true + bounded false positives
+
+    def test_rejects_outer_join(self):
+        import ray.data as rd
+
+        from gotenberg_ray.pipelines.joins import hash_join
+
+        ds = rd.from_items([{"k": 1}])
+        with pytest.raises(ValueError, match="inner"):
+            hash_join(ds, ds, on="k", join_type="left outer",
+                      bloom_prune_left=True,
+                      left_schema=[("k", pa.int64())],
+                      right_schema=[("k", pa.int64())])
