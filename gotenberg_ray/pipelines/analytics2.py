@@ -279,3 +279,90 @@ SELECT user_id, epoch_us(min(ts)) AS half_ts_us
 FROM c WHERE 2 * cum >= total
 GROUP BY user_id ORDER BY user_id
 """
+
+
+def event_funnel(sf_dir: str) -> pd.DataFrame:
+    """Conversion-funnel analysis: of all users, how many ever viewed,
+    how many first-clicked AFTER first viewing, and how many
+    first-purchased after that click — the staged user-journey rollup.
+
+    Plan: per-batch partial min-timestamp per (user, stage) → ONE
+    bucketed shuffle (``pid = mix64(user)``) → per-bucket vectorized
+    pivot + stage evaluation → a 4-int driver sum. Nothing
+    user-count-sized leaves the workers un-aggregated."""
+    from .joins import partition_ids
+    from .relational import JOIN_PARTITIONS
+
+    stages = pa.array(["view", "click", "purchase"], pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["event_type"], value_set=stages))
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "ts": batch["ts"],
+            }
+        )
+        g = t.group_by(["user_id", "event_type"]).aggregate([("ts", "min")])
+        return g.append_column(
+            "pid", partition_ids(g.column("user_id"), JOIN_PARTITIONS)
+        )
+
+    def fold_bucket(part: pa.Table) -> pa.Table:
+        df = part.select(["user_id", "event_type", "ts_min"]).to_pandas()
+        df = df.groupby(["user_id", "event_type"])["ts_min"].min().unstack()
+        for c in ("view", "click", "purchase"):
+            if c not in df.columns:
+                df[c] = pd.NaT
+        viewed = df["view"].notna()
+        clicked = viewed & (df["click"] > df["view"])
+        purchased = clicked & (df["purchase"] > df["click"])
+        return pa.table(
+            {
+                "n_users": [len(df)],
+                "n_viewed": [int(viewed.sum())],
+                "n_click_after_view": [int(clicked.sum())],
+                "n_purchase_funnel": [int(purchased.sum())],
+            }
+        )
+
+    df = (
+        read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            c: [int(df[c].sum())]
+            for c in (
+                "n_users",
+                "n_viewed",
+                "n_click_after_view",
+                "n_purchase_funnel",
+            )
+        }
+    )
+    return out
+
+
+FUNNEL_SQL = """
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_viewed,
+       CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_click_after_view,
+       CAST(sum(CASE WHEN t_click > t_view AND t_purch > t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_funnel
+FROM m
+"""

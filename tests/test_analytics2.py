@@ -58,3 +58,17 @@ def test_rollup_subtotals_consistent(sf_dir):
     fine = got[(got["lang"] != "ALL") & (got["source"] != "ALL")]
     assert total["n_docs"].iloc[0] == fine["n_docs"].sum()
     assert total["total_chars"].iloc[0] == fine["total_chars"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_matches_oracle_and_is_monotone(sf_dir):
+    got = A2.event_funnel(sf_dir)
+    con = _con(sf_dir)
+    want = con.sql(A2.FUNNEL_SQL).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+        got[c] = got[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want[got.columns])
+    r = got.iloc[0]
+    assert r["n_users"] >= r["n_viewed"] >= r["n_click_after_view"] >= r["n_purchase_funnel"]
+    assert r["n_viewed"] > 0
