@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bottomk": SA.sample_bottomk,
         "sample_stratified": SA.sample_stratified,
         "mix_domains": SA.mix_domains,
+        "sample_weighted": SA.sample_weighted,
         # similarity search
         "knn_topk": E.knn_topk,
         "knn_lsh": E.knn_lsh,
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_bottomk": SA.SAMPLE_BOTTOMK_SQL,
         "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,
         "mix_domains": SA.MIX_DOMAINS_SQL,
+        "sample_weighted": SA.SAMPLE_WEIGHTED_SQL,
         "knn_topk": E.KNN_SQL,
         "embedding_label_stats": E.LABEL_STATS_SQL,
         "embedding_dup_pairs": E.DUP_PAIRS_SQL,

@@ -199,3 +199,43 @@ FROM documents d JOIN th USING (source)
 WHERE (d.doc_id * {_KNUTH}) % {_M32} < thresh
 ORDER BY d.doc_id
 """
+
+
+def sample_weighted(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Weighted bottom-k sample: priority ``mix(doc_id) // weight``
+    (integer A-ES-style exponential-race approximation — heavier rows
+    draw proportionally smaller priorities, so the bottom-k skews
+    toward heavy rows while staying a mergeable per-block sketch).
+    Weight = document length (``n_chars``): a byte-budgeted corpus
+    sample. Deterministic and integer-exact — the oracle runs the
+    same arithmetic."""
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = np.maximum(batch["n_chars"].to_numpy(zero_copy_only=False), 1)
+        pri = _mix(ids) // w.astype(np.uint64)
+        if len(pri) > k:
+            idx = np.argpartition(pri, k)[:k]
+            batch = batch.take(pa.array(idx))
+            pri = pri[idx]
+        return batch.append_column("_pri", pa.array(pri))
+
+    df = (
+        read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        .map_batches(local_bottomk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df = df.nsmallest(k, "_pri").drop(columns=["_pri"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, n_chars FROM documents
+ORDER BY ((doc_id * {_KNUTH}) % {_M32}) // greatest(n_chars, 1)
+LIMIT 100
+"""
+# priorities are near-unique (distinct hash // weight); a tie at the
+# k-boundary would be nondeterministic, so the pytest oracle also
+# verifies the boundary is strict on this corpus.

@@ -46,3 +46,21 @@ class TestSampling:
         heavy = [n for s, n in kept.items() if w[s] >= 3]
         if light and heavy:
             assert sum(heavy) / len(heavy) > sum(light) / len(light)
+
+    def test_weighted_sample_matches_oracle_and_skews_heavy(self, sf_dir):
+        import duckdb
+
+        got = SA.sample_weighted(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = (
+            con.sql(SA.SAMPLE_WEIGHTED_SQL)
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in want.columns:
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+        corpus_avg = con.sql("SELECT avg(n_chars) FROM documents").fetchone()[0]
+        assert got["n_chars"].mean() > corpus_avg  # heavy-doc skew
