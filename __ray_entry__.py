@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_rollup": A2.lang_source_rollup,
         "events_half_spend": A2.events_half_spend,
         "event_funnel": A2.event_funnel,
+        "props_key_stats": A2.props_key_stats,
         # text corpus analysis + dedup family
         "doc_stats_by_lang": T.doc_stats_by_lang,
         "doc_token_counts": T.doc_token_counts,
@@ -219,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_rollup": A2.ROLLUP_SQL,
         "events_half_spend": A2.HALF_SPEND_SQL,
         "event_funnel": A2.FUNNEL_SQL,
+        "props_key_stats": A2.PROPS_SQL,
         "doc_stats_by_lang": T.DOC_STATS_SQL,
         "doc_token_counts": T.DOC_TOKENS_SQL,
         "doc_quality": T.DOC_QUALITY_SQL,

@@ -366,3 +366,61 @@ SELECT count(*) AS n_users,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_funnel
 FROM m
 """
+
+
+def props_key_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the numeric ``k`` field out of
+    the JSON ``props`` column and aggregate it per event type — the
+    JSON-column pattern of event pipelines. Extraction is a vectorized
+    RE2 capture (C kernel; the props schema is fixed ``{"k": N}``),
+    aggregation the usual partial → groupby combine, all exact ints.
+    The oracle extracts via DuckDB's JSON path instead — two different
+    engines, same values."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        caps = pc.extract_regex(
+            pc.fill_null(batch["props"], ""), r'"k":\s*(?P<k>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(caps, "k"), pa.int64())
+        ok = pc.is_valid(k)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "k": pc.fill_null(k, 0),
+                "has_k": pc.cast(ok, pa.int64()),
+            }
+        )
+        return t.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "max"), ("has_k", "sum"), ([], "count_all")]
+        )
+
+    df = (
+        read_table(sf_dir, "events", columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("k_sum", alias_name="sum_k"),
+            Sum("has_k_sum", alias_name="n_with_k"),
+            Sum("count_all", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_k", "n_with_k", "n_events"):
+        df[c] = df[c].astype("int64")
+    df["avg_k_e4"] = (df["sum_k"] * 10_000) // df["n_with_k"].clip(lower=1)
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+PROPS_SQL = """
+SELECT event_type,
+       CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0))
+            AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       count(*) AS n_events,
+       (CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0))
+             AS BIGINT) * 10000)
+           // greatest(CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT), 1) AS avg_k_e4
+FROM events GROUP BY event_type ORDER BY event_type
+"""

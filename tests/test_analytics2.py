@@ -72,3 +72,12 @@ def test_funnel_matches_oracle_and_is_monotone(sf_dir):
     r = got.iloc[0]
     assert r["n_users"] >= r["n_viewed"] >= r["n_click_after_view"] >= r["n_purchase_funnel"]
     assert r["n_viewed"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_props_extraction_matches_json_oracle(sf_dir):
+    got = A2.props_key_stats(sf_dir)
+    con = _con(sf_dir)
+    want = con.sql(A2.PROPS_SQL).df()
+    _check(got, want)
+    assert (got["n_with_k"] > 0).any()  # extraction actually fires
