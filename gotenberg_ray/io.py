@@ -76,3 +76,80 @@ def read_table(
 def write_table(ds: rd.Dataset, path: str, **kwargs) -> None:
     """Partitioned-parquet sink (one file per block — resumable)."""
     ds.write_parquet(path, **kwargs)
+
+
+def write_partitioned(
+    ds: rd.Dataset,
+    path: str,
+    key: str,
+    num_partitions: int = 32,
+) -> dict:
+    """Resumable partitioned sink: rows are hash-bucketed on ``key``
+    into ``num_partitions`` directories, each written atomically (data
+    file first, then a ``_COMPLETE`` marker). A re-run after a kill
+    SKIPS every directory whose marker exists — only missing buckets
+    recompute, so a failed 100 TB job resumes at the partition
+    granularity instead of restarting (the brief's resumable-output
+    contract; same marker protocol as ``frontier/checkpoint.py``).
+
+    The write happens INSIDE the bucket groups (workers write their own
+    partition; the driver sees only per-bucket row counts). Bucket ids
+    are content-deterministic (``mix64(key) % P``), so a resume run
+    routes every row to the same directory it targeted before.
+    Directory names avoid ``key=value`` so a plain ``read_parquet``
+    never hive-infers a phantom partition column."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .pipelines.joins import partition_ids
+
+    os.makedirs(path, exist_ok=True)
+    done = {
+        int(d.split("-")[1])
+        for d in os.listdir(path)
+        if d.startswith("bucket-")
+        and os.path.exists(os.path.join(path, d, "_COMPLETE"))
+    }
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pid = partition_ids(batch.column(key), num_partitions)
+        batch = batch.append_column("__bucket__", pid)
+        if done:  # resume: finished buckets never re-enter the shuffle
+            keep = ~np.isin(pid.to_numpy(zero_copy_only=False), list(done))
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+    def write_bucket(part: pa.Table) -> pa.Table:
+        bid = int(part["__bucket__"][0].as_py())
+        part = part.drop_columns(["__bucket__"])
+        bdir = os.path.join(path, f"bucket-{bid}")
+        os.makedirs(bdir, exist_ok=True)
+        pq.write_table(part, os.path.join(bdir, "part.parquet"))
+        with open(os.path.join(bdir, "_COMPLETE"), "w") as f:
+            f.write(str(part.num_rows))
+        return pa.table({"bucket": [bid], "rows": [part.num_rows]})
+
+    written = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket__", num_partitions=num_partitions)
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "written_buckets": len(written),
+        "written_rows": int(written["rows"].sum()) if len(written) else 0,
+        "skipped_buckets": len(done),
+    }
+
+
+def read_partitioned(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Read back a ``write_partitioned`` directory (complete buckets
+    only — a half-written bucket without its marker is invisible)."""
+    files = [
+        os.path.join(path, d, "part.parquet")
+        for d in sorted(os.listdir(path))
+        if d.startswith("bucket-")
+        and os.path.exists(os.path.join(path, d, "_COMPLETE"))
+    ]
+    return rd.read_parquet(files, columns=columns)

@@ -1,7 +1,12 @@
-"""Storage IO seam: size-proportional block policy."""
+"""Storage IO seam: size-proportional block policy + resumable
+partitioned writes."""
+
+import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+import pytest
 
 from gotenberg_ray import io as gio
 
@@ -28,3 +33,56 @@ def test_read_table_respects_floor_and_columns(ray_session, tmp_path):
     assert ds.schema().names == ["a"]
     assert ds.count() == 1000
     assert ds.materialize().num_blocks() >= 7
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResumablePartitionedWrite:
+    def test_write_then_resume_skips_complete_buckets(self, tmp_path, sf_dir):
+        import shutil
+
+        import pandas as pd
+        import ray.data as rd
+
+        from gotenberg_ray.io import read_partitioned, write_partitioned
+
+        src = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"])
+        ds = rd.from_pandas(src)
+        out = str(tmp_path / "resumable")
+        first = write_partitioned(ds, out, key="doc_id", num_partitions=8)
+        assert first["written_rows"] == len(src)
+        assert first["skipped_buckets"] == 0
+
+        # simulate a crash: delete two buckets' markers (half-written)
+        killed = 0
+        for d in sorted(os.listdir(out))[:2]:
+            os.remove(os.path.join(out, d, "_COMPLETE"))
+            killed += 1
+
+        # resume: only the killed buckets rewrite
+        second = write_partitioned(rd.from_pandas(src), out,
+                                   key="doc_id", num_partitions=8)
+        assert second["skipped_buckets"] == 8 - killed
+        assert second["written_buckets"] == killed
+
+        back = read_partitioned(out).to_pandas().sort_values("doc_id")
+        pd.testing.assert_frame_equal(
+            back.reset_index(drop=True),
+            src.sort_values("doc_id").reset_index(drop=True),
+        )
+
+    def test_incomplete_bucket_is_invisible(self, tmp_path, sf_dir):
+        import pandas as pd
+        import ray.data as rd
+
+        from gotenberg_ray.io import read_partitioned, write_partitioned
+
+        src = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"])
+        out = str(tmp_path / "partial")
+        write_partitioned(rd.from_pandas(src), out, key="doc_id",
+                          num_partitions=4)
+        victim = sorted(os.listdir(out))[0]
+        os.remove(os.path.join(out, victim, "_COMPLETE"))
+        visible = read_partitioned(out).to_pandas()
+        assert 0 < len(visible) < len(src)
