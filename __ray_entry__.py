@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_half_spend": A2.events_half_spend,
         "event_funnel": A2.event_funnel,
         "props_key_stats": A2.props_key_stats,
+        "orders_price_page": A2.orders_price_page,
         # text corpus analysis + dedup family
         "doc_stats_by_lang": T.doc_stats_by_lang,
         "doc_token_counts": T.doc_token_counts,
@@ -221,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "events_half_spend": A2.HALF_SPEND_SQL,
         "event_funnel": A2.FUNNEL_SQL,
         "props_key_stats": A2.PROPS_SQL,
+        "orders_price_page": A2.PRICE_PAGE_SQL,
         "doc_stats_by_lang": T.DOC_STATS_SQL,
         "doc_token_counts": T.DOC_TOKENS_SQL,
         "doc_quality": T.DOC_QUALITY_SQL,

@@ -424,3 +424,52 @@ SELECT event_type,
                         THEN 1 ELSE 0 END) AS BIGINT), 1) AS avg_k_e4
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def orders_price_page(sf_dir: str, offset: int = 100, k: int = 10) -> pd.DataFrame:
+    """Deep pagination over a GLOBAL sort: rows ``offset..offset+k`` of
+    all orders by (price desc, orderkey) — the one wide operator the
+    suite doesn't otherwise exercise, Ray Data's distributed
+    ``Dataset.sort`` (range-partitioned all-to-all), consumed with
+    ``limit(offset+k)`` so only the head of the sorted stream
+    materializes (streaming backpressure prunes the tail)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        # single descending sort key with orderkey tiebreak folded in:
+        # Dataset.sort is ascending — sort by (-price, orderkey)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "price_e2": cents,
+                "neg_price": pc.negate_checked(cents),
+            }
+        )
+
+    df = (
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .sort(["neg_price", "o_orderkey"])
+        .limit(offset + k)
+        .to_pandas()
+        .iloc[offset : offset + k]
+        .drop(columns=["neg_price"])
+        .reset_index(drop=True)
+    )
+    df["rn"] = np.arange(offset + 1, offset + 1 + len(df), dtype=np.int64)
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    df["price_e2"] = df["price_e2"].astype("int64")
+    return df
+
+
+PRICE_PAGE_SQL = """
+SELECT o_orderkey, price_e2, rn FROM (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2,
+         CAST(row_number() OVER (
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                      o_orderkey) AS BIGINT) AS rn
+  FROM orders)
+WHERE rn > 100 AND rn <= 110
+ORDER BY rn
+"""

@@ -81,3 +81,13 @@ def test_props_extraction_matches_json_oracle(sf_dir):
     want = con.sql(A2.PROPS_SQL).df()
     _check(got, want)
     assert (got["n_with_k"] > 0).any()  # extraction actually fires
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_price_page_matches_oracle(sf_dir):
+    got = A2.orders_price_page(sf_dir)
+    con = _con(sf_dir)
+    want = con.sql(A2.PRICE_PAGE_SQL).df()
+    _check(got, want)
+    assert list(got["rn"]) == list(range(101, 111))
+    assert got["price_e2"].is_monotonic_decreasing or got["price_e2"].nunique() < 10
