@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import tfidf as TFIDF
+    from gotenberg_ray.pipelines import train as TR
     from gotenberg_ray.pipelines import windows as W
 
     return {
@@ -170,6 +171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantic dedup (k-means + within-cluster greedy prune;
         # rows-only — k-means has no SQL twin)
         "semdedup": E.semdedup,
+        # end-to-end crawl→curate→pack→shard composition (rows-only —
+        # the seeded crawl is not SQL-expressible; determinism-tested)
+        "training_data_pipeline": TR.training_data_pipeline,
     }
 
 
