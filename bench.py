@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "top_orders_per_customer",
     "semdedup",
+    "tfidf_top_terms",
+    "orders_price_page",
 ]
 
 
