@@ -1,0 +1,118 @@
+"""Hypothesis property tests over the foundational kernels — the
+invariants every downstream operator silently relies on:
+
+- RFC-3986 canonicalization is IDEMPOTENT (a canonical URL re-entering
+  the frontier must map to the same seen-key, or dedup breaks);
+- the cuckoo seen-set has NO FALSE NEGATIVES (a lost URL is a crawl
+  correctness bug; false positives only cost a skipped refetch);
+- the bloom fast-reject tier never rejects a present key;
+- the bucketed hash join equals a reference pandas merge for arbitrary
+  key multiplicity (inner + left outer, many-to-many multiplication);
+- sampling priorities are permutation-invariant (block layout can't
+  change which rows survive).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gotenberg_ray.functions.urlkit import canonicalize_url
+from gotenberg_ray.state.bloom import BloomFilter
+from gotenberg_ray.state.cuckoo import CuckooFilter
+
+# URL-ish strings: scheme/host/path/query fragments with odd escapes
+_url_bits = st.text(
+    alphabet="abcXYZ019-._~%/?#[]@!$&'()*+,;= \té中",
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(_url_bits)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent(suffix):
+    url = "http://Example.COM:80/" + suffix
+    once = canonicalize_url(url)
+    assert canonicalize_url(once) == once
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_cuckoo_no_false_negatives(keys):
+    cf = CuckooFilter(capacity=1 << 12)
+    arr = np.array(keys or [0], dtype=np.uint64)
+    cf.add_if_absent(arr)
+    assert cf.contains(arr).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_bloom_no_false_negatives(keys):
+    bf = BloomFilter(capacity=1024)
+    arr = np.array(keys or [0], dtype=np.uint64)
+    bf.add(arr)
+    assert bf.contains(arr).all()
+
+
+_keys = st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=60)
+
+
+@pytest.mark.usefixtures("ray_session")
+@given(lk=_keys, rk=_keys, outer=st.booleans())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hash_join_equals_pandas_merge(lk, rk, outer):
+    import ray.data as rd
+
+    from gotenberg_ray.pipelines.joins import hash_join
+
+    left = pd.DataFrame({"k": lk, "v": range(len(lk))})
+    right = pd.DataFrame({"k": rk, "w": [x * 3 for x in range(len(rk))]})
+    how = "left" if outer else "inner"
+    want = (
+        left.merge(right, on="k", how=how)
+        .sort_values(["k", "v", "w"], na_position="last")
+        .reset_index(drop=True)
+    )
+    got = hash_join(
+        rd.from_pandas(left) if len(left) else rd.from_items([{"k": 0, "v": 0}]).filter(lambda r: False),
+        rd.from_pandas(right) if len(right) else rd.from_items([{"k": 0, "w": 0}]).filter(lambda r: False),
+        on="k",
+        num_partitions=4,
+        join_type="left outer" if outer else "inner",
+        left_schema=[("k", pa.int64()), ("v", pa.int64())],
+        right_schema=[("k", pa.int64()), ("w", pa.int64())],
+    ).to_pandas()
+    if want.empty:
+        assert got.empty  # (empty Ray results drop column labels)
+        return
+    got = got.sort_values(["k", "v", "w"], na_position="last").reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ("k", "v", "w"):
+        gv = got[c].to_numpy(dtype=float)
+        wv = want[c].to_numpy(dtype=float)
+        assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
+
+
+@given(st.permutations(list(range(40))))
+@settings(max_examples=50, deadline=None)
+def test_sampling_priority_permutation_invariant(perm):
+    """The bottom-k survivor SET is a pure function of the ids, not of
+    the order blocks present them in."""
+    from gotenberg_ray.pipelines.sampling import _mix
+
+    ids = np.array(perm, dtype=np.uint64)
+    pri = _mix(ids)
+    k = 10
+    keep = set(ids[np.argpartition(pri, k)[:k]].tolist())
+    ids2 = np.arange(40, dtype=np.uint64)
+    keep2 = set(ids2[np.argpartition(_mix(ids2), k)[:k]].tolist())
+    assert keep == keep2
