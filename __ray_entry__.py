@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import analytics2 as A2
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
+    from gotenberg_ray.pipelines import incremental as INC
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import packing as PK
     from gotenberg_ray.pipelines import quality as Q
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": T.dedup_simhash,
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
         "dedup_clusters": T.dedup_clusters,
+        "dedup_incremental": INC.dedup_incremental,
         "contamination_check": T.contamination_check,
         "curation_pipeline": T.curation_pipeline,
         "vocab_top_df": T.vocab_top_df,
@@ -183,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import analytics2 as A2
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
+    from gotenberg_ray.pipelines import incremental as INC
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import packing as PK
     from gotenberg_ray.pipelines import quality as Q
@@ -233,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_clusters": T.CLUSTERS_SQL,
+        "dedup_incremental": INC.DEDUP_INCREMENTAL_SQL,
         "contamination_check": T.CONTAMINATION_SQL,
         "curation_pipeline": T.CURATION_SQL,
         "vocab_top_df": T.VOCAB_DF_SQL,

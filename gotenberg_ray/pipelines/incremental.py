@@ -1,0 +1,167 @@
+"""Incremental-ingestion dedup: filter a NEW batch of documents
+against an EXISTING corpus — the daily-increment shape of a production
+crawl (yesterday's corpus is on disk; today's fetch must not re-admit
+content it already has).
+
+Scale plan (nothing corpus-sized is ever collected or broadcast raw):
+
+1. content-hash both sides per batch (the shared fnv64 stage);
+2. a distributed mergeable BLOOM of the existing corpus's hashes
+   (m/8 bytes per block to the driver — ``joins.build_key_bloom``)
+   broadcast-gates the incoming batch: definite-new rows (bloom
+   negative = guaranteed absent) skip everything downstream;
+3. the surviving candidates (true dups + bloom false positives) are
+   few, so a SECOND bloom — of the candidate hashes — prunes the
+   existing corpus to just the rows that could match;
+4. a bucketed ``hash_join`` on the hash verifies candidates against
+   the pruned existing side WITH full-text equality (hash collisions
+   cannot smuggle a false drop), left-outer so unverified candidates
+   (false positives) are kept.
+
+The demo's incoming batch = the upper half of the documents table
+plus deterministic "re-crawled" copies of the first quarter (same
+text, shifted ids) — constructed identically in the SQL oracle, which
+checks the verdict per incoming row end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import fnv64
+from ..io import read_table
+from ..state.bloom import BloomFilter  # module-level: workers resolve
+# UDF globals via the pickled-by-value package, not sys.path
+
+
+def _with_hash(batch: pa.Table) -> pa.Table:
+    h = fnv64(batch["text"].to_pylist())
+    return batch.append_column("h", pa.array(h.view(np.int64)))
+
+
+def dedup_incremental(sf_dir: str) -> pd.DataFrame:
+    """Per incoming doc: ``kept`` = 1 iff its text is NOT in the
+    existing corpus. Returns (doc_id, kept) for every incoming row."""
+    import ray
+
+    from .joins import build_key_bloom, hash_join
+    from .relational import JOIN_PARTITIONS
+
+    n_total = int(read_table(sf_dir, "documents", columns=["doc_id"]).count())
+    half, quarter = n_total // 2, n_total // 4
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["doc_id"], half))
+        return _with_hash(batch)
+
+    def incoming_side(batch: pa.Table) -> pa.Table:
+        fresh = batch.filter(pc.greater_equal(batch["doc_id"], half))
+        replay = batch.filter(pc.less(batch["doc_id"], quarter))
+        replay = replay.set_column(
+            replay.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(replay["doc_id"], pa.scalar(n_total, pa.int64())),
+        )
+        return _with_hash(pa.concat_tables([fresh, replay]))
+
+    docs = lambda: read_table(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
+    old = docs().map_batches(old_side, batch_format="pyarrow")
+    incoming = docs().map_batches(incoming_side, batch_format="pyarrow")
+
+    # 2. existing-corpus bloom gates the incoming batch
+    old_bloom = build_key_bloom(
+        old.select_columns(["h"]), "h", capacity=max(1024, half * 2)
+    )
+    old_ref = ray.put(old_bloom.to_bytes())
+
+    def split_candidates(batch: pa.Table, want_candidates: bool) -> pa.Table:
+        bf = BloomFilter.from_bytes(ray.get(old_ref))
+        hit = bf.contains(
+            batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+        return batch.filter(pa.array(hit if want_candidates else ~hit))
+
+    definite_new = incoming.map_batches(
+        lambda b: split_candidates(b, False), batch_format="pyarrow"
+    )
+    candidates = incoming.map_batches(
+        lambda b: split_candidates(b, True), batch_format="pyarrow"
+    )
+
+    # 3.+4. candidate-pruned existing side, verified text-equal join
+    verified = hash_join(
+        candidates.map_batches(
+            lambda b: b.rename_columns(
+                ["new_id" if c == "doc_id" else "new_text" if c == "text" else c
+                 for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        ),
+        old.map_batches(
+            lambda b: b.select(["h", "text"]).rename_columns(["h", "old_text"]),
+            batch_format="pyarrow",
+        ),
+        on="h",
+        num_partitions=JOIN_PARTITIONS,
+        join_type="left outer",
+        bloom_prune_left=False,
+        left_schema=[("new_id", pa.int64()), ("new_text", pa.string()),
+                     ("h", pa.int64())],
+        right_schema=[("h", pa.int64()), ("old_text", pa.string())],
+    )
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        dup = pc.and_kleene(
+            pc.is_valid(batch["old_text"]),
+            pc.equal(batch["new_text"], batch["old_text"]),
+        )
+        dup = pc.fill_null(dup, False)
+        t = pa.table(
+            {
+                "doc_id": batch["new_id"],
+                "kept": pc.cast(pc.invert(dup), pa.int64()),
+            }
+        )
+        # a candidate may match several old rows post-join; any
+        # text-equal match ⇒ dropped
+        return t.group_by("doc_id").aggregate([("kept", "min")])
+
+    cand_flags = (
+        verified.map_batches(verdict, batch_format="pyarrow")
+        .groupby("doc_id")
+        .min("kept_min")
+        .to_pandas()
+        .rename(columns={"min(kept_min)": "kept"})
+    )
+    new_flags = (
+        definite_new.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["doc_id"],
+                 "kept": pa.array(np.ones(b.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = pd.concat([cand_flags, new_flags], ignore_index=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["kept"] = out["kept"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH tot AS (SELECT count(*) AS n FROM documents),
+old AS (SELECT text FROM documents, tot WHERE doc_id < n // 2),
+inc AS (
+  SELECT doc_id, text FROM documents, tot WHERE doc_id >= n // 2
+  UNION ALL
+  SELECT doc_id + n, text FROM documents, tot WHERE doc_id < n // 4)
+SELECT i.doc_id,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM old o WHERE o.text = i.text)
+            THEN 0 ELSE 1 END AS BIGINT) AS kept
+FROM inc i
+ORDER BY i.doc_id
+"""

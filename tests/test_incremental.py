@@ -1,0 +1,30 @@
+"""Incremental-ingestion dedup vs the DuckDB EXISTS oracle."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from gotenberg_ray.pipelines import incremental as I
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_matches_oracle(sf_dir):
+    got = I.dedup_incremental(sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+    want = con.sql(I.DEDUP_INCREMENTAL_SQL).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replays_dropped_fresh_kept(sf_dir):
+    got = I.dedup_incremental(sf_dir)
+    n = 500  # documents table size at every sf for this corpus
+    replays = got[got["doc_id"] >= n]
+    fresh = got[got["doc_id"] < n]
+    # every replayed copy is recognized as already-present
+    assert (replays["kept"] == 0).all() and len(replays) == n // 4
+    # every genuinely new doc is admitted (no bloom false drop)
+    assert (fresh["kept"] == 1).all()
