@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantic dedup (k-means + within-cluster greedy prune;
         # rows-only — k-means has no SQL twin)
         "semdedup": E.semdedup,
+        # two-stage retrieval: cosine recall -> actor-pool reranker
+        # (deterministic fake model; rows-only)
+        "rerank_topk": E.rerank_topk,
         # end-to-end crawl→curate→pack→shard composition (rows-only —
         # the seeded crawl is not SQL-expressible; determinism-tested)
         "training_data_pipeline": TR.training_data_pipeline,

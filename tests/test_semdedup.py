@@ -52,3 +52,23 @@ class TestSemDedup:
         loose = E.semdedup(sf_dir, threshold=0.2)
         assert (loose["keep"] == 0).sum() > (tight["keep"] == 0).sum()
         assert (loose["keep"] == 0).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRerank:
+    def test_deterministic_and_within_candidates(self, sf_dir):
+        a = E.rerank_topk(sf_dir, k=5, k0=30)
+        b = E.rerank_topk(sf_dir, k=5, k0=30)
+        pd.testing.assert_frame_equal(a, b)
+        assert list(a["rank"]) == [1, 2, 3, 4, 5]
+        assert a["rerank_score_e6"].is_monotonic_decreasing or len(a) <= 1
+
+    def test_rerank_restricted_to_recall_set(self, sf_dir):
+        """Widening k0 can only change results via the candidate set —
+        with k0 = corpus the rerank is the global optimum, and the
+        k0=30 result must score no higher than it."""
+        small = E.rerank_topk(sf_dir, k=1, k0=10)
+        wide = E.rerank_topk(sf_dir, k=1, k0=400)
+        assert (
+            wide["rerank_score_e6"].iloc[0] >= small["rerank_score_e6"].iloc[0]
+        )
