@@ -162,6 +162,11 @@ def bench_queries(sf_dir: str) -> dict:
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     qs = m.queries()
+    # warm the session (worker spawn, cloudpickle of the package) so
+    # the first query's number measures the query, not the cold start
+    import ray.data as rd
+
+    rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
     out = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

@@ -634,23 +634,52 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 
 def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
-    """Session windows per user: ordered log → per-key map_groups
-    (the streaming-shaped pattern from the guide; ordering contract:
-    (ts, event_id) within user)."""
+    """Session windows per user: ONE hash-bucketed shuffle (``pid =
+    mix64(user)``), then each bucket sessionizes ALL its users in a
+    single vectorized segment pass — sort by (user, ts, event_id),
+    diff timestamps, count session starts (user change OR gap >
+    threshold) with one bincount. Per-key ``map_groups`` would pay
+    per-group overhead |users| times (the top_orders_per_customer
+    lesson); the bucket pass costs O(rows log rows) per bucket with C
+    kernels only. Gaps compare in integer microseconds so a gap of
+    exactly ``gap_s`` judges identically on both engines."""
+    from .joins import partition_ids
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        # integer-microsecond gaps: a gap of exactly gap_s must compare
-        # identically on both sides (no float epoch() tie ambiguity)
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        gaps_us = np.diff(ts_us)
-        n_sessions = 1 + int((gaps_us > gap_s * 1_000_000).sum()) if len(ts_us) else 0
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]}
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pid", partition_ids(batch["user_id"], JOIN_PARTITIONS)
         )
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
-    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    def sessionize_bucket(part: pa.Table) -> pa.Table:
+        t = part.select(["user_id", "ts", "event_id"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_sessions": pa.array([], pa.int64())}
+            )
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        gap = np.r_[True, (ts_us[1:] - ts_us[:-1]) > gap_s * 1_000_000]
+        starts = new_user | gap
+        uniq, inv = np.unique(users, return_inverse=True)
+        counts = np.bincount(inv, weights=starts).astype(np.int64)
+        return pa.table(
+            {"user_id": pa.array(uniq.astype(np.int64)),
+             "n_sessions": pa.array(counts)}
+        )
+
+    df = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(sessionize_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df["user_id"] = df["user_id"].astype("int64")
     df["n_sessions"] = df["n_sessions"].astype("int64")
     return df.sort_values("user_id").reset_index(drop=True)
 
