@@ -236,29 +236,58 @@ ORDER BY lang, source
 def events_half_spend(sf_dir: str) -> pd.DataFrame:
     """Cumulative-window query: per user, the timestamp at which the
     running spend (ordered by ts, event_id) first reaches half the
-    user's total — exact integer cents, monotone running sum, so the
-    qualifying event is unique and layout-independent. Per-key ordered
-    processing via groupby(user).map_groups (the sessionize shape)."""
+    user's total — exact integer cents. One hash-bucketed shuffle,
+    then each bucket resolves ALL its users in a single vectorized
+    segment pass: per-segment totals via ``add.reduceat``, and —
+    because every event value is > 0, so the running sum is strictly
+    increasing — the first qualifying event is ``starts +
+    count(2·cum < total)`` per segment, no scan-back needed. (Per-key
+    ``map_groups`` would pay per-group overhead |users| times.)
+    Timestamps emit as epoch micros (int64) so the pandas ns-vs-us
+    dtype gap can't break the oracle hash."""
+    from .joins import partition_ids
+    from .relational import JOIN_PARTITIONS
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
-        cum = np.cumsum(v)
-        total = cum[-1] if len(cum) else 0
-        idx = int(np.argmax(2 * cum >= total)) if len(cum) else 0
-        # epoch micros (int64) so the ns-vs-us pandas dtype gap can't
-        # break the oracle hash
-        half_us = int(
-            g["ts"].astype("datetime64[us]").astype("int64").iloc[idx]
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pid", partition_ids(batch["user_id"], JOIN_PARTITIONS)
         )
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "half_ts_us": [half_us]}
+
+    def fold_bucket(part: pa.Table) -> pa.Table:
+        t = part.select(["user_id", "ts", "event_id", "value"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "half_ts_us": pa.array([], pa.int64())}
+            )
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        totals = np.add.reduceat(v, starts)
+        cum = np.cumsum(v)
+        base = np.repeat(cum[starts] - v[starts], np.diff(np.r_[starts, n]))
+        cum_within = cum - base
+        below = 2 * cum_within < np.repeat(totals, np.diff(np.r_[starts, n]))
+        first = starts + np.add.reduceat(below, starts)
+        # all-True edge: reduceat over a fully-below segment still
+        # counts its length, which would index past the segment — the
+        # strictly-increasing sum guarantees the last element qualifies
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts].astype(np.int64)),
+                "half_ts_us": pa.array(ts_us[first].astype(np.int64)),
+            }
         )
 
     df = (
         read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(fold_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     df["user_id"] = df["user_id"].astype("int64")
