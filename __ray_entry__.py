@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": E.knn_lsh,
         "knn_ivf": E.knn_ivf,
         "embedding_label_stats": E.embedding_label_stats,
+        "doc_embedding_stats": E.doc_embedding_stats,
         "embedding_dup_pairs": E.embedding_dup_pairs,
         # semantic dedup (k-means + within-cluster greedy prune;
         # rows-only — k-means has no SQL twin)
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted": SA.SAMPLE_WEIGHTED_SQL,
         "knn_topk": E.KNN_SQL,
         "embedding_label_stats": E.LABEL_STATS_SQL,
+        "doc_embedding_stats": E.DOC_EMB_SQL,
         "embedding_dup_pairs": E.DUP_PAIRS_SQL,
         # no oracle (sketches / heuristics / approximate search):
         # dedup_minhash, dedup_simhash, lang_id_confusion,

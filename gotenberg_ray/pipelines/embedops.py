@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -488,3 +489,68 @@ def rerank_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     out["vec_id"] = out["vec_id"].astype("int64")
     return out[["rank", "vec_id", "rerank_score_e6"]]
+
+
+def doc_embedding_stats(sf_dir: str) -> pd.DataFrame:
+    """Cross-modal metadata join: the text corpus and the embedding
+    store are SEPARATE tables keyed by the same document id (the usual
+    layout — vectors live in a vector store, text in the corpus).
+    Bucketed hash join on the id, then per-(lang, label) rollup —
+    counts and exact character totals. The shuffle carries only
+    (id, lang) and (id, label) pairs, never text or vectors."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..io import read_table
+    from .joins import hash_join
+    from .relational import JOIN_PARTITIONS
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    embs = _emb(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["vec_id"],
+                "label": pc.cast(b["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        docs,
+        embs,
+        on="doc_id",
+        num_partitions=JOIN_PARTITIONS,
+        left_schema=[("doc_id", pa.int64()), ("lang", pa.string()),
+                     ("n_chars", pa.int64())],
+        right_schema=[("doc_id", pa.int64()), ("label", pa.int64())],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["lang", "label", "n_chars"])
+            .group_by(["lang", "label"])
+            .aggregate([("n_chars", "sum"), ([], "count_all")])
+        )
+
+    df = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "label"])
+        .aggregate(
+            _Sum("n_chars_sum", alias_name="total_chars"),
+            _Sum("count_all", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    df["label"] = df["label"].astype("int64")
+    df["total_chars"] = df["total_chars"].astype("int64")
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df.sort_values(["lang", "label"]).reset_index(drop=True)
+
+
+DOC_EMB_SQL = """
+SELECT lang, CAST(label AS BIGINT) AS label,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(*) AS n_docs
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY lang, label
+ORDER BY lang, label
+"""

@@ -72,3 +72,22 @@ class TestRerank:
         assert (
             wide["rerank_score_e6"].iloc[0] >= small["rerank_score_e6"].iloc[0]
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_embedding_join_matches_oracle(sf_dir):
+    import duckdb
+
+    got = E.doc_embedding_stats(sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+    con.sql(f"CREATE VIEW embeddings AS FROM '{sf_dir}/embeddings.parquet'")
+    want = con.sql(E.DOC_EMB_SQL).df()
+    for c in ("label", "total_chars", "n_docs"):
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reindex(sorted(got.columns), axis=1),
+        want.reindex(sorted(want.columns), axis=1),
+    )
+    # every embedded doc is covered exactly once
+    assert got["n_docs"].sum() == 500
