@@ -148,3 +148,71 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+class MediaResizer:
+    """Resize stage (actor pool): fit each decoded image/frame inside a
+    ``max_w × max_h`` box preserving aspect ratio. The GEOMETRY is real
+    and vectorized (the part a pipeline's bookkeeping depends on —
+    output dims, scale factor, skip-if-smaller); the pixel resample
+    itself goes through the stubbed ``DecodeBackend`` seam like decode.
+    Consumes the feature stage's output schema."""
+
+    def __init__(self, max_w: int = 512, max_h: int = 512, mode: str = "fake"):
+        self.max_w, self.max_h = int(max_w), int(max_h)
+        self.backend = DecodeBackend(mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = batch.column("decode_ok").to_numpy(zero_copy_only=False)
+        # scale = min(1, max_w/w, max_h/h) in exact integer arithmetic:
+        # out_w = floor(w * s), picking s as a rational per row
+        need = ok & ((w > self.max_w) | (h > self.max_h))
+        safe_w = np.maximum(w, 1)
+        safe_h = np.maximum(h, 1)
+        # compare w/max_w vs h/max_h as cross products (no floats)
+        wider = w * self.max_h >= h * self.max_w
+        out_w = np.where(wider, self.max_w, safe_w * self.max_h // safe_h)
+        out_h = np.where(wider, safe_h * self.max_w // safe_w, self.max_h)
+        out_w = np.where(need, np.maximum(out_w, 1), w)
+        out_h = np.where(need, np.maximum(out_h, 1), h)
+        return (
+            batch.append_column("out_width", pa.array(out_w.astype(np.int32)))
+            .append_column("out_height", pa.array(out_h.astype(np.int32)))
+            .append_column("resized", pa.array(need))
+        )
+
+
+class FrameSampler:
+    """Frame-sampling stage (actor pool) for video rows: pick every
+    ``stride``-th frame up to ``max_frames``, always including frame 0.
+    The INDEX SELECTION is the real, tested logic (what a training
+    pipeline's frame budget depends on); extracting pixel data for the
+    chosen frames goes through the stubbed codec seam. Non-video rows
+    pass through with a single frame index [0]."""
+
+    def __init__(self, stride: int = 30, max_frames: int = 8, mode: str = "fake"):
+        self.stride, self.max_frames = int(stride), int(max_frames)
+        self.backend = DecodeBackend(mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames = batch.column("n_frames").to_numpy(zero_copy_only=False)
+        types = batch.column("media_type").to_pylist()
+        ok = batch.column("decode_ok").to_numpy(zero_copy_only=False)
+        out = []
+        for nf, t, good in zip(n_frames, types, ok):
+            if not good or nf <= 0:
+                out.append([])
+            elif t != "video":
+                out.append([0])
+            else:
+                idx = list(range(0, int(nf), self.stride))[: self.max_frames]
+                out.append(idx or [0])
+        counts = pa.array([len(x) for x in out], pa.int32())
+        return (
+            batch.append_column("frame_indices", pa.array(out, pa.list_(pa.int32())))
+            .append_column("n_sampled", counts)
+        )

@@ -284,3 +284,57 @@ def test_xml_escape_and_qpdf_prefix():
     assert SC.strip_qpdf_prefix("u:hello") == ("u", "hello")
     assert SC.strip_qpdf_prefix("b:aGk=") == ("b", "aGk=")
     assert SC.strip_qpdf_prefix("plain") == ("u", "plain")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMediaResizeAndFrames:
+    def _features(self, n=200):
+        import ray.data as rd
+
+        from gotenberg_ray.stages.media import MediaFeatureExtractor, synth_media_table
+
+        return rd.from_arrow(synth_media_table(n, seed=7)).map_batches(
+            MediaFeatureExtractor, batch_format="pyarrow", batch_size=64, concurrency=2
+        )
+
+    def test_resize_preserves_aspect_and_bounds(self):
+        from gotenberg_ray.stages.media import MediaResizer
+
+        df = (
+            self._features()
+            .map_batches(MediaResizer, batch_format="pyarrow", batch_size=64,
+                         concurrency=2)
+            .to_pandas()
+        )
+        ok = df[df["decode_ok"]]
+        assert (ok["out_width"] <= 512).all() and (ok["out_height"] <= 512).all()
+        resized = ok[ok["resized"]]
+        assert len(resized) > 0
+        # aspect preserved within integer-floor tolerance
+        for _, r in resized.iterrows():
+            expect = r["width"] / r["height"]
+            got = r["out_width"] / r["out_height"]
+            # integer-floor error is bounded by one pixel of the
+            # smaller output dimension (extreme ratios shrink it)
+            tol = 1.0 / min(r["out_width"], r["out_height"]) + 0.01
+            assert abs(expect - got) / expect <= tol
+        untouched = ok[~ok["resized"]]
+        assert (untouched["out_width"] == untouched["width"]).all()
+
+    def test_frame_sampling_budget(self):
+        from gotenberg_ray.stages.media import FrameSampler
+
+        df = (
+            self._features()
+            .map_batches(FrameSampler, batch_format="pyarrow", batch_size=64,
+                         concurrency=2)
+            .to_pandas()
+        )
+        ok = df[df["decode_ok"]]
+        assert (ok["n_sampled"] <= 8).all() and (ok["n_sampled"] >= 1).all()
+        vids = ok[ok["media_type"] == "video"]
+        assert len(vids) > 0
+        for _, r in vids.iterrows():
+            idx = list(r["frame_indices"])
+            assert idx[0] == 0 and all(i < r["n_frames"] for i in idx)
+            assert idx == sorted(idx)
