@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "semdedup",
     "tfidf_top_terms",
     "orders_price_page",
+    "dedup_incremental",
+    "event_funnel",
+    "mix_domains",
+    "doc_embedding_stats",
 ]
 
 
