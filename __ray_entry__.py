@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import analytics2 as A2
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
+    from gotenberg_ray.pipelines import graph as GR
     from gotenberg_ray.pipelines import incremental as INC
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import packing as PK
@@ -136,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
         "dedup_clusters": T.dedup_clusters,
         "dedup_incremental": INC.dedup_incremental,
+        # iterative dataflow (power iteration; rows-only — not SQL)
+        "pagerank": GR.pagerank,
         "contamination_check": T.contamination_check,
         "curation_pipeline": T.curation_pipeline,
         "vocab_top_df": T.vocab_top_df,

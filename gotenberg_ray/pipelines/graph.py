@@ -175,3 +175,141 @@ def connected_components(
     ).to_pandas()
     out = out.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------ PageRank
+
+
+PR_SCALE = 1_000_000_000  # ranks as ×10⁹ ints — deterministic sums
+
+
+def _doc_link_edges(sf_dir: str):
+    """Deterministic link graph DERIVED from the documents table: doc
+    ``i`` links to ``((i·2654435761 + j·40503) mod N)² mod N`` for
+    j∈{1,2,3} — the squaring makes the map non-bijective, so in-degree
+    is SKEWED (quadratic residues collect multiple preimages): some
+    docs are hubs, some get no links, exactly the shape PageRank
+    exists for. Fully reproducible from the ids alone; self-loops
+    dropped."""
+    import pyarrow.compute as pc
+
+    from ..io import read_table
+
+    n_nodes = int(read_table(sf_dir, "documents", columns=["doc_id"]).count())
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(ids, 3)
+        j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+        h = (src * 2654435761 + j * 40503) % n_nodes
+        dst = (h * h) % n_nodes
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    edges = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    return edges, n_nodes
+
+
+def pagerank(sf_dir: str, iters: int = 10, d_e3: int = 850, k: int = 20) -> pd.DataFrame:
+    """PageRank over the derived document link graph — the ITERATIVE
+    dataflow shape (power iteration): each round is one bucketed
+    shuffle join (edges ⋈ ranks on src) + one groupby(dst) sum + the
+    teleport term, with the O(nodes) rank table MATERIALIZED per round
+    (the edges stream through every pass; only ranks persist — the
+    standard iterative-solver layout at 100 TB).
+
+    All arithmetic is scaled-integer (×10⁹ ranks, damping as
+    ``d_e3/1000``), so reductions are order-independent and the result
+    is bit-deterministic under any block layout. Integer floor loses
+    ≤1 unit per edge per round (≲3·N per round over ~10⁹ total mass) —
+    bounded, tested, and a price worth paying for exact
+    reproducibility. Rows-only check (iterative, not SQL)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+    from .relational import JOIN_PARTITIONS
+
+    edges, n_nodes = _doc_link_edges(sf_dir)
+
+    # out-degree per src (one tiny aggregate, reused every round)
+    deg = (
+        edges.map_batches(
+            lambda b: b.select(["src"]).group_by("src").aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby("src")
+        .aggregate(Sum("count_all", alias_name="out_deg"))
+    )
+    edges_deg = hash_join(
+        edges, deg, on="src", num_partitions=JOIN_PARTITIONS,
+        left_schema=[("src", pa.int64()), ("dst", pa.int64())],
+        right_schema=[("src", pa.int64()), ("out_deg", pa.int64())],
+    ).materialize()
+
+    base = PR_SCALE // n_nodes
+    teleport = (1000 - d_e3) * base // 1000
+
+    ranks = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.arange(n_nodes, dtype=np.int64)),
+                "rank": pa.array(np.full(n_nodes, base, dtype=np.int64)),
+            }
+        )
+    ).materialize()
+
+    # P sized to the graph: this per-iteration exchange dominates the
+    # solver's fixed cost, so tiny graphs use few partitions (∝ nodes
+    # at scale — same rule as JOIN_PARTITIONS)
+    p = max(2, min(JOIN_PARTITIONS, n_nodes // 200))
+    zeros = pa.table(
+        {
+            "src": pa.array(np.arange(n_nodes, dtype=np.int64)),
+            "c_sum": pa.array(np.zeros(n_nodes, dtype=np.int64)),
+        }
+    )
+    for _ in range(iters):
+        joined = hash_join(
+            edges_deg, ranks, on="src", num_partitions=p,
+            left_schema=[("src", pa.int64()), ("dst", pa.int64()),
+                         ("out_deg", pa.int64())],
+            right_schema=[("src", pa.int64()), ("rank", pa.int64())],
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            share = pc.divide(
+                pc.multiply(batch["rank"], pa.scalar(d_e3, pa.int64())),
+                pc.multiply(batch["out_deg"], pa.scalar(1000, pa.int64())),
+            )
+            t = pa.table({"src": batch["dst"], "c": share})
+            return t.group_by("src").aggregate([("c", "sum")])
+
+        # ONE shuffle per round: contributions union a zero row per
+        # node (so rankless nodes still appear), then a single
+        # groupby-sum; the teleport term adds in the same pass
+        def finish(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            r = pc.add(batch["inflow"], pa.scalar(teleport, pa.int64()))
+            return pa.table({"src": batch["src"], "rank": r})
+
+        ranks = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .union(rd.from_arrow(zeros))
+            .groupby("src")
+            .aggregate(Sum("c_sum", alias_name="inflow"))
+            .map_batches(finish, batch_format="pyarrow")
+            .materialize()
+        )
+
+    df = ranks.to_pandas().rename(columns={"src": "doc_id", "rank": "rank_e9"})
+    df = df.sort_values(["rank_e9", "doc_id"], ascending=[False, True]).head(k)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["rank_e9"] = df["rank_e9"].astype("int64")
+    return df.reset_index(drop=True)

@@ -98,3 +98,40 @@ def test_dedup_clusters_and_sql_twin(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype("int64"), sql.astype("int64"), check_dtype=False
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPageRank:
+    def test_deterministic_and_nondegenerate(self, sf_dir):
+        a = G.pagerank(sf_dir, iters=4)
+        b = G.pagerank(sf_dir, iters=4)
+        pd.testing.assert_frame_equal(a, b)
+        # the squared link map concentrates in-links: real spread
+        assert a["rank_e9"].max() > 2 * a["rank_e9"].min()
+
+    def test_mass_approximately_conserved(self, sf_dir):
+        """Integer floors lose ≤1 unit per edge per round; total mass
+        must stay within that bound of the initial 10⁹."""
+        from gotenberg_ray.pipelines.graph import PR_SCALE, _doc_link_edges
+
+        full = G.pagerank(sf_dir, iters=4, k=10_000)
+        edges, n = _doc_link_edges(sf_dir)
+        n_edges = edges.count()
+        total = full["rank_e9"].sum()
+        max_loss = 4 * (n_edges + n)  # floor loss per round, 4 rounds
+        assert PR_SCALE - max_loss <= total <= PR_SCALE
+
+    def test_hub_outranks_unlinked(self, sf_dir):
+        """A node with many in-links must outrank a node with none."""
+        import numpy as np
+
+        from gotenberg_ray.pipelines.graph import _doc_link_edges
+
+        full = G.pagerank(sf_dir, iters=4, k=10_000).set_index("doc_id")
+        edges, n = _doc_link_edges(sf_dir)
+        dst = edges.to_pandas()["dst"].to_numpy()
+        indeg = np.bincount(dst, minlength=n)
+        hub = int(np.argmax(indeg))
+        lonely = int(np.argmin(indeg))
+        assert indeg[hub] > 3 and indeg[lonely] == 0
+        assert full.loc[hub, "rank_e9"] > full.loc[lonely, "rank_e9"]
