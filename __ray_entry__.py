@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles": AN.order_price_quantiles,
         "distinct_users_daily": AN.distinct_users_daily,
         "hll_users_per_type": AN.hll_users_per_type,
+        "quantile_sketch": AN.quantile_sketch,
         # window-rank / pivot / rollup shapes
         "top_orders_per_customer": A2.top_orders_per_customer,
         "event_type_pivot": A2.event_type_pivot,

@@ -104,3 +104,45 @@ class TestHll:
         assert np.array_equal(merged, whole)
         est = AN._hll_estimate(whole)
         assert abs(est - 10_000) <= 0.05 * 10_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantileSketch:
+    def test_error_bound_and_determinism(self, sf_dir):
+        got = AN.quantile_sketch(sf_dir)
+        pd.testing.assert_frame_equal(got, AN.quantile_sketch(sf_dir))
+        orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+        cents = np.sort(
+            np.round(orders["o_totalprice"].to_numpy() * 100).astype("int64")
+        )
+        n = len(cents)
+        for _, row in got.iterrows():
+            # rank error ≤ 5/√k (5σ) — generous at small sf where the
+            # sample IS the population
+            est_rank = np.searchsorted(cents, row["est_cents"]) / n
+            assert abs(est_rank - row["quantile"] / 100) <= max(
+                5 / np.sqrt(AN.SKETCH_K), 0.03
+            )
+
+    def test_sample_is_layout_invariant(self, sf_dir):
+        """The survivor set is a pure function of the keys: block
+        boundaries can't change which rows the sketch keeps (the
+        mergeability property)."""
+        import ray.data as rd
+
+        from gotenberg_ray.functions.hashing import splitmix64
+
+        orders = pd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        )
+        keys = orders["o_orderkey"].to_numpy().astype("uint64")
+        pri = splitmix64(keys)
+        k = min(AN.SKETCH_K, len(pri))
+        expect = np.sort(
+            np.round(
+                orders["o_totalprice"].to_numpy()[np.argsort(pri)[:k]] * 100
+            ).astype("int64")
+        )
+        got = AN.quantile_sketch(sf_dir)
+        # p50 estimate must be an element of the expected survivor set
+        assert got["est_cents"].iloc[0] in expect
