@@ -65,6 +65,8 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
         return t.append_column("pid", partition_ids(t.column("o_custkey"), JOIN_PARTITIONS))
 
     def rank_bucket(part: pa.Table) -> pa.Table:
+        from ..functions.segments import segment_ranks
+
         t = part.select(["o_custkey", "o_orderkey", "price_e2"]).sort_by(
             [
                 ("o_custkey", "ascending"),
@@ -72,14 +74,8 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
                 ("o_orderkey", "ascending"),
             ]
         )
-        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-        n = len(keys)
-        if n == 0:
-            return t.append_column("rn", pa.array([], pa.int64()))
-        new_seg = np.r_[True, keys[1:] != keys[:-1]]
-        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
-        rn = np.arange(n) - seg_start + 1
-        t = t.append_column("rn", pa.array(rn.astype(np.int64)))
+        rn = segment_ranks(t["o_custkey"].to_numpy(zero_copy_only=False))
+        t = t.append_column("rn", pa.array(rn))
         return t.filter(pa.array(rn <= k))
 
     df = (
@@ -420,7 +416,7 @@ def props_key_stats(sf_dir: str) -> pd.DataFrame:
             }
         )
         return t.group_by("event_type").aggregate(
-            [("k", "sum"), ("k", "max"), ("has_k", "sum"), ([], "count_all")]
+            [("k", "sum"), ("has_k", "sum"), ([], "count_all")]
         )
 
     df = (

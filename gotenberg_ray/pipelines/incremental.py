@@ -38,7 +38,10 @@ from ..state.bloom import BloomFilter  # module-level: workers resolve
 
 
 def _with_hash(batch: pa.Table) -> pa.Table:
-    h = fnv64(batch["text"].to_pylist())
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    h = fnv64(texts)  # Arrow array → zero-copy buffer path
     return batch.append_column("h", pa.array(h.view(np.int64)))
 
 
@@ -87,11 +90,30 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
     definite_new = incoming.map_batches(
         lambda b: split_candidates(b, False), batch_format="pyarrow"
     )
+    # candidates are few (true dups + bloom fps) — materialize once:
+    # consumed by the candidate-bloom build AND the verify join
     candidates = incoming.map_batches(
         lambda b: split_candidates(b, True), batch_format="pyarrow"
-    )
+    ).materialize()
 
-    # 3.+4. candidate-pruned existing side, verified text-equal join
+    # 3. symmetric prune: a bloom of the CANDIDATE hashes shrinks the
+    # existing side to just the rows that could match, so the verify
+    # exchange moves O(candidates) text rows, not O(old corpus)
+    cand_bloom = build_key_bloom(
+        candidates.select_columns(["h"]), "h", capacity=max(1024, half)
+    )
+    cand_ref = ray.put(cand_bloom.to_bytes())
+
+    def prune_old(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter.from_bytes(ray.get(cand_ref))
+        hit = bf.contains(
+            batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+        return batch.filter(pa.array(hit))
+
+    old_matches = old.map_batches(prune_old, batch_format="pyarrow")
+
+    # 4. verified text-equal join against the pruned existing side
     verified = hash_join(
         candidates.map_batches(
             lambda b: b.rename_columns(
@@ -100,7 +122,7 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
             ),
             batch_format="pyarrow",
         ),
-        old.map_batches(
+        old_matches.map_batches(
             lambda b: b.select(["h", "text"]).rename_columns(["h", "old_text"]),
             batch_format="pyarrow",
         ),

@@ -54,6 +54,66 @@ def _token_counts(batch: pa.Table) -> np.ndarray:
     return total
 
 
+def ordered_prefix_sum(
+    ds,
+    key: str,
+    value: str,
+    span: int,
+    num_partitions: int = 16,
+):
+    """THE distributed order-preserving prefix sum (shared by
+    ``pack_sequences`` and ``train.training_data_pipeline``): returns
+    a Dataset of (key, value, start) where ``start`` is the exclusive
+    prefix sum of ``value`` in ascending global ``key`` order. Range
+    bucket ``rid = key // span``; pass 1 folds per-bucket totals (one
+    tiny groupby — only #buckets rows reach the driver for the
+    exclusive base scan); pass 2 closes each bucket with a local
+    sort + cumsum + base."""
+
+    def add_rid(batch: pa.Table) -> pa.Table:
+        rid = pc.cast(
+            pc.divide(batch[key], pa.scalar(span, pa.int64())), pa.int64()
+        )
+        return batch.select([key, value]).append_column(_RID, rid)
+
+    with_rid = ds.map_batches(add_rid, batch_format="pyarrow")
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([_RID, value]).group_by(_RID).aggregate([(value, "sum")])
+        )
+
+    totals = (
+        with_rid.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby(_RID)
+        .aggregate(Sum(f"{value}_sum", alias_name="bucket_total"))
+        .to_pandas()
+        .sort_values(_RID)
+    )
+    base = {}
+    run = 0
+    for rid, tot in zip(totals[_RID], totals["bucket_total"]):
+        base[int(rid)] = run
+        run += int(tot)
+
+    def close_bucket(part: pa.Table) -> pa.Table:
+        part = part.sort_by([(key, "ascending")])
+        v = part[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = int(part[_RID][0].as_py())
+        start = base[rid] + np.concatenate(([0], np.cumsum(v)[:-1]))
+        return pa.table(
+            {
+                key: part[key],
+                value: pa.array(v),
+                "start": pa.array(start),
+            }
+        )
+
+    return with_rid.groupby(_RID, num_partitions=num_partitions).map_groups(
+        close_bucket, batch_format="pyarrow"
+    )
+
+
 def pack_sequences(sf_dir: str, ctx: int = 512, num_buckets: int = 32) -> pd.DataFrame:
     """Per-document packing assignment: (doc_id, n_tokens,
     start_offset, pack_id) under ``ctx``-token windows."""
@@ -72,53 +132,24 @@ def pack_sequences(sf_dir: str, ctx: int = 512, num_buckets: int = 32) -> pd.Dat
     max_id = read_table(sf_dir, "documents", columns=["doc_id"]).max("doc_id")
     span = max(1, (int(max_id) + num_buckets) // num_buckets)
 
-    def add_rid(batch: pa.Table) -> pa.Table:
-        rid = pc.cast(
-            pc.divide(batch["doc_id"], pa.scalar(span, pa.int64())), pa.int64()
-        )
-        return batch.append_column(_RID, rid)
-
-    with_rid = docs.map_batches(add_rid, batch_format="pyarrow")
-
-    # pass 1: bucket totals (partial per batch, then one tiny groupby)
-    def bucket_partial(batch: pa.Table) -> pa.Table:
-        return (
-            batch.select([_RID, "n_tokens"])
-            .group_by(_RID)
-            .aggregate([("n_tokens", "sum")])
-        )
-
-    totals = (
-        with_rid.map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby(_RID)
-        .aggregate(Sum("n_tokens_sum", alias_name="bucket_tokens"))
-        .to_pandas()
-        .sort_values(_RID)
-    )
-    base = {}
-    run = 0
-    for rid, tot in zip(totals[_RID], totals["bucket_tokens"]):
-        base[int(rid)] = run
-        run += int(tot)
-
-    # pass 2: per-bucket ordered cumsum + bucket base
-    def close_bucket(part: pa.Table) -> pa.Table:
-        part = part.sort_by([("doc_id", "ascending")])
-        n = part["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rid = int(part[_RID][0].as_py())
-        start = base[rid] + np.concatenate(([0], np.cumsum(n)[:-1]))
-        return pa.table(
-            {
-                "doc_id": part["doc_id"],
-                "n_tokens": pa.array(n),
-                "start_offset": pa.array(start),
-                "pack_id": pa.array(start // ctx),
-            }
-        )
-
     df = (
-        with_rid.groupby(_RID, num_partitions=min(num_buckets, 16))
-        .map_groups(close_bucket, batch_format="pyarrow")
+        ordered_prefix_sum(
+            docs, "doc_id", "n_tokens", span,
+            num_partitions=min(num_buckets, 16),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_tokens": b["n_tokens"],
+                    "start_offset": b["start"],
+                    "pack_id": pc.cast(
+                        pc.divide(b["start"], pa.scalar(ctx, pa.int64())), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
     return df.sort_values("doc_id").reset_index(drop=True)

@@ -94,6 +94,11 @@ def q4_late_ship_orders(sf_dir: str, lag_days: int = 60) -> pd.DataFrame:
         .aggregate(Sum("count_all", alias_name="n_orders"))
         .to_pandas()
     )
+    if df.empty:  # empty Ray results lose column labels
+        return pd.DataFrame(
+            {"o_orderpriority": pd.Series([], dtype="object"),
+             "n_orders": pd.Series([], dtype="int64")}
+        )
     df["n_orders"] = df["n_orders"].astype("int64")
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
@@ -487,7 +492,10 @@ def q17_small_quantity(sf_dir: str, brand: str = "Brand#1") -> pd.DataFrame:
             ("price_cents", pa.int64()),
         ],
         right_schema=[("p_partkey", pa.int64())],
-    )
+        # consumed twice below (join left + its own aggregate side) —
+        # materialize the brand slice (small) so the lineitem scan and
+        # first exchange run once, not twice
+    ).materialize()
 
     def agg_partial(batch: pa.Table) -> pa.Table:
         t = batch.select(["p_partkey", "qty_e2"]).append_column(
@@ -905,6 +913,11 @@ def q8_market_share(
         )
         .to_pandas()
     )
+    if df.empty:  # empty Ray results lose column labels
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("o_year", "nation_e4", "total_e4")}
+        )
     for c in ("o_year", "nation_e4", "total_e4"):
         df[c] = df[c].astype("int64")
     return df.sort_values("o_year").reset_index(drop=True)

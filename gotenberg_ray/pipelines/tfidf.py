@@ -60,7 +60,11 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = int(read_table(sf_dir, "documents", columns=["doc_id"]).count())
 
-    tf_rows = docs.map_batches(_explode_tf, batch_format="pyarrow")
+    # consumed twice (the DF branch and the join's left side) — one
+    # materialized exchange of the (doc, term, tf) rows beats running
+    # the tokenize pass twice; this is the standard persisted-exchange
+    # trade-off of a two-output stage
+    tf_rows = docs.map_batches(_explode_tf, batch_format="pyarrow").materialize()
 
     def df_partial(batch: pa.Table) -> pa.Table:
         # a (doc, term) row is already distinct → df partial = count
@@ -93,17 +97,13 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
         return t.append_column("pid", partition_ids(t.column("doc_id"), JOIN_PARTITIONS))
 
     def rank_bucket(part: pa.Table) -> pa.Table:
+        from ..functions.segments import segment_ranks
+
         t = part.select(["doc_id", "term", "score"]).sort_by(
             [("doc_id", "ascending"), ("score", "descending"), ("term", "ascending")]
         )
-        keys = t["doc_id"].to_numpy(zero_copy_only=False)
-        n = len(keys)
-        if n == 0:
-            return t.append_column("rn", pa.array([], pa.int64()))
-        new_seg = np.r_[True, keys[1:] != keys[:-1]]
-        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
-        rn = np.arange(n) - seg_start + 1
-        t = t.append_column("rn", pa.array(rn.astype(np.int64)))
+        rn = segment_ranks(t["doc_id"].to_numpy(zero_copy_only=False))
+        t = t.append_column("rn", pa.array(rn))
         return t.filter(pa.array(rn <= k))
 
     out = (

@@ -60,8 +60,10 @@ def _extract_text(batch: pa.Table) -> pa.Table:
     joined = df.groupby("row", sort=True)["t"].agg(" ".join)
     rows = joined.index.to_numpy()
     text = joined.to_numpy()
+    # slice from offset 4 to the end of the id — a fixed upper bound
+    # would silently truncate ids wider than 6 digits (>= 10^6 docs)
     doc_num = (
-        pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], 4, 10), pa.int64())
+        pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], 4, 2**30), pa.int64())
         .to_numpy(zero_copy_only=False)[rows]
     )
     part = batch["part_index"].to_numpy(zero_copy_only=False)[rows].astype(np.int64)
@@ -104,7 +106,10 @@ def training_data_pipeline(
     gated = text_rows.map_batches(gate, batch_format="pyarrow")
 
     # exact dedup: content hash → min (doc_num, part) wins; only
-    # (hash, key) pairs shuffle
+    # (hash, key) pairs shuffle. Equality is 64-bit-hash equality (the
+    # dedup_exact convention — a 2^-64 collision would drop one
+    # distinct part; incremental.py shows the text-verified variant
+    # when that risk is unacceptable)
     def hash_stage(batch: pa.Table) -> pa.Table:
         h = fnv64(batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"])
         key = pc.add(
@@ -125,47 +130,22 @@ def training_data_pipeline(
         .aggregate(Min("key", alias_name="keep_key"), Min("n_tokens", alias_name="n_tokens"))
     )
 
-    # packing: ordered prefix sum over keep_key (two-pass range buckets)
-    def add_rid(batch: pa.Table) -> pa.Table:
-        rid = pc.cast(
-            pc.divide(batch["keep_key"], pa.scalar(100_000_000, pa.int64())),
-            pa.int64(),
-        )
-        return batch.append_column("__rid__", rid)
+    # packing: the SHARED ordered prefix sum (packing.py) over keep_key
+    from .packing import ordered_prefix_sum
 
-    with_rid = winners.map_batches(add_rid, batch_format="pyarrow")
-    totals = (
-        with_rid.map_batches(
-            lambda b: b.select(["__rid__", "n_tokens"])
-            .group_by("__rid__")
-            .aggregate([("n_tokens", "sum")]),
-            batch_format="pyarrow",
-        )
-        .groupby("__rid__")
-        .aggregate(Sum("n_tokens_sum", alias_name="bucket_tokens"))
-        .to_pandas()
-        .sort_values("__rid__")
-    )
-    base, run = {}, 0
-    for rid, tot in zip(totals["__rid__"], totals["bucket_tokens"]):
-        base[int(rid)] = run
-        run += int(tot)
-
-    def close_bucket(part: pa.Table) -> pa.Table:
-        part = part.sort_by([("keep_key", "ascending")])
-        ntok = part["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rid = int(part["__rid__"][0].as_py())
-        start = base[rid] + np.concatenate(([0], np.cumsum(ntok)[:-1]))
-        return pa.table(
+    packed = ordered_prefix_sum(
+        winners, "keep_key", "n_tokens", span=100_000_000, num_partitions=8
+    ).map_batches(
+        lambda b: pa.table(
             {
-                "keep_key": part["keep_key"],
-                "n_tokens": pa.array(ntok),
-                "pack_id": pa.array(start // ctx),
+                "keep_key": b["keep_key"],
+                "n_tokens": b["n_tokens"],
+                "pack_id": pc.cast(
+                    pc.divide(b["start"], pa.scalar(ctx, pa.int64())), pa.int64()
+                ),
             }
-        )
-
-    packed = with_rid.groupby("__rid__", num_partitions=8).map_groups(
-        close_bucket, batch_format="pyarrow"
+        ),
+        batch_format="pyarrow",
     )
     # the packed manifest is (unique parts × 3 ints) — tiny relative to
     # the corpus; materialize once so the sink + three summary
