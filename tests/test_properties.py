@@ -116,3 +116,41 @@ def test_sampling_priority_permutation_invariant(perm):
     ids2 = np.arange(40, dtype=np.uint64)
     keep2 = set(ids2[np.argpartition(_mix(ids2), k)[:k]].tolist())
     assert keep == keep2
+
+
+@pytest.mark.usefixtures("ray_session")
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=80),
+    span=st.integers(min_value=1, max_value=40),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ordered_prefix_sum_matches_cumsum(toks, span):
+    """The distributed prefix sum equals numpy's exclusive cumsum in
+    key order, for ANY range-bucket span (partitioning invariance of
+    the shared kernel)."""
+    import ray.data as rd
+
+    from gotenberg_ray.pipelines.packing import ordered_prefix_sum
+
+    ds = rd.from_items([{"k": i, "v": v} for i, v in enumerate(toks)])
+    got = (
+        ordered_prefix_sum(ds, "k", "v", span=span, num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expect = np.cumsum([0] + toks[:-1])
+    assert (got["start"].to_numpy() == expect).all()
+    assert (got["v"].to_numpy() == np.array(toks)).all()
+
+
+def test_segment_ranks_matches_reference():
+    from gotenberg_ray.functions.segments import segment_ranks
+
+    keys = np.array([1, 1, 1, 4, 4, 9, 9, 9, 9, 12])
+    assert list(segment_ranks(keys)) == [1, 2, 3, 1, 2, 1, 2, 3, 4, 1]
+    assert list(segment_ranks(np.array([], dtype=np.int64))) == []
