@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_quality": Q.repetition_quality,
         # training-batch assembly (distributed ordered prefix sum)
         "pack_sequences": PK.pack_sequences,
+        "chunk_documents": PK.chunk_documents,
+        # BPE tokenizer-training inner loop (adjacent pair counts)
+        "bpe_top_pairs": TFIDF.bpe_top_pairs,
         "lang_id_confusion": T.lang_id_confusion,
         "doc_fingerprints": T.doc_fingerprints,
         "convert_page_counts": T.convert_page_counts,
@@ -255,6 +258,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": Q.PII_REDACT_SQL,
         "repetition_quality": Q.REPETITION_SQL,
         "pack_sequences": PK.PACK_SQL,
+        "chunk_documents": PK.CHUNK_SQL,
+        "bpe_top_pairs": TFIDF.BPE_PAIRS_SQL,
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
         "subresource_admission": A.ADMISSION_SQL,

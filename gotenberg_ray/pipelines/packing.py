@@ -170,3 +170,63 @@ SELECT doc_id, n_tokens,
             AS BIGINT) // 512 AS pack_id
 FROM tok ORDER BY doc_id
 """
+
+
+def chunk_documents(
+    sf_dir: str, chunk: int = 64, stride: int = 48
+) -> pd.DataFrame:
+    """RAG-style chunking: each document splits into ``chunk``-token
+    windows advancing by ``stride`` tokens (overlapping when stride <
+    chunk) — the retrieval-index preparation step. Pure per-batch
+    expansion (np.repeat/arange — one output row per window, no
+    Python loop, no shuffle); a doc with t tokens yields
+    ``1 + max(0, ceil((t - chunk)/stride))`` windows, the last one
+    truncated (t=0 docs yield one empty window)."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _token_counts(batch)
+        n_win = 1 + np.maximum(0, -(-(t - chunk) // stride))
+        n_win = np.where(t <= chunk, 1, n_win).astype(np.int64)
+        doc = np.repeat(ids, n_win)
+        tot = np.repeat(t, n_win)
+        within = np.arange(n_win.sum()) - np.repeat(
+            np.cumsum(n_win) - n_win, n_win
+        )
+        start = within * stride
+        n_tok = np.minimum(chunk, tot - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "chunk_id": pa.array(within.astype(np.int64)),
+                "start_tok": pa.array(start.astype(np.int64)),
+                "n_tok": pa.array(n_tok.astype(np.int64)),
+            }
+        )
+
+    df = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(expand, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+CHUNK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')) AS BIGINT) AS t
+  FROM documents),
+win AS (
+  SELECT doc_id, t,
+         CASE WHEN t <= 64 THEN 1
+              ELSE 1 + CAST(ceil((t - 64) / 48.0) AS BIGINT) END AS n_win
+  FROM tok)
+SELECT doc_id,
+       CAST(g AS BIGINT) AS chunk_id,
+       CAST(g * 48 AS BIGINT) AS start_tok,
+       CAST(least(64, t - g * 48) AS BIGINT) AS n_tok
+FROM win, LATERAL unnest(range(n_win)) AS u(g)
+ORDER BY doc_id, chunk_id
+"""

@@ -227,3 +227,82 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ------------------------------------------- BPE pair counting
+
+
+def bpe_top_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k adjacent token pairs by corpus frequency — the inner loop
+    of BPE tokenizer training (each merge round picks the most
+    frequent adjacent pair). Per batch: C-kernel tokenization, the
+    adjacency mask is one shifted compare on the parent indices, pair
+    keys assemble with a binary-join kernel, partial counts fold per
+    batch — the ``vocab_top_df`` combiner/local-top-k shape, so the
+    shuffle carries (pair, block) partials and only blocks×k rows
+    reach the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = toks.values
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        if len(parents) < 2:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        adjacent = parents[1:] == parents[:-1]
+        left = flat.slice(0, len(flat) - 1).filter(pa.array(adjacent))
+        right = flat.slice(1).filter(pa.array(adjacent))
+        pairs = pc.binary_join_element_wise(left, right, " ")
+        t = pa.table({"pair": pairs})
+        return _rename_cols(
+            t.group_by("pair").aggregate([([], "count_all")]), {"count_all": "n"}
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "pair": batch["pair"].to_pylist(),
+                "n": batch["n"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["n", "pair"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    df = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "pair"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def _rename_cols(t: pa.Table, mapping: dict) -> pa.Table:
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+BPE_PAIRS_SQL = r"""
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+p AS (
+  SELECT t[g + 1] || ' ' || t[g + 2] AS pair
+  FROM w, LATERAL unnest(range(len(t) - 1)) AS u(g)
+  WHERE len(t) >= 2)
+SELECT pair, count(*) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+"""

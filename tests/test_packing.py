@@ -40,3 +40,20 @@ def test_offsets_are_contiguous(sf_dir):
     expect = (got["n_tokens"].cumsum() - got["n_tokens"]).astype("int64")
     assert (got["start_offset"] == expect).all()
     assert (got["pack_id"] == got["start_offset"] // 512).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunking_matches_oracle_and_covers(sf_dir):
+    got = P.chunk_documents(sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+    want = con.sql(P.CHUNK_SQL).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # windows tile each doc: consecutive starts advance by the stride,
+    # every chunk is non-empty except possibly for empty docs
+    per = got.groupby("doc_id")
+    assert (per["chunk_id"].max() + 1 == per.size()).all()
+    multi = got[got["doc_id"].isin(per.size()[per.size() > 1].index)]
+    assert (multi["n_tok"] > 0).all()

@@ -65,3 +65,13 @@ def test_oov_rate_matches_oracle(sf_dir):
     # sanity: rates are valid fractions and some docs contain OOV terms
     assert (got["oov_rate_e4"] <= 10_000).all()
     assert (got["n_oov"] <= got["n_tokens"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_pairs_matches_oracle(sf_dir):
+    got = TF.bpe_top_pairs(sf_dir)
+    con = _con(sf_dir, ["documents"])
+    want = con.sql(TF.BPE_PAIRS_SQL).df()
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["n"] >= 1).all() and got["n"].is_monotonic_decreasing
