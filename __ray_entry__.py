@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-batch assembly (distributed ordered prefix sum)
         "pack_sequences": PK.pack_sequences,
         "chunk_documents": PK.chunk_documents,
+        "pack_shuffled": PK.pack_shuffled,
         # BPE tokenizer-training inner loop (adjacent pair counts)
         "bpe_top_pairs": TFIDF.bpe_top_pairs,
         "lang_id_confusion": T.lang_id_confusion,
@@ -259,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_quality": Q.REPETITION_SQL,
         "pack_sequences": PK.PACK_SQL,
         "chunk_documents": PK.CHUNK_SQL,
+        "pack_shuffled": PK.PACK_SHUFFLED_SQL,
         "bpe_top_pairs": TFIDF.BPE_PAIRS_SQL,
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,

@@ -230,3 +230,88 @@ SELECT doc_id,
 FROM win, LATERAL unnest(range(n_win)) AS u(g)
 ORDER BY doc_id, chunk_id
 """
+
+
+def pack_shuffled(sf_dir: str, ctx: int = 512, num_buckets: int = 32) -> pd.DataFrame:
+    """Inter-document SHUFFLED packing: documents are concatenated in
+    a deterministic pseudo-random order — ``pri = (doc_id·2654435761)
+    mod 2³²`` (Knuth's bijective multiplicative hash, the sampling
+    module's priority) — then chunked into ``ctx``-token windows. This
+    is the training-batch global shuffle: neighbors in the token
+    stream are unrelated documents, yet the permutation is a pure
+    function of the ids, so runs (and resumes) are bit-identical.
+    Same two-pass ``ordered_prefix_sum``, keyed on the priority."""
+    _KNUTH, _M32 = 2654435761, 1 << 32
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(_M32)
+        return pa.table(
+            {
+                "pri": pa.array(pri.astype(np.int64)),
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(_token_counts(batch)),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        tokenize, batch_format="pyarrow"
+    )
+    span = max(1, _M32 // num_buckets)  # priorities are uniform in [0, 2³²)
+
+    # carry doc_id through the prefix sum via a composite value? No —
+    # the helper keeps (key, value); join doc_id back by priority
+    # (bijective ⇒ unique key) with one bucketed join
+    from .joins import hash_join
+    from .relational import JOIN_PARTITIONS
+
+    summed = ordered_prefix_sum(
+        docs, "pri", "n_tokens", span, num_partitions=min(num_buckets, 16)
+    )
+    joined = hash_join(
+        summed,
+        docs.map_batches(
+            lambda b: b.select(["pri", "doc_id"]), batch_format="pyarrow"
+        ),
+        on="pri",
+        num_partitions=JOIN_PARTITIONS,
+        left_schema=[("pri", pa.int64()), ("n_tokens", pa.int64()),
+                     ("start", pa.int64())],
+        right_schema=[("pri", pa.int64()), ("doc_id", pa.int64())],
+    )
+    df = (
+        joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_tokens": b["n_tokens"],
+                    "shuffle_pos": b["pri"],
+                    "start_offset": b["start"],
+                    "pack_id": pc.cast(
+                        pc.divide(b["start"], pa.scalar(ctx, pa.int64())), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+PACK_SHUFFLED_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 4294967296 AS shuffle_pos,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY shuffle_pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_offset,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY shuffle_pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) // 512 AS pack_id
+FROM tok ORDER BY doc_id
+"""

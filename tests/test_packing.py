@@ -57,3 +57,23 @@ def test_chunking_matches_oracle_and_covers(sf_dir):
     assert (per["chunk_id"].max() + 1 == per.size()).all()
     multi = got[got["doc_id"].isin(per.size()[per.size() > 1].index)]
     assert (multi["n_tok"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffled_packing_matches_oracle_and_permutes(sf_dir):
+    got = P.pack_shuffled(sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+    want = con.sql(P.PACK_SHUFFLED_SQL).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reindex(sorted(got.columns), axis=1),
+        want.reindex(sorted(want.columns), axis=1),
+    )
+    # the shuffle genuinely permutes: stream order != id order, but
+    # still covers every token exactly once
+    by_pos = got.sort_values("shuffle_pos")
+    assert list(by_pos["doc_id"]) != list(sorted(by_pos["doc_id"]))
+    expect = (by_pos["n_tokens"].cumsum() - by_pos["n_tokens"]).astype("int64")
+    assert (by_pos["start_offset"].to_numpy() == expect.to_numpy()).all()
