@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "event_funnel",
     "mix_domains",
     "doc_embedding_stats",
+    "chunk_documents",
+    "bpe_top_pairs",
+    "pack_shuffled",
 ]
 
 
