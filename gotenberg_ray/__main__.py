@@ -64,6 +64,9 @@ def cmd_convert(args) -> int:
         rd.read_parquet(args.input)
         .map_batches(ensure_route_cols, batch_format="pyarrow")
         .map_batches(convert_batch, batch_format="pyarrow")
+        # materialize once: write + count on a lazy plan would run the
+        # whole conversion twice
+        .materialize()
     )
     ds.write_parquet(args.output)
     print(json.dumps({"pages_written": ds.count(), "out": args.output}))

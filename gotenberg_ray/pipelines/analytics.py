@@ -313,17 +313,22 @@ def quantile_sketch(sf_dir: str, k: int = SKETCH_K) -> pd.DataFrame:
         if len(pri) > k:
             idx = np.argpartition(pri, k)[:k]
             pri, cents = pri[idx], cents[idx]
-        return pa.table(
-            {"pri": pa.array(pri.astype(np.int64)), "cents": pa.array(cents)}
-        )
+        # priorities stay UNSIGNED end to end: an int64 cast would wrap
+        # hashes >= 2^63 negative and corrupt the global bottom-k merge
+        return pa.table({"pri": pa.array(pri), "cents": pa.array(cents)})
 
     sample = (
         _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
         .map_batches(local_bottomk, batch_format="pyarrow")
         .to_pandas()
-        .nsmallest(k, "pri")
     )
+    sample = sample.nsmallest(k, "pri")
     vals = np.sort(sample["cents"].to_numpy())
     qs = [50, 90, 99]
+    if len(vals) == 0:  # empty input → empty, typed result
+        return pd.DataFrame(
+            {"quantile": pd.Series(qs, dtype="int64"),
+             "est_cents": pd.Series([pd.NA] * 3, dtype="Int64")}
+        )
     est = [int(vals[min(len(vals) - 1, int(q / 100 * len(vals)))]) for q in qs]
     return pd.DataFrame({"quantile": qs, "est_cents": est})

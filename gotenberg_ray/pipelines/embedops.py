@@ -36,9 +36,14 @@ def _emb(sf_dir: str) -> rd.Dataset:
 
 
 def _query_vector(sf_dir: str) -> np.ndarray:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    idx = t.column("vec_id").to_pylist().index(QUERY_VEC_ID)
-    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+    # predicate-pushdown read: ONE row reaches the driver, not the
+    # whole vector table (row groups prune on the vec_id statistics)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", QUERY_VEC_ID)],
+    )
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 def _batch_matrix(batch: pa.Table) -> np.ndarray:
@@ -101,8 +106,11 @@ ORDER BY rank LIMIT 10
 def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
 
+    from ..io import read_table
+
     df = (
-        _emb(sf_dir)
+        # pruned read: a label count must not decode the vector column
+        read_table(sf_dir, "embeddings", columns=["label"])
         .groupby("label")
         .aggregate(Count(alias_name="n_vectors"))
         .to_pandas()
@@ -505,7 +513,9 @@ def doc_embedding_stats(sf_dir: str) -> pd.DataFrame:
     from .relational import JOIN_PARTITIONS
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-    embs = _emb(sf_dir).map_batches(
+    # pruned read: this join never touches vectors — decoding the
+    # embedding column here would dominate the scan for nothing
+    embs = read_table(sf_dir, "embeddings", columns=["vec_id", "label"]).map_batches(
         lambda b: pa.table(
             {
                 "doc_id": b["vec_id"],

@@ -145,11 +145,16 @@ def connected_components(
                 }
             )
 
+        # per-batch combine, then the NATIVE Min aggregate: a per-key
+        # map_groups would invoke Python once per node (O(V) calls per
+        # round); the native path folds in C with one shuffle
+        from ray.data.aggregate import Min as _Min
+
         new = (
             labels.union(msgs)
             .map_batches(partial_min, batch_format="pyarrow")
             .groupby("node", num_partitions=num_partitions)
-            .map_groups(partial_min, batch_format="pyarrow")
+            .aggregate(_Min("lbl", alias_name="lbl"))
             .materialize()
         )
         s = int(new.sum("lbl"))

@@ -39,21 +39,19 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from ..functions.hashing import fnv64
+from ..functions.hashing import fnv64, splitmix64
 
 _SIDE = "__join_side__"
 _PID = "__join_pid__"
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (public-domain constant mix) over uint64."""
-    x = x.astype(np.uint64, copy=True)
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
+    """Delegates to the ONE splitmix64 in functions/hashing.py — a
+    second copy of the mixer constants invited silent divergence
+    between partition routing and every other hash consumer.
+    (Module-level import: this runs inside worker UDFs, where a
+    deferred intra-package import would not resolve.)"""
+    return splitmix64(x.astype(np.uint64, copy=False))
 
 
 def partition_ids(key_col: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
@@ -128,10 +126,14 @@ def _local_join(lt: pa.Table, rt: pa.Table, on: str, join_type: str) -> pa.Table
     lt2, l_nested = _split_nested(lt, "__lidx__")
     rt2, r_nested = _split_nested(rt, "__ridx__")
     joined = lt2.join(rt2, keys=on, join_type=join_type)
+    # semi/anti joins emit only one side's columns — the other side's
+    # surrogate is absent and its payload cannot (and must not) attach
     for name, col in l_nested:
-        joined = joined.append_column(name, col.take(joined["__lidx__"]))
+        if "__lidx__" in joined.column_names:
+            joined = joined.append_column(name, col.take(joined["__lidx__"]))
     for name, col in r_nested:
-        joined = joined.append_column(name, col.take(joined["__ridx__"]))
+        if "__ridx__" in joined.column_names:
+            joined = joined.append_column(name, col.take(joined["__ridx__"]))
     drop = [c for c in ("__lidx__", "__ridx__") if c in joined.column_names]
     return joined.drop_columns(drop) if drop else joined
 
