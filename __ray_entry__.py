@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import packing as PK
     from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
+    from gotenberg_ray.pipelines import relational3 as R3
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import train as TR
@@ -103,6 +104,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_branded_revenue": R2.q19_branded_revenue,
         "q8_market_share": R2.q8_market_share,
         "supplier_window_revenue": R2.supplier_window_revenue,
+        # third relational wave (correlated-min join-back / 5-table
+        # multi-way / global-fraction HAVING / CASE split / left-outer
+        # double-agg / exact count-distinct + NOT IN / nested semi-join
+        # threshold / EXISTS+NOT-EXISTS collapse / scalar + anti-join)
+        "q2_min_price_supplier": R3.q2_min_price_supplier,
+        "q9_product_profit": R3.q9_product_profit,
+        "q11_important_parts": R3.q11_important_parts,
+        "q12_priority_lines": R3.q12_priority_lines,
+        "q13_order_distribution": R3.q13_order_distribution,
+        "q16_part_supplier_counts": R3.q16_part_supplier_counts,
+        "q20_excess_suppliers": R3.q20_excess_suppliers,
+        "q21_waiting_suppliers": R3.q21_waiting_suppliers,
+        "q22_idle_customers": R3.q22_idle_customers,
         # streaming-shaped event processing
         "events_daily_counts": R.events_daily_counts,
         "events_user_stats": R.events_user_stats,
@@ -202,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import packing as PK
     from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
+    from gotenberg_ray.pipelines import relational3 as R3
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import windows as W
@@ -225,6 +240,15 @@ def oracle_sql() -> dict[str, str]:
         "q19_branded_revenue": R2.Q19_SQL,
         "q8_market_share": R2.Q8_SQL,
         "supplier_window_revenue": R2.SUPPLIER_WINDOW_SQL,
+        "q2_min_price_supplier": R3.Q2_SQL,
+        "q9_product_profit": R3.Q9_SQL,
+        "q11_important_parts": R3.Q11_SQL,
+        "q12_priority_lines": R3.Q12_SQL,
+        "q13_order_distribution": R3.Q13_SQL,
+        "q16_part_supplier_counts": R3.Q16_SQL,
+        "q20_excess_suppliers": R3.Q20_SQL,
+        "q21_waiting_suppliers": R3.Q21_SQL,
+        "q22_idle_customers": R3.Q22_SQL,
         "events_daily_counts": R.EVENTS_DAILY_SQL,
         "events_user_stats": R.EVENTS_USER_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
