@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "chunk_documents",
     "bpe_top_pairs",
     "pack_shuffled",
+    # third relational wave: 5-table multi-way join, left-outer double
+    # aggregation, EXISTS+NOT-EXISTS collapse
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -35,9 +35,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Max, Sum
 
-from .joins import hash_join
+from .joins import hash_join, partition_ids
 from .relational import JOIN_PARTITIONS, _read, _rename, _rev_e4
 from .relational2 import _ts
 
@@ -724,22 +724,25 @@ def q16_part_supplier_counts(sf_dir: str) -> pd.DataFrame:
     )
 
     def quad_partial(b: pa.Table) -> pa.Table:
+        # per-batch quad dedupe + suppkey-hash pid: one int-keyed
+        # exchange replaces two global 4-string-key aggregates — every
+        # (profile, suppkey) quad lands in the partition owning its
+        # suppkey, so a per-partition dedupe is globally exact
         t = b.select(["p_brand", "p_type", "p_size", "s_suppkey"])
-        return t.group_by(["p_brand", "p_type", "p_size", "s_suppkey"]).aggregate([])
+        t = t.group_by(["p_brand", "p_type", "p_size", "s_suppkey"]).aggregate([])
+        return t.append_column("pid", partition_ids(t["s_suppkey"], JOIN_PARTITIONS))
 
-    distinct = (
-        joined.map_batches(quad_partial, batch_format="pyarrow")
-        .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
-        .aggregate(Count(alias_name="_dup"))
-    )
-
-    def count_partial(b: pa.Table) -> pa.Table:
-        t = b.select(["p_brand", "p_type", "p_size"])
-        g = t.group_by(["p_brand", "p_type", "p_size"]).aggregate([([], "count_all")])
-        return g.rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+    def bucket_count(g: pa.Table) -> pa.Table:
+        d = g.group_by(["p_brand", "p_type", "p_size", "s_suppkey"]).aggregate([])
+        c = d.select(["p_brand", "p_type", "p_size"]).group_by(
+            ["p_brand", "p_type", "p_size"]
+        ).aggregate([([], "count_all")])
+        return c.rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
 
     df = (
-        distinct.map_batches(count_partial, batch_format="pyarrow")
+        joined.map_batches(quad_partial, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(bucket_count, batch_format="pyarrow")
         .groupby(["p_brand", "p_type", "p_size"])
         .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
         .to_pandas()
