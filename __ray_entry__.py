@@ -134,6 +134,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily": AN.distinct_users_daily,
         "hll_users_per_type": AN.hll_users_per_type,
         "quantile_sketch": AN.quantile_sketch,
+        # mergeable Misra-Gries heavy hitters (exact when capacity >=
+        # distinct keys -> oracle; bounded error beyond)
+        "heavy_hitter_users": AN.heavy_hitter_users,
+        # skew-salted join (hot keys sketched, fact side salted, build
+        # side replicated per salt)
+        "docs_above_lang_avg": AN.docs_above_lang_avg,
         # window-rank / pivot / rollup shapes
         "top_orders_per_customer": A2.top_orders_per_customer,
         "event_type_pivot": A2.event_type_pivot,
@@ -259,6 +265,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_urgent_orders": AN.NO_ORDERS_SQL,
         "order_price_quantiles": AN.PRICE_QUANTILES_SQL,
         "distinct_users_daily": AN.DISTINCT_DAILY_SQL,
+        "heavy_hitter_users": AN.HEAVY_HITTERS_SQL,
+        "docs_above_lang_avg": AN.DOCS_ABOVE_AVG_SQL,
         "top_orders_per_customer": A2.TOP_PER_CUSTOMER_SQL,
         "event_type_pivot": A2.EVENT_PIVOT_SQL,
         "lang_source_rollup": A2.ROLLUP_SQL,

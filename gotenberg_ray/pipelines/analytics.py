@@ -332,3 +332,148 @@ def quantile_sketch(sf_dir: str, k: int = SKETCH_K) -> pd.DataFrame:
         )
     est = [int(vals[min(len(vals) - 1, int(q / 100 * len(vals)))]) for q in qs]
     return pd.DataFrame({"quantile": qs, "est_cents": est})
+
+
+# ------------------------------------------- heavy hitters (Misra–Gries)
+
+
+def heavy_hitter_users(sf_dir: str, capacity: int = 4096, topk: int = 20) -> pd.DataFrame:
+    """Approximate top event producers via the mergeable Misra–Gries
+    summary (state/heavy.py): every block emits a ≤ capacity-entry
+    (key, count) partial — ONE list-typed row — and the driver folds
+    partials with the same compress operation. Nothing key-cardinality
+    -sized moves: at 100 TB the reduce traffic is blocks × capacity
+    rows regardless of how many distinct users exist.
+
+    With capacity above the true distinct-user count no compression
+    ever fires and every count is exact — which is what the DuckDB
+    twin checks at test scale; at larger cardinalities the same code
+    degrades to lower-bound counts with err ≤ n/(capacity+1) (the
+    pytest property test pins that bound under a small capacity)."""
+    from ..state.heavy import MisraGries
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"k": batch["user_id"]}).group_by("k").aggregate(
+            [([], "count_all")]
+        ).rename_columns(["k", "c"])
+        mg = MisraGries(capacity)
+        if g.num_rows:
+            mg.update(
+                g["k"].to_numpy(zero_copy_only=False),
+                g["c"].to_numpy(zero_copy_only=False),
+            )
+        return mg.to_partial_row(pa.int64())
+
+    parts = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    mg = MisraGries.from_partial_rows(parts, capacity)
+    top = mg.top(topk)
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([k for k, _ in top], dtype="int64"),
+            "n_events": pd.Series([c for _, c in top], dtype="int64"),
+        }
+    )
+
+
+HEAVY_HITTERS_SQL = """
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 20
+"""
+
+
+# ------------------------------------- skew-salted join demonstration
+
+
+def docs_above_lang_avg(sf_dir: str) -> pd.DataFrame:
+    """Per-language count of documents longer than their language's
+    average length — on purpose a WORST-CASE skewed join: the key
+    (lang) has ~5 distinct values, so an unsalted hash join would pile
+    the whole corpus onto ≤5 of the 32 partitions. The salted path
+    (``hash_join(hot_keys=..., salt=...)``) spreads each language's
+    fact rows across 8 salted partitions and replicates the 5-row
+    per-language aggregate into them, so all workers participate.
+    Hot keys come from ``detect_hot_keys`` — one Misra–Gries sketch
+    pass over the fact side, not a hardcoded list.
+
+    The integer cross-multiply (n_chars × n_lang > sum_lang) keeps the
+    comparison exact — no float average enters the result."""
+    from .joins import detect_hot_keys
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": b["lang"],
+                "sum_chars": b["n_chars"],
+                "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by("lang").aggregate([("sum_chars", "sum"), ("n_docs", "sum")])
+        return g.rename_columns(["lang", "sum_chars", "n_docs"])
+
+    per_lang = (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(lang_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("sum_chars", alias_name="sum_chars"), Sum("n_docs", alias_name="n_docs"))
+    )
+
+    hot = detect_hot_keys(
+        docs, "lang", num_partitions=JOIN_PARTITIONS, hot_factor=4.0, capacity=1024
+    )
+    joined = hash_join(
+        docs,
+        per_lang,
+        on="lang",
+        num_partitions=JOIN_PARTITIONS,
+        left_schema=[("lang", pa.string()), ("n_chars", pa.int64())],
+        right_schema=[
+            ("lang", pa.string()),
+            ("sum_chars", pa.int64()),
+            ("n_docs", pa.int64()),
+        ],
+        hot_keys=hot,
+        salt=8,
+    )
+
+    def above_partial(b: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(b["n_chars"], b["n_docs"]), b["sum_chars"]
+        )
+        t = pa.table({"lang": b.filter(keep)["lang"]})
+        g = t.group_by("lang").aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_above"])
+
+    df = (
+        joined.map_batches(above_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_above", alias_name="n_above"))
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype="object"),
+             "n_above": pd.Series([], dtype="int64")}
+        )
+    df["n_above"] = df["n_above"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+DOCS_ABOVE_AVG_SQL = """
+WITH s AS (
+  SELECT lang, sum(n_chars) AS sum_chars, count(*) AS n_docs
+  FROM documents GROUP BY lang)
+SELECT d.lang AS lang, count(*) AS n_above
+FROM documents d JOIN s ON d.lang = s.lang
+WHERE d.n_chars * s.n_docs > s.sum_chars
+GROUP BY d.lang
+ORDER BY lang
+"""

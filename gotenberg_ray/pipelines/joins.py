@@ -54,16 +54,28 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return splitmix64(x.astype(np.uint64, copy=False))
 
 
-def partition_ids(key_col: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
-    """Vectorized pid for a key column (int → mix64, string → fnv64)."""
+def _pid_domain(key_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Key column → the uint64 value partition routing mods (ints are
+    splitmix-finalized so dense keys spread; strings are fnv64)."""
     if isinstance(key_col, pa.ChunkedArray):
         key_col = key_col.combine_chunks()
     if pa.types.is_integer(key_col.type):
-        k = key_col.to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = _mix64(k)
-    else:
-        h = fnv64(key_col)
+        return _mix64(key_col.to_numpy(zero_copy_only=False).astype(np.uint64))
+    return fnv64(key_col)
+
+
+def partition_ids(key_col: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
+    """Vectorized pid for a key column (int → mix64, string → fnv64)."""
+    h = _pid_domain(key_col)
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+
+
+def _salted_pids(dom: np.ndarray, salts: np.ndarray, p: int) -> np.ndarray:
+    """pid for (key, salt) — a second splitmix over dom⊕(salt+1) so a
+    hot key's sub-streams land on independent partitions."""
+    return (
+        _mix64(dom ^ (salts.astype(np.uint64) + np.uint64(1))) % np.uint64(p)
+    ).astype(np.int32)
 
 
 def _pa_type(t) -> pa.DataType:
@@ -80,8 +92,24 @@ def _pa_type(t) -> pa.DataType:
     return pa.from_numpy_dtype(dt)
 
 
-def _pad_to(fields: list[tuple[str, pa.DataType]], side: int, key: str, p: int):
-    """Batch fn: align a side's batch to the union schema + side/pid."""
+def _pad_to(
+    fields: list[tuple[str, pa.DataType]],
+    side: int,
+    key: str,
+    p: int,
+    hot_dom: np.ndarray | None = None,
+    salt: int = 1,
+):
+    """Batch fn: align a side's batch to the union schema + side/pid.
+
+    With ``hot_dom`` (sorted uint64 hashes of skew-salted keys):
+    - side 0 (probe/fact): a hot row picks ONE of ``salt`` salted
+      partitions, so one key's rows spread over ``salt`` workers;
+    - side 1 (build): a hot row is REPLICATED into all ``salt``
+      salted partitions, so every probe sub-stream still sees the
+      full build set for its key. Cold keys route exactly as the
+      unsalted path does.
+    """
 
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -95,9 +123,38 @@ def _pad_to(fields: list[tuple[str, pa.DataType]], side: int, key: str, p: int):
             else:
                 arrays.append(pa.nulls(n, typ))
             names.append(name)
+        dom = _pid_domain(batch.column(key))
+        base = (dom % np.uint64(p)).astype(np.int32)
+        if hot_dom is None or n == 0:
+            pid = base
+        else:
+            hot = np.isin(dom, hot_dom)
+            if side == 0:
+                salts = (np.arange(n, dtype=np.uint64) % np.uint64(salt))
+                pid = np.where(hot, _salted_pids(dom, salts, p), base)
+            else:
+                idx_cold = np.nonzero(~hot)[0]
+                idx_hot = np.nonzero(hot)[0]
+                rep_rows = np.repeat(idx_hot, salt)
+                salts = np.tile(np.arange(salt, dtype=np.uint64), len(idx_hot))
+                rep_pids = _salted_pids(np.repeat(dom[idx_hot], salt), salts, p)
+                # two salts can collide on one pid — that partition
+                # would then hold TWO copies of the right row and every
+                # probe there would match twice; keep one (row, pid)
+                pair = rep_rows.astype(np.uint64) * np.uint64(p) + rep_pids.astype(
+                    np.uint64
+                )
+                keep = np.sort(np.unique(pair, return_index=True)[1])
+                take = np.concatenate([idx_cold, rep_rows[keep]])
+                pid = np.concatenate(
+                    [base[idx_cold], rep_pids[keep]]
+                ).astype(np.int32)
+                t = pa.Table.from_arrays(arrays, names=names).take(take)
+                arrays = [t.column(c) for c in t.column_names]
+                n = t.num_rows
         arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
         names.append(_SIDE)
-        arrays.append(partition_ids(batch.column(key), p))
+        arrays.append(pa.array(pid if isinstance(pid, np.ndarray) else pid))
         names.append(_PID)
         return pa.Table.from_arrays(arrays, names=names)
 
@@ -178,6 +235,44 @@ def build_key_bloom(
     return merged
 
 
+def detect_hot_keys(
+    ds: rd.Dataset,
+    key: str,
+    *,
+    num_partitions: int,
+    hot_factor: float = 4.0,
+    capacity: int = 8192,
+) -> pa.Array:
+    """Find join keys heavy enough to serialize a partition: one pass
+    of per-block Misra–Gries partials (≤ capacity (key, count) rows
+    leave each block), driver fold, then keep keys whose upper-bound
+    count exceeds ``hot_factor × n/num_partitions`` — the point where
+    one key's rows are a multiple of a partition's fair share. The
+    summary is capacity-bounded regardless of key cardinality, so the
+    same pass is safe over a 100 TB fact table."""
+    from ..state.heavy import MisraGries
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"k": batch.column(key)}).group_by("k").aggregate(
+            [([], "count_all")]
+        ).rename_columns(["k", "c"])
+        mg = MisraGries(capacity)
+        if g.num_rows:
+            mg.update(
+                g["k"].to_numpy(zero_copy_only=False),
+                g["c"].to_numpy(zero_copy_only=False),
+            )
+        return mg.to_partial_row(g.schema.field("k").type)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    mg = MisraGries.from_partial_rows(parts, capacity)
+    if mg.n == 0 or len(mg.keys) == 0:
+        return pa.array([], pa.int64())
+    threshold = hot_factor * mg.n / num_partitions
+    hot = mg.keys[(mg.counts + mg.err) > threshold]
+    return pa.array(list(hot))
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -193,6 +288,8 @@ def hash_join(
     bloom_prune_left: bool = False,
     bloom_capacity: int = 1 << 20,
     bloom_fp: float = 0.01,
+    hot_keys: pa.Array | None = None,
+    salt: int = 8,
 ) -> rd.Dataset:
     """Distributed hash join of two Datasets on an equality key.
 
@@ -221,9 +318,28 @@ def hash_join(
     moves only candidate rows. Costs one extra pass over the right
     side, so reserve it for selective rights; INNER joins only (an
     outer join must keep unmatched left rows).
+
+    ``hot_keys`` + ``salt``: skew salting (SURVEY §4.2). Each listed
+    key's LEFT rows spread across ``salt`` partitions while its RIGHT
+    rows replicate into all of them, so one hot key occupies ``salt``
+    workers instead of serializing one. Every (left, right) match pair
+    still meets exactly once — the left row lives in one salted
+    partition and that partition holds one full right copy. Detect
+    candidates with ``detect_hot_keys`` (one sketch pass), or pass a
+    known-skewed dimension's keys directly. Restrictions: the right
+    side must be the smaller/build side (its hot rows are copied
+    ``salt``×); join types that emit right-side rows independently of
+    a left match (right/full outer) are rejected; and with salting a
+    ``left_agg`` fold is only per-partition-PARTIAL for hot keys —
+    callers that rely on per-key-complete folds (argmin join-back,
+    sole-supplier attribution) must not salt.
     """
     if bloom_prune_left and join_type != "inner":
         raise ValueError("bloom_prune_left requires join_type='inner'")
+    salting = hot_keys is not None and len(hot_keys) > 0 and salt > 1
+    if salting and join_type not in ("inner", "left outer", "left semi", "left anti"):
+        raise ValueError(f"skew salting does not support join_type={join_type!r}")
+    hot_dom = np.sort(_pid_domain(hot_keys)) if salting else None
     right_key = right_on or on
 
     def _fields(ds, schema) -> list[tuple[str, pa.DataType]]:
@@ -272,10 +388,12 @@ def hash_join(
         left = left.map_batches(prune, batch_format="pyarrow")
 
     tagged = left.map_batches(
-        _pad_to(union_fields, 0, on, num_partitions), batch_format="pyarrow"
+        _pad_to(union_fields, 0, on, num_partitions, hot_dom, salt),
+        batch_format="pyarrow",
     ).union(
         right.map_batches(
-            _pad_to(union_fields, 1, on, num_partitions), batch_format="pyarrow"
+            _pad_to(union_fields, 1, on, num_partitions, hot_dom, salt),
+            batch_format="pyarrow",
         )
     )
 

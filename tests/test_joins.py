@@ -118,3 +118,133 @@ class TestBloomPushdown:
                       bloom_prune_left=True,
                       left_schema=[("k", pa.int64())],
                       right_schema=[("k", pa.int64())])
+
+
+class TestSkewSalting:
+    """hash_join(hot_keys=, salt=): hot probe rows spread over `salt`
+    partitions, build rows replicate into them — result sets must be
+    IDENTICAL to the unsalted join for every supported join type."""
+
+    def _sides(self, seed=11, hot_frac=0.6):
+        rng = np.random.default_rng(seed)
+        n = 2000
+        # one massively hot key (0) + a uniform tail, incl. keys that
+        # match nothing and build keys that probe nothing
+        k = np.where(rng.random(n) < hot_frac, 0, rng.integers(0, 60, n))
+        left = pd.DataFrame({"k": k, "lv": rng.integers(0, 10**6, n)})
+        right = pd.DataFrame(
+            {"k": np.arange(0, 50), "rv": np.arange(0, 50) * 7}
+        )
+        # make the hot key many-to-many: 3 build rows for key 0
+        right = pd.concat(
+            [right, pd.DataFrame({"k": [0, 0], "rv": [-1, -2]})], ignore_index=True
+        )
+        return left, right
+
+    @pytest.mark.parametrize("join_type", ["inner", "left outer", "left anti"])
+    def test_salted_equals_unsalted(self, ray_session, join_type):
+        left, right = self._sides()
+        hot = pa.array([0], pa.int64())
+        kw = dict(
+            on="k",
+            num_partitions=8,
+            left_schema=[("k", pa.int64()), ("lv", pa.int64())],
+            right_schema=[("k", pa.int64()), ("rv", pa.int64())],
+            join_type=join_type,
+        )
+        cols = ["k", "lv"] if join_type == "left anti" else ["k", "lv", "rv"]
+        base = (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right), **kw)
+            .to_pandas()[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        salted = (
+            hash_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                hot_keys=hot, salt=8, **kw,
+            )
+            .to_pandas()[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(salted, base)
+
+    def test_salt_pid_collisions_do_not_duplicate(self, ray_session):
+        """salt > partitions FORCES several salts onto one pid; the
+        replicated build copies must still appear once per partition."""
+        left, right = self._sides(seed=3)
+        out = (
+            hash_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="k", num_partitions=2,
+                left_schema=[("k", pa.int64()), ("lv", pa.int64())],
+                right_schema=[("k", pa.int64()), ("rv", pa.int64())],
+                hot_keys=pa.array([0], pa.int64()), salt=16,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            left.merge(right, on="k")
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out[["k", "lv", "rv"]], exp[["k", "lv", "rv"]])
+
+    def test_string_keys_salted(self, ray_session):
+        rng = np.random.default_rng(5)
+        langs = np.array(["en", "de", "fr"])
+        left = pd.DataFrame(
+            {
+                "lang": np.where(rng.random(500) < 0.7, "en", rng.choice(langs, 500)),
+                "v": np.arange(500),
+            }
+        )
+        right = pd.DataFrame({"lang": langs, "w": [1, 2, 3]})
+        out = (
+            hash_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="lang", num_partitions=4,
+                left_schema=[("lang", pa.string()), ("v", pa.int64())],
+                right_schema=[("lang", pa.string()), ("w", pa.int64())],
+                hot_keys=pa.array(["en"]), salt=4,
+            )
+            .to_pandas()
+            .sort_values(["lang", "v"])
+            .reset_index(drop=True)
+        )
+        exp = left.merge(right, on="lang").sort_values(["lang", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[["lang", "v", "w"]], exp[["lang", "v", "w"]])
+
+    def test_rejects_right_outer(self, ray_session):
+        left, right = self._sides()
+        with pytest.raises(ValueError, match="salting"):
+            hash_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="k", join_type="right outer",
+                hot_keys=pa.array([0], pa.int64()), salt=4,
+                left_schema=[("k", pa.int64()), ("lv", pa.int64())],
+                right_schema=[("k", pa.int64()), ("rv", pa.int64())],
+            )
+
+
+class TestDetectHotKeys:
+    def test_finds_planted_hot_key(self, ray_session):
+        from gotenberg_ray.pipelines.joins import detect_hot_keys
+
+        rng = np.random.default_rng(2)
+        k = np.where(rng.random(5000) < 0.5, 7, rng.integers(100, 5000, 5000))
+        ds = rd.from_pandas(pd.DataFrame({"k": k}))
+        hot = detect_hot_keys(ds, "k", num_partitions=16, capacity=512)
+        assert 7 in hot.to_pylist()
+        # uniform tail keys (each ~0.02%) must NOT be flagged
+        assert len(hot) <= 3
+
+    def test_uniform_keys_yield_none(self, ray_session):
+        from gotenberg_ray.pipelines.joins import detect_hot_keys
+
+        ds = rd.from_pandas(pd.DataFrame({"k": np.arange(10_000) % 997}))
+        hot = detect_hot_keys(ds, "k", num_partitions=8, capacity=2048)
+        assert len(hot) == 0
