@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
         "dedup_clusters": T.dedup_clusters,
         "dedup_incremental": INC.dedup_incremental,
+        # exact substring-duplication score (distinct 20-char windows
+        # shared with any other doc; one hash-keyed exchange)
+        "duplicate_span_stats": T.duplicate_span_stats,
         # iterative dataflow (power iteration; rows-only — not SQL)
         "pagerank": GR.pagerank,
         "contamination_check": T.contamination_check,
@@ -281,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_clusters": T.CLUSTERS_SQL,
         "dedup_incremental": INC.DEDUP_INCREMENTAL_SQL,
+        "duplicate_span_stats": T.DUP_SPANS_SQL,
         "contamination_check": T.CONTAMINATION_SQL,
         "curation_pipeline": T.CURATION_SQL,
         "vocab_top_df": T.VOCAB_DF_SQL,

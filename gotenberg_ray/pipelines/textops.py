@@ -1222,3 +1222,153 @@ SELECT doc_id,
        CAST(ceil(greatest(1, CAST(ceil(n_tokens / {TOKENS_PER_PAGE}.0) AS BIGINT)) / {SPLIT_EVERY}.0) AS BIGINT) AS n_parts
 FROM t ORDER BY doc_id
 """
+
+
+# ----------------------------------- exact substring duplication score
+
+
+def duplicate_span_stats(sf_dir: str, window: int = 20) -> pd.DataFrame:
+    """Exact substring-duplication scoring — the per-document signal
+    behind substring-level dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022, public): for every
+    document, how many of its DISTINCT ``window``-character substrings
+    also occur in at least one OTHER document, and the duplicated
+    fraction (×10⁴ integer, exact).
+
+    Distributed shape (ONE keyed exchange over shingle pairs):
+    1. per batch, per doc: utf-32 view of the text → every length-20
+       character window via a numpy stride trick → u64 polynomial
+       rolling hash + splitmix finalizer, deduped per doc (a doc's
+       text lives in one row, so batch-local dedup is global);
+    2. (hash, doc_id) pairs route by hash-pid; inside each bucket one
+       vectorized sort-run pass counts docs per shingle and folds
+       per-doc partials (n_shingles, n_dup);
+    3. a final doc_id groupby sums partials; the fraction is integer
+       floor-division so any block layout is bit-identical.
+
+    The exchange moves one pair per DISTINCT (doc, shingle) — ~chars
+    × 16 bytes. At 100 TB you'd run the identical plan with a stride
+    or bottom-k-by-hash shingle sample (the MinHash machinery above);
+    window hashes, not raw substrings, are what shuffles either way.
+    The DuckDB twin compares raw substrings, so a hash collision
+    would surface as a mismatch — 64-bit + finalizer keeps that
+    probability ≈ n²/2⁶⁵ (≈10⁻⁶ at 10M shingles)."""
+    from ..functions.hashing import splitmix64 as _sm
+
+    P = 32
+    # u64-wraparound powers of an odd multiplier (FNV prime)
+    pows = np.power(
+        np.uint64(0x100000001B3),
+        np.arange(window - 1, -1, -1, dtype=np.uint64),
+        dtype=np.uint64,
+    )
+
+    def shingle_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hs: list[np.ndarray] = []
+        ds_: list[np.ndarray] = []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            u = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            if len(u) < window:
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(u, window).astype(
+                np.uint64
+            )
+            h = _sm((w * pows).sum(axis=1, dtype=np.uint64))
+            hu = np.unique(h)
+            hs.append(hu)
+            ds_.append(np.full(len(hu), ids[i], np.int64))
+        if not hs:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pid": pa.array([], pa.int32()),
+                }
+            )
+        h = np.concatenate(hs)
+        return pa.table(
+            {
+                "h": pa.array(h),
+                "doc_id": pa.array(np.concatenate(ds_)),
+                "pid": pa.array((h % np.uint64(P)).astype(np.int32)),
+            }
+        )
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, d = h[order], d[order]
+        starts = np.r_[True, h[1:] != h[:-1]]
+        grp = np.cumsum(starts) - 1
+        docs_per_shingle = np.bincount(grp)
+        dup = (docs_per_shingle[grp] > 1).astype(np.int64)
+        t = pa.table(
+            {
+                "doc_id": pa.array(d),
+                "n_shingles": pa.array(np.ones(len(d), np.int64)),
+                "n_dup": pa.array(dup),
+            }
+        )
+        return _rename_tbl(
+            t.group_by("doc_id").aggregate(
+                [("n_shingles", "sum"), ("n_dup", "sum")]
+            ),
+            {"n_shingles_sum": "n_shingles", "n_dup_sum": "n_dup"},
+        )
+
+    df = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(shingle_pairs, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_shingles", alias_name="n_shingles"),
+            Sum("n_dup", alias_name="n_dup"),
+        )
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_shingles": pd.Series([], dtype="int64"),
+                "n_dup": pd.Series([], dtype="int64"),
+                "dup_frac_e4": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("doc_id", "n_shingles", "n_dup"):
+        df[c] = df[c].astype("int64")
+    df["dup_frac_e4"] = df["n_dup"] * 10_000 // df["n_shingles"]
+    return (
+        df[["doc_id", "n_shingles", "n_dup", "dup_frac_e4"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _rename_tbl(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+DUP_SPANS_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 20) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text) - 20 + 2)) AS i)
+),
+d AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+per AS (
+  SELECT doc_id,
+         count(*) AS n_shingles,
+         sum(CASE WHEN s IN (SELECT s FROM d) THEN 1 ELSE 0 END) AS n_dup
+  FROM sh GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_dup AS BIGINT) AS n_dup,
+       CAST(n_dup * 10000 // n_shingles AS BIGINT) AS dup_frac_e4
+FROM per
+ORDER BY doc_id
+"""

@@ -204,3 +204,47 @@ def test_embedding_dup_pairs_tiled_exact(ray_session, tmp_path):
     exp = exp.sort_values(["a_id", "b_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
     assert ((got["a_id"] == 10) & (got["b_id"] == 50)).any()
+
+
+class TestDuplicateSpanStats:
+    def test_matches_duckdb(self, ray_session, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines.textops import DUP_SPANS_SQL, duplicate_span_stats
+
+        got = duplicate_span_stats(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = con.sql(DUP_SPANS_SQL).df()
+        for c in ("doc_id", "n_shingles", "n_dup", "dup_frac_e4"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+    def test_planted_duplicates(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from gotenberg_ray.pipelines.textops import duplicate_span_stats
+
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "prefix one " + shared,
+                        "prefix two " + shared,
+                        "zq xv jk wp bn md ch lt rs gf yh ui eo az",  # unique
+                    ]
+                ),
+            }
+        )
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        got = duplicate_span_stats(str(tmp_path))
+        by_id = got.set_index("doc_id")
+        # docs 1 and 2 share a 60-char span -> many duplicated windows
+        assert by_id.loc[1, "n_dup"] >= len(shared) - 20
+        assert by_id.loc[2, "n_dup"] >= len(shared) - 20
+        assert by_id.loc[3, "n_dup"] == 0
+        # rerun is bit-identical (layout-independent integer math)
+        again = duplicate_span_stats(str(tmp_path))
+        pd.testing.assert_frame_equal(got, again)
