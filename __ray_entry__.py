@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable Misra-Gries heavy hitters (exact when capacity >=
         # distinct keys -> oracle; bounded error beyond)
         "heavy_hitter_users": AN.heavy_hitter_users,
+        # ANALYZE-style column profile (exact distinct by value hash)
+        "orders_profile": AN.orders_profile,
         # skew-salted join (hot keys sketched, fact side salted, build
         # side replicated per salt)
         "docs_above_lang_avg": AN.docs_above_lang_avg,
@@ -269,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "order_price_quantiles": AN.PRICE_QUANTILES_SQL,
         "distinct_users_daily": AN.DISTINCT_DAILY_SQL,
         "heavy_hitter_users": AN.HEAVY_HITTERS_SQL,
+        "orders_profile": AN.ORDERS_PROFILE_SQL,
         "docs_above_lang_avg": AN.DOCS_ABOVE_AVG_SQL,
         "top_orders_per_customer": A2.TOP_PER_CUSTOMER_SQL,
         "event_type_pivot": A2.EVENT_PIVOT_SQL,

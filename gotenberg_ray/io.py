@@ -78,6 +78,38 @@ def write_table(ds: rd.Dataset, path: str, **kwargs) -> None:
     ds.write_parquet(path, **kwargs)
 
 
+def read_jsonl(
+    path: str,
+    columns: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> rd.Dataset:
+    """Newline-delimited-JSON source with the same size-∝ block policy
+    as :func:`read_table` — training corpora commonly arrive as .jsonl
+    shards before the first parquet/Lance conversion. JSON has no
+    column pruning at the decoder, so ``columns`` projects right after
+    the read (the bytes are already off disk; at scale, convert to a
+    columnar format once and use ``read_table``)."""
+    nb = num_blocks or blocks_for(path)
+    ds = rd.read_json(path, override_num_blocks=nb)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def read_csv(
+    path: str,
+    columns: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> rd.Dataset:
+    """CSV source, same block policy; ``columns`` projects post-read
+    (CSV is row-major — no decoder pruning exists to push into)."""
+    nb = num_blocks or blocks_for(path)
+    ds = rd.read_csv(path, override_num_blocks=nb)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def write_partitioned(
     ds: rd.Dataset,
     path: str,

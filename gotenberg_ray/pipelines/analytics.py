@@ -477,3 +477,162 @@ WHERE d.n_chars * s.n_docs > s.sum_chars
 GROUP BY d.lang
 ORDER BY lang
 """
+
+
+# ------------------------------------------ table profiling (ANALYZE)
+
+
+def orders_profile(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE-style column profile of the orders table: per column the
+    row count, null count, and EXACT distinct count — the statistics a
+    planner (or a data-quality gate) reads before choosing join sides
+    and partition counts.
+
+    Distributed shape: one scan emits, per column, batch-deduped
+    (column, value-hash) pairs routed by hash-pid plus a one-row null/
+    row-count partial; a per-bucket fold counts distinct hashes per
+    column and a final tiny groupby sums buckets. Distinctness is by
+    64-bit value hash (ints/timestamps pass through splitmix, strings
+    fnv64, doubles hash their bit pattern) — the DuckDB twin compares
+    raw values, so a collision would surface as an oracle mismatch
+    (probability ≈ n²/2⁶⁵).
+
+    All columns ride ONE exchange; nothing row-count-sized reaches the
+    driver. At 100 TB the same plan holds — or flip the exact distinct
+    to the mergeable HLL above when ±2 % suffices."""
+    from ..functions.hashing import fnv64 as _fnv, splitmix64 as _sm
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    P = 32
+
+    def _hash_col(col: pa.ChunkedArray) -> np.ndarray:
+        col = col.combine_chunks()
+        col = col.drop_null()
+        t = col.type
+        if pa.types.is_integer(t):
+            return _sm(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        if pa.types.is_timestamp(t):
+            return _sm(
+                pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        if pa.types.is_floating(t):
+            return _sm(
+                col.to_numpy(zero_copy_only=False).astype(np.float64).view(np.uint64)
+            )
+        return _fnv(col)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        names: list[str] = []
+        hashes: list[np.ndarray] = []
+        meta_rows = []
+        for c in cols:
+            col = batch[c]
+            h = np.unique(_hash_col(col))
+            names.append(c)
+            hashes.append(h)
+            meta_rows.append((c, batch.num_rows, col.null_count))
+        name_arr = np.concatenate(
+            [np.full(len(h), n, object) for n, h in zip(names, hashes)]
+        )
+        h = np.concatenate(hashes)
+        pairs = pa.table(
+            {
+                "col_name": pa.array(name_arr, pa.string()),
+                "h": pa.array(h),
+                "pid": pa.array((h % np.uint64(P)).astype(np.int32)),
+                "n_rows": pa.array(np.zeros(len(h), np.int64)),
+                "n_null": pa.array(np.zeros(len(h), np.int64)),
+            }
+        )
+        meta = pa.table(
+            {
+                "col_name": pa.array([m[0] for m in meta_rows], pa.string()),
+                "h": pa.array(np.zeros(len(meta_rows), np.uint64)),
+                "pid": pa.array(np.full(len(meta_rows), -1, np.int32)),
+                "n_rows": pa.array([m[1] for m in meta_rows], pa.int64()),
+                "n_null": pa.array([m[2] for m in meta_rows], pa.int64()),
+            }
+        )
+        return pa.concat_tables([pairs, meta])
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        pid = g["pid"][0].as_py()
+        if pid == -1:  # null/row-count partials: just re-fold sums
+            t = g.select(["col_name", "n_rows", "n_null"])
+            f = t.group_by("col_name").aggregate(
+                [("n_rows", "sum"), ("n_null", "sum")]
+            )
+            f = f.rename_columns(["col_name", "n_rows", "n_null"])
+            return f.append_column(
+                "n_distinct", pa.array(np.zeros(f.num_rows, np.int64))
+            )
+        t = g.select(["col_name", "h"]).group_by(["col_name", "h"]).aggregate([])
+        d = t.select(["col_name"]).group_by("col_name").aggregate([([], "count_all")])
+        d = d.rename_columns(["col_name", "n_distinct"])
+        n = d.num_rows
+        return pa.table(
+            {
+                "col_name": d["col_name"],
+                "n_rows": pa.array(np.zeros(n, np.int64)),
+                "n_null": pa.array(np.zeros(n, np.int64)),
+                "n_distinct": pc.cast(d["n_distinct"], pa.int64()),
+            }
+        )
+
+    df = (
+        _read(sf_dir, "orders", cols)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null", alias_name="n_null"),
+            Sum("n_distinct", alias_name="n_distinct"),
+        )
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "col_name": pd.Series([], dtype="object"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "n_null": pd.Series([], dtype="int64"),
+                "n_distinct": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("n_rows", "n_null", "n_distinct"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("col_name").reset_index(drop=True)
+
+
+ORDERS_PROFILE_SQL = """
+SELECT col_name, n_rows, n_null, n_distinct FROM (
+  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS n_null,
+         count(DISTINCT o_orderkey) AS n_distinct FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+         count(DISTINCT o_custkey) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         count(DISTINCT o_totalprice) FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+         count(DISTINCT o_orderdate) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority) FROM orders
+)
+ORDER BY col_name
+"""

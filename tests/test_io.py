@@ -3,6 +3,7 @@ partitioned writes."""
 
 import os
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -86,3 +87,94 @@ class TestResumablePartitionedWrite:
         os.remove(os.path.join(out, victim, "_COMPLETE"))
         visible = read_partitioned(out).to_pandas()
         assert 0 < len(visible) < len(src)
+
+
+class TestAlternateSources:
+    """JSONL / CSV readers — same engine, different landing format."""
+
+    def _docs(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(f"{sf_dir}/documents.parquet")
+
+    def test_jsonl_roundtrip_matches_parquet(self, ray_session, sf_dir, tmp_path):
+        import json
+
+        from gotenberg_ray import io as gio
+
+        t = self._docs(sf_dir)
+        p = tmp_path / "documents.jsonl"
+        with open(p, "w") as f:
+            for row in t.to_pylist():
+                f.write(json.dumps(row) + "\n")
+        got = (
+            gio.read_jsonl(str(p), columns=["doc_id", "lang", "n_chars"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            t.select(["doc_id", "lang", "n_chars"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+    def test_csv_roundtrip_matches_parquet(self, ray_session, sf_dir, tmp_path):
+        import pyarrow.csv as pacsv
+
+        from gotenberg_ray import io as gio
+
+        t = self._docs(sf_dir).select(["doc_id", "lang", "source", "n_chars"])
+        p = tmp_path / "documents.csv"
+        pacsv.write_csv(t, str(p))
+        got = (
+            gio.read_csv(str(p), columns=["doc_id", "source"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            t.select(["doc_id", "source"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+    def test_jsonl_feeds_a_pipeline(self, ray_session, sf_dir, tmp_path):
+        """A .jsonl landing file drives the same batch operators as
+        parquet — the engine is source-agnostic past the read."""
+        import json
+
+        import pyarrow.compute as pc
+
+        from gotenberg_ray import io as gio
+
+        t = self._docs(sf_dir)
+        p = tmp_path / "d.jsonl"
+        with open(p, "w") as f:
+            for row in t.to_pylist():
+                f.write(json.dumps(row) + "\n")
+
+        def count_by_lang(b: pa.Table) -> pa.Table:
+            g = b.select(["lang"]).group_by("lang").aggregate([([], "count_all")])
+            return g.rename_columns(["lang", "n"])
+
+        from ray.data.aggregate import Sum
+
+        df = (
+            gio.read_jsonl(str(p), columns=["lang"])
+            .map_batches(count_by_lang, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        want = (
+            t.to_pandas().groupby("lang").size().rename("n").reset_index()
+        )
+        want["n"] = want["n"].astype(df["n"].dtype)
+        pd.testing.assert_frame_equal(df, want)
