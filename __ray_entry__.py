@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
         "dedup_clusters": T.dedup_clusters,
         "dedup_incremental": INC.dedup_incremental,
+        # materialized-view refresh: fold a new-batch aggregate into
+        # the stored aggregate (associative merge, aggregate-sized)
+        "events_daily_incremental": INC.events_daily_incremental,
         # exact substring-duplication score (distinct 20-char windows
         # shared with any other doc; one hash-keyed exchange)
         "duplicate_span_stats": T.duplicate_span_stats,
@@ -287,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_clusters": T.CLUSTERS_SQL,
         "dedup_incremental": INC.DEDUP_INCREMENTAL_SQL,
+        "events_daily_incremental": INC.EVENTS_DAILY_INCREMENTAL_SQL,
         "duplicate_span_stats": T.DUP_SPANS_SQL,
         "contamination_check": T.CONTAMINATION_SQL,
         "curation_pipeline": T.CURATION_SQL,

@@ -70,11 +70,19 @@ class MisraGries:
             counts = np.ones(len(keys), dtype=np.int64)
         counts = np.asarray(counts, dtype=np.int64)
         self.n += int(counts.sum())
+        if len(self.keys):
+            if self.keys.dtype == keys.dtype:
+                all_keys = np.concatenate([self.keys, keys])
+            else:
+                # never cast stored keys to a narrower fixed-width
+                # string dtype (it would silently truncate them)
+                all_keys = np.concatenate(
+                    [self.keys.astype(object), keys.astype(object)]
+                )
+        else:
+            all_keys = keys
         s = pd.Series(
-            np.concatenate([self.counts, counts]),
-            index=np.concatenate([self.keys.astype(keys.dtype, copy=False), keys])
-            if len(self.keys)
-            else keys,
+            np.concatenate([self.counts, counts]), index=all_keys
         ).groupby(level=0, sort=False).sum()
         self._compress(s.index.to_numpy(), s.to_numpy(dtype=np.int64))
         return self

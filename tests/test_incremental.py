@@ -28,3 +28,32 @@ def test_replays_dropped_fresh_kept(sf_dir):
     assert (replays["kept"] == 0).all() and len(replays) == n // 4
     # every genuinely new doc is admitted (no bloom false drop)
     assert (fresh["kept"] == 1).all()
+
+
+class TestIncrementalAggregate:
+    def test_refresh_equals_full_recompute(self, ray_session, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines.incremental import (
+            EVENTS_DAILY_INCREMENTAL_SQL,
+            events_daily_incremental,
+        )
+
+        got = events_daily_incremental(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS FROM '{sf_dir}/events.parquet'")
+        want = con.sql(EVENTS_DAILY_INCREMENTAL_SQL).df()
+        for c in ("n_events", "spend_cents"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+    def test_split_is_partition(self, ray_session, sf_dir):
+        """history ∪ increment must cover every event exactly once:
+        the merged counts sum to the full event count."""
+        import pyarrow.parquet as pq
+
+        from gotenberg_ray.pipelines.incremental import events_daily_incremental
+
+        got = events_daily_incremental(sf_dir)
+        total = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"]).num_rows
+        assert got["n_events"].sum() == total
