@@ -406,7 +406,9 @@ def docs_above_lang_avg(sf_dir: str) -> pd.DataFrame:
     comparison exact — no float average enters the result."""
     from .joins import detect_hot_keys
 
-    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    # three consumers (sketch pass, per-lang aggregate, join probe) —
+    # materialize the 2-column projection once instead of re-scanning
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"]).materialize()
 
     def lang_partial(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -420,8 +422,7 @@ def docs_above_lang_avg(sf_dir: str) -> pd.DataFrame:
         return g.rename_columns(["lang", "sum_chars", "n_docs"])
 
     per_lang = (
-        _read(sf_dir, "documents", ["lang", "n_chars"])
-        .map_batches(lang_partial, batch_format="pyarrow")
+        docs.map_batches(lang_partial, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(Sum("sum_chars", alias_name="sum_chars"), Sum("n_docs", alias_name="n_docs"))
     )

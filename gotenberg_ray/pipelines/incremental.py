@@ -214,9 +214,10 @@ def events_daily_incremental(sf_dir: str, split_mod: int = 10, new_from: int = 8
     from ray.data.aggregate import Sum
     from .relational import _rename, _read
 
-    def agg_slice(pred_new: bool):
+    def agg_slice(want_new: bool):
         def partial(b: pa.Table) -> pa.Table:
-            is_new = pc.less(
+            # event_id % split_mod < new_from selects the HISTORY slice
+            is_history = pc.less(
                 pc.subtract(
                     b["event_id"],
                     pc.multiply(
@@ -226,7 +227,7 @@ def events_daily_incremental(sf_dir: str, split_mod: int = 10, new_from: int = 8
                 ),
                 pa.scalar(new_from, pa.int64()),
             )
-            b = b.filter(pc.invert(is_new) if pred_new else is_new)
+            b = b.filter(pc.invert(is_history) if want_new else is_history)
             t = pa.table(
                 {
                     "day": pc.strftime(b["ts"], format="%Y-%m-%d"),

@@ -154,7 +154,7 @@ def _pad_to(
                 n = t.num_rows
         arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
         names.append(_SIDE)
-        arrays.append(pa.array(pid if isinstance(pid, np.ndarray) else pid))
+        arrays.append(pa.array(pid))
         names.append(_PID)
         return pa.Table.from_arrays(arrays, names=names)
 
@@ -290,6 +290,7 @@ def hash_join(
     bloom_fp: float = 0.01,
     hot_keys: pa.Array | None = None,
     salt: int = 8,
+    allow_partial_left_agg: bool = False,
 ) -> rd.Dataset:
     """Distributed hash join of two Datasets on an equality key.
 
@@ -332,13 +333,23 @@ def hash_join(
     a left match (right/full outer) are rejected; and with salting a
     ``left_agg`` fold is only per-partition-PARTIAL for hot keys —
     callers that rely on per-key-complete folds (argmin join-back,
-    sole-supplier attribution) must not salt.
+    sole-supplier attribution) must not salt. Because that breakage is
+    silent, combining ``left_agg`` with salting raises unless the
+    caller passes ``allow_partial_left_agg=True`` to assert the fold
+    is a mergeable partial (count/sum/min-style) whose downstream
+    re-aggregates.
     """
     if bloom_prune_left and join_type != "inner":
         raise ValueError("bloom_prune_left requires join_type='inner'")
     salting = hot_keys is not None and len(hot_keys) > 0 and salt > 1
     if salting and join_type not in ("inner", "left outer", "left semi", "left anti"):
         raise ValueError(f"skew salting does not support join_type={join_type!r}")
+    if salting and left_agg is not None and not allow_partial_left_agg:
+        raise ValueError(
+            "skew salting makes left_agg folds per-partition-partial for "
+            "hot keys; pass allow_partial_left_agg=True only if the fold "
+            "is a mergeable partial that downstream re-aggregates"
+        )
     hot_dom = np.sort(_pid_domain(hot_keys)) if salting else None
     right_key = right_on or on
 

@@ -30,6 +30,8 @@ from ..functions.hashing import (
     simhash64,
 )
 from ..schemas import KIND_TEXT, SPANS_TYPE, make_span
+from .relational import _rename  # shared column-rename helper (workers
+# resolve UDF globals via the pickled-by-value package)
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
@@ -1263,6 +1265,23 @@ def duplicate_span_stats(sf_dir: str, window: int = 20) -> pd.DataFrame:
         dtype=np.uint64,
     )
 
+    # windows hashed in bounded chunks: sliding_window_view is a view,
+    # but the ×u64 product materializes window×8 bytes per char — a
+    # chunk cap keeps the temporaries ~tens of MB however long one
+    # document is (the 100 TB contract), at identical output
+    chunk = 1 << 18
+
+    def _window_hashes(u: np.ndarray) -> np.ndarray:
+        n_win = len(u) - window + 1
+        parts = []
+        for s in range(0, n_win, chunk):
+            e = min(s + chunk, n_win)
+            w = np.lib.stride_tricks.sliding_window_view(
+                u[s : e + window - 1], window
+            ).astype(np.uint64)
+            parts.append(_sm((w * pows).sum(axis=1, dtype=np.uint64)))
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
     def shingle_pairs(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         hs: list[np.ndarray] = []
@@ -1271,11 +1290,7 @@ def duplicate_span_stats(sf_dir: str, window: int = 20) -> pd.DataFrame:
             u = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
             if len(u) < window:
                 continue
-            w = np.lib.stride_tricks.sliding_window_view(u, window).astype(
-                np.uint64
-            )
-            h = _sm((w * pows).sum(axis=1, dtype=np.uint64))
-            hu = np.unique(h)
+            hu = np.unique(_window_hashes(u))
             hs.append(hu)
             ds_.append(np.full(len(hu), ids[i], np.int64))
         if not hs:
@@ -1311,7 +1326,7 @@ def duplicate_span_stats(sf_dir: str, window: int = 20) -> pd.DataFrame:
                 "n_dup": pa.array(dup),
             }
         )
-        return _rename_tbl(
+        return _rename(
             t.group_by("doc_id").aggregate(
                 [("n_shingles", "sum"), ("n_dup", "sum")]
             ),
@@ -1347,10 +1362,6 @@ def duplicate_span_stats(sf_dir: str, window: int = 20) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-
-
-def _rename_tbl(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
-    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
 
 DUP_SPANS_SQL = """
