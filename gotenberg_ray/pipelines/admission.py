@@ -82,6 +82,9 @@ def subresource_admission(sf_dir: str):
         .count()
     )
     df = ds.to_pandas().rename(columns={"count()": "n"})
+    from ..functions.frames import ensure_columns
+
+    df = ensure_columns(df, {"reason": "object", "n": "int64"})
     return df.sort_values("reason").reset_index(drop=True)
 
 

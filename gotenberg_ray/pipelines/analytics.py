@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Sum
 
+from ..functions.frames import ensure_columns
 from ..functions.hashing import splitmix64
 from .joins import hash_join
 from .relational import JOIN_PARTITIONS, _read
@@ -152,6 +153,11 @@ def order_price_quantiles(sf_dir: str) -> pd.DataFrame:
         .map_groups(per_priority, batch_format="pandas")
         .to_pandas()
     )
+    df = ensure_columns(
+        df,
+        {"o_orderpriority": "object", "p50_e2": "int64",
+         "p90_e2": "int64", "n_orders": "int64"},
+    )
     for c in ("p50_e2", "p90_e2", "n_orders"):
         df[c] = df[c].astype("int64")
     return df.sort_values("o_orderpriority").reset_index(drop=True)
@@ -195,6 +201,7 @@ def distinct_users_daily(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="n_users"))
         .to_pandas()
     )
+    df = ensure_columns(df, {"day": "object", "n_users": "int64"})
     df["n_users"] = df["n_users"].astype("int64")
     return df.sort_values("day").reset_index(drop=True)
 
@@ -282,6 +289,7 @@ def hll_users_per_type(sf_dir: str) -> pd.DataFrame:
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
+    df = ensure_columns(df, {"event_type": "object", "est_users": "int64"})
     df["est_users"] = df["est_users"].astype("int64")
     return df.sort_values("event_type").reset_index(drop=True)
 
@@ -322,6 +330,7 @@ def quantile_sketch(sf_dir: str, k: int = SKETCH_K) -> pd.DataFrame:
         .map_batches(local_bottomk, batch_format="pyarrow")
         .to_pandas()
     )
+    sample = ensure_columns(sample, {"pri": "uint64", "cents": "int64"})
     sample = sample.nsmallest(k, "pri")
     vals = np.sort(sample["cents"].to_numpy())
     qs = [50, 90, 99]

@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Sum
 
+from ..functions.frames import ensure_columns
 from ..io import read_table
 
 
@@ -85,6 +86,11 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .map_groups(rank_bucket, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(
+        df,
+        {"o_custkey": "int64", "o_orderkey": "int64",
+         "price_e2": "int64", "rn": "int64"},
+    )
     for c in ("o_custkey", "o_orderkey", "price_e2", "rn"):
         df[c] = df[c].astype("int64")
     return df.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
@@ -147,6 +153,11 @@ def event_type_pivot(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    df = ensure_columns(
+        df,
+        {"user_id": "int64", "n_click": "int64", "n_view": "int64",
+         "n_purchase": "int64", "purchase_e2": "int64"},
+    )
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("user_id").reset_index(drop=True)
@@ -196,6 +207,11 @@ def lang_source_rollup(sf_dir: str) -> pd.DataFrame:
             Sum("count_all", alias_name="n_docs"),
         )
         .to_pandas()
+    )
+    fine = ensure_columns(
+        fine,
+        {"lang": "object", "source": "object",
+         "total_chars": "int64", "n_docs": "int64"},
     )
     fine["total_chars"] = fine["total_chars"].astype("int64")
     fine["n_docs"] = fine["n_docs"].astype("int64")
@@ -286,6 +302,7 @@ def events_half_spend(sf_dir: str) -> pd.DataFrame:
         .map_groups(fold_bucket, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"user_id": "int64", "half_ts_us": "int64"})
     df["user_id"] = df["user_id"].astype("int64")
     df["half_ts_us"] = df["half_ts_us"].astype("int64")
     return df.sort_values("user_id").reset_index(drop=True)
@@ -359,6 +376,11 @@ def event_funnel(sf_dir: str) -> pd.DataFrame:
         .map_groups(fold_bucket, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(
+        df,
+        {"n_users": "int64", "n_viewed": "int64",
+         "n_click_after_view": "int64", "n_purchase_funnel": "int64"},
+    )
     out = pd.DataFrame(
         {
             c: [int(df[c].sum())]
@@ -430,6 +452,11 @@ def props_key_stats(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    df = ensure_columns(
+        df,
+        {"event_type": "object", "sum_k": "int64",
+         "n_with_k": "int64", "n_events": "int64"},
+    )
     for c in ("sum_k", "n_with_k", "n_events"):
         df[c] = df[c].astype("int64")
     df["avg_k_e4"] = (df["sum_k"] * 10_000) // df["n_with_k"].clip(lower=1)
@@ -477,7 +504,12 @@ def orders_price_page(sf_dir: str, offset: int = 100, k: int = 10) -> pd.DataFra
         .sort(["neg_price", "o_orderkey"])
         .limit(offset + k)
         .to_pandas()
-        .iloc[offset : offset + k]
+    )
+    df = ensure_columns(
+        df, {"o_orderkey": "int64", "price_e2": "int64", "neg_price": "int64"}
+    )
+    df = (
+        df.iloc[offset : offset + k]
         .drop(columns=["neg_price"])
         .reset_index(drop=True)
     )

@@ -24,6 +24,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..functions.frames import ensure_columns
+
 QUERY_VEC_ID = 0
 DUP_THRESHOLD = 0.46  # sits in a wide gap of the pairwise-sim spectrum
 
@@ -43,6 +45,8 @@ def _query_vector(sf_dir: str) -> np.ndarray:
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "==", QUERY_VEC_ID)],
     )
+    if t.num_rows == 0:  # empty store → no query vector
+        return None
     return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
@@ -54,6 +58,14 @@ def _batch_matrix(batch: pa.Table) -> np.ndarray:
     return flat.reshape(batch.num_rows, -1)
 
 
+def _empty_rank_frame() -> pd.DataFrame:
+    # empty embedding store → the ranking queries return zero rows
+    return pd.DataFrame(
+        {"rank": pd.Series([], dtype="int64"),
+         "vec_id": pd.Series([], dtype="int64")}
+    )
+
+
 def knn_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Brute-force cosine top-k vs the vec_id=0 query vector.
 
@@ -61,6 +73,8 @@ def knn_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     full dataset never sorts, only #blocks × k candidate rows do.
     """
     q = _query_vector(sf_dir)
+    if q is None:
+        return _empty_rank_frame()
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
 
@@ -83,6 +97,9 @@ def knn_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         _emb(sf_dir)
         .map_batches(TopK, batch_format="pyarrow", concurrency=2)
         .to_pandas()
+    )
+    cands = (
+        ensure_columns(cands, {"vec_id": "int64", "sim": "float64"})
         .sort_values(["sim", "vec_id"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
@@ -115,6 +132,7 @@ def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_vectors"))
         .to_pandas()
     )
+    df = ensure_columns(df, {"label": "int64", "n_vectors": "int64"})
     return df.sort_values("label").reset_index(drop=True)
 
 
@@ -208,6 +226,8 @@ def knn_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
     by design — the brute-force twin (knn_topk) is the ground truth.
     """
     q = _query_vector(sf_dir)
+    if q is None:
+        return _empty_rank_frame()
     planes = _hyperplanes(len(q))
     q_sig = int(((planes @ q) > 0) @ (1 << np.arange(LSH_PLANES)))
     probe = {q_sig} | {q_sig ^ (1 << b) for b in range(LSH_PLANES)}
@@ -235,6 +255,9 @@ def knn_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
         _emb(sf_dir)
         .map_batches(Probe, batch_format="pyarrow", concurrency=2)
         .to_pandas()
+    )
+    cands = (
+        ensure_columns(cands, {"vec_id": "int64", "sim": "float64"})
         .sort_values(["sim", "vec_id"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
@@ -260,7 +283,10 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
     Lloyd rounds run in-memory numpy. Deterministic init: the K
     lowest-vec_id sample rows. The full dataset is only ever touched by
     the single distributed probe pass in ``knn_ivf``."""
-    t = _emb(sf_dir).take_batch(IVF_TRAIN_SAMPLE, batch_format="pyarrow")
+    try:
+        t = _emb(sf_dir).take_batch(IVF_TRAIN_SAMPLE, batch_format="pyarrow")
+    except ValueError:  # Ray raises on take_batch over an empty dataset
+        return None
     order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False), kind="stable")
     m = _batch_matrix(t)[order]
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -283,6 +309,8 @@ def knn_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
     filters to probed-list members before the cosine matmul, so the
     scan cost drops by ≈ nprobe/K at unchanged plan shape."""
     q = _query_vector(sf_dir)
+    if q is None:
+        return _empty_rank_frame()
     qn = q / np.linalg.norm(q)
     cents = _ivf_centroids(sf_dir)
     probe = set(np.argsort(-(cents @ qn))[:IVF_NPROBE].tolist())
@@ -315,6 +343,9 @@ def knn_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
         _emb(sf_dir)
         .map_batches(ProbeLists, batch_format="pyarrow", concurrency=2)
         .to_pandas()
+    )
+    cands = (
+        ensure_columns(cands, {"vec_id": "int64", "sim": "float64"})
         .sort_values(["sim", "vec_id"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
@@ -348,6 +379,12 @@ def semdedup(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
     check (the k-means step is not SQL-expressible); the pytest
     oracle verifies the greedy invariants instead."""
     cents = _ivf_centroids(sf_dir)
+    if cents is None:  # empty store → nothing to dedup
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "cluster_id": pd.Series([], dtype="int64"),
+             "keep": pd.Series([], dtype="int64")}
+        )
     refs = ray.put(cents)
 
     class Assign:
@@ -392,6 +429,9 @@ def semdedup(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
         .map_groups(prune_cluster, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(
+        df, {"vec_id": "int64", "cluster_id": "int64", "keep": "int64"}
+    )
     df["cluster_id"] = df["cluster_id"].astype("int64")
     return df.sort_values("vec_id").reset_index(drop=True)
 
@@ -420,6 +460,12 @@ def rerank_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
     restricted to the k0 candidate set so model cost is O(k0), not
     O(corpus)."""
     q = _query_vector(sf_dir)
+    if q is None:
+        return pd.DataFrame(
+            {"rank": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "rerank_score_e6": pd.Series([], dtype="int64")}
+        )
     qn = q / np.linalg.norm(q)
     refs = ray.put(qn)
 
@@ -549,6 +595,11 @@ def doc_embedding_stats(sf_dir: str) -> pd.DataFrame:
             _Sum("count_all", alias_name="n_docs"),
         )
         .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"lang": "object", "label": "int64",
+         "total_chars": "int64", "n_docs": "int64"},
     )
     df["label"] = df["label"].astype("int64")
     df["total_chars"] = df["total_chars"].astype("int64")

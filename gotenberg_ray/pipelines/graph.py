@@ -239,6 +239,11 @@ def pagerank(sf_dir: str, iters: int = 10, d_e3: int = 850, k: int = 20) -> pd.D
     from .relational import JOIN_PARTITIONS
 
     edges, n_nodes = _doc_link_edges(sf_dir)
+    if n_nodes == 0:  # empty corpus → typed empty ranking
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "rank_e9": pd.Series([], dtype="int64")}
+        )
 
     # out-degree per src (one tiny aggregate, reused every round)
     deg = (

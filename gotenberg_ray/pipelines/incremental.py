@@ -32,6 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import fnv64
+from ..functions.frames import ensure_columns
 from ..io import read_table
 from ..state.bloom import BloomFilter  # module-level: workers resolve
 # UDF globals via the pickled-by-value package, not sys.path
@@ -158,6 +159,7 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .rename(columns={"min(kept_min)": "kept"})
     )
+    cand_flags = ensure_columns(cand_flags, {"doc_id": "int64", "kept": "int64"})
     new_flags = (
         definite_new.map_batches(
             lambda b: pa.table(
@@ -168,6 +170,7 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    new_flags = ensure_columns(new_flags, {"doc_id": "int64", "kept": "int64"})
     out = pd.concat([cand_flags, new_flags], ignore_index=True)
     out["doc_id"] = out["doc_id"].astype("int64")
     out["kept"] = out["kept"].astype("int64")

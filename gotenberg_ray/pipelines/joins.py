@@ -229,6 +229,8 @@ def build_key_bloom(
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     merged = BloomFilter(capacity, fp_rate)
+    if parts.empty:  # empty side → empty bloom (matches nothing)
+        return merged
     for raw in parts["bits"]:
         merged.bits |= np.frombuffer(raw, dtype=np.uint64)
     merged.count = int(parts["n"].sum())

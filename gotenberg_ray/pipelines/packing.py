@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Sum
 
+from ..functions.frames import ensure_columns
 from ..io import read_table
 
 _RID = "__range_id__"
@@ -88,8 +89,10 @@ def ordered_prefix_sum(
         .groupby(_RID)
         .aggregate(Sum(f"{value}_sum", alias_name="bucket_total"))
         .to_pandas()
-        .sort_values(_RID)
     )
+    totals = ensure_columns(
+        totals, {_RID: "int64", "bucket_total": "int64"}
+    ).sort_values(_RID)
     base = {}
     run = 0
     for rid, tot in zip(totals[_RID], totals["bucket_total"]):
@@ -129,7 +132,7 @@ def pack_sequences(sf_dir: str, ctx: int = 512, num_buckets: int = 32) -> pd.Dat
     )
 
     # range span from the id domain (one tiny column scan)
-    max_id = read_table(sf_dir, "documents", columns=["doc_id"]).max("doc_id")
+    max_id = read_table(sf_dir, "documents", columns=["doc_id"]).max("doc_id") or 0
     span = max(1, (int(max_id) + num_buckets) // num_buckets)
 
     df = (
@@ -151,6 +154,11 @@ def pack_sequences(sf_dir: str, ctx: int = 512, num_buckets: int = 32) -> pd.Dat
             batch_format="pyarrow",
         )
         .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"doc_id": "int64", "n_tokens": "int64",
+         "start_offset": "int64", "pack_id": "int64"},
     )
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -208,6 +216,11 @@ def chunk_documents(
         read_table(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(expand, batch_format="pyarrow")
         .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"doc_id": "int64", "chunk_id": "int64",
+         "start_tok": "int64", "n_tok": "int64"},
     )
     return df.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
@@ -295,6 +308,11 @@ def pack_shuffled(sf_dir: str, ctx: int = 512, num_buckets: int = 32) -> pd.Data
             batch_format="pyarrow",
         )
         .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"doc_id": "int64", "n_tokens": "int64", "shuffle_pos": "int64",
+         "start_offset": "int64", "pack_id": "int64"},
     )
     return df.sort_values("doc_id").reset_index(drop=True)
 

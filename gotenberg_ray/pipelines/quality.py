@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.frames import ensure_columns
 from ..io import read_table
 
 # RE2-compatible patterns, shared verbatim with the SQL oracles.
@@ -104,6 +105,7 @@ def pii_scan(sf_dir: str) -> pd.DataFrame:
         .map_batches(fn, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"doc_id": "int64", "n_emails": "int64", "n_ipv4": "int64", "n_phones": "int64", "n_pii": "int64"})
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -143,6 +145,7 @@ def pii_redact(sf_dir: str) -> pd.DataFrame:
         .map_batches(fn, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"doc_id": "int64", "clean_text": "object", "n_redactions": "int64"})
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -230,6 +233,7 @@ def repetition_quality(sf_dir: str) -> pd.DataFrame:
         .map_batches(fn, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"doc_id": "int64", "n_words": "int64", "ttr_e4": "int64", "top_frac_e4": "int64", "mean_wlen_e4": "int64", "pass_quality": "int64"})
     return df.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -33,6 +33,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from ..functions.frames import ensure_columns
+
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     from ..io import read_table
@@ -103,7 +105,13 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         Sum("l_discount_sum", alias_name="sum_disc"),
         Sum("count_all", alias_name="count_order"),
     )
-    df = final.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    df = ensure_columns(
+        final.to_pandas(),
+        {"l_returnflag": "object", "l_linestatus": "object",
+         "sum_qty": "float64", "sum_base_price": "float64",
+         "sum_disc_price": "float64", "sum_charge": "float64",
+         "sum_disc": "float64", "count_order": "int64"},
+    ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
     df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
     df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(4)
@@ -203,6 +211,11 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         return t.slice(0, 10)
 
     df = joined.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(
+        df,
+        {"l_orderkey": "int64", "revenue_e4": "int64",
+         "o_orderdate": "datetime64[us]"},
+    )
     return (
         df.sort_values(["revenue_e4", "l_orderkey"], ascending=[False, True])
         .head(10)
@@ -274,6 +287,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("rev_sum", alias_name="revenue_e4"))
         .to_pandas()
     )
+    df = ensure_columns(df, {"c_nationkey": "int64", "revenue_e4": "int64"})
     df["n_name"] = df["c_nationkey"].map(nat_name)
     df["revenue_e4"] = df["revenue_e4"].astype("int64")
     return (
@@ -322,7 +336,7 @@ def q6_revenue_forecast(sf_dir: str) -> pd.DataFrame:
     ds = _read(
         sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
     )
-    total = ds.map_batches(fn, batch_format="pyarrow").sum("rev")
+    total = ds.map_batches(fn, batch_format="pyarrow").sum("rev") or 0.0
     return pd.DataFrame({"revenue": [round(total, 2)]})
 
 
@@ -399,6 +413,11 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         return t.slice(0, 20)
 
     df = j2.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(
+        df,
+        {"c_custkey": "int64", "c_name": "object",
+         "c_nationkey": "int64", "revenue_e4": "int64"},
+    )
     df = df.sort_values(["revenue_e4", "c_custkey"], ascending=[False, True]).head(20)
     df["n_name"] = df["c_nationkey"].map(nat_name)
     return df[["c_custkey", "c_name", "n_name", "revenue_e4"]].reset_index(drop=True)
@@ -458,6 +477,7 @@ def top_parts_by_revenue(sf_dir: str) -> pd.DataFrame:
         .map_groups(fold_bucket, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"l_partkey": "int64", "revenue_e4": "int64"})
     df["revenue_e4"] = df["revenue_e4"].astype("int64")
     df = df.sort_values(["revenue_e4", "l_partkey"], ascending=[False, True]).head(10)
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]).to_pandas()
@@ -482,10 +502,9 @@ def order_priority_counts(sf_dir: str) -> pd.DataFrame:
         ds.groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_orders"))
         .to_pandas()
-        .sort_values("o_orderpriority")
-        .reset_index(drop=True)
     )
-    return df
+    df = ensure_columns(df, {"o_orderpriority": "object", "n_orders": "int64"})
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
 ORDER_PRIORITY_SQL = """
@@ -501,6 +520,11 @@ def supplier_stats_by_nation(sf_dir: str) -> pd.DataFrame:
         ds.groupby("s_nationkey")
         .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
         .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"s_nationkey": "int64", "n_suppliers": "int64",
+         "total_acctbal": "float64"},
     )
     df["avg_acctbal"] = (df["total_acctbal"] / df["n_suppliers"]).round(4)
     df["total_acctbal"] = df["total_acctbal"].round(2)
@@ -546,6 +570,11 @@ def part_brand_stats(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    df = ensure_columns(
+        df,
+        {"p_brand": "object", "n_parts": "int64",
+         "sum_cents": "int64", "max_size": "int64"},
+    )
     df["avg_price_e4"] = (df["sum_cents"] * 100) // df["n_parts"]
     df = df.drop(columns=["sum_cents"])
     return df.sort_values("p_brand").reset_index(drop=True)
@@ -579,6 +608,11 @@ def events_daily_counts(sf_dir: str) -> pd.DataFrame:
             Sum("value_sum", alias_name="sum_value"), Sum("count_all", alias_name="n")
         )
         .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"day": "object", "event_type": "object",
+         "sum_value": "float64", "n": "int64"},
     )
     df["sum_value"] = df["sum_value"].round(2)
     return df.sort_values(["day", "event_type"]).reset_index(drop=True)
@@ -615,6 +649,11 @@ def events_user_stats(sf_dir: str) -> pd.DataFrame:
             Sum("count_all", alias_name="n_events"),
         )
         .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"user_id": "int64", "sum_value_e2": "int64",
+         "n_purchases": "int64", "n_events": "int64"},
     )
     df["sum_value_e2"] = df["sum_value_e2"].astype("int64")
     df["avg_value_e4"] = (df["sum_value_e2"] * 100) // df["n_events"]
@@ -679,6 +718,7 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
         .map_groups(sessionize_bucket, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"user_id": "int64", "n_sessions": "int64"})
     df["user_id"] = df["user_id"].astype("int64")
     df["n_sessions"] = df["n_sessions"].astype("int64")
     return df.sort_values("user_id").reset_index(drop=True)
@@ -712,6 +752,7 @@ def events_top_purchasers(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("value_sum", alias_name="purchase_value"))
         .to_pandas()
     )
+    df = ensure_columns(df, {"user_id": "int64", "purchase_value": "float64"})
     df["purchase_value"] = df["purchase_value"].round(2)
     return (
         df.sort_values(["purchase_value", "user_id"], ascending=[False, True])

@@ -23,6 +23,7 @@ import pyarrow.parquet as pq
 
 from ray.data.aggregate import Sum
 
+from ..functions.frames import ensure_columns
 from .relational import JOIN_PARTITIONS, _read, _rename, _rev_e4
 
 
@@ -351,6 +352,7 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     df = joined.map_batches(split_promo, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(df, {"promo_e4": "int64", "total_e4": "int64"})
     out = pd.DataFrame(
         {
             "promo_e4": [int(df["promo_e4"].sum())],
@@ -419,6 +421,9 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
         )
 
     df = joined.map_batches(local_max, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(
+        df, {"s_suppkey": "int64", "s_name": "object", "rev": "int64"}
+    )
     if not df.empty:
         df = df[df["rev"] == df["rev"].max()]
     df = df.rename(columns={"rev": "total_rev_e4"})
@@ -543,6 +548,7 @@ def q17_small_quantity(sf_dir: str, brand: str = "Brand#1") -> pd.DataFrame:
         )
 
     df = joined.map_batches(small_qty, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(df, {"total_cents": "int64", "n_items": "int64"})
     return pd.DataFrame(
         {
             "total_cents": [int(df["total_cents"].sum())],
@@ -634,6 +640,11 @@ def q18_large_orders(sf_dir: str, min_qty: int = 150) -> pd.DataFrame:
         return t.slice(0, 100)
 
     df = j2.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(
+        df,
+        {"c_name": "object", "o_custkey": "int64", "o_orderkey": "int64",
+         "o_orderdate": "datetime64[us]", "qty_e2": "int64"},
+    )
     df = df.sort_values(["qty_e2", "o_orderkey"], ascending=[False, True]).head(100)
     df["qty_e2"] = df["qty_e2"].astype("int64")
     return df.reset_index(drop=True)
@@ -740,6 +751,7 @@ def q19_branded_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     df = joined.map_batches(disjunct, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(df, {"revenue_e4": "int64", "n_items": "int64"})
     return pd.DataFrame(
         {
             "revenue_e4": [int(df["revenue_e4"].sum())],
@@ -784,12 +796,18 @@ def q8_market_share(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
     )
     region_t = pq.read_table(f"{sf_dir}/region.parquet")
-    region_key = {
+    region_keys = {
         r: k
         for k, r in zip(
             region_t["r_regionkey"].to_pylist(), region_t["r_name"].to_pylist()
         )
-    }[region]
+    }
+    if region not in region_keys:  # empty/missing dims -> empty result
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("o_year", "nation_e4", "total_e4")}
+        )
+    region_key = region_keys[region]
     region_nations = {
         k
         for k, rk in zip(
@@ -1000,6 +1018,11 @@ def supplier_window_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     df = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(
+        df,
+        {"s_suppkey": "int64", "s_name": "object",
+         "revenue_e4": "int64", "n_sales": "int64"},
+    )
     for c in ("s_suppkey", "revenue_e4", "n_sales"):
         df[c] = df[c].astype("int64")
     return df.sort_values("s_suppkey").reset_index(drop=True)

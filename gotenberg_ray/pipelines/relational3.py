@@ -38,6 +38,7 @@ import pyarrow.parquet as pq
 from ray.data.aggregate import Max, Sum
 
 from .joins import hash_join, partition_ids
+from ..functions.frames import ensure_columns
 from .relational import JOIN_PARTITIONS, _read, _rename, _rev_e4
 from .relational2 import _ts
 
@@ -1097,6 +1098,7 @@ def q22_idle_customers(
         )
 
     agg = sel.map_batches(avg_partial, batch_format="pyarrow").to_pandas()
+    agg = ensure_columns(agg, {"tot": "int64", "cnt": "int64"})
     tot, cnt = int(agg["tot"].sum()), int(agg["cnt"].sum())
     if cnt == 0:
         return pd.DataFrame(

@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.frames import ensure_columns
 from ..io import read_table
 
 _KNUTH = 2654435761
@@ -52,6 +53,7 @@ def sample_bernoulli(sf_dir: str, pct: int = 10) -> pd.DataFrame:
         .map_batches(fn, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"doc_id": "int64", "lang": "object"})
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -81,6 +83,7 @@ def sample_bottomk(sf_dir: str, k: int = 100) -> pd.DataFrame:
         .map_batches(local_bottomk, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"doc_id": "int64", "lang": "object", "_pri": "uint64"})
     df = df.nsmallest(k, "_pri").drop(columns=["_pri"])
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -114,6 +117,7 @@ def sample_stratified(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .map_batches(local_prune, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"doc_id": "int64", "lang": "object", "_pri": "uint64"})
     df = (
         df.sort_values(["lang", "_pri"])
         .groupby("lang", sort=True)
@@ -155,6 +159,7 @@ def mix_domains(sf_dir: str) -> pd.DataFrame:
         .count()
         .to_pandas()
     )
+    counts = ensure_columns(counts, {"source": "object", "count()": "int64"})
     n_total = int(counts["count()"].sum())
     weights = {
         s: 1 + int(s[3:]) % 4 for s in counts["source"]
@@ -180,6 +185,7 @@ def mix_domains(sf_dir: str) -> pd.DataFrame:
         .map_batches(fn, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"doc_id": "int64", "source": "object"})
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -225,6 +231,7 @@ def sample_weighted(sf_dir: str, k: int = 100) -> pd.DataFrame:
         .map_batches(local_bottomk, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"doc_id": "int64", "n_chars": "int64", "_pri": "uint64"})
     df = df.nsmallest(k, "_pri").drop(columns=["_pri"])
     df["doc_id"] = df["doc_id"].astype("int64")
     df["n_chars"] = df["n_chars"].astype("int64")

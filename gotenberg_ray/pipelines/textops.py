@@ -21,6 +21,7 @@ from ray.data.aggregate import Count, Sum
 
 from .. import spans as S
 from ..functions import textkit as T
+from ..functions.frames import ensure_columns
 from ..functions.hashing import (
     fnv64,
     hamming64,
@@ -52,6 +53,9 @@ def doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
         .to_pandas()
     )
+    df = ensure_columns(
+        df, {"lang": "object", "n_docs": "int64", "sum_chars": "int64"}
+    )
     # exact integer-scaled average (no float round ties vs the oracle)
     df["sum_chars"] = df["sum_chars"].astype("int64")
     df["avg_chars_e4"] = (df["sum_chars"] * 10000) // df["n_docs"]
@@ -75,6 +79,7 @@ def doc_token_counts(sf_dir: str) -> pd.DataFrame:
         )
 
     df = _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(df, {"doc_id": "int64", "n_tokens": "int64"})
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -92,6 +97,11 @@ def doc_quality(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": batch["doc_id"], **{k: pa.array(v) for k, v in feats.items()}})
 
     df = _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(
+        df,
+        {"doc_id": "int64", "n_tokens": "int64",
+         "avg_token_len_e4": "int64", "stopword_ratio_e4": "int64"},
+    )
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -130,6 +140,9 @@ def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n"))
         .to_pandas()
     )
+    df = ensure_columns(
+        df, {"lang": "object", "predicted": "object", "n": "int64"}
+    )
     return df.sort_values(["lang", "predicted"]).reset_index(drop=True)
 
 
@@ -143,6 +156,7 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
         )
 
     df = _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(df, {"doc_id": "int64", "fingerprint": "uint64"})
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -181,6 +195,7 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
         .aggregate(Min("doc_id", alias_name="keep_id"))
         .to_pandas()
     )
+    df = ensure_columns(df, {"keep_id": "int64"})
     return (
         pd.DataFrame({"doc_id": sorted(df["keep_id"])})
         .reset_index(drop=True)
@@ -631,6 +646,9 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 10) -> pd.DataFrame:
         .map_groups(pairs_of, batch_format="pandas")
         .to_pandas()
     )
+    df = ensure_columns(
+        df, {"a_id": "int64", "b_id": "int64", "hamming": "int64"}
+    )
     return df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
@@ -957,6 +975,7 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 20) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_docs"))
         .to_pandas()
     )
+    df = ensure_columns(df, {"lang": "object", "n_docs": "int64"})
     return df.sort_values("lang").reset_index(drop=True)
 
 
@@ -1044,11 +1063,13 @@ def vocab_top_df(sf_dir: str, k: int = 100) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="n_docs"))
         .map_batches(local_topk, batch_format="pyarrow")
         .to_pandas()
-        .sort_values(["n_docs", "term"], ascending=[False, True])
+    )
+    df = ensure_columns(df, {"term": "object", "n_docs": "int64"})
+    return (
+        df.sort_values(["n_docs", "term"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
     )
-    return df
 
 
 VOCAB_DF_SQL = r"""
@@ -1088,6 +1109,7 @@ def normalize_text(sf_dir: str) -> pd.DataFrame:
         .map_batches(fn, batch_format="pyarrow")
         .to_pandas()
     )
+    df = ensure_columns(df, {"doc_id": "int64", "text_norm": "object"})
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1132,6 +1154,9 @@ def convert_page_counts(sf_dir: str) -> pd.DataFrame:
         )
 
     df = _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(
+        df, {"doc_id": "int64", "page_count": "int64", "n_parts": "int64"}
+    )
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1191,6 +1216,11 @@ def screenshot_page_counts(sf_dir: str) -> pd.DataFrame:
         )
 
     df = _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(
+        df,
+        {"doc_id": "int64", "output_name": "object",
+         "format": "object", "captured_pages": "int64"},
+    )
     return df.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Sum
 
+from ..functions.frames import ensure_columns
 from ..io import read_table
 
 
@@ -111,6 +112,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .groupby("pid", num_partitions=JOIN_PARTITIONS)
         .map_groups(rank_bucket, batch_format="pyarrow")
         .to_pandas()
+    )
+    out = ensure_columns(
+        out,
+        {"doc_id": "int64", "term": "object", "score": "int64", "rn": "int64"},
     )
     for c in ("doc_id", "score", "rn"):
         out[c] = out[c].astype("int64")
@@ -197,6 +202,11 @@ def oov_rate(sf_dir: str, vocab_k: int = 1000) -> pd.DataFrame:
         .map_batches(Rate, batch_format="pyarrow", concurrency=2)
         .to_pandas()
     )
+    df = ensure_columns(
+        df,
+        {"doc_id": "int64", "n_tokens": "int64",
+         "n_oov": "int64", "oov_rate_e4": "int64"},
+    )
     for c in ("doc_id", "n_tokens", "n_oov", "oov_rate_e4"):
         df[c] = df[c].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -282,7 +292,10 @@ def bpe_top_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(local_topk, batch_format="pyarrow")
         .to_pandas()
-        .sort_values(["n", "pair"], ascending=[False, True])
+    )
+    df = ensure_columns(df, {"pair": "object", "n": "int64"})
+    df = (
+        df.sort_values(["n", "pair"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
     )

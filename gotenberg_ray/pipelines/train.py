@@ -90,9 +90,20 @@ def training_data_pipeline(
 
     import ray.data as rd
 
+    import pyarrow.parquet as _pq
+
     from ..functions.hashing import fnv64
     from ..io import write_partitioned
     from .flagship import crawl_convert
+
+    # empty corpus → nothing to crawl: the composition degrades to an
+    # all-zero summary row (the empty-input totality contract)
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n_docs == 0:
+        return pd.DataFrame(
+            {c: [0] for c in ("n_pages", "n_unique_parts", "total_tokens",
+                              "n_packs", "written_buckets")}
+        )
 
     pages = crawl_convert(sf_dir)
     text_rows = pages.map_batches(_extract_text, batch_format="pyarrow")

@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Sum
 
+from ..functions.frames import ensure_columns
 from .relational import _read
 
 US = 1_000_000
@@ -89,6 +90,11 @@ def events_asof_attribution(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
     df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    df = ensure_columns(
+        df,
+        {"user_id": "int64", "n_purchases": "int64",
+         "n_attributed": "int64", "latency_s": "int64"},
+    )
     for c in ("user_id", "n_purchases", "n_attributed", "latency_s"):
         df[c] = df[c].astype("int64")
     return df.sort_values("user_id").reset_index(drop=True)
@@ -175,6 +181,9 @@ def events_range_campaigns(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value_e2"))
         .to_pandas()
     )
+    df = ensure_columns(
+        df, {"campaign_id": "int64", "n_events": "int64", "sum_value_e2": "int64"}
+    )
     for c in ("campaign_id", "n_events", "sum_value_e2"):
         df[c] = df[c].astype("int64")
     return df.sort_values("campaign_id").reset_index(drop=True)
@@ -224,6 +233,9 @@ def events_rolling_peak(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    df = ensure_columns(
+        df, {"user_id": "int64", "peak_1h": "int64", "n_events": "int64"}
+    )
     for c in ("user_id", "peak_1h", "n_events"):
         df[c] = df[c].astype("int64")
     return df.sort_values("user_id").reset_index(drop=True)
