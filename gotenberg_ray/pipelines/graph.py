@@ -219,7 +219,37 @@ def _doc_link_edges(sf_dir: str):
     return edges, n_nodes
 
 
-def pagerank(sf_dir: str, iters: int = 10, d_e3: int = 850, k: int = 20) -> pd.DataFrame:
+def _numpy_pagerank(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_nodes: int,
+    iters: int,
+    d_e3: int,
+) -> np.ndarray:
+    """Driver power iteration over the (small) collected edge list —
+    bit-identical to the distributed rounds: the same ×10⁹ scaled-int
+    shares with floor division and order-independent integer sums, so
+    the two paths are interchangeable (tested for equality)."""
+    out_deg = np.bincount(src, minlength=n_nodes).astype(np.int64)
+    base = PR_SCALE // n_nodes
+    teleport = (1000 - d_e3) * base // 1000
+    ranks = np.full(n_nodes, base, dtype=np.int64)
+    denom = out_deg[src] * 1000
+    for _ in range(iters):
+        share = ranks[src] * d_e3 // denom
+        inflow = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(inflow, dst, share)
+        ranks = inflow + teleport
+    return ranks
+
+
+def pagerank(
+    sf_dir: str,
+    iters: int = 10,
+    d_e3: int = 850,
+    k: int = 20,
+    driver_max_edges: int = DRIVER_MAX_EDGES,
+) -> pd.DataFrame:
     """PageRank over the derived document link graph — the ITERATIVE
     dataflow shape (power iteration): each round is one bucketed
     shuffle join (edges ⋈ ranks on src) + one groupby(dst) sum + the
@@ -232,7 +262,14 @@ def pagerank(sf_dir: str, iters: int = 10, d_e3: int = 850, k: int = 20) -> pd.D
     is bit-deterministic under any block layout. Integer floor loses
     ≤1 unit per edge per round (≲3·N per round over ~10⁹ total mass) —
     bounded, tested, and a price worth paying for exact
-    reproducibility. Rows-only check (iterative, not SQL)."""
+    reproducibility. Rows-only check (iterative, not SQL).
+
+    Driver fast path (same adaptive rule as ``connected_components``):
+    below ``driver_max_edges`` the per-round Ray exchange is pure fixed
+    cost, so a vectorized numpy power iteration with IDENTICAL integer
+    arithmetic runs on the collected edges instead; above it the
+    distributed rounds engage unchanged. Equality of the two paths is
+    pinned by ``tests/test_graph.py``."""
     from ray.data.aggregate import Sum
 
     from .joins import hash_join
@@ -244,6 +281,28 @@ def pagerank(sf_dir: str, iters: int = 10, d_e3: int = 850, k: int = 20) -> pd.D
             {"doc_id": pd.Series([], dtype="int64"),
              "rank_e9": pd.Series([], dtype="int64")}
         )
+
+    if 3 * n_nodes <= driver_max_edges:  # edge count is ≤ 3·n_nodes
+        # ≤16 B/edge and the rank vector is n_nodes ints: both fit the
+        # driver comfortably under the threshold
+        df = edges.to_pandas()
+        ranks_np = _numpy_pagerank(
+            df["src"].to_numpy(np.int64),
+            df["dst"].to_numpy(np.int64),
+            n_nodes,
+            iters,
+            d_e3,
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": np.arange(n_nodes, dtype=np.int64),
+                "rank_e9": ranks_np,
+            }
+        )
+        out = out.sort_values(
+            ["rank_e9", "doc_id"], ascending=[False, True]
+        ).head(k)
+        return out.reset_index(drop=True)
 
     # out-degree per src (one tiny aggregate, reused every round)
     deg = (

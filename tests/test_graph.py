@@ -121,6 +121,14 @@ class TestPageRank:
         max_loss = 4 * (n_edges + n)  # floor loss per round, 4 rounds
         assert PR_SCALE - max_loss <= total <= PR_SCALE
 
+    def test_driver_and_distributed_paths_identical(self, sf_dir):
+        """driver_max_edges=0 forces the shuffle-join rounds; the numpy
+        fast path must reproduce them bit-for-bit (same scaled-integer
+        floor arithmetic)."""
+        fast = G.pagerank(sf_dir, iters=3, k=10_000)
+        dist = G.pagerank(sf_dir, iters=3, k=10_000, driver_max_edges=0)
+        pd.testing.assert_frame_equal(fast, dist)
+
     def test_hub_outranks_unlinked(self, sf_dir):
         """A node with many in-links must outrank a node with none."""
         import numpy as np
