@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import admission as A
     from gotenberg_ray.pipelines import analytics as AN
     from gotenberg_ray.pipelines import analytics2 as A2
+    from gotenberg_ray.pipelines import cluster as CL  # noqa: F401 — queries()
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import graph as GR
@@ -139,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": AN.heavy_hitter_users,
         # ANALYZE-style column profile (exact distinct by value hash)
         "orders_profile": AN.orders_profile,
+        # exact grouped covariance via carry-split integer moments
+        "corr_qty_price": AN.corr_qty_price,
         # skew-salted join (hot keys sketched, fact side salted, build
         # side replicated per salt)
         "docs_above_lang_avg": AN.docs_above_lang_avg,
@@ -210,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantic dedup (k-means + within-cluster greedy prune;
         # rows-only — k-means has no SQL twin)
         "semdedup": E.semdedup,
+        # full-corpus Lloyd k-means (iterative broadcast-centroid +
+        # exact integer partial-sum reduce; rows-only)
+        "kmeans_clusters": CL.kmeans_clusters,
         # two-stage retrieval: cosine recall -> actor-pool reranker
         # (deterministic fake model; rows-only)
         "rerank_topk": E.rerank_topk,
@@ -223,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import admission as A
     from gotenberg_ray.pipelines import analytics as AN
     from gotenberg_ray.pipelines import analytics2 as A2
+    from gotenberg_ray.pipelines import cluster as CL  # noqa: F401 — queries()
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import incremental as INC
@@ -275,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_daily": AN.DISTINCT_DAILY_SQL,
         "heavy_hitter_users": AN.HEAVY_HITTERS_SQL,
         "orders_profile": AN.ORDERS_PROFILE_SQL,
+        "corr_qty_price": AN.CORR_SQL,
         "docs_above_lang_avg": AN.DOCS_ABOVE_AVG_SQL,
         "top_orders_per_customer": A2.TOP_PER_CUSTOMER_SQL,
         "event_type_pivot": A2.EVENT_PIVOT_SQL,

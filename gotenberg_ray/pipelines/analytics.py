@@ -646,3 +646,144 @@ SELECT col_name, n_rows, n_null, n_distinct FROM (
 )
 ORDER BY col_name
 """
+
+
+# -------------------------------- exact grouped covariance (carry-split)
+
+CARRY = 1_000_000_000  # base-10⁹ limb split for moments that outgrow int64
+
+
+def _split_carry(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-level base-10⁹ limb split: v = hi·10⁹ + lo, both int64."""
+    return v // CARRY, v % CARRY
+
+
+def corr_qty_price(sf_dir: str) -> pd.DataFrame:
+    """Exact second moments of (quantity, price) per l_returnflag —
+    the grouped covariance/variance primitive, computed with EXACT
+    integer arithmetic end to end so the reduction is order-independent
+    and hash-matches the SQL twin bit for bit.
+
+    The wide moments (Σy, Σxy, Σy²) outgrow int64 long before 100 TB
+    (Σ price_e2² ≈ 7.4×10¹⁸ already at sf0.1), so each is carried as
+    two int64 limbs base 10⁹: rows split limb-wise, per-batch partials
+    renormalize the carry, the global groupby folds limbs with the
+    native Sum, and the driver recombines exact Python ints — good to
+    ~10⁹ blocks with no precision loss anywhere. Final statistics are
+    integer floor expressions both here and in the DuckDB twin
+    (HUGEINT there), so equality is exact, not approximate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(batch["l_quantity"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        y = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        y_hi, y_lo = _split_carry(y)
+        xy_hi, xy_lo = _split_carry(x * y)
+        y2 = y * y  # ≤1.3e14 per row — exact in int64 before the split
+        y2_hi, y2_lo = _split_carry(y2)
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "sx": pa.array(x),
+                "sx2": pa.array(x * x),
+                "y_hi": pa.array(y_hi), "y_lo": pa.array(y_lo),
+                "xy_hi": pa.array(xy_hi), "xy_lo": pa.array(xy_lo),
+                "y2_hi": pa.array(y2_hi), "y2_lo": pa.array(y2_lo),
+            }
+        )
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("sx", "sum"), ("sx2", "sum"), ("y_hi", "sum"), ("y_lo", "sum"),
+             ("xy_hi", "sum"), ("xy_lo", "sum"), ("y2_hi", "sum"),
+             ("y2_lo", "sum"), ([], "count_all")]
+        ).rename_columns(
+            ["l_returnflag", "sx", "sx2", "y_hi", "y_lo", "xy_hi", "xy_lo",
+             "y2_hi", "y2_lo", "n"]
+        )
+        # renormalize: keep lo < 10⁹ so the global fold of lo limbs
+        # stays ≤ blocks·10⁹ ≪ 2⁶³
+        out = {"l_returnflag": g["l_returnflag"], "n": g["n"],
+               "sx": g["sx"], "sx2": g["sx2"]}
+        for m in ("y", "xy", "y2"):
+            lo = g[f"{m}_lo"].to_numpy(zero_copy_only=False)
+            hi = g[f"{m}_hi"].to_numpy(zero_copy_only=False)
+            out[f"{m}_hi"] = pa.array(hi + lo // CARRY)
+            out[f"{m}_lo"] = pa.array(lo % CARRY)
+        return pa.table(out)
+
+    df = (
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sx2", alias_name="sx2"), Sum("y_hi", alias_name="y_hi"),
+            Sum("y_lo", alias_name="y_lo"), Sum("xy_hi", alias_name="xy_hi"),
+            Sum("xy_lo", alias_name="xy_lo"), Sum("y2_hi", alias_name="y2_hi"),
+            Sum("y2_lo", alias_name="y2_lo"),
+        )
+        .to_pandas()
+    )
+    rows = []
+    for r in df.itertuples(index=False):
+        n, sx, sx2 = int(r.n), int(r.sx), int(r.sx2)
+        sy = int(r.y_hi) * CARRY + int(r.y_lo)
+        sxy = int(r.xy_hi) * CARRY + int(r.xy_lo)
+        sy2 = int(r.y2_hi) * CARRY + int(r.y2_lo)
+        rows.append(
+            {
+                "l_returnflag": r.l_returnflag,
+                "n_rows": n,
+                "sum_qty": sx,
+                "sum_price_e2": sy,
+                "cov_qp": (n * sxy - sx * sy) // (n * n),
+                "var_q_e4": ((n * sx2 - sx * sx) * 10_000) // (n * n),
+                "var_p": (n * sy2 - sy * sy) // (n * n),
+            }
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["l_returnflag", "n_rows", "sum_qty", "sum_price_e2",
+                 "cov_qp", "var_q_e4", "var_p"],
+    )
+    out = ensure_columns(
+        out,
+        {"l_returnflag": "object", "n_rows": "int64", "sum_qty": "int64",
+         "sum_price_e2": "int64", "cov_qp": "int64", "var_q_e4": "int64",
+         "var_p": "int64"},
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS n,
+         SUM(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+         SUM(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS sx2,
+         SUM(CAST(round(l_extendedprice*100) AS HUGEINT)) AS sy,
+         SUM(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS sxy,
+         SUM(CAST(round(l_extendedprice*100) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS sy2
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(sx AS BIGINT) AS sum_qty,
+       CAST(sy AS BIGINT) AS sum_price_e2,
+       -- FLOOR division (Python // semantics; covariance can be
+       -- negative, where DuckDB // truncates): subtract the positive
+       -- mod first so the division is exact
+       CAST((n*sxy - sx*sy
+             - (((n*sxy - sx*sy) % (n*n)) + n*n) % (n*n))
+            / (n*n) AS BIGINT) AS cov_qp,
+       CAST(((n*sx2 - sx*sx) * 10000) // (n*n) AS BIGINT) AS var_q_e4,
+       CAST((n*sy2 - sy*sy) // (n*n) AS BIGINT) AS var_p
+FROM m ORDER BY l_returnflag
+"""

@@ -146,3 +146,53 @@ class TestQuantileSketch:
         got = AN.quantile_sketch(sf_dir)
         # p50 estimate must be an element of the expected survivor set
         assert got["est_cents"].iloc[0] in expect
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorrMoments:
+    def test_matches_sql_twin(self, sf_dir):
+        got = AN.corr_qty_price(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW lineitem AS FROM '{sf_dir}/lineitem.parquet'")
+        want = con.sql(AN.CORR_SQL).df()
+        for c in want.columns[1:]:
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_carry_split_roundtrip(self):
+        """hi·10⁹+lo must reconstruct exactly, incl. the int64 edge."""
+        v = np.array(
+            [0, 1, AN.CARRY - 1, AN.CARRY, 123_456_789_012_345_678,
+             np.iinfo(np.int64).max], dtype=np.int64
+        )
+        hi, lo = AN._split_carry(v)
+        assert (lo >= 0).all() and (lo < AN.CARRY).all()
+        assert all(
+            int(h) * AN.CARRY + int(l) == int(x)
+            for h, l, x in zip(hi, lo, v)
+        )
+
+    def test_moments_match_pandas_exact(self, sf_dir):
+        """Python-bigint recombination equals a direct exact
+        computation over the raw column values."""
+        import pyarrow.parquet as pq
+
+        got = AN.corr_qty_price(sf_dir).set_index("l_returnflag")
+        t = pq.read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        ).to_pandas()
+        t["x"] = t["l_quantity"].round().astype("int64")
+        t["y"] = (t["l_extendedprice"] * 100).round().astype("int64")
+        for flag, g in t.groupby("l_returnflag"):
+            x = [int(v) for v in g["x"]]
+            y = [int(v) for v in g["y"]]
+            n = len(x)
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sy2 = sum(b * b for b in y)
+            assert got.loc[flag, "n_rows"] == n
+            assert got.loc[flag, "sum_qty"] == sx
+            assert got.loc[flag, "sum_price_e2"] == sy
+            assert got.loc[flag, "cov_qp"] == (n * sxy - sx * sy) // (n * n)
+            assert got.loc[flag, "var_p"] == (n * sy2 - sy * sy) // (n * n)
