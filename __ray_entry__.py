@@ -206,6 +206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_topk": E.knn_topk,
         "knn_lsh": E.knn_lsh,
+        # int8-quantized cosine top-k (4x fewer bytes moved;
+        # rows-only - quantized ranking has no SQL twin)
+        "knn_int8": E.knn_int8,
         "knn_ivf": E.knn_ivf,
         "embedding_label_stats": E.embedding_label_stats,
         "doc_embedding_stats": E.doc_embedding_stats,

@@ -108,3 +108,17 @@ class TestIvf:
         a = E.knn_ivf(sf_dir)
         b = E.knn_ivf(sf_dir)
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnInt8:
+    def test_recall_vs_exact_and_deterministic(self, sf_dir):
+        from gotenberg_ray.pipelines import embedops as E
+
+        exact = set(E.knn_topk(sf_dir, k=10)["vec_id"])
+        a = E.knn_int8(sf_dir, k=10)
+        b = E.knn_int8(sf_dir, k=10)
+        pd.testing.assert_frame_equal(a, b)
+        assert list(a.columns) == ["rank", "vec_id"]
+        recall = len(set(a["vec_id"]) & exact) / 10
+        assert recall >= 0.9
