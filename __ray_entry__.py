@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": PK.chunk_documents,
         "pack_shuffled": PK.pack_shuffled,
         # BPE tokenizer-training inner loop (adjacent pair counts)
+        # BPE tokenizer training: one distributed word-histogram
+        # pass, merge loop on the histogram (rows-only - iterative)
+        "bpe_train": TFIDF.bpe_train,
         "bpe_top_pairs": TFIDF.bpe_top_pairs,
         "lang_id_confusion": T.lang_id_confusion,
         "doc_fingerprints": T.doc_fingerprints,

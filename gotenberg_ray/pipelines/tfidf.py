@@ -319,3 +319,98 @@ SELECT pair, count(*) AS n
 FROM p GROUP BY pair
 ORDER BY n DESC, pair LIMIT 20
 """
+
+
+# ------------------------------------------------- BPE tokenizer training
+
+
+def bpe_train(
+    sf_dir: str, n_merges: int = 30, min_count: int = 2
+) -> pd.DataFrame:
+    """Train byte-pair-encoding merges over the corpus — the scalable
+    tokenizer-training shape: ONE distributed pass builds the word
+    FREQUENCY HISTOGRAM (per-batch partial counts → groupby(word) Sum
+    — the same combiner plan as ``vocab_top_df``), and the merge loop
+    then runs on the histogram alone, never rescanning the corpus.
+    The histogram is the small side by construction (Heaps' law: vocab
+    grows ~√corpus) and ``min_count`` floors it, so the driver holds
+    (word, n) pairs, not documents — 100 TB of text still reduces to a
+    few million histogram rows. This is the standard production
+    layout for BPE training (one count pass + in-memory merges).
+
+    Deterministic: pair counts are integer, the argmax breaks ties by
+    the lexicographically smallest (left, right), and the histogram
+    fold is order-independent. Returns (merge_rank, left, right,
+    pair_count); rows-only check (iterative, not SQL-expressible)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        flat = pc.utf8_lower(toks.values)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        t = pa.table({"word": flat.filter(keep)})
+        g = t.group_by("word").aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    hist = (
+        read_table(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    hist = ensure_columns(hist, {"word": "object", "n": "int64"})
+    hist = hist[hist["n"] >= min_count]
+
+    # histogram → symbol sequences (chars + end-of-word marker)
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in zip(hist["word"], hist["n"]):
+        vocab[tuple(w) + ("</w>",)] = int(n)
+
+    merges = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        # argmax with deterministic ties: max count, then smallest pair
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), n_best = best
+        if n_best < min_count:
+            break
+        merged = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+        merges.append(
+            {"merge_rank": rank, "left": left, "right": right,
+             "pair_count": n_best}
+        )
+
+    out = pd.DataFrame(
+        merges, columns=["merge_rank", "left", "right", "pair_count"]
+    )
+    out = ensure_columns(
+        out,
+        {"merge_rank": "int64", "left": "object", "right": "object",
+         "pair_count": "int64"},
+    )
+    for c in ("merge_rank", "pair_count"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)

@@ -75,3 +75,42 @@ def test_bpe_pairs_matches_oracle(sf_dir):
     want["n"] = want["n"].astype("int64")
     pd.testing.assert_frame_equal(got, want)
     assert (got["n"] >= 1).all() and got["n"].is_monotonic_decreasing
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeTrain:
+    def test_classic_example(self, ray_session, tmp_path):
+        """The textbook BPE corpus: 'low'x5 'lower'x2 'newest'x6
+        'widest'x3 — the first merges must assemble 'est</w>' then
+        'low', in frequency order with deterministic ties."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        text = " ".join(["low"] * 5 + ["lower"] * 2
+                        + ["newest"] * 6 + ["widest"] * 3)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([text]),
+                      "lang": pa.array(["en"]),
+                      "n_chars": pa.array([len(text)], pa.int64())}),
+            f"{tmp_path}/documents.parquet",
+        )
+        got = TF.bpe_train(str(tmp_path), n_merges=6, min_count=1)
+        first = (got.loc[0, "left"], got.loc[0, "right"],
+                 got.loc[0, "pair_count"])
+        # 'e s' and 's t' both appear in newest(6)+widest(3) = 9;
+        # the deterministic tie-break picks the lexicographically
+        # smaller pair ('e','s')
+        assert first == ("e", "s", 9)
+        assert (got["merge_rank"] == range(len(got))).all()
+        # 'est</w>' must have been assembled within the first merges
+        assert any(got["left"] + got["right"] == "est</w>")
+
+    def test_deterministic_and_bounded(self, sf_dir):
+        a = TF.bpe_train(sf_dir, n_merges=10)
+        b = TF.bpe_train(sf_dir, n_merges=10)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) <= 10
+        # counts are non-increasing? NOT guaranteed for BPE in general
+        # (merged symbols create new pairs) — only positivity is
+        assert (a["pair_count"] > 0).all()
