@@ -89,6 +89,12 @@ BENCH_QUERIES = [
     "q9_product_profit",
     "q13_order_distribution",
     "q21_waiting_suppliers",
+    # fourth wave: carry-split exact covariance, full-corpus Lloyd
+    # k-means, int8-quantized ANN, histogram-based BPE training
+    "corr_qty_price",
+    "kmeans_clusters",
+    "knn_int8",
+    "bpe_train",
 ]
 
 
