@@ -63,6 +63,8 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", k)],
     ).sort_by("vec_id")
+    if t.num_rows == 0:  # ids may not start at 0 — caller falls back
+        return np.empty((0, 0), dtype=np.int64)
     return _quantize(t)
 
 
@@ -80,6 +82,9 @@ def kmeans_clusters(
              "sse_q": pd.Series([], dtype="int64")}
         )
     cents = _init_centroids(sf_dir, k)
+    if len(cents) == 0:
+        # vec_ids need not start at 0 — fall back to the first k rows
+        cents = _quantize(ds.take_batch(k, batch_format="pyarrow"))
     k = len(cents)  # corpus smaller than k → fewer centroids
     dim = cents.shape[1]
 

@@ -242,6 +242,8 @@ def knn_int8(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .max()
     )
     scale = max(float(absmax), float(np.abs(q).max())) / INT8_LEVELS
+    if scale == 0.0:  # all-zero store: any scale quantizes to zeros
+        scale = 1.0
     qq = np.rint(q / scale).astype(np.int64)
     q2 = int(qq @ qq)
     state_ref = ray.put((scale, qq, q2))

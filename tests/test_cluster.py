@@ -73,3 +73,26 @@ class TestKMeans:
         got = C.kmeans_clusters(str(tmp_path), k=4)
         assert len(got) == 0
         assert list(got.columns) == ["cluster", "n_vectors", "sse_q"]
+
+
+def test_noncontiguous_vec_ids(ray_session, tmp_path):
+    """vec_ids need not start at 0 — init falls back to the first
+    rows when no vec_id < k exists."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 8))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(1000, 1030), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 30, pa.int32()),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    got = C.kmeans_clusters(str(tmp_path), k=4, iters=3)
+    assert got["n_vectors"].sum() == 30
