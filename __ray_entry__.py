@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int8-quantized cosine top-k (4x fewer bytes moved;
         # rows-only - quantized ranking has no SQL twin)
         "knn_int8": E.knn_int8,
+        # product-quantization ANN (4-bit codes, table-lookup ADC
+        # scoring; rows-only - approximate by design)
+        "knn_pq": E.knn_pq,
         "knn_ivf": E.knn_ivf,
         "embedding_label_stats": E.embedding_label_stats,
         "doc_embedding_stats": E.doc_embedding_stats,

@@ -209,6 +209,136 @@ ORDER BY a_id, b_id
 """
 
 
+PQ_M = 8  # subspaces (64 dims → 8 × 8)
+PQ_KS = 256  # codewords per subspace → 8-bit codes, 4× compression
+PQ_ITERS = 6
+PQ_REFINE = 64  # ADC shortlist depth refined exactly per batch
+
+
+def _pq_codebooks(sf_dir: str) -> np.ndarray:
+    """Product-quantization codebooks trained on the same bounded
+    deterministic sample as ``_ivf_centroids``: per subspace, a few
+    Lloyd rounds in driver numpy (ks×dsub floats each — the training
+    cost is independent of corpus size; only the ONE encode/score pass
+    in ``knn_pq`` touches the full dataset). Returns
+    (PQ_M, PQ_KS, dsub) float64."""
+    try:
+        t = _emb(sf_dir).take_batch(IVF_TRAIN_SAMPLE, batch_format="pyarrow")
+    except ValueError:  # empty dataset
+        return None
+    order = np.argsort(
+        t.column("vec_id").to_numpy(zero_copy_only=False), kind="stable"
+    )
+    m = _batch_matrix(t)[order]
+    dsub = m.shape[1] // PQ_M  # dims beyond M·dsub would be ignored
+    books = np.empty((PQ_M, PQ_KS, dsub))
+    for s in range(PQ_M):
+        sub = m[:, s * dsub : (s + 1) * dsub]
+        # deterministic init: lowest vec_ids, cycled if the sample is
+        # smaller than the codebook
+        cents = np.resize(sub[:PQ_KS], (PQ_KS, dsub)).copy()
+        for _ in range(PQ_ITERS):
+            d2 = (
+                np.einsum("ij,ij->i", sub, sub)[:, None]
+                - 2 * (sub @ cents.T)
+                + np.einsum("ij,ij->i", cents, cents)[None, :]
+            )
+            cid = np.argmin(d2, axis=1)  # ties → lowest index
+            for c in np.unique(cid):
+                cents[c] = sub[cid == c].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def knn_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Product-quantization ANN with exact refine (rows-only;
+    ``knn_topk`` is the exact ground truth): the memory-bound scale
+    path — each vector is stored as PQ_M 8-bit codes (4× smaller than
+    float32; 16× at PQ_KS=16), and candidate scoring is pure table
+    lookup (asymmetric distance computation): the query precomputes
+    dot(q_sub, codeword) per subspace ONCE, a batch scores as the sum
+    of PQ_M table entries per row. The PQ score only SELECTS a
+    per-batch shortlist (``PQ_REFINE`` rows); the shortlist is then
+    re-ranked with exact float cosine — the standard ADC+refine
+    layout, where at 100 TB the codes stay in RAM and only shortlist
+    vectors are ever fetched at full precision.
+
+    One streaming pass: codebooks+tables broadcast via ``ray.put``,
+    per-batch encode (exact per-subspace argmin, ties → lowest) +
+    lookup-sum + exact refine of the local shortlist; only
+    blocks×k refined candidates merge."""
+    q = _query_vector(sf_dir)
+    if q is None:
+        return _empty_rank_frame()
+    books = _pq_codebooks(sf_dir)
+    dsub = books.shape[2]
+    # per-subspace lookup tables: dot with q, and codeword energy for
+    # the approximate norm in the cosine denominator
+    qdot = np.stack(
+        [books[s] @ q[s * dsub : (s + 1) * dsub] for s in range(PQ_M)]
+    )  # (M, KS)
+    c2 = np.einsum("skj,skj->sk", books, books)  # (M, KS)
+    qn = float(np.linalg.norm(q))
+    state = ray.put((books, qdot, c2, q / qn))
+
+    class PQScore:
+        def __init__(self):
+            self.books, self.qdot, self.c2, self.qunit = ray.get(state)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch)
+            n = m.shape[0]
+            dot = np.zeros(n)
+            x2 = np.zeros(n)
+            for s in range(PQ_M):
+                sub = m[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    np.einsum("ij,ij->i", sub, sub)[:, None]
+                    - 2 * (sub @ self.books[s].T)
+                    + self.c2[s][None, :]
+                )
+                code = np.argmin(d2, axis=1)
+                dot += self.qdot[s][code]
+                x2 += self.c2[s][code]
+            denom = np.sqrt(x2)
+            sims = np.where(denom > 0, dot / np.maximum(denom, 1e-30), -1.0)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            keep = ids != QUERY_VEC_ID
+            sims, ids, m = sims[keep], ids[keep], m[keep]
+            # ADC selects the shortlist; the shortlist alone is
+            # re-ranked at full precision (exact cosine)
+            short = np.lexsort((ids, -sims))[:PQ_REFINE]
+            ms = m[short]
+            exact = (
+                ms / np.maximum(np.linalg.norm(ms, axis=1, keepdims=True), 1e-30)
+            ) @ self.qunit
+            top = np.lexsort((ids[short], -exact))[:k]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[short][top]),
+                    "sim": pa.array(exact[top]),
+                }
+            )
+
+    cands = (
+        _emb(sf_dir)
+        .map_batches(PQScore, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    cands = (
+        ensure_columns(cands, {"vec_id": "int64", "sim": "float64"})
+        .sort_values(["sim", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(cands) + 1),
+            "vec_id": cands["vec_id"].astype("int64"),
+        }
+    )
+
+
 INT8_LEVELS = 127  # symmetric int8 quantization
 
 

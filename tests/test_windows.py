@@ -122,3 +122,17 @@ class TestKnnInt8:
         assert list(a.columns) == ["rank", "vec_id"]
         recall = len(set(a["vec_id"]) & exact) / 10
         assert recall >= 0.9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnPq:
+    def test_recall_vs_exact_and_deterministic(self, sf_dir):
+        from gotenberg_ray.pipelines import embedops as E
+
+        exact = set(E.knn_topk(sf_dir, k=10)["vec_id"])
+        a = E.knn_pq(sf_dir, k=10)
+        b = E.knn_pq(sf_dir, k=10)
+        pd.testing.assert_frame_equal(a, b)
+        assert list(a.columns) == ["rank", "vec_id"]
+        # ADC shortlist + exact refine: high recall expected
+        assert len(set(a["vec_id"]) & exact) / 10 >= 0.9
