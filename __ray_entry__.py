@@ -67,7 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import admission as A
     from gotenberg_ray.pipelines import analytics as AN
     from gotenberg_ray.pipelines import analytics2 as A2
-    from gotenberg_ray.pipelines import cluster as CL  # noqa: F401 — queries()
+    from gotenberg_ray.pipelines import cluster as CL
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import graph as GR
@@ -187,10 +187,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": PK.pack_sequences,
         "chunk_documents": PK.chunk_documents,
         "pack_shuffled": PK.pack_shuffled,
-        # BPE tokenizer-training inner loop (adjacent pair counts)
         # BPE tokenizer training: one distributed word-histogram
         # pass, merge loop on the histogram (rows-only - iterative)
         "bpe_train": TFIDF.bpe_train,
+        # BPE inner loop on its own (adjacent pair counts; oracle)
         "bpe_top_pairs": TFIDF.bpe_top_pairs,
         "lang_id_confusion": T.lang_id_confusion,
         "doc_fingerprints": T.doc_fingerprints,
@@ -212,8 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int8-quantized cosine top-k (4x fewer bytes moved;
         # rows-only - quantized ranking has no SQL twin)
         "knn_int8": E.knn_int8,
-        # product-quantization ANN (4-bit codes, table-lookup ADC
-        # scoring; rows-only - approximate by design)
+        # product-quantization ANN (8-bit codes, table-lookup ADC
+        # shortlist + exact refine; rows-only - approximate by design)
         "knn_pq": E.knn_pq,
         "knn_ivf": E.knn_ivf,
         "embedding_label_stats": E.embedding_label_stats,
@@ -238,7 +238,6 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import admission as A
     from gotenberg_ray.pipelines import analytics as AN
     from gotenberg_ray.pipelines import analytics2 as A2
-    from gotenberg_ray.pipelines import cluster as CL  # noqa: F401 — queries()
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import incremental as INC

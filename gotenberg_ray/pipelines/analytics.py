@@ -118,7 +118,11 @@ def order_price_quantiles(sf_dir: str) -> pd.DataFrame:
     DuckDB ``quantile_disc`` (index = max(⌈q·n⌉−1, 0))."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        price_e2 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        price_e2 = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),  # = SQL round()
+            pa.int64(),
+        )
         t = pa.table(
             {"o_orderpriority": batch["o_orderpriority"], "price_e2": price_e2}
         )
@@ -674,11 +678,18 @@ def corr_qty_price(sf_dir: str) -> pd.DataFrame:
     (HUGEINT there), so equality is exact, not approximate."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        x = pc.cast(pc.round(batch["l_quantity"]), pa.int64()).to_numpy(
+        # half_towards_infinity = DuckDB round(): keeps the oracle
+        # equality exact even for values landing on .5
+        x = pc.cast(
+            pc.round(batch["l_quantity"], round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(
             zero_copy_only=False
         )
         y = pc.cast(
-            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64()
         ).to_numpy(zero_copy_only=False)
         y_hi, y_lo = _split_carry(y)
         xy_hi, xy_lo = _split_carry(x * y)

@@ -16,7 +16,9 @@ drift), partial sums (integer, order-independent under any block
 layout), and centroid updates (floor division) are all integer, so
 the result is bit-identical run to run. Ties in the argmin go to the
 lowest cluster index. Init = the quantized vectors of the K smallest
-vec_ids (read with a parquet filter, no scan).
+vec_ids (read with a parquet filter, no scan); if the id space is
+sparse and that yields fewer than K rows, the first K rows in storage
+order are used instead.
 
 Floor-mean caveat: the updated centroid is ⌊mean⌋ per dim, off the
 exact mean by <1 quantum, so the classic SSE-monotone proof holds only
@@ -82,8 +84,10 @@ def kmeans_clusters(
              "sse_q": pd.Series([], dtype="int64")}
         )
     cents = _init_centroids(sf_dir, k)
-    if len(cents) == 0:
-        # vec_ids need not start at 0 — fall back to the first k rows
+    if len(cents) < k:
+        # vec_ids need not be contiguous from 0 (a post-dedup store may
+        # keep sparse ids): if the id-filtered init found fewer than k
+        # rows, fall back to the first k rows in storage order
         cents = _quantize(ds.take_batch(k, batch_format="pyarrow"))
     k = len(cents)  # corpus smaller than k → fewer centroids
     dim = cents.shape[1]

@@ -66,6 +66,24 @@ def _empty_rank_frame() -> pd.DataFrame:
     )
 
 
+def _merge_candidates(cands: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Fold per-block (vec_id, sim) candidates into the final ranking:
+    sim desc, vec_id asc tie-break, top-k, 1-based rank — the shared
+    merge contract for every top-k query in this module."""
+    cands = (
+        ensure_columns(cands, {"vec_id": "int64", "sim": "float64"})
+        .sort_values(["sim", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(cands) + 1),
+            "vec_id": cands["vec_id"].astype("int64"),
+        }
+    )
+
+
 def knn_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Brute-force cosine top-k vs the vec_id=0 query vector.
 
@@ -98,15 +116,7 @@ def knn_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .map_batches(TopK, batch_format="pyarrow", concurrency=2)
         .to_pandas()
     )
-    cands = (
-        ensure_columns(cands, {"vec_id": "int64", "sim": "float64"})
-        .sort_values(["sim", "vec_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return pd.DataFrame(
-        {"rank": np.arange(1, len(cands) + 1), "vec_id": cands["vec_id"].astype("int64")}
-    )
+    return _merge_candidates(cands, k)
 
 
 KNN_SQL = f"""
@@ -325,18 +335,7 @@ def knn_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .map_batches(PQScore, batch_format="pyarrow", concurrency=2)
         .to_pandas()
     )
-    cands = (
-        ensure_columns(cands, {"vec_id": "int64", "sim": "float64"})
-        .sort_values(["sim", "vec_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return pd.DataFrame(
-        {
-            "rank": np.arange(1, len(cands) + 1),
-            "vec_id": cands["vec_id"].astype("int64"),
-        }
-    )
+    return _merge_candidates(cands, k)
 
 
 INT8_LEVELS = 127  # symmetric int8 quantization
@@ -404,18 +403,7 @@ def knn_int8(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .map_batches(TopKQ, batch_format="pyarrow", concurrency=2)
         .to_pandas()
     )
-    cands = (
-        ensure_columns(cands, {"vec_id": "int64", "sim": "float64"})
-        .sort_values(["sim", "vec_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return pd.DataFrame(
-        {
-            "rank": np.arange(1, len(cands) + 1),
-            "vec_id": cands["vec_id"].astype("int64"),
-        }
-    )
+    return _merge_candidates(cands, k)
 
 
 LSH_PLANES = 12
@@ -465,15 +453,7 @@ def knn_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .map_batches(Probe, batch_format="pyarrow", concurrency=2)
         .to_pandas()
     )
-    cands = (
-        ensure_columns(cands, {"vec_id": "int64", "sim": "float64"})
-        .sort_values(["sim", "vec_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return pd.DataFrame(
-        {"rank": np.arange(1, len(cands) + 1), "vec_id": cands["vec_id"].astype("int64")}
-    )
+    return _merge_candidates(cands, k)
 
 
 IVF_K = 16  # centroid count; ∝ sqrt(N) at scale
@@ -553,15 +533,7 @@ def knn_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .map_batches(ProbeLists, batch_format="pyarrow", concurrency=2)
         .to_pandas()
     )
-    cands = (
-        ensure_columns(cands, {"vec_id": "int64", "sim": "float64"})
-        .sort_values(["sim", "vec_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return pd.DataFrame(
-        {"rank": np.arange(1, len(cands) + 1), "vec_id": cands["vec_id"].astype("int64")}
-    )
+    return _merge_candidates(cands, k)
 
 
 # ------------------------------------------------------- SemDeDup

@@ -96,3 +96,29 @@ def test_noncontiguous_vec_ids(ray_session, tmp_path):
     )
     got = C.kmeans_clusters(str(tmp_path), k=4, iters=3)
     assert got["n_vectors"].sum() == 30
+    assert len(got) == 4
+
+
+def test_sparse_low_ids_still_get_k_centroids(ray_session, tmp_path):
+    """Only ONE vec_id is < k: init must still produce k centroids
+    (fall back to first rows), not silently collapse to one cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(30, 8))
+    ids = [0] + list(range(500, 529))  # one low id, rest sparse
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 30, pa.int32()),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    got = C.kmeans_clusters(str(tmp_path), k=4, iters=3)
+    assert len(got) == 4
+    assert got["n_vectors"].sum() == 30
