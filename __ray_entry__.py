@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_span_stats": T.duplicate_span_stats,
         # iterative dataflow (power iteration; rows-only — not SQL)
         "pagerank": GR.pagerank,
+        # wedge-enumeration + semi-join closure (oracle-checked -
+        # the edge generator is pure modular arithmetic)
+        "triangle_count": GR.triangle_count,
         "contamination_check": T.contamination_check,
         "curation_pipeline": T.curation_pipeline,
         "vocab_top_df": T.vocab_top_df,
@@ -240,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import analytics2 as A2
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
+    from gotenberg_ray.pipelines import graph as GR
     from gotenberg_ray.pipelines import incremental as INC
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import packing as PK
@@ -305,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_clusters": T.CLUSTERS_SQL,
+        "triangle_count": GR.TRIANGLES_SQL,
         "dedup_incremental": INC.DEDUP_INCREMENTAL_SQL,
         "events_daily_incremental": INC.EVENTS_DAILY_INCREMENTAL_SQL,
         "duplicate_span_stats": T.DUP_SPANS_SQL,

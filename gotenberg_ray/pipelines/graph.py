@@ -382,3 +382,112 @@ def pagerank(
     df["doc_id"] = df["doc_id"].astype("int64")
     df["rank_e9"] = df["rank_e9"].astype("int64")
     return df.reset_index(drop=True)
+
+
+# ------------------------------------------------- triangle counting
+
+
+def triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Distributed triangle count over the derived document link graph
+    — the canonical two-join graph dataflow: orient every undirected
+    edge low→high, self-join on the middle vertex to enumerate wedges
+    a<b<c (each triangle yields exactly one oriented wedge), then a
+    LEFT SEMI join probes the closing edge (a,c) against the edge set.
+    Both joins are the bucketed ``hash_join`` (hash-partitioned by
+    vertex / packed edge key), so the exchange carries edges and
+    wedges, never adjacency materialized on the driver. The edge
+    generator is pure modular arithmetic on doc_id, so the DuckDB twin
+    reproduces the graph exactly — this one IS oracle-checked, unlike
+    the iterative solvers."""
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
+    from .relational import JOIN_PARTITIONS
+
+    edges, n_nodes = _doc_link_edges(sf_dir)
+    if n_nodes == 0:
+        return pd.DataFrame({"n_triangles": pd.Series([0], dtype="int64")})
+
+    def canon_pack(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        pack = np.unique(lo * np.int64(n_nodes) + hi)  # batch-local dedup
+        return pa.table({"pack": pa.array(pack, _I64)})
+
+    def decode(b: pa.Table) -> pa.Table:
+        pack = b["pack"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array(pack // n_nodes, _I64),
+                "hi": pa.array(pack % n_nodes, _I64),
+                "pack": pa.array(pack, _I64),
+            }
+        )
+
+    # distinct undirected edges; reused by both joins → materialize
+    e = (
+        edges.map_batches(canon_pack, batch_format="pyarrow")
+        .groupby("pack")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(decode, batch_format="pyarrow")
+        .materialize()
+    )
+
+    left = e.map_batches(
+        lambda b: pa.table({"m": b["hi"], "a": b["lo"]}),
+        batch_format="pyarrow",
+    )
+    right = e.map_batches(
+        lambda b: pa.table({"m": b["lo"], "c": b["hi"]}),
+        batch_format="pyarrow",
+    )
+    wedges = hash_join(
+        left, right, on="m", num_partitions=JOIN_PARTITIONS,
+        left_schema=[("m", _I64), ("a", _I64)],
+        right_schema=[("m", _I64), ("c", _I64)],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "pack": pa.array(
+                    b["a"].to_numpy(zero_copy_only=False) * np.int64(n_nodes)
+                    + b["c"].to_numpy(zero_copy_only=False),
+                    _I64,
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    closed = hash_join(
+        wedges,
+        e.map_batches(
+            lambda b: pa.table({"pack": b["pack"]}), batch_format="pyarrow"
+        ),
+        on="pack",
+        num_partitions=JOIN_PARTITIONS,
+        join_type="left semi",
+        left_schema=[("pack", _I64)],
+        right_schema=[("pack", _I64)],
+    )
+    n_tri = closed.count()
+    return pd.DataFrame({"n_triangles": pd.Series([n_tri], dtype="int64")})
+
+
+TRIANGLES_SQL = """
+WITH n AS (SELECT count(*) AS nn FROM documents),
+raw AS (
+  SELECT doc_id AS src,
+         (((doc_id*2654435761 + j*40503) % nn)
+          * ((doc_id*2654435761 + j*40503) % nn)) % nn AS dst
+  FROM documents, (VALUES (1),(2),(3)) t(j), n
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM raw WHERE src <> dst
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.lo = e1.hi
+JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+"""

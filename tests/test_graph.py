@@ -143,3 +143,20 @@ class TestPageRank:
         lonely = int(np.argmin(indeg))
         assert indeg[hub] > 3 and indeg[lonely] == 0
         assert full.loc[hub, "rank_e9"] > full.loc[lonely, "rank_e9"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTriangleCount:
+    def test_matches_sql_twin_and_deterministic(self, sf_dir):
+        import duckdb
+
+        a = G.triangle_count(sf_dir)
+        b = G.triangle_count(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'"
+        )
+        want = int(con.sql(G.TRIANGLES_SQL).df()["n_triangles"][0])
+        assert int(a["n_triangles"][0]) == want
+        assert want >= 0
