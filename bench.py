@@ -94,7 +94,9 @@ BENCH_QUERIES = [
     "corr_qty_price",
     "kmeans_clusters",
     "knn_int8",
+    "knn_pq",
     "bpe_train",
+    "triangle_count",
 ]
 
 
