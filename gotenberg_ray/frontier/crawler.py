@@ -46,7 +46,7 @@ from ..functions.urlkit import UrlFilter, canonicalize_batch, host_ip_policy
 from ..pipelines.convert import convert_batch
 from ..schemas import ERR_FILTERED, ERR_INVALID_INPUT
 from ..stages.fetcher import SimulatedFetcher
-from .metrics import EPOCH_METRICS_SCHEMA, EpochMetrics
+from .metrics import EpochMetrics
 from .shard import GRANT_SCHEMA, FrontierShard
 
 LOG_SCHEMA = pa.schema(

@@ -208,8 +208,6 @@ class FrontierShard:
                 pa.string(),
             )
         # robots gate per unique host (vectorized prefix rules)
-        import pyarrow.compute as pc
-
         enc = sub.column("host").combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False)
         allowed = np.ones(m, dtype=bool)

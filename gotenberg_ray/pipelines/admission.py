@@ -17,7 +17,6 @@ regex compilation and the per-ref memo live once per actor.
 from __future__ import annotations
 
 import pyarrow as pa
-import ray.data as rd
 
 from ..io import read_table
 from ..schemas import DOCUMENTS_SCHEMA
@@ -66,8 +65,6 @@ def _spanify(batch: pa.Table) -> pa.Table:
 def subresource_admission(sf_dir: str):
     """Per-sub-resource allow/deny counts by reason (pause filter,
     events.go:46-189) — distributed decide, tiny aggregate."""
-    import pandas as pd
-
     ds = (
         read_table(sf_dir, "documents", columns=["doc_id"])
         .map_batches(_spanify, batch_format="pyarrow")

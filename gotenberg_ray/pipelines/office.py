@@ -20,20 +20,12 @@ span normalization below — a real soffice/unoconverter call plugs into
 
 from __future__ import annotations
 
-import json
 
 import pyarrow as pa
 
 from .. import spans as S
 from ..schemas import (
-    ERR_INVALID_INPUT,
-    ERR_NONE,
-    KIND_TEXT,
-    LIBREOFFICE_RESTART_AFTER,
-    SPANS_TYPE,
-    STATUS_ERROR,
-    STATUS_SUCCESS,
-)
+    ERR_INVALID_INPUT,    LIBREOFFICE_RESTART_AFTER,    STATUS_ERROR,)
 from ..stages.supervisor import Supervisor, SupervisorConfig
 from .convert import PAGES_OUT_SCHEMA, ConvertOptions, PartRow, convert_row
 

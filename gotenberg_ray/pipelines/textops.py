@@ -24,10 +24,7 @@ from ..functions import textkit as T
 from ..functions.frames import ensure_columns
 from ..functions.hashing import (
     fnv64,
-    hamming64,
-    minhash_signature,
-    shingle_hashes,
-    shingle_hashes_batch,
+    hamming64,    shingle_hashes_batch,
     simhash64,
 )
 from ..schemas import KIND_TEXT, SPANS_TYPE, make_span

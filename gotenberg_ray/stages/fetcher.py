@@ -36,7 +36,6 @@ from ..schemas import (
     ERR_INVALID_INPUT,
     ERR_NONE,
     MAX_UNIQUE_ORIGINS,
-    SPANS_TYPE,
     STATUS_ERROR,
     STATUS_SUCCESS,
 )

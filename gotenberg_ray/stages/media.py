@@ -163,8 +163,7 @@ class MediaResizer:
         self.backend = DecodeBackend(mode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+        
         w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.int64)
         h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.int64)
         ok = batch.column("decode_ok").to_numpy(zero_copy_only=False)
