@@ -195,6 +195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": TFIDF.bpe_train,
         # BPE inner loop on its own (adjacent pair counts; oracle)
         "bpe_top_pairs": TFIDF.bpe_top_pairs,
+        # collocation extraction: adjacent-pair lift (exponentiated
+        # PMI), bigint-exact, two bucketed joins (oracle)
+        "cooc_lift_top_pairs": TFIDF.cooc_lift_top_pairs,
         "lang_id_confusion": T.lang_id_confusion,
         "doc_fingerprints": T.doc_fingerprints,
         "convert_page_counts": T.convert_page_counts,
@@ -326,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": PK.CHUNK_SQL,
         "pack_shuffled": PK.PACK_SHUFFLED_SQL,
         "bpe_top_pairs": TFIDF.BPE_PAIRS_SQL,
+        "cooc_lift_top_pairs": TFIDF.COOC_LIFT_SQL,
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
         "subresource_admission": A.ADMISSION_SQL,

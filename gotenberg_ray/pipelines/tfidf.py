@@ -414,3 +414,185 @@ def bpe_train(
     for c in ("merge_rank", "pair_count"):
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
+
+
+# -------------------------------------------- collocation lift (PMI-style)
+
+
+def cooc_lift_top_pairs(
+    sf_dir: str, k: int = 20, min_pair: int = 3
+) -> pd.DataFrame:
+    """Top-k adjacent-token collocations ranked by LIFT
+    (= P(x,y)/(P(x)·P(y)), the exponentiated PMI) — the corpus
+    statistic behind multi-word-expression extraction. Three
+    distributed pieces, all vocabulary-sized after the first combine:
+    pair counts (the ``bpe_top_pairs`` partial), unigram counts (the
+    ``vocab_top_df`` combiner shape), and two bucketed ``hash_join``s
+    stitching c_x and c_y onto each surviving pair (``min_pair``
+    floors the pair table before the joins). The lift numerator
+    c_xy·10⁴·N outgrows int64 at corpus scale, so the final per-pair
+    arithmetic runs in Python bigints over the vocabulary-sized joined
+    rows (never corpus rows); the DuckDB twin uses HUGEINT — equality
+    is exact. Ties break (lift desc, pair asc)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def tok_flat(batch: pa.Table) -> pa.Array:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        flat = toks.values
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        return toks, flat, keep
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        toks, flat, keep_m = tok_flat(batch)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = keep_m.to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        if len(parents) < 2:
+            return pa.table(
+                {"pair": pa.array([], pa.string()),
+                 "n_pair": pa.array([], pa.int64())}
+            )
+        adjacent = parents[1:] == parents[:-1]
+        left = flat.slice(0, len(flat) - 1).filter(pa.array(adjacent))
+        right = flat.slice(1).filter(pa.array(adjacent))
+        t = pa.table({"pair": pc.binary_join_element_wise(left, right, " ")})
+        return t.group_by("pair").aggregate([([], "count_all")]).rename_columns(
+            ["pair", "n_pair"]
+        )
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        _, flat, keep = tok_flat(batch)
+        t = pa.table({"tok": flat.filter(keep)})
+        return t.group_by("tok").aggregate([([], "count_all")]).rename_columns(
+            ["tok", "n_tok"]
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["text"]).materialize()
+    pairs = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n_pair", alias_name="n_pair"))
+        .filter(expr=f"n_pair >= {min_pair}")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "pair": b["pair"],
+                    "n_pair": b["n_pair"],
+                    "tok_l": pc.list_element(
+                        pc.split_pattern(b["pair"], " "), 0
+                    ),
+                    "tok_r": pc.list_element(
+                        pc.split_pattern(b["pair"], " "), 1
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    unis = (
+        docs.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n_tok", alias_name="n_tok"))
+        .materialize()  # consumed by N and both joins
+    )
+    n_total = int(unis.sum("n_tok") or 0)
+    if n_total == 0:
+        return pd.DataFrame(
+            {"pair": pd.Series([], dtype="object"),
+             "n_pair": pd.Series([], dtype="int64"),
+             "lift_e4": pd.Series([], dtype="int64")}
+        )
+
+    j1 = hash_join(
+        pairs,
+        unis.map_batches(
+            lambda b: pa.table({"tok_l": b["tok"], "n_l": b["n_tok"]}),
+            batch_format="pyarrow",
+        ),
+        on="tok_l",
+        num_partitions=8,
+        left_schema=[("pair", pa.string()), ("n_pair", pa.int64()),
+                     ("tok_l", pa.string()), ("tok_r", pa.string())],
+        right_schema=[("tok_l", pa.string()), ("n_l", pa.int64())],
+    )
+    j2 = hash_join(
+        j1,
+        unis.map_batches(
+            lambda b: pa.table({"tok_r": b["tok"], "n_r": b["n_tok"]}),
+            batch_format="pyarrow",
+        ),
+        on="tok_r",
+        num_partitions=8,
+        left_schema=[("pair", pa.string()), ("n_pair", pa.int64()),
+                     ("tok_l", pa.string()), ("tok_r", pa.string()),
+                     ("n_l", pa.int64())],
+        right_schema=[("tok_r", pa.string()), ("n_r", pa.int64())],
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # bigint lift over vocabulary-sized rows (numerator > int64 at
+        # corpus scale), then block-local top-k
+        n_pair = batch["n_pair"].to_pylist()
+        n_l = batch["n_l"].to_pylist()
+        n_r = batch["n_r"].to_pylist()
+        lift = [
+            (int(a) * 10_000 * n_total) // (int(b) * int(c))
+            for a, b, c in zip(n_pair, n_l, n_r)
+        ]
+        df = pd.DataFrame(
+            {"pair": batch["pair"].to_pylist(), "n_pair": n_pair,
+             "lift_e4": lift}
+        ).sort_values(["lift_e4", "pair"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    df = (
+        j2.map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df, {"pair": "object", "n_pair": "int64", "lift_e4": "int64"}
+    )
+    df = (
+        df.sort_values(["lift_e4", "pair"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    for c in ("n_pair", "lift_e4"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+COOC_LIFT_SQL = r"""
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+toks AS (
+  SELECT unnest(t) AS tok FROM w),
+u AS (
+  SELECT tok, CAST(count(*) AS HUGEINT) AS n_tok FROM toks GROUP BY tok),
+total AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM toks),
+p AS (
+  SELECT t[g + 1] AS tok_l, t[g + 2] AS tok_r,
+         t[g + 1] || ' ' || t[g + 2] AS pair
+  FROM w, LATERAL unnest(range(len(t) - 1)) AS un(g)
+  WHERE len(t) >= 2),
+pc AS (
+  SELECT pair, tok_l, tok_r, CAST(count(*) AS HUGEINT) AS n_pair
+  FROM p GROUP BY pair, tok_l, tok_r
+  HAVING count(*) >= 3)
+SELECT pc.pair,
+       CAST(pc.n_pair AS BIGINT) AS n_pair,
+       CAST((pc.n_pair * 10000 * total.n) // (ul.n_tok * ur.n_tok)
+            AS BIGINT) AS lift_e4
+FROM pc
+JOIN u ul ON ul.tok = pc.tok_l
+JOIN u ur ON ur.tok = pc.tok_r
+CROSS JOIN total
+ORDER BY lift_e4 DESC, pc.pair LIMIT 20
+"""

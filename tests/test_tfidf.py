@@ -114,3 +114,42 @@ class TestBpeTrain:
         # counts are non-increasing? NOT guaranteed for BPE in general
         # (merged symbols create new pairs) — only positivity is
         assert (a["pair_count"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCoocLift:
+    def test_known_collocation_wins(self, ray_session, tmp_path):
+        """'new york' always co-occurs while filler tokens pair freely:
+        the collocation must rank first with the exact lift value."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = __import__("numpy").random.default_rng(11)
+        filler = [f"f{i}" for i in range(10)]
+        docs = []
+        for _ in range(30):
+            toks = list(rng.choice(filler, size=20))
+            toks[7:7] = ["new", "york"]  # always adjacent
+            docs.append(" ".join(toks))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                      "text": pa.array(docs),
+                      "lang": pa.array(["en"] * 30),
+                      "n_chars": pa.array([len(d) for d in docs], pa.int64())}),
+            f"{tmp_path}/documents.parquet",
+        )
+        got = TF.cooc_lift_top_pairs(str(tmp_path), k=5)
+        assert got.loc[0, "pair"] == "new york"
+        # exact lift: c_xy=30, c_x=c_y=30, N=30*22
+        assert got.loc[0, "lift_e4"] == (30 * 10_000 * 660) // (30 * 30)
+
+    def test_matches_sql_twin(self, sf_dir):
+        import duckdb
+
+        got = TF.cooc_lift_top_pairs(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = con.sql(TF.COOC_LIFT_SQL).df()
+        for c in ("n_pair", "lift_e4"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
