@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sort / two-phase distinct / mergeable HLL sketch)
         "customers_no_urgent_orders": AN.customers_no_urgent_orders,
         "order_price_quantiles": AN.order_price_quantiles,
+        # two-pass dependent statistic: per-group median broadcast
+        # into a second streaming pass over |x - median| (oracle)
+        "orders_price_mad": AN.orders_price_mad,
         "distinct_users_daily": AN.distinct_users_daily,
         "hll_users_per_type": AN.hll_users_per_type,
         "quantile_sketch": AN.quantile_sketch,
@@ -294,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_peak": W.ROLLING_SQL,
         "customers_no_urgent_orders": AN.NO_ORDERS_SQL,
         "order_price_quantiles": AN.PRICE_QUANTILES_SQL,
+        "orders_price_mad": AN.PRICE_MAD_SQL,
         "distinct_users_daily": AN.DISTINCT_DAILY_SQL,
         "heavy_hitter_users": AN.HEAVY_HITTERS_SQL,
         "orders_profile": AN.ORDERS_PROFILE_SQL,

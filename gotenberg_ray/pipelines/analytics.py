@@ -798,3 +798,94 @@ SELECT l_returnflag,
        CAST((n*sy2 - sy*sy) // (n*n) AS BIGINT) AS var_p
 FROM m ORDER BY l_returnflag
 """
+
+
+# ---------------------------------- two-pass dependent statistic (MAD)
+
+
+def orders_price_mad(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation of o_totalprice per order priority —
+    the TWO-PASS DEPENDENT-STATISTIC shape: pass 1 computes the exact
+    per-group median (the ``order_price_quantiles`` sort-free
+    value-count plan), its 5-row result broadcasts into pass 2, which
+    streams the same column again building value counts of
+    |x − median(group)| and walks the weighted cumsum to the exact
+    discrete median of deviations. Neither pass sorts the data or
+    holds more than the bounded money domain per group; the dependency
+    between passes is a driver-held 5-row table, not a shuffle.
+    Discrete-quantile rule matches DuckDB ``quantile_disc``
+    (index = max(⌈q·n⌉−1, 0)), so the twin is exact."""
+    meds = order_price_quantiles(sf_dir)  # pass 1 (oracle-green plan)
+    med_by_prio = dict(zip(meds["o_orderpriority"], meds["p50_e2"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_e2 = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        prio = batch["o_orderpriority"].to_pandas()
+        med = prio.map(med_by_prio).to_numpy(dtype=np.int64)
+        dev = np.abs(price_e2 - med)
+        t = pa.table(
+            {"o_orderpriority": batch["o_orderpriority"],
+             "dev_e2": pa.array(dev, pa.int64())}
+        )
+        g = t.group_by(["o_orderpriority", "dev_e2"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["o_orderpriority", "dev_e2", "cnt"])
+
+    def per_priority(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("dev_e2")
+        v = g["dev_e2"].to_numpy()
+        cum = np.cumsum(g["cnt"].to_numpy())
+        n = int(cum[-1])
+        target = max(math.ceil(0.5 * n), 1)
+        mad = int(v[np.searchsorted(cum, target, side="left")])
+        return pd.DataFrame(
+            {"o_orderpriority": [g["o_orderpriority"].iloc[0]],
+             "mad_e2": [mad], "n_orders": [n]}
+        )
+
+    df = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(per_priority, batch_format="pandas")
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"o_orderpriority": "object", "mad_e2": "int64", "n_orders": "int64"},
+    )
+    df = df.merge(
+        meds[["o_orderpriority", "p50_e2"]], on="o_orderpriority", how="left"
+    )
+    for c in ("p50_e2", "mad_e2", "n_orders"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[["o_orderpriority", "p50_e2", "mad_e2", "n_orders"]]
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+PRICE_MAD_SQL = """
+WITH px AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2
+  FROM orders),
+med AS (
+  SELECT o_orderpriority,
+         quantile_disc(price_e2, 0.5) AS p50_e2
+  FROM px GROUP BY o_orderpriority)
+SELECT px.o_orderpriority,
+       CAST(med.p50_e2 AS BIGINT) AS p50_e2,
+       CAST(quantile_disc(abs(px.price_e2 - med.p50_e2), 0.5) AS BIGINT)
+         AS mad_e2,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM px JOIN med USING (o_orderpriority)
+GROUP BY px.o_orderpriority, med.p50_e2
+ORDER BY px.o_orderpriority
+"""

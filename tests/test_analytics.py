@@ -196,3 +196,16 @@ class TestCorrMoments:
             assert got.loc[flag, "sum_price_e2"] == sy
             assert got.loc[flag, "cov_qp"] == (n * sxy - sx * sy) // (n * n)
             assert got.loc[flag, "var_p"] == (n * sy2 - sy * sy) // (n * n)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPriceMad:
+    def test_matches_sql_twin(self, sf_dir):
+        got = AN.orders_price_mad(sf_dir)
+        con = _con(sf_dir)
+        want = con.sql(AN.PRICE_MAD_SQL).df()
+        for c in ("p50_e2", "mad_e2", "n_orders"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+        # MAD is a real deviation on this data, not degenerate
+        assert (got["mad_e2"] > 0).all()
