@@ -71,7 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import graph as GR
+    from gotenberg_ray.pipelines import fuzzy as FZ
     from gotenberg_ray.pipelines import incremental as INC
+    from gotenberg_ray.pipelines import lines as LN
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import packing as PK
     from gotenberg_ray.pipelines import quality as Q
@@ -128,6 +130,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_attribution": W.events_asof_attribution,
         "events_range_campaigns": W.events_range_campaigns,
         "events_rolling_peak": W.events_rolling_peak,
+        # calendar densification + day-over-day delta (gap-fill)
+        "events_gap_fill": W.events_gap_fill,
+        # windowed COUNT(DISTINCT): trailing-7-day active users via
+        # dedup → bounded window expansion → dedup
+        "rolling_distinct_users": W.rolling_distinct_users,
         # distributed analytics (anti-join / exact quantiles without a
         # sort / two-phase distinct / mergeable HLL sketch)
         "customers_no_urgent_orders": AN.customers_no_urgent_orders,
@@ -166,6 +173,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
         "dedup_clusters": T.dedup_clusters,
         "dedup_incremental": INC.dedup_incremental,
+        # CCNet/RefinedWeb-style line-level boilerplate removal (two
+        # keyed exchanges; exact string compare inside line buckets)
+        "line_dedup": LN.line_dedup,
+        # MERGE INTO / CDC latest-version-wins upsert (one keyed
+        # exchange; per-bucket segment argmax)
+        "orders_upsert": INC.orders_upsert,
         # materialized-view refresh: fold a new-batch aggregate into
         # the stored aggregate (associative merge, aggregate-sized)
         "events_daily_incremental": INC.events_daily_incremental,
@@ -217,6 +230,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_weighted": SA.sample_weighted,
         # similarity search
         "knn_topk": E.knn_topk,
+        # hybrid (metadata-filtered) vector search: predicate applies
+        # before the per-batch matmul, local top-k after
+        "knn_filtered": E.knn_filtered,
+        # blocked fuzzy join (entity resolution): broadcast probe
+        # blocks, vectorized Levenshtein, per-batch local argmin
+        "fuzzy_part_match": FZ.fuzzy_part_match,
         "knn_lsh": E.knn_lsh,
         # int8-quantized cosine top-k (4x fewer bytes moved;
         # rows-only - quantized ranking has no SQL twin)
@@ -249,8 +268,10 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import analytics2 as A2
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
+    from gotenberg_ray.pipelines import fuzzy as FZ
     from gotenberg_ray.pipelines import graph as GR
     from gotenberg_ray.pipelines import incremental as INC
+    from gotenberg_ray.pipelines import lines as LN
     from gotenberg_ray.pipelines import relational as R
     from gotenberg_ray.pipelines import packing as PK
     from gotenberg_ray.pipelines import quality as Q
@@ -295,6 +316,12 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_attribution": W.ASOF_SQL,
         "events_range_campaigns": W.RANGE_SQL,
         "events_rolling_peak": W.ROLLING_SQL,
+        "events_gap_fill": W.GAP_FILL_SQL,
+        "rolling_distinct_users": W.ROLLING_DISTINCT_SQL,
+        "line_dedup": LN.LINE_DEDUP_SQL,
+        "orders_upsert": INC.ORDERS_UPSERT_SQL,
+        "knn_filtered": E.KNN_FILTERED_SQL,
+        "fuzzy_part_match": FZ.FUZZY_MATCH_SQL,
         "customers_no_urgent_orders": AN.NO_ORDERS_SQL,
         "order_price_quantiles": AN.PRICE_QUANTILES_SQL,
         "orders_price_mad": AN.PRICE_MAD_SQL,

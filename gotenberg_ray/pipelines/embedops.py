@@ -130,6 +130,72 @@ ORDER BY rank LIMIT 10
 """
 
 
+FILTER_LABELS = (0, 3, 6, 9)  # the metadata predicate of the hybrid query
+
+
+def knn_filtered(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Hybrid (filtered) vector search: cosine top-k vs the vec_id=0
+    query restricted to rows whose ``label`` passes a metadata
+    predicate — the vector-database "pre-filter" pattern (search only
+    the allowed partition of the store).
+
+    Same scale shape as :func:`knn_topk`: the predicate applies
+    per-batch BEFORE the matmul (so filtered-out vectors never
+    normalize or score), each block emits a local top-k, and only
+    #blocks × k candidate rows merge. At 100 TB a selective predicate
+    additionally prunes at the read when the store is partitioned by
+    the filter column (``label=<v>/`` directories — io.write_partitioned
+    lays data out exactly so)."""
+    q = _query_vector(sf_dir)
+    if q is None:
+        return _empty_rank_frame()
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+    allowed = pa.array(list(FILTER_LABELS), pa.int32())
+
+    class FilteredTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.and_(
+                pc.is_in(batch["label"], value_set=allowed),
+                pc.not_equal(batch["vec_id"], QUERY_VEC_ID),
+            )
+            batch = batch.filter(mask)
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "sim": pa.array([], pa.float64())}
+                )
+            m = _batch_matrix(batch)
+            sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ self.q
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            top = np.argsort(-sims, kind="stable")[:k]
+            return pa.table(
+                {"vec_id": pa.array(ids[top]), "sim": pa.array(sims[top])}
+            )
+
+    cands = (
+        _emb(sf_dir)
+        .map_batches(FilteredTopK, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    return _merge_candidates(cands, k)
+
+
+KNN_FILTERED_SQL = f"""
+SELECT row_number() OVER (
+         ORDER BY list_cosine_similarity(embedding,
+                    (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})) DESC,
+                  vec_id) AS rank,
+       vec_id
+FROM embeddings
+WHERE vec_id != {QUERY_VEC_ID} AND label IN {FILTER_LABELS}
+ORDER BY rank LIMIT 10
+"""
+
+
 def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
 

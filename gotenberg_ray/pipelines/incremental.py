@@ -292,3 +292,146 @@ FROM events
 GROUP BY day, event_type
 ORDER BY day, event_type
 """
+
+
+# ----------------------------------------------------------- CDC upsert
+
+UPSERT_MOD = 7  # orders with o_orderkey % UPSERT_MOD == UPSERT_REM update
+UPSERT_REM = 3
+UPSERT_P = 16  # merge buckets
+
+
+def orders_upsert(sf_dir: str) -> pd.DataFrame:
+    """MERGE INTO / CDC upsert: apply a change batch to a stored table
+    with latest-version-wins semantics — the mutation operator every
+    warehouse-style pipeline needs (Delta/Iceberg MERGE, SCD type 1).
+
+    The change batch is deterministic so the DuckDB twin can rebuild
+    it: every order with ``o_orderkey % 7 == 3`` is re-ingested with
+    status 'X' (a cancellation feed) and a 10% price adjustment,
+    version 2 against the base's version 1.
+
+    Distributed shape: base ∪ changes stream as one dataset; rows
+    route by ``key % P`` (ONE keyed exchange); inside each bucket a
+    lexsort + segment-starts pass keeps the max-version row per key
+    (no per-key Python); per-batch partial aggregation by status
+    follows, so the final groupby folds bucket-sized partials. The
+    exchange is O(base + changes) — at 100 TB the change batch is the
+    small side and the base would be pre-bucketed on disk
+    (io.write_partitioned), turning the merge into a per-bucket
+    local pass exactly like this one.
+
+    All money flows as exact integer cents (the 10% bump is
+    ``cents·110 // 100`` on both engines), so the aggregate is
+    bit-identical under any block layout."""
+    from ray.data.aggregate import Sum
+    from ..functions.segments import segment_starts
+    from .relational import _read, _rename
+
+    def to_versioned(version: int, as_update: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
+            )
+            key = batch["o_orderkey"]
+            status = batch["o_orderstatus"]
+            if as_update:
+                rem = pc.subtract(
+                    key,
+                    pc.multiply(
+                        pc.divide(key, pa.scalar(UPSERT_MOD, pa.int64())),
+                        pa.scalar(UPSERT_MOD, pa.int64()),
+                    ),
+                )
+                mask = pc.equal(rem, pa.scalar(UPSERT_REM, pa.int64()))
+                key = pc.filter(key, mask)
+                cents = pc.filter(cents, mask)
+                cents = pc.divide(
+                    pc.multiply(cents, pa.scalar(110, pa.int64())),
+                    pa.scalar(100, pa.int64()),
+                )
+                status = pa.array(["X"] * len(key), pa.string())
+            k = key.to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "k": key,
+                    "status": status,
+                    "cents": cents,
+                    "v": pa.array(np.full(len(k), version, np.int64)),
+                    "pid": pa.array((k % UPSERT_P).astype(np.int32)),
+                }
+            )
+
+        return fn
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = _read(sf_dir, "orders", cols).map_batches(
+        to_versioned(1, False), batch_format="pyarrow"
+    )
+    changes = _read(sf_dir, "orders", cols).map_batches(
+        to_versioned(2, True), batch_format="pyarrow"
+    )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-v, k))  # per key: highest version first
+        starts = segment_starts(k[order])
+        winners = pa.array(order[starts])
+        t = pa.table(
+            {
+                "status": pc.take(g["status"].combine_chunks(), winners),
+                "n_orders": pa.array(np.ones(len(starts), np.int64)),
+                "cents": pc.take(g["cents"].combine_chunks(), winners),
+            }
+        )
+        return _rename(
+            t.group_by("status").aggregate(
+                [("n_orders", "sum"), ("cents", "sum")]
+            ),
+            {"n_orders_sum": "n_orders", "cents_sum": "total_cents"},
+        )
+
+    df = (
+        base.union(changes)
+        .groupby("pid")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+        .groupby("status")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df, {"status": "object", "n_orders": "int64", "total_cents": "int64"}
+    )
+    df = df.rename(columns={"status": "o_orderstatus"})
+    for c in ("n_orders", "total_cents"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[["o_orderstatus", "n_orders", "total_cents"]]
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+
+
+ORDERS_UPSERT_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents, 1 AS v
+  FROM orders),
+upd AS (
+  SELECT o_orderkey, 'X',
+         (CAST(round(o_totalprice * 100) AS BIGINT) * 110) // 100, 2
+  FROM orders WHERE o_orderkey % {UPSERT_MOD} = {UPSERT_REM}),
+merged AS (
+  SELECT k, status, cents,
+         row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+SELECT status AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM merged WHERE rn = 1
+GROUP BY status ORDER BY status
+"""

@@ -253,3 +253,225 @@ FROM (
 )
 GROUP BY user_id ORDER BY user_id
 """
+
+
+# ------------------------------------------------- calendar densification
+
+DAY_US = 86_400 * US
+TRAIL_DAYS = 7  # trailing window width for rolling_distinct_users
+
+
+def _day_nums(batch_ts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """timestamp[us] → int64 epoch-day numbers (floor)."""
+    return _ts_us(batch_ts) // DAY_US
+
+
+def _fmt_days(day_nums: pd.Series | np.ndarray) -> np.ndarray:
+    # returns positional values (never an indexed Series — assigning a
+    # fresh-index Series into a sorted frame would realign by index)
+    return (
+        pd.Series(pd.to_datetime(np.asarray(day_nums, dtype="int64"), unit="D"))
+        .dt.strftime("%Y-%m-%d")
+        .to_numpy()
+    )
+
+
+def _event_day_bounds(sf_dir: str) -> tuple[int, int] | None:
+    """Global [min, max] event day — one pruned single-column pass
+    that reduces to two int64s (streaming Min/Max aggregate)."""
+    from ray.data.aggregate import Max, Min
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pa.array(_day_nums(batch["ts"]))})
+
+    row = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .aggregate(Min("day"), Max("day"))
+    )
+    if not row or row.get("min(day)") is None:
+        return None
+    return int(row["min(day)"]), int(row["max(day)"])
+
+
+def events_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Zero-filled daily event counts per type + day-over-day delta —
+    the gap-fill/densify operator every time-series pipeline needs
+    (missing days must exist as rows before lag/diff is meaningful).
+
+    Scale shape: the distributed part is the usual pruned-read →
+    per-batch partial count → (day,type) groupby; densification and
+    the lag column run on the DRIVER over the aggregate, which is
+    calendar-sized (#days × #types), not data-sized — that is the
+    correct venue at any corpus size."""
+    bounds = _event_day_bounds(sf_dir)
+    if bounds is None:
+        return pd.DataFrame(
+            {
+                "day": pd.Series([], dtype="object"),
+                "event_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "delta": pd.Series([], dtype="int64"),
+            }
+        )
+    d0, d1 = bounds
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": pa.array(_day_nums(batch["ts"])),
+                "event_type": batch["event_type"],
+            }
+        )
+        g = t.group_by(["day", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "event_type", "n"])
+
+    counts = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = ensure_columns(
+        counts, {"day": "int64", "event_type": "object", "n": "int64"}
+    )
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [range(d0, d1 + 1), types], names=["day", "event_type"]
+    )
+    dense = (
+        counts.set_index(["day", "event_type"])
+        .reindex(grid, fill_value=0)
+        .reset_index()
+    )
+    dense = dense.sort_values(["event_type", "day"], kind="mergesort")
+    dense["delta"] = dense["n"] - dense.groupby("event_type")["n"].shift(
+        1, fill_value=0
+    )
+    dense["day"] = _fmt_days(dense["day"].to_numpy())
+    dense["n"] = dense["n"].astype("int64")
+    dense["delta"] = dense["delta"].astype("int64")
+    return (
+        dense[["day", "event_type", "n", "delta"]]
+        .sort_values(["day", "event_type"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+GAP_FILL_SQL = """
+WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+           FROM events),
+days AS (SELECT unnest(generate_series((SELECT d0 FROM b),
+                                       (SELECT d1 FROM b),
+                                       INTERVAL 1 DAY))::DATE AS day),
+types AS (SELECT DISTINCT event_type FROM events),
+cnt AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+filled AS (
+  SELECT g.day, g.event_type, coalesce(c.n, 0) AS n
+  FROM (SELECT * FROM days CROSS JOIN types) g
+  LEFT JOIN cnt c ON c.day = g.day AND c.event_type = g.event_type)
+SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY day),
+                         0) AS BIGINT) AS delta
+FROM filled ORDER BY day, event_type
+"""
+
+
+def rolling_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Trailing-7-day distinct users per day — windowed COUNT(DISTINCT),
+    which no single groupby expresses because a user must count once
+    per WINDOW it falls in, not once globally.
+
+    Distributed shape (two dedup exchanges, both pair-sized):
+    1. batch-local (day, user) dedup → global (day, user) groupby —
+       the exact-distinct pattern of ``distinct_users_daily``;
+    2. each surviving pair EXPANDS to the ≤7 cover days it influences
+       (vectorized repeat — the standard window-as-join unrolling for
+       small fixed windows), then (cover_day, user) dedups again and
+       a per-day partial count folds.
+
+    The exchange volume is ≤ 7× the distinct-pair count — independent
+    of raw event volume; at 100 TB the window factor, not the corpus,
+    prices the op. Days with no active window users still appear
+    (zero rows from the calendar-sized driver densify)."""
+    bounds = _event_day_bounds(sf_dir)
+    if bounds is None:
+        return pd.DataFrame(
+            {
+                "day": pd.Series([], dtype="object"),
+                "n_users_7d": pd.Series([], dtype="int64"),
+            }
+        )
+    d0, d1 = bounds
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": pa.array(_day_nums(batch["ts"])),
+                "user_id": batch["user_id"],
+            }
+        )
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        days = batch["day"].to_numpy(zero_copy_only=False)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        cover = (
+            np.repeat(days, TRAIL_DAYS)
+            + np.tile(np.arange(TRAIL_DAYS, dtype=np.int64), len(days))
+        )
+        keep = cover <= d1
+        t = pa.table(
+            {
+                "day": pa.array(cover[keep]),
+                "user_id": pa.array(np.repeat(users, TRAIL_DAYS)[keep]),
+            }
+        )
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["day"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["day", "n"])
+
+    from ray.data.aggregate import Count
+
+    df = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(local_pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n_users_7d"))
+        .to_pandas()
+    )
+    df = ensure_columns(df, {"day": "int64", "n_users_7d": "int64"})
+    dense = (
+        df.set_index("day")
+        .reindex(range(d0, d1 + 1), fill_value=0)
+        .reset_index()
+    )
+    dense["day"] = _fmt_days(dense["day"].to_numpy())
+    dense["n_users_7d"] = dense["n_users_7d"].astype("int64")
+    return dense.sort_values("day").reset_index(drop=True)
+
+
+ROLLING_DISTINCT_SQL = f"""
+WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+           FROM events),
+days AS (SELECT unnest(generate_series((SELECT d0 FROM b),
+                                       (SELECT d1 FROM b),
+                                       INTERVAL 1 DAY))::DATE AS day)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_7d
+FROM days
+LEFT JOIN events e
+  ON CAST(e.ts AS DATE) BETWEEN day - {TRAIL_DAYS - 1} AND day
+GROUP BY day ORDER BY day
+"""
