@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import relational3 as R3
+    from gotenberg_ray.pipelines import scoring as SC
+    from gotenberg_ray.pipelines import setops as SO
+    from gotenberg_ray.pipelines import skyline as SK
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import train as TR
@@ -198,6 +201,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": TFIDF.tfidf_top_terms,
         # OOV rate vs broadcast bounded top-k vocabulary
         "oov_rate": TFIDF.oov_rate,
+        # corpus-trained bigram-LM quality scoring (KenLM pattern;
+        # integer-exact perplexity analogue, broadcast model)
+        "doc_lm_score": SC.doc_lm_score,
+        # distributed skyline / Pareto frontier (two-phase local →
+        # frontier fold; input never shuffles)
+        "skyline_parts": SK.skyline_parts,
+        # INTERSECT/EXCEPT/UNION in one keyed pass (bit-OR classify)
+        "customer_set_ops": SO.customer_set_ops,
+        # MODE aggregate per group with deterministic tie-break
+        "user_mode_event": SO.user_mode_event,
         # privacy scrub + Gopher-style repetition quality gate
         "pii_scan": Q.pii_scan,
         "pii_redact": Q.pii_redact,
@@ -277,6 +290,9 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import relational3 as R3
+    from gotenberg_ray.pipelines import scoring as SC
+    from gotenberg_ray.pipelines import setops as SO
+    from gotenberg_ray.pipelines import skyline as SK
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import windows as W
@@ -353,6 +369,10 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": T.NORMALIZE_SQL,
         "tfidf_top_terms": TFIDF.TFIDF_SQL,
         "oov_rate": TFIDF.OOV_SQL,
+        "doc_lm_score": SC.LM_SCORE_SQL,
+        "skyline_parts": SK.SKYLINE_SQL,
+        "customer_set_ops": SO.SET_OPS_SQL,
+        "user_mode_event": SO.USER_MODE_SQL,
         "pii_scan": Q.PII_SCAN_SQL,
         "pii_redact": Q.PII_REDACT_SQL,
         "repetition_quality": Q.REPETITION_SQL,
