@@ -68,7 +68,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import analytics as AN
     from gotenberg_ray.pipelines import analytics2 as A2
     from gotenberg_ray.pipelines import cluster as CL
+    from gotenberg_ray.pipelines import dimred as DR
+    from gotenberg_ray.pipelines import layout as LY
     from gotenberg_ray.pipelines import sampling as SA
+    from gotenberg_ray.pipelines import validate as VA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import graph as GR
     from gotenberg_ray.pipelines import fuzzy as FZ
@@ -201,6 +204,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": TFIDF.tfidf_top_terms,
         # OOV rate vs broadcast bounded top-k vocabulary
         "oov_rate": TFIDF.oov_rate,
+        # expectation-suite data validation (range/uniqueness checks +
+        # bucketed ANTI join membership vs a reference slice)
+        "orders_expectations": VA.orders_expectations,
+        # Z-order (Morton) layout + pruned rectangle scan — the
+        # OPTIMIZE ZORDER BY pattern over the resumable bucket sink
+        "zorder_scan": LY.zorder_scan,
+        # distributed PCA (exact integer moments → driver eigenbasis →
+        # broadcast projection; rows-only — eigen has no SQL twin)
+        "embedding_pca": DR.embedding_pca,
         # corpus-trained bigram-LM quality scoring (KenLM pattern;
         # integer-exact perplexity analogue, broadcast model)
         "doc_lm_score": SC.doc_lm_score,
@@ -279,9 +291,11 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import admission as A
     from gotenberg_ray.pipelines import analytics as AN
     from gotenberg_ray.pipelines import analytics2 as A2
+    from gotenberg_ray.pipelines import layout as LY
     from gotenberg_ray.pipelines import sampling as SA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import fuzzy as FZ
+    from gotenberg_ray.pipelines import validate as VA
     from gotenberg_ray.pipelines import graph as GR
     from gotenberg_ray.pipelines import incremental as INC
     from gotenberg_ray.pipelines import lines as LN
@@ -369,6 +383,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": T.NORMALIZE_SQL,
         "tfidf_top_terms": TFIDF.TFIDF_SQL,
         "oov_rate": TFIDF.OOV_SQL,
+        "orders_expectations": VA.EXPECTATIONS_SQL,
+        "zorder_scan": LY.ZORDER_SQL,
         "doc_lm_score": SC.LM_SCORE_SQL,
         "skyline_parts": SK.SKYLINE_SQL,
         "customer_set_ops": SO.SET_OPS_SQL,

@@ -115,6 +115,7 @@ def write_partitioned(
     path: str,
     key: str,
     num_partitions: int = 32,
+    direct: bool = False,
 ) -> dict:
     """Resumable partitioned sink: rows are hash-bucketed on ``key``
     into ``num_partitions`` directories, each written atomically (data
@@ -129,7 +130,12 @@ def write_partitioned(
     are content-deterministic (``mix64(key) % P``), so a resume run
     routes every row to the same directory it targeted before.
     Directory names avoid ``key=value`` so a plain ``read_parquet``
-    never hive-infers a phantom partition column."""
+    never hive-infers a phantom partition column.
+
+    ``direct=True`` uses the key VALUE itself (mod num_partitions) as
+    the bucket id instead of its hash — for layout-aware sinks (z-order
+    cells, label partitions) where the caller needs a value→directory
+    mapping it can prune on at read time."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -145,7 +151,11 @@ def write_partitioned(
     }
 
     def tag(batch: pa.Table) -> pa.Table:
-        pid = partition_ids(batch.column(key), num_partitions)
+        if direct:
+            vals = batch.column(key).to_numpy(zero_copy_only=False)
+            pid = pa.array((vals % num_partitions).astype(np.int32))
+        else:
+            pid = partition_ids(batch.column(key), num_partitions)
         batch = batch.append_column("__bucket__", pid)
         if done:  # resume: finished buckets never re-enter the shuffle
             keep = ~np.isin(pid.to_numpy(zero_copy_only=False), list(done))
