@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed COUNT(DISTINCT): trailing-7-day active users via
         # dedup → bounded window expansion → dedup
         "rolling_distinct_users": W.rolling_distinct_users,
+        # SCD2 point-in-time join (versioned-dimension validity
+        # intervals resolved inside one keyed exchange)
+        "orders_scd2_join": W.orders_scd2_join,
         # distributed analytics (anti-join / exact quantiles without a
         # sort / two-phase distinct / mergeable HLL sketch)
         "customers_no_urgent_orders": AN.customers_no_urgent_orders,
@@ -196,6 +199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wedge-enumeration + semi-join closure (oracle-checked -
         # the edge generator is pure modular arithmetic)
         "triangle_count": GR.triangle_count,
+        # depth-bounded BFS (recursive-CTE shape): per-round bucketed
+        # frontier ⋈ edges + anti join vs visited (oracle-checked)
+        "reachable_nodes": GR.reachable_nodes,
         "contamination_check": T.contamination_check,
         "curation_pipeline": T.curation_pipeline,
         "vocab_top_df": T.vocab_top_df,
@@ -348,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_peak": W.ROLLING_SQL,
         "events_gap_fill": W.GAP_FILL_SQL,
         "rolling_distinct_users": W.ROLLING_DISTINCT_SQL,
+        "orders_scd2_join": W.SCD2_SQL,
         "line_dedup": LN.LINE_DEDUP_SQL,
         "orders_upsert": INC.ORDERS_UPSERT_SQL,
         "knn_filtered": E.KNN_FILTERED_SQL,
@@ -374,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_clusters": T.CLUSTERS_SQL,
         "triangle_count": GR.TRIANGLES_SQL,
+        "reachable_nodes": GR.REACHABLE_SQL,
         "dedup_incremental": INC.DEDUP_INCREMENTAL_SQL,
         "events_daily_incremental": INC.EVENTS_DAILY_INCREMENTAL_SQL,
         "duplicate_span_stats": T.DUP_SPANS_SQL,

@@ -40,6 +40,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.frames import ensure_columns
 from .joins import hash_join
 
 _I64 = pa.int64()
@@ -490,4 +491,153 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM e e1
 JOIN e e2 ON e2.lo = e1.hi
 JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+"""
+
+
+# ------------------------------------------------------- depth-k BFS
+
+BFS_SEEDS = 5  # doc_id < BFS_SEEDS start the traversal
+BFS_DEPTH = 3  # hop budget
+
+
+def reachable_nodes(sf_dir: str) -> pd.DataFrame:
+    """Depth-bounded BFS over the deterministic link graph: every node
+    reachable from the seed set (doc_id < 5) within ≤ 3 directed hops,
+    with its MINIMUM hop depth — the multi-hop expansion primitive
+    (recursive CTE / graph-traversal shape) Ray Data has no native
+    operator for.
+
+    Distributed shape: classic frontier iteration. Each round is ONE
+    bucketed ``hash_join`` of the (node-sized) frontier against the
+    edge table on ``src`` plus ONE anti join against the visited set —
+    the exchanges carry the frontier and its out-edges only, never the
+    whole graph adjacency, and min-depth falls out for free because a
+    node is claimed by the FIRST round that reaches it. The hop budget
+    bounds the rounds, so the plan is statically K joins long (no
+    driver-side convergence loop over row data). The DuckDB twin is
+    the recursive CTE over the same arithmetic edge generator."""
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
+
+    edges, _ = _doc_link_edges(sf_dir)
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids < BFS_SEEDS
+        return pa.table(
+            {
+                "node": pa.array(ids[keep].astype(np.int64)),
+                "depth": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            }
+        )
+
+    from ..io import read_table
+
+    frontier = read_table(sf_dir, "documents", ["doc_id"]).map_batches(
+        seeds, batch_format="pyarrow"
+    )
+    visited = frontier  # (node, depth) rows; grows per round
+    edge_schema = [("src", pa.int64()), ("dst", pa.int64())]
+
+    for k in range(1, BFS_DEPTH + 1):
+        # expand: frontier ⋈ edges on node=src → candidate dst's
+        def fr_prep(b: pa.Table, _k=k) -> pa.Table:
+            if b.num_rows == 0 or "node" not in b.column_names:
+                return pa.table({"src": pa.array([], pa.int64())})
+            return pa.table({"src": b["node"]})
+
+        expanded = hash_join(
+            frontier.map_batches(fr_prep, batch_format="pyarrow"),
+            edges,
+            on="src",
+            left_schema=[("src", pa.int64())],
+            right_schema=edge_schema,
+        )
+
+        def next_nodes(b: pa.Table, _k=k) -> pa.Table:
+            if b.num_rows == 0 or "dst" not in b.column_names:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "depth": pa.array([], pa.int64())}
+                )
+            t = pa.table({"node": b["dst"]})
+            t = t.group_by("node").aggregate([])  # batch-local dedup
+            return t.append_column(
+                "depth", pa.array(np.full(t.num_rows, _k, np.int64))
+            )
+
+        candidates = expanded.map_batches(next_nodes, batch_format="pyarrow")
+        # min-depth claim: drop anything an earlier round reached
+        fresh = hash_join(
+            candidates,
+            visited.map_batches(
+                lambda b: pa.table({"node": b["node"]})
+                if b.num_rows and "node" in b.column_names
+                else pa.table({"node": pa.array([], pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            on="node",
+            join_type="left anti",
+            left_schema=[("node", pa.int64()), ("depth", pa.int64())],
+            right_schema=[("node", pa.int64())],
+        )
+        # global dedup of this round's claims (several frontier nodes
+        # may reach the same dst in the same round)
+        frontier = (
+            fresh.groupby("node")
+            .aggregate(Count(alias_name="_c"))
+            .map_batches(
+                lambda b, _k=k: pa.table(
+                    {
+                        "node": b["node"]
+                        if b.num_rows and "node" in b.column_names
+                        else pa.array([], pa.int64()),
+                        "depth": pa.array(
+                            np.full(
+                                b.num_rows
+                                if b.num_rows and "node" in b.column_names
+                                else 0,
+                                _k,
+                                np.int64,
+                            )
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        # two consumers (next round's anti + final union) — pin blocks
+        frontier = frontier.materialize()
+        visited = visited.union(frontier)
+
+    df = visited.to_pandas()
+    df = ensure_columns(df, {"node": "int64", "depth": "int64"})
+    df = df.rename(columns={"node": "doc_id"})
+    for c in ("doc_id", "depth"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+REACHABLE_SQL = f"""
+WITH RECURSIVE
+n AS (SELECT count(*) AS nn FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src,
+         (((doc_id*2654435761 + j*40503) % nn)
+          * ((doc_id*2654435761 + j*40503) % nn)) % nn AS dst
+  FROM documents, (VALUES (1),(2),(3)) t(j), n
+  WHERE (((doc_id*2654435761 + j*40503) % nn)
+         * ((doc_id*2654435761 + j*40503) % nn)) % nn <> doc_id
+),
+bfs AS (
+  SELECT doc_id AS node, 0 AS depth FROM documents
+  WHERE doc_id < {BFS_SEEDS}
+  UNION ALL
+  SELECT e.dst, b.depth + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.depth < {BFS_DEPTH}
+)
+SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS depth
+FROM bfs GROUP BY node ORDER BY doc_id
 """

@@ -475,3 +475,145 @@ LEFT JOIN events e
   ON CAST(e.ts AS DATE) BETWEEN day - {TRAIL_DAYS - 1} AND day
 GROUP BY day ORDER BY day
 """
+
+
+# -------------------------------------------- SCD2 point-in-time join
+
+SCD2_EPOCH = np.datetime64("1994-01-01", "us").astype(np.int64)  # µs
+SCD2_MOD = 1000  # per-customer split offset (days)
+
+
+def orders_scd2_join(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time join of facts against a versioned (SCD type 2)
+    dimension — the warehouse pattern where each dimension key carries
+    validity intervals and a fact row must join the version that was
+    current AT ITS OWN timestamp.
+
+    The versioned dimension is synthesized deterministically so the
+    DuckDB twin rebuilds it: every customer has version 1 until
+    ``1994-01-01 + (c_custkey % 1000) days`` and version 2 after.
+
+    Distributed shape: ONE bucketed equi-join on the customer key
+    (``joins.hash_join`` — dimension versions co-locate with their
+    facts), then the validity predicate filters the per-key version
+    fan-out VECTORIZED inside the partition, and per-batch partial
+    aggregates fold into a version-sized groupby. The interval logic
+    never forces a driver pass or a second exchange; money is exact
+    integer cents."""
+    from .joins import hash_join
+    from .relational import _read, _rename
+
+    def fact_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "od_us": pa.array(_ts_us(batch["o_orderdate"])),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def dim_prep(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        split = SCD2_EPOCH + (ck % SCD2_MOD) * DAY_US
+        lo = np.int64(np.iinfo(np.int64).min)
+        hi = np.int64(np.iinfo(np.int64).max)
+        return pa.table(
+            {
+                "c_custkey": pa.array(np.concatenate([ck, ck])),
+                "version": pa.array(
+                    np.r_[np.ones(len(ck), np.int64), np.full(len(ck), 2, np.int64)]
+                ),
+                "from_us": pa.array(np.r_[np.full(len(ck), lo), split]),
+                "to_us": pa.array(np.r_[split, np.full(len(ck), hi)]),
+            }
+        )
+
+    joined = hash_join(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(fact_prep, batch_format="pyarrow"),
+        _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+            dim_prep, batch_format="pyarrow"
+        ),
+        on="o_custkey",
+        right_on="c_custkey",
+        left_schema=[
+            ("o_custkey", pa.int64()),
+            ("od_us", pa.int64()),
+            ("cents", pa.int64()),
+        ],
+        right_schema=[
+            ("c_custkey", pa.int64()),
+            ("version", pa.int64()),
+            ("from_us", pa.int64()),
+            ("to_us", pa.int64()),
+        ],
+    )
+
+    def validity_fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "od_us" not in batch.column_names:
+            return pa.table(
+                {"version": pa.array([], pa.int64()),
+                 "n_orders": pa.array([], pa.int64()),
+                 "total_cents": pa.array([], pa.int64())}
+            )
+        keep = pc.and_(
+            pc.greater_equal(batch["od_us"], batch["from_us"]),
+            pc.less(batch["od_us"], batch["to_us"]),
+        )
+        batch = batch.filter(keep)
+        t = pa.table(
+            {
+                "version": batch["version"],
+                "n_orders": pa.array(np.ones(batch.num_rows, np.int64)),
+                "cents": batch["cents"],
+            }
+        )
+        return _rename(
+            t.group_by("version").aggregate(
+                [("n_orders", "sum"), ("cents", "sum")]
+            ),
+            {"n_orders_sum": "n_orders", "cents_sum": "total_cents"},
+        )
+
+    df = (
+        joined.map_batches(validity_fold, batch_format="pyarrow")
+        .groupby("version")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df, {"version": "int64", "n_orders": "int64", "total_cents": "int64"}
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("version").reset_index(drop=True)
+
+
+SCD2_SQL = f"""
+WITH dim AS (
+  SELECT c_custkey, 1 AS version,
+         TIMESTAMP '1000-01-01 00:00:00' AS valid_from,
+         TIMESTAMP '1994-01-01 00:00:00'
+           + (c_custkey % {SCD2_MOD}) * INTERVAL 1 DAY AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2,
+         TIMESTAMP '1994-01-01 00:00:00'
+           + (c_custkey % {SCD2_MOD}) * INTERVAL 1 DAY,
+         TIMESTAMP '2999-01-01 00:00:00'
+  FROM customer)
+SELECT version,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM orders o
+JOIN dim d ON d.c_custkey = o.o_custkey
+          AND o.o_orderdate >= d.valid_from
+          AND o.o_orderdate < d.valid_to
+GROUP BY version ORDER BY version
+"""

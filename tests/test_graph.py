@@ -160,3 +160,26 @@ class TestTriangleCount:
         want = int(con.sql(G.TRIANGLES_SQL).df()["n_triangles"][0])
         assert int(a["n_triangles"][0]) == want
         assert want >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReachableNodes:
+    def test_matches_sql_twin_and_invariants(self, sf_dir):
+        import duckdb
+
+        a = G.reachable_nodes(sf_dir)
+        b = G.reachable_nodes(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        assert list(a.columns) == ["doc_id", "depth"]
+        # seeds are depth 0, everything within the hop budget
+        assert set(a[a.depth == 0]["doc_id"]) == set(range(G.BFS_SEEDS))
+        assert a["depth"].max() <= G.BFS_DEPTH
+        # min-depth claim: each node appears exactly once
+        assert a["doc_id"].is_unique
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = con.sql(G.REACHABLE_SQL).df()
+        got = a.astype({"doc_id": "int64", "depth": "int64"})
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.astype("int64").reset_index(drop=True)
+        )

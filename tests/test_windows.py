@@ -136,3 +136,24 @@ class TestKnnPq:
         assert list(a.columns) == ["rank", "vec_id"]
         # ADC shortlist + exact refine: high recall expected
         assert len(set(a["vec_id"]) & exact) / 10 >= 0.9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScd2Join:
+    def test_matches_sql_twin_and_conserves_orders(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import windows as W
+
+        a = W.orders_scd2_join(sf_dir)
+        b = W.orders_scd2_join(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        assert list(a.columns) == ["version", "n_orders", "total_cents"]
+        con = duckdb.connect()
+        for t in ("orders", "customer"):
+            con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+        want = con.sql(W.SCD2_SQL).df().astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want.reset_index(drop=True))
+        # every order falls in exactly one validity interval
+        n_orders = con.sql("SELECT count(*) c FROM orders").df()["c"][0]
+        assert int(a["n_orders"].sum()) == int(n_orders)
