@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import relational3 as R3
+    from gotenberg_ray.pipelines import relational4 as R4
     from gotenberg_ray.pipelines import scoring as SC
     from gotenberg_ray.pipelines import setops as SO
     from gotenberg_ray.pipelines import skyline as SK
@@ -126,6 +127,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_excess_suppliers": R3.q20_excess_suppliers,
         "q21_waiting_suppliers": R3.q21_waiting_suppliers,
         "q22_idle_customers": R3.q22_idle_customers,
+        # fourth relational wave: FULL OUTER of two aggregated sides /
+        # grouped top-k + ORDERED string_agg / exact NTILE(4) via the
+        # distributed ordered-prefix-sum rank (no global sort)
+        "nation_balance_full_outer": R4.nation_balance_full_outer,
+        "nation_top_customers_agg": R4.nation_top_customers_agg,
+        "orders_price_ntile": R4.orders_price_ntile,
         # streaming-shaped event processing
         "events_daily_counts": R.events_daily_counts,
         "events_user_stats": R.events_user_stats,
@@ -310,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import quality as Q
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import relational3 as R3
+    from gotenberg_ray.pipelines import relational4 as R4
     from gotenberg_ray.pipelines import scoring as SC
     from gotenberg_ray.pipelines import setops as SO
     from gotenberg_ray.pipelines import skyline as SK
@@ -345,6 +353,9 @@ def oracle_sql() -> dict[str, str]:
         "q20_excess_suppliers": R3.Q20_SQL,
         "q21_waiting_suppliers": R3.Q21_SQL,
         "q22_idle_customers": R3.Q22_SQL,
+        "nation_balance_full_outer": R4.FULL_OUTER_SQL,
+        "nation_top_customers_agg": R4.TOP_CUSTOMERS_AGG_SQL,
+        "orders_price_ntile": R4.NTILE_SQL,
         "events_daily_counts": R.EVENTS_DAILY_SQL,
         "events_user_stats": R.EVENTS_USER_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
