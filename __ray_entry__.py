@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCD2 point-in-time join (versioned-dimension validity
         # intervals resolved inside one keyed exchange)
         "orders_scd2_join": W.orders_scd2_join,
+        # interval-union coverage: distinct active time per user via
+        # one keyed exchange + vectorized running-max merge
+        "user_active_time": W.user_active_time,
         # distributed analytics (anti-join / exact quantiles without a
         # sort / two-phase distinct / mergeable HLL sketch)
         "customers_no_urgent_orders": AN.customers_no_urgent_orders,
@@ -158,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-pass dependent statistic: per-group median broadcast
         # into a second streaming pass over |x - median| (oracle)
         "orders_price_mad": AN.orders_price_mad,
+        # three-pass robust quality gate: median → MAD → broadcast
+        # threshold count (|x-med| > 3·MAD per group, integer-exact)
+        "orders_price_outliers": AN.orders_price_outliers,
         "distinct_users_daily": AN.distinct_users_daily,
         "hll_users_per_type": AN.hll_users_per_type,
         "quantile_sketch": AN.quantile_sketch,
@@ -195,6 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MERGE INTO / CDC latest-version-wins upsert (one keyed
         # exchange; per-bucket segment argmax)
         "orders_upsert": INC.orders_upsert,
+        # snapshot reconciliation: added/deleted/updated/unchanged
+        # classification across two table versions in one exchange
+        "orders_table_diff": INC.orders_table_diff,
         # materialized-view refresh: fold a new-batch aggregate into
         # the stored aggregate (associative merge, aggregate-sized)
         "events_daily_incremental": INC.events_daily_incremental,
@@ -366,13 +375,16 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_fill": W.GAP_FILL_SQL,
         "rolling_distinct_users": W.ROLLING_DISTINCT_SQL,
         "orders_scd2_join": W.SCD2_SQL,
+        "user_active_time": W.ACTIVE_TIME_SQL,
         "line_dedup": LN.LINE_DEDUP_SQL,
         "orders_upsert": INC.ORDERS_UPSERT_SQL,
+        "orders_table_diff": INC.TABLE_DIFF_SQL,
         "knn_filtered": E.KNN_FILTERED_SQL,
         "fuzzy_part_match": FZ.FUZZY_MATCH_SQL,
         "customers_no_urgent_orders": AN.NO_ORDERS_SQL,
         "order_price_quantiles": AN.PRICE_QUANTILES_SQL,
         "orders_price_mad": AN.PRICE_MAD_SQL,
+        "orders_price_outliers": AN.PRICE_OUTLIERS_SQL,
         "distinct_users_daily": AN.DISTINCT_DAILY_SQL,
         "heavy_hitter_users": AN.HEAVY_HITTERS_SQL,
         "orders_profile": AN.ORDERS_PROFILE_SQL,

@@ -889,3 +889,85 @@ FROM px JOIN med USING (o_orderpriority)
 GROUP BY px.o_orderpriority, med.p50_e2
 ORDER BY px.o_orderpriority
 """
+
+
+# ------------------------------------------- robust outlier flagging
+
+OUTLIER_K = 3  # |x - median| > K * MAD flags an outlier
+
+
+def orders_price_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust (median/MAD) outlier counting per order priority — the
+    three-pass dependent-statistic shape: pass 1+2 are exactly
+    ``orders_price_mad`` (per-group median, then median absolute
+    deviation, both sort-free over the bounded money domain); their
+    5-row result broadcasts into pass 3, one more stream over the
+    price column counting rows with |x − med| > K·MAD per group via
+    per-batch integer partial sums. This is the data-curation "robust
+    quality gate": no pass sorts, no pass holds raw rows, and the
+    inter-pass dependency is always a group-count-sized table."""
+    stats = orders_price_mad(sf_dir)  # o_orderpriority, mad_e2, n_orders, p50_e2
+    med_by = dict(zip(stats["o_orderpriority"], stats["p50_e2"]))
+    mad_by = dict(zip(stats["o_orderpriority"], stats["mad_e2"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_e2 = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        prio = batch["o_orderpriority"].to_pandas()
+        med = prio.map(med_by).to_numpy(dtype=np.int64)
+        mad = prio.map(mad_by).to_numpy(dtype=np.int64)
+        flag = (np.abs(price_e2 - med) > OUTLIER_K * mad).astype(np.int64)
+        t = pa.table(
+            {"o_orderpriority": batch["o_orderpriority"],
+             "n_outliers": pa.array(flag)}
+        )
+        return (
+            t.group_by("o_orderpriority")
+            .aggregate([("n_outliers", "sum")])
+            .rename_columns(["o_orderpriority", "n_outliers"])
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_outliers", alias_name="n_outliers"))
+        .to_pandas()
+    )
+    out = ensure_columns(
+        out, {"o_orderpriority": "object", "n_outliers": "int64"}
+    )
+    df = stats.merge(out, on="o_orderpriority", how="left")
+    df["n_outliers"] = df["n_outliers"].fillna(0).astype("int64")
+    df = df[["o_orderpriority", "n_orders", "n_outliers", "p50_e2", "mad_e2"]]
+    for c in ("n_orders", "n_outliers", "p50_e2", "mad_e2"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+PRICE_OUTLIERS_SQL = f"""
+WITH px AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2
+  FROM orders),
+med AS (
+  SELECT o_orderpriority, quantile_disc(price_e2, 0.5) AS p50_e2
+  FROM px GROUP BY o_orderpriority),
+madt AS (
+  SELECT px.o_orderpriority, med.p50_e2,
+         quantile_disc(abs(px.price_e2 - med.p50_e2), 0.5) AS mad_e2
+  FROM px JOIN med USING (o_orderpriority)
+  GROUP BY px.o_orderpriority, med.p50_e2)
+SELECT px.o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN abs(px.price_e2 - m.p50_e2) > {OUTLIER_K} * m.mad_e2
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       CAST(m.p50_e2 AS BIGINT) AS p50_e2,
+       CAST(m.mad_e2 AS BIGINT) AS mad_e2
+FROM px JOIN madt m USING (o_orderpriority)
+GROUP BY px.o_orderpriority, m.p50_e2, m.mad_e2
+ORDER BY px.o_orderpriority
+"""

@@ -435,3 +435,124 @@ SELECT status AS o_orderstatus,
 FROM merged WHERE rn = 1
 GROUP BY status ORDER BY status
 """
+
+
+# ------------------------------------------------ table-version diff
+
+DIFF_DEL_MOD = 101  # v2 drops keys % 101 == 0 ("deleted")
+DIFF_ADD_MOD = 103  # v1 lacks keys % 103 == 0 (so v2 shows "added")
+DIFF_UPD_MOD = 97  # v2 bumps price 10% on keys % 97 == 0 ("updated")
+_DIFF_P = 16
+
+
+def orders_table_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot reconciliation: classify every order key across two
+    deterministically derived table versions as added / deleted /
+    updated / unchanged — the table-diff / anti-entropy audit that
+    complements ``orders_upsert`` (which *applies* changes; this
+    *finds* them).
+
+    The versions derive from the same scan so the DuckDB twin can
+    rebuild them: v1 omits keys ≡0 (mod 103), v2 omits keys ≡0
+    (mod 101) and bumps the price 10% on keys ≡0 (mod 97).
+
+    Distributed shape: ONE pass over orders emits up to two (key,
+    side, cents) rows per input row; rows route once by ``key % P``;
+    inside each bucket a lexsort + segment fold pairs each key's two
+    sides with no per-key Python (≤2 rows per key by construction),
+    classifies vectorized, and per-batch partial counts fold through a
+    4-row groupby. The exchange is O(rows), driver sees 4 rows."""
+    from ..functions.segments import segment_starts
+
+    def emit(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        in_v1 = k % DIFF_ADD_MOD != 0
+        in_v2 = k % DIFF_DEL_MOD != 0
+        c2 = np.where(k % DIFF_UPD_MOD == 0, cents * 110 // 100, cents)
+        ks = np.concatenate([k[in_v1], k[in_v2]])
+        side = np.concatenate(
+            [np.ones(int(in_v1.sum()), np.int64),
+             np.full(int(in_v2.sum()), 2, np.int64)]
+        )
+        cs = np.concatenate([cents[in_v1], c2[in_v2]])
+        return pa.table(
+            {
+                "pid": pa.array((ks % _DIFF_P).astype(np.int32)),
+                "k": pa.array(ks),
+                "side": pa.array(side),
+                "cents": pa.array(cs),
+            }
+        )
+
+    def classify(part: pa.Table) -> pa.Table:
+        k = part["k"].to_numpy(zero_copy_only=False)
+        side = part["side"].to_numpy(zero_copy_only=False)
+        cents = part["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, k))
+        k, side, cents = k[order], side[order], cents[order]
+        starts = segment_starts(k)
+        n_rows = np.diff(np.append(starts, len(k)))
+        # per key: bit-OR of sides; both-sides keys compare cents
+        bits = np.zeros(len(starts), np.int64)
+        np.add.at(bits, np.repeat(np.arange(len(starts)), n_rows), side)
+        # sides are distinct per key (1 and/or 2), so sum == OR code
+        first_c = cents[starts]
+        last_c = cents[starts + n_rows - 1]
+        label = np.where(
+            bits == 2, 0,  # v2 only → added
+            np.where(bits == 1, 1,  # v1 only → deleted
+                     np.where(first_c != last_c, 2, 3)),
+        )
+        names = np.array(["added", "deleted", "updated", "unchanged"])
+        t = pa.table(
+            {
+                "change_type": pa.array(names[label]),
+                "n_orders": pa.array(np.ones(len(label), np.int64)),
+            }
+        )
+        return (
+            t.group_by("change_type")
+            .aggregate([("n_orders", "sum")])
+            .rename_columns(["change_type", "n_orders"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    df = (
+        read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(classify, batch_format="pyarrow")
+        .groupby("change_type")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    df = ensure_columns(df, {"change_type": "object", "n_orders": "int64"})
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df.sort_values("change_type").reset_index(drop=True)
+
+
+TABLE_DIFF_SQL = f"""
+WITH v1 AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % {DIFF_ADD_MOD} <> 0),
+v2 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % {DIFF_UPD_MOD} = 0
+              THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 110) // 100
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % {DIFF_DEL_MOD} <> 0)
+SELECT CASE WHEN v1.k IS NULL THEN 'added'
+            WHEN v2.k IS NULL THEN 'deleted'
+            WHEN v1.cents <> v2.cents THEN 'updated'
+            ELSE 'unchanged' END AS change_type,
+       count(*)::BIGINT AS n_orders
+FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+GROUP BY 1 ORDER BY 1
+"""

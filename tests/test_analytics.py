@@ -209,3 +209,26 @@ class TestPriceMad:
         pd.testing.assert_frame_equal(got, want)
         # MAD is a real deviation on this data, not degenerate
         assert (got["mad_e2"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPriceOutliers:
+    def test_matches_sql_twin_and_consistency(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import analytics as AN
+
+        a = AN.orders_price_outliers(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW orders AS FROM '{sf_dir}/orders.parquet'")
+        want = con.sql(AN.PRICE_OUTLIERS_SQL).df()
+        for c in ("n_orders", "n_outliers", "p50_e2", "mad_e2"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # outliers are a strict minority under a 3-MAD gate
+        assert (a["n_outliers"] * 2 < a["n_orders"]).all()
+        # per-priority medians agree with the standalone MAD query
+        mad = AN.orders_price_mad(sf_dir)
+        merged = a.merge(mad, on="o_orderpriority", suffixes=("", "_m"))
+        assert (merged["p50_e2"] == merged["p50_e2_m"]).all()
+        assert (merged["mad_e2"] == merged["mad_e2_m"]).all()

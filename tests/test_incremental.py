@@ -57,3 +57,28 @@ class TestIncrementalAggregate:
         got = events_daily_incremental(sf_dir)
         total = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"]).num_rows
         assert got["n_events"].sum() == total
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTableDiff:
+    def test_matches_sql_twin_and_partition(self, sf_dir):
+        import duckdb
+
+        import pandas as pd
+
+        from gotenberg_ray.pipelines import incremental as INC
+
+        a = INC.orders_table_diff(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW orders AS FROM '{sf_dir}/orders.parquet'")
+        want = con.sql(INC.TABLE_DIFF_SQL).df()
+        want["n_orders"] = want["n_orders"].astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # classes partition the union of both versions' key sets
+        n_union = con.sql(
+            f"""SELECT count(DISTINCT o_orderkey)::BIGINT c FROM orders
+                WHERE o_orderkey % {INC.DIFF_ADD_MOD} <> 0
+                   OR o_orderkey % {INC.DIFF_DEL_MOD} <> 0"""
+        ).df()["c"][0]
+        assert int(a["n_orders"].sum()) == int(n_union)
+        assert set(a["change_type"]) <= {"added", "deleted", "updated", "unchanged"}

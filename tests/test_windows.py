@@ -157,3 +157,23 @@ class TestScd2Join:
         # every order falls in exactly one validity interval
         n_orders = con.sql("SELECT count(*) c FROM orders").df()["c"][0]
         assert int(a["n_orders"].sum()) == int(n_orders)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUserActiveTime:
+    def test_matches_sql_twin_and_bounds(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import windows as W
+
+        a = W.user_active_time(sf_dir)
+        b = W.user_active_time(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS FROM '{sf_dir}/events.parquet'")
+        want = con.sql(W.ACTIVE_TIME_SQL).df().astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # union length bounded: one interval <= union <= n * interval
+        dur = W.ACTIVE_DUR_S * W.US
+        assert (a["active_us"] >= dur).all()
+        assert (a["active_us"] <= a["n_events"] * dur).all()
