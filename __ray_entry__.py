@@ -154,6 +154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interval-union coverage: distinct active time per user via
         # one keyed exchange + vectorized running-max merge
         "user_active_time": W.user_active_time,
+        # cohort retention: activity set vs its own 7-day time shift,
+        # resolved inside one user-keyed exchange
+        "user_retention": W.user_retention,
+        # watermark-anchored exponential decay (integer 2^-age weights)
+        "events_decayed_score": W.events_decayed_score,
         # distributed analytics (anti-join / exact quantiles without a
         # sort / two-phase distinct / mergeable HLL sketch)
         "customers_no_urgent_orders": AN.customers_no_urgent_orders,
@@ -181,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": A2.top_orders_per_customer,
         "event_type_pivot": A2.event_type_pivot,
         "lang_source_rollup": A2.lang_source_rollup,
+        # full CUBE from the same single-scan fine cells
+        "lang_source_cube": A2.lang_source_cube,
         "events_half_spend": A2.events_half_spend,
         "event_funnel": A2.event_funnel,
         "props_key_stats": A2.props_key_stats,
@@ -376,6 +383,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_distinct_users": W.ROLLING_DISTINCT_SQL,
         "orders_scd2_join": W.SCD2_SQL,
         "user_active_time": W.ACTIVE_TIME_SQL,
+        "user_retention": W.RETENTION_SQL,
+        "events_decayed_score": W.DECAYED_SQL,
         "line_dedup": LN.LINE_DEDUP_SQL,
         "orders_upsert": INC.ORDERS_UPSERT_SQL,
         "orders_table_diff": INC.TABLE_DIFF_SQL,
@@ -393,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": A2.TOP_PER_CUSTOMER_SQL,
         "event_type_pivot": A2.EVENT_PIVOT_SQL,
         "lang_source_rollup": A2.ROLLUP_SQL,
+        "lang_source_cube": A2.CUBE_SQL,
         "events_half_spend": A2.HALF_SPEND_SQL,
         "event_funnel": A2.FUNNEL_SQL,
         "props_key_stats": A2.PROPS_SQL,

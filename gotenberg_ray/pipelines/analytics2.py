@@ -245,6 +245,80 @@ ORDER BY lang, source
 """
 
 
+def lang_source_cube(sf_dir: str) -> pd.DataFrame:
+    """Full CUBE(lang, source): all four grouping sets. Same
+    scan-once plan as the rollup — the corpus streams through ONE
+    (lang, source) partial-agg groupby; every coarser grouping set
+    (lang-only, source-only, grand total) derives from that
+    cells-sized result, so adding grouping sets costs zero extra
+    passes over the data."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "lang": batch["lang"],
+                    "source": batch["source"],
+                    "n_chars": batch["n_chars"],
+                }
+            )
+            .group_by(["lang", "source"])
+            .aggregate([("n_chars", "sum"), ([], "count_all")])
+        )
+
+    fine = (
+        read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_chars_sum", alias_name="total_chars"),
+            Sum("count_all", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    fine = ensure_columns(
+        fine,
+        {"lang": "object", "source": "object",
+         "total_chars": "int64", "n_docs": "int64"},
+    )
+    fine["total_chars"] = fine["total_chars"].astype("int64")
+    fine["n_docs"] = fine["n_docs"].astype("int64")
+    levels = [fine]
+    for dims, rolled in ((["lang"], "source"), (["source"], "lang")):
+        lv = (
+            fine.groupby(dims, as_index=False)[["total_chars", "n_docs"]]
+            .sum()
+            .assign(**{rolled: "ALL"})
+        )
+        levels.append(lv[fine.columns])
+    levels.append(
+        pd.DataFrame(
+            {
+                "lang": ["ALL"],
+                "source": ["ALL"],
+                "total_chars": [fine["total_chars"].sum()],
+                "n_docs": [fine["n_docs"].sum()],
+            }
+        )[fine.columns]
+    )
+    out = pd.concat(levels, ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+CUBE_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(*) AS n_docs
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY lang, source
+"""
+
+
+
 def events_half_spend(sf_dir: str) -> pd.DataFrame:
     """Cumulative-window query: per user, the timestamp at which the
     running spend (ordered by ts, event_id) first reaches half the

@@ -716,3 +716,173 @@ SELECT user_id,
        count(*)::BIGINT AS n_events
 FROM o GROUP BY user_id ORDER BY user_id
 """
+
+
+# ------------------------------------------------------ 7-day retention
+
+RETENTION_GAP_D = 7  # a user active on d is "retained" if active on d+7
+_RET_P = 16
+
+
+def user_retention(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day cohort retention: for every calendar day d, how
+    many distinct users were active on d, and how many of those were
+    ALSO active exactly ``RETENTION_GAP_D`` days later — the product-
+    analytics join of an activity set against its own time-shifted
+    self.
+
+    Distributed shape: per-batch dedup of (user, day) pairs, then ONE
+    keyed exchange by ``user % P``; inside each bucket the global
+    (user, day) set is deduped and the d+7 membership probe is one
+    sorted np.isin over packed (user·2³²+day) keys — no second
+    shuffle, because both the day-d row and its day-d+7 witness live
+    with the same user. Per-day partial counts fold through a
+    calendar-sized groupby."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = _ts_us(batch.column("ts")) // DAY_US
+        key = uid * (np.int64(1) << np.int64(32)) + day
+        key = np.unique(key)
+        return pa.table(
+            {
+                "pid": pa.array(((key >> np.int64(32)) % _RET_P).astype(np.int32)),
+                "key": pa.array(key),
+            }
+        )
+
+    def probe(part: pa.Table) -> pa.Table:
+        key = np.unique(part["key"].to_numpy(zero_copy_only=False))
+        day = key & ((np.int64(1) << np.int64(32)) - 1)
+        retained = np.isin(key + RETENTION_GAP_D, key)
+        t = pa.table(
+            {
+                "day": pa.array(day),
+                "n_active": pa.array(np.ones(len(day), np.int64)),
+                "n_retained": pa.array(retained.astype(np.int64)),
+            }
+        )
+        return (
+            t.group_by("day")
+            .aggregate([("n_active", "sum"), ("n_retained", "sum")])
+            .rename_columns(["day", "n_active", "n_retained"])
+        )
+
+    df = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(probe, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("n_active", alias_name="n_active"),
+            Sum("n_retained", alias_name="n_retained"),
+        )
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df, {"day": "int64", "n_active": "int64", "n_retained": "int64"}
+    )
+    df["day"] = (
+        pd.to_datetime(df["day"].astype("int64") * 86_400, unit="s")
+        .dt.strftime("%Y-%m-%d")
+    )
+    for c in ("n_active", "n_retained"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("day").reset_index(drop=True)
+
+
+RETENTION_SQL = f"""
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(a.day, '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n_active,
+       sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_retained
+FROM a LEFT JOIN a b
+  ON b.user_id = a.user_id AND b.day = a.day + {RETENTION_GAP_D}
+GROUP BY a.day ORDER BY day
+"""
+
+
+# ---------------------------------------------- exponential time decay
+
+DECAY_WINDOW_D = 30  # ages beyond 30 days are out of the window
+_DECAY_ONE = np.int64(1)
+
+
+def events_decayed_score(sf_dir: str) -> pd.DataFrame:
+    """Exponentially-decayed activity score per event type with a
+    1-day half-life over a trailing {DECAY}-day window — the freshness
+    signal feature stores compute, made INTEGER-EXACT by scoring in
+    units of 2^(window − age) (a power-of-two weight per whole-day
+    age, so no float accumulates).
+
+    Distributed shape: the watermark (global max day) is one tiny
+    column scan; the corpus streams ONCE through per-batch (type, day)
+    partial counts; the weighted fold happens on the groups-sized
+    result. The score depends on a global watermark, which is why this
+    is not just a groupby — the plan broadcasts the scalar, never the
+    data."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    max_us = ds.max("ts")
+    if max_us is None:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "decayed_score": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+    try:  # timestamp-like (pandas/numpy) — tz-naive epoch-µs
+        last_day = np.int64(np.datetime64(max_us, "us").astype(np.int64)) // DAY_US
+    except (TypeError, ValueError):  # already an integer epoch-µs
+        last_day = np.int64(int(max_us)) // DAY_US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = _ts_us(batch.column("ts")) // DAY_US
+        t = pa.table(
+            {"event_type": batch["event_type"], "day": pa.array(day)}
+        )
+        return (
+            t.group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "day", "n"])
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cells = ensure_columns(
+        cells, {"event_type": "object", "day": "int64", "n": "int64"}
+    )
+    age = last_day - cells["day"].astype("int64")
+    cells = cells[age <= DECAY_WINDOW_D].copy()
+    age = last_day - cells["day"].astype("int64")
+    cells["decayed_score"] = cells["n"].astype("int64") * (
+        _DECAY_ONE << (DECAY_WINDOW_D - age).astype("int64")
+    )
+    out = (
+        cells.groupby("event_type", as_index=False)
+        .agg(decayed_score=("decayed_score", "sum"), n_events=("n", "sum"))
+    )
+    for c in ("decayed_score", "n_events"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+DECAYED_SQL = f"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+m AS (SELECT max(day) AS last FROM d)
+SELECT event_type,
+       sum(n * (CAST(1 AS BIGINT) << ({DECAY_WINDOW_D} - (last - day))))::BIGINT
+         AS decayed_score,
+       sum(n)::BIGINT AS n_events
+FROM d, m WHERE (last - day) <= {DECAY_WINDOW_D}
+GROUP BY event_type ORDER BY event_type
+"""

@@ -91,3 +91,23 @@ def test_price_page_matches_oracle(sf_dir):
     _check(got, want)
     assert list(got["rn"]) == list(range(101, 111))
     assert got["price_e2"].is_monotonic_decreasing or got["price_e2"].nunique() < 10
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCube:
+    def test_matches_sql_twin_and_contains_rollup(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import analytics2 as A2
+
+        a = A2.lang_source_cube(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = con.sql(A2.CUBE_SQL).df()
+        for c in ("total_chars", "n_docs"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # the cube is a superset of the rollup's grouping sets
+        roll = A2.lang_source_rollup(sf_dir)
+        merged = roll.merge(a, on=list(roll.columns), how="left", indicator=True)
+        assert (merged["_merge"] == "both").all()

@@ -177,3 +177,40 @@ class TestUserActiveTime:
         dur = W.ACTIVE_DUR_S * W.US
         assert (a["active_us"] >= dur).all()
         assert (a["active_us"] <= a["n_events"] * dur).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRetention:
+    def test_matches_sql_twin_and_bounds(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import windows as W
+
+        a = W.user_retention(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS FROM '{sf_dir}/events.parquet'")
+        want = con.sql(W.RETENTION_SQL).df()
+        for c in ("n_active", "n_retained"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        assert (a["n_retained"] <= a["n_active"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDecayedScore:
+    def test_matches_sql_twin_and_weight_bounds(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import windows as W
+
+        a = W.events_decayed_score(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS FROM '{sf_dir}/events.parquet'")
+        want = con.sql(W.DECAYED_SQL).df()
+        for c in ("decayed_score", "n_events"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # weights lie in [1, 2^30]: score bounded by n·2^window
+        hi = np.int64(1) << np.int64(W.DECAY_WINDOW_D)
+        assert (a["decayed_score"] >= a["n_events"]).all()
+        assert (a["decayed_score"] <= a["n_events"] * hi).all()
