@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": W.user_retention,
         # watermark-anchored exponential decay (integer 2^-age weights)
         "events_decayed_score": W.events_decayed_score,
+        # stream-stream band join: ALL (click, purchase) pairs within
+        # the hour band, counted via per-user prefix sums
+        "click_purchase_pairs": W.click_purchase_pairs,
         # distributed analytics (anti-join / exact quantiles without a
         # sort / two-phase distinct / mergeable HLL sketch)
         "customers_no_urgent_orders": AN.customers_no_urgent_orders,
@@ -169,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # three-pass robust quality gate: median → MAD → broadcast
         # threshold count (|x-med| > 3·MAD per group, integer-exact)
         "orders_price_outliers": AN.orders_price_outliers,
+        # exact-integer chi-square independence over a distributed
+        # contingency table (drift / A-B sanity test)
+        "events_chi2_type_dow": AN.events_chi2_type_dow,
         "distinct_users_daily": AN.distinct_users_daily,
         "hll_users_per_type": AN.hll_users_per_type,
         "quantile_sketch": AN.quantile_sketch,
@@ -385,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "user_active_time": W.ACTIVE_TIME_SQL,
         "user_retention": W.RETENTION_SQL,
         "events_decayed_score": W.DECAYED_SQL,
+        "click_purchase_pairs": W.PAIRS_SQL,
         "line_dedup": LN.LINE_DEDUP_SQL,
         "orders_upsert": INC.ORDERS_UPSERT_SQL,
         "orders_table_diff": INC.TABLE_DIFF_SQL,
@@ -394,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "order_price_quantiles": AN.PRICE_QUANTILES_SQL,
         "orders_price_mad": AN.PRICE_MAD_SQL,
         "orders_price_outliers": AN.PRICE_OUTLIERS_SQL,
+        "events_chi2_type_dow": AN.CHI2_SQL,
         "distinct_users_daily": AN.DISTINCT_DAILY_SQL,
         "heavy_hitter_users": AN.HEAVY_HITTERS_SQL,
         "orders_profile": AN.ORDERS_PROFILE_SQL,

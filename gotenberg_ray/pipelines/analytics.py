@@ -971,3 +971,90 @@ FROM px JOIN madt m USING (o_orderpriority)
 GROUP BY px.o_orderpriority, m.p50_e2, m.mad_e2
 ORDER BY px.o_orderpriority
 """
+
+
+# ---------------------------------- chi-square independence (exact)
+
+
+def events_chi2_type_dow(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence statistic between event type and
+    day-of-week — the data-drift / A-B sanity test, made EXACT by
+    scoring each contingency cell as floor((O·N − R·C)² / (N·R·C))
+    in unbounded Python integers (≡ (O−E)²/E with E = R·C/N, floored;
+    the SQL twin floors identically on HUGEINT, where `//` truncation
+    equals floor because the numerator is a square).
+
+    Distributed shape: the contingency table builds with per-batch
+    (type, dow) partial counts folding through one groups-sized
+    groupby (≤ |types|·7 cells); the statistic is driver arithmetic on
+    that tiny table. Nothing row-sized leaves the mappers."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False) // (
+            86_400 * 1_000_000
+        )
+        dow = (day + 4) % 7  # epoch day 0 = Thursday; 0 = Sunday
+        t = pa.table(
+            {"event_type": batch["event_type"], "dow": pa.array(dow)}
+        )
+        return (
+            t.group_by(["event_type", "dow"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "dow", "o"])
+        )
+
+    cells = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()
+    )
+    cells = ensure_columns(
+        cells, {"event_type": "object", "dow": "int64", "o": "int64"}
+    )
+    if not len(cells):
+        return pd.DataFrame(
+            {
+                "chi2_floor": pd.Series([], dtype="int64"),
+                "n_cells": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+    n = int(cells["o"].sum())
+    row_t = cells.groupby("event_type")["o"].sum().to_dict()
+    col_t = cells.groupby("dow")["o"].sum().to_dict()
+    chi2 = 0
+    for _, cell in cells.iterrows():
+        o, rt, ct = int(cell["o"]), int(row_t[cell["event_type"]]), int(col_t[cell["dow"]])
+        chi2 += (o * n - rt * ct) ** 2 // (n * rt * ct)
+    return pd.DataFrame(
+        {
+            "chi2_floor": pd.Series([chi2], dtype="int64"),
+            "n_cells": pd.Series([len(cells)], dtype="int64"),
+            "n_events": pd.Series([n], dtype="int64"),
+        }
+    )
+
+
+CHI2_SQL = """
+WITH cont AS (
+  SELECT event_type, dayofweek(ts) AS dow, count(*)::BIGINT AS o
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(o)::HUGEINT AS n FROM cont),
+r AS (SELECT event_type, sum(o)::HUGEINT AS rt FROM cont GROUP BY 1),
+c AS (SELECT dow, sum(o)::HUGEINT AS ct FROM cont GROUP BY 1)
+SELECT CAST(sum(
+         (cont.o::HUGEINT * tot.n - r.rt * c.ct)
+           * (cont.o::HUGEINT * tot.n - r.rt * c.ct)
+           // (tot.n * r.rt * c.ct)) AS BIGINT) AS chi2_floor,
+       count(*)::BIGINT AS n_cells,
+       CAST(max(tot.n) AS BIGINT) AS n_events
+FROM cont
+CROSS JOIN tot
+JOIN r USING (event_type)
+JOIN c USING (dow)
+"""

@@ -886,3 +886,87 @@ SELECT event_type,
 FROM d, m WHERE (last - day) <= {DECAY_WINDOW_D}
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ------------------------------------------- stream-stream band join
+
+PAIR_WINDOW_S = 3600  # click precedes purchase by < 1 hour
+
+
+def click_purchase_pairs(sf_dir: str) -> pd.DataFrame:
+    """Stream-stream band join inside the events log: every (click,
+    purchase) pair of the SAME user with the click in the hour before
+    the purchase — unlike the as-of join (latest single witness), this
+    counts ALL pairs in the band, the shape of stream-stream joins in
+    streaming engines (bounded-staleness correlation).
+
+    Distributed shape: one user-keyed exchange; per group both sides
+    sort once and two ``np.searchsorted`` calls bound each purchase's
+    click band, so pair counts AND exact summed gaps come from prefix
+    sums — O((n+m) log m) per user, never materializing the pair
+    blow-up. Output is per-user (n_pairs, total_gap_s), integer-µs
+    exact, floor-divided to seconds identically to the SQL twin."""
+    win_us = np.int64(PAIR_WINDOW_S) * US
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        kinds = g["event_type"].to_numpy()
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        p_ts = np.sort(ts_us[kinds == "purchase"])
+        c_ts = np.sort(ts_us[kinds == "click"])
+        if len(p_ts) == 0 or len(c_ts) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                    "total_gap_s": pd.Series([], dtype="int64"),
+                }
+            )
+        pref = np.concatenate(([0], np.cumsum(c_ts)))
+        lo = np.searchsorted(c_ts, p_ts - win_us, side="left")
+        hi = np.searchsorted(c_ts, p_ts, side="left")
+        cnt = hi - lo
+        gaps_us = int((p_ts * cnt).sum() - (pref[hi] - pref[lo]).sum())
+        n_pairs = int(cnt.sum())
+        if n_pairs == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                    "total_gap_s": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_pairs": [n_pairs],
+                "total_gap_s": [gaps_us // US],
+            }
+        )
+
+    df = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df, {"user_id": "int64", "n_pairs": "int64", "total_gap_s": "int64"}
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+PAIRS_SQL = f"""
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.user_id,
+       count(*)::BIGINT AS n_pairs,
+       CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) // {US} AS BIGINT)
+         AS total_gap_s
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL {PAIR_WINDOW_S} SECONDS
+ AND c.ts < p.ts
+GROUP BY p.user_id ORDER BY p.user_id
+"""

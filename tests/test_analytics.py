@@ -232,3 +232,25 @@ class TestPriceOutliers:
         merged = a.merge(mad, on="o_orderpriority", suffixes=("", "_m"))
         assert (merged["p50_e2"] == merged["p50_e2_m"]).all()
         assert (merged["mad_e2"] == merged["mad_e2_m"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChi2:
+    def test_matches_sql_twin_and_dow_convention(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import analytics as AN
+
+        a = AN.events_chi2_type_dow(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS FROM '{sf_dir}/events.parquet'")
+        want = con.sql(AN.CHI2_SQL).df()
+        for c in want.columns:
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # python dow convention matches DuckDB dayofweek (0=Sunday)
+        chk = con.sql(
+            "SELECT DISTINCT dayofweek(ts) AS d,"
+            " (epoch_us(ts) // 86400000000 + 4) % 7 AS p FROM events"
+        ).df()
+        assert (chk["d"] == chk["p"]).all()

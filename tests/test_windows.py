@@ -214,3 +214,22 @@ class TestDecayedScore:
         hi = np.int64(1) << np.int64(W.DECAY_WINDOW_D)
         assert (a["decayed_score"] >= a["n_events"]).all()
         assert (a["decayed_score"] <= a["n_events"] * hi).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClickPurchasePairs:
+    def test_matches_sql_twin_and_band(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import windows as W
+
+        a = W.click_purchase_pairs(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS FROM '{sf_dir}/events.parquet'")
+        want = con.sql(W.PAIRS_SQL).df()
+        for c in ("user_id", "n_pairs", "total_gap_s"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # every pair's gap is < the band width
+        assert (a["total_gap_s"] < a["n_pairs"] * W.PAIR_WINDOW_S).all()
+        assert (a["n_pairs"] > 0).all()
