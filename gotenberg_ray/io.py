@@ -116,6 +116,7 @@ def write_partitioned(
     key: str,
     num_partitions: int = 32,
     direct: bool = False,
+    append: bool = False,
 ) -> dict:
     """Resumable partitioned sink: rows are hash-bucketed on ``key``
     into ``num_partitions`` directories, each written atomically (data
@@ -135,7 +136,13 @@ def write_partitioned(
     ``direct=True`` uses the key VALUE itself (mod num_partitions) as
     the bucket id instead of its hash — for layout-aware sinks (z-order
     cells, label partitions) where the caller needs a value→directory
-    mapping it can prune on at read time."""
+    mapping it can prune on at read time.
+
+    ``append=True`` switches to incremental-ingest semantics: each run
+    adds a NEW ``part-<k>.parquet`` per bucket instead of skipping
+    complete buckets, and the ``_COMPLETE`` marker's row count
+    accumulates — the daily-increment landing pattern whose small
+    files ``compact_partitioned`` later folds."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -143,12 +150,14 @@ def write_partitioned(
     from .pipelines.joins import partition_ids
 
     os.makedirs(path, exist_ok=True)
-    done = {
-        int(d.split("-")[1])
-        for d in os.listdir(path)
-        if d.startswith("bucket-")
-        and os.path.exists(os.path.join(path, d, "_COMPLETE"))
-    }
+    done = set()
+    if not append:
+        done = {
+            int(d.split("-")[1])
+            for d in os.listdir(path)
+            if d.startswith("bucket-")
+            and os.path.exists(os.path.join(path, d, "_COMPLETE"))
+        }
 
     def tag(batch: pa.Table) -> pa.Table:
         if direct:
@@ -167,9 +176,19 @@ def write_partitioned(
         part = part.drop_columns(["__bucket__"])
         bdir = os.path.join(path, f"bucket-{bid}")
         os.makedirs(bdir, exist_ok=True)
-        pq.write_table(part, os.path.join(bdir, "part.parquet"))
+        prior = 0
+        if append:
+            existing = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+            fname = f"part-{len(existing)}.parquet"
+            marker = os.path.join(bdir, "_COMPLETE")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    prior = int(f.read() or 0)
+        else:
+            fname = "part.parquet"
+        pq.write_table(part, os.path.join(bdir, fname))
         with open(os.path.join(bdir, "_COMPLETE"), "w") as f:
-            f.write(str(part.num_rows))
+            f.write(str(prior + part.num_rows))
         return pa.table({"bucket": [bid], "rows": [part.num_rows]})
 
     written = (
@@ -187,11 +206,92 @@ def write_partitioned(
 
 def read_partitioned(path: str, columns: list[str] | None = None) -> rd.Dataset:
     """Read back a ``write_partitioned`` directory (complete buckets
-    only — a half-written bucket without its marker is invisible)."""
+    only — a half-written bucket without its marker is invisible; all
+    ``part-*.parquet`` files of an append-mode bucket are included)."""
     files = [
-        os.path.join(path, d, "part.parquet")
+        os.path.join(path, d, f)
+        for d in sorted(os.listdir(path))
+        if d.startswith("bucket-")
+        and os.path.exists(os.path.join(path, d, "_COMPLETE"))
+        for f in sorted(os.listdir(os.path.join(path, d)))
+        if f.endswith(".parquet")
+    ]
+    return rd.read_parquet(files, columns=columns)
+
+
+def compact_partitioned(path: str) -> dict:
+    """Small-file compaction over a ``write_partitioned`` directory —
+    the lakehouse OPTIMIZE step: every complete bucket holding more
+    than one ``part-*.parquet`` (append-mode landings) is rewritten as
+    ONE file.
+
+    Distributed shape: each bucket compacts independently (a Dataset
+    of bucket descriptors fans out over the pool — per-bucket work
+    never leaves its worker, the driver sees one summary row per
+    bucket). Crash-safe per bucket via a two-phase rename: the merged
+    file lands as ``_compact.tmp`` (possibly torn on a crash — always
+    discarded by the next run), is renamed to ``_compact.ready``
+    (complete by construction), and only then are the superseded
+    files unlinked and the ready file promoted to ``part-0.parquet``.
+    A re-run heals any interrupted bucket from the ready file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buckets = [
+        os.path.join(path, d)
         for d in sorted(os.listdir(path))
         if d.startswith("bucket-")
         and os.path.exists(os.path.join(path, d, "_COMPLETE"))
     ]
-    return rd.read_parquet(files, columns=columns)
+    if not buckets:
+        return {"compacted_buckets": 0, "removed_files": 0, "rows": 0}
+
+    def compact_one(batch: pa.Table) -> pa.Table:
+        out = []
+        for bdir in batch["bdir"].to_pylist():
+            tmp = os.path.join(bdir, "_compact.tmp")
+            ready = os.path.join(bdir, "_compact.ready")
+            if os.path.exists(tmp):  # torn write from a crash
+                os.unlink(tmp)
+            if os.path.exists(ready):  # heal: promote the merged file
+                for f in os.listdir(bdir):
+                    if f.endswith(".parquet") and not f.startswith("_"):
+                        os.unlink(os.path.join(bdir, f))
+                n_prior = pq.read_metadata(ready).num_rows
+                os.replace(ready, os.path.join(bdir, "part-0.parquet"))
+                out.append((bdir, 1, n_prior))
+                continue
+            parts = sorted(
+                f
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            if len(parts) <= 1:
+                continue
+            merged = pa.concat_tables(
+                [pq.read_table(os.path.join(bdir, f)) for f in parts]
+            )
+            pq.write_table(merged, tmp)
+            os.replace(tmp, ready)
+            for f in parts:
+                os.unlink(os.path.join(bdir, f))
+            os.replace(ready, os.path.join(bdir, "part-0.parquet"))
+            out.append((bdir, len(parts), merged.num_rows))
+        return pa.table(
+            {
+                "bdir": pa.array([o[0] for o in out]),
+                "n_files": pa.array([o[1] for o in out], pa.int64()),
+                "rows": pa.array([o[2] for o in out], pa.int64()),
+            }
+        )
+
+    res = (
+        rd.from_items([{"bdir": b} for b in buckets])
+        .map_batches(compact_one, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+    return {
+        "compacted_buckets": len(res),
+        "removed_files": int((res["n_files"] - 1).sum()) if len(res) else 0,
+        "rows": int(res["rows"].sum()) if len(res) else 0,
+    }

@@ -178,3 +178,78 @@ class TestAlternateSources:
         )
         want["n"] = want["n"].astype(df["n"].dtype)
         pd.testing.assert_frame_equal(df, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAppendAndCompact:
+    def _mk(self, tmp_path, runs=3, rows=64):
+        import ray.data as rd
+
+        out = str(tmp_path / "landing")
+        total = 0
+        for r in range(runs):
+            t = pa.table(
+                {
+                    "doc_id": pa.array(
+                        range(r * rows, (r + 1) * rows), pa.int64()
+                    ),
+                    "v": pa.array([r] * rows, pa.int64()),
+                }
+            )
+            res = gio.write_partitioned(
+                rd.from_arrow(t), out, key="doc_id",
+                num_partitions=4, append=True,
+            )
+            total += res["written_rows"]
+        return out, total
+
+    def test_append_accumulates_and_compact_merges(self, tmp_path):
+        out, total = self._mk(tmp_path)
+        before = gio.read_partitioned(out).to_pandas()
+        assert len(before) == total
+        # each bucket holds several small files
+        bdirs = [d for d in os.listdir(out) if d.startswith("bucket-")]
+        n_files = sum(
+            len([f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")])
+            for d in bdirs
+        )
+        assert n_files > len(bdirs)
+        res = gio.compact_partitioned(out)
+        assert res["rows"] == total and res["removed_files"] > 0
+        after = gio.read_partitioned(out).to_pandas()
+        pd.testing.assert_frame_equal(
+            before.sort_values("doc_id").reset_index(drop=True),
+            after.sort_values("doc_id").reset_index(drop=True),
+        )
+        # idempotent: second run finds nothing to do
+        assert gio.compact_partitioned(out)["compacted_buckets"] == 0
+        # marker row counts survive compaction
+        for d in bdirs:
+            files = [
+                f for f in os.listdir(os.path.join(out, d))
+                if f.endswith(".parquet")
+            ]
+            assert files == ["part-0.parquet"]
+
+    def test_compact_heals_interrupted_bucket(self, tmp_path):
+        out, total = self._mk(tmp_path, runs=2)
+        bdir = os.path.join(
+            out, sorted(d for d in os.listdir(out) if d.startswith("bucket-"))[0]
+        )
+        parts = sorted(
+            f for f in os.listdir(bdir) if f.endswith(".parquet")
+        )
+        # simulate a crash AFTER the ready rename, BEFORE the unlinks:
+        # merged file present alongside the superseded originals
+        merged = pa.concat_tables(
+            [pq.read_table(os.path.join(bdir, f)) for f in parts]
+        )
+        pq.write_table(merged, os.path.join(bdir, "_compact.ready"))
+        # plus a torn tmp from the same crash
+        with open(os.path.join(bdir, "_compact.tmp"), "wb") as f:
+            f.write(b"torn")
+        gio.compact_partitioned(out)
+        after = gio.read_partitioned(out).to_pandas()
+        assert len(after) == total
+        assert not os.path.exists(os.path.join(bdir, "_compact.ready"))
+        assert not os.path.exists(os.path.join(bdir, "_compact.tmp"))
