@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import dimred as DR
     from gotenberg_ray.pipelines import layout as LY
     from gotenberg_ray.pipelines import sampling as SA
+    from gotenberg_ray.pipelines import search as SE
     from gotenberg_ray.pipelines import validate as VA
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import graph as GR
@@ -245,6 +246,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Z-order (Morton) layout + pruned rectangle scan — the
         # OPTIMIZE ZORDER BY pattern over the resumable bucket sink
         "zorder_scan": LY.zorder_scan,
+        # bucketed-table layout: per-key aggregate with NO query-time
+        # exchange (keys complete inside their bucket file)
+        "bucketed_customer_totals": LY.bucketed_customer_totals,
+        # inverted-index build + pruned lookup (lexical retrieval)
+        "search_topk": SE.search_topk,
         # distributed PCA (exact integer moments → driver eigenbasis →
         # broadcast projection; rows-only — eigen has no SQL twin)
         "embedding_pca": DR.embedding_pca,
@@ -328,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import analytics2 as A2
     from gotenberg_ray.pipelines import layout as LY
     from gotenberg_ray.pipelines import sampling as SA
+    from gotenberg_ray.pipelines import search as SE
     from gotenberg_ray.pipelines import embedops as E
     from gotenberg_ray.pipelines import fuzzy as FZ
     from gotenberg_ray.pipelines import validate as VA
@@ -434,6 +441,8 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": TFIDF.OOV_SQL,
         "orders_expectations": VA.EXPECTATIONS_SQL,
         "zorder_scan": LY.ZORDER_SQL,
+        "bucketed_customer_totals": LY.BUCKETED_SQL,
+        "search_topk": SE.SEARCH_SQL,
         "doc_lm_score": SC.LM_SCORE_SQL,
         "skyline_parts": SK.SKYLINE_SQL,
         "customer_set_ops": SO.SET_OPS_SQL,

@@ -97,6 +97,15 @@ BENCH_QUERIES = [
     "knn_pq",
     "bpe_train",
     "triangle_count",
+    # fifth wave: depth-bounded BFS, exact NTILE via the distributed
+    # ordered prefix sum, interval-union coverage, stream-stream band
+    # join, snapshot diff, robust outlier gate
+    "reachable_nodes",
+    "orders_price_ntile",
+    "user_active_time",
+    "click_purchase_pairs",
+    "orders_table_diff",
+    "orders_price_outliers",
 ]
 
 

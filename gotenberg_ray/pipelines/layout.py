@@ -218,3 +218,103 @@ WHERE l_partkey BETWEEN 0 AND pmax // 4
   AND l_suppkey BETWEEN 0 AND smax // 4
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# ------------------------------------- bucketed-layout (shuffle-free)
+
+BUCKETED_P = 32
+
+
+def bucketed_customer_totals(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-FREE aggregation over a bucket-partitioned layout — the
+    Spark/Hive "bucketed table" optimization: orders are written ONCE
+    hash-bucketed by ``o_custkey`` (the resumable sink; amortized
+    across every later custkey-keyed query), after which a per-custkey
+    aggregate needs NO exchange at query time — every key's rows are
+    complete inside one bucket file, so one map task per bucket
+    produces final groups directly.
+
+    Query-time plan: a Dataset of bucket file paths fans out; each
+    task reads its file (workers read their own partition — the driver
+    never touches row data) and emits exact per-key aggregates. The
+    only cross-node movement is the result itself. Compare
+    ``relational.py`` q-series, which pay a groupby exchange per
+    query: at 100 TB the bucketed layout wins whenever a key-aligned
+    query family repeats."""
+    import ray.data as rd
+
+    from ..io import read_table, write_partitioned
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/gotenberg_bucketed/{tag}"
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    write_partitioned(
+        read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        path,
+        key="o_custkey",
+        num_partitions=BUCKETED_P,
+    )
+    files = [
+        os.path.join(path, d, "part.parquet")
+        for d in sorted(os.listdir(path))
+        if d.startswith("bucket-")
+        and os.path.exists(os.path.join(path, d, "_COMPLETE"))
+    ]
+    if not files:
+        return pd.DataFrame(
+            {
+                "o_custkey": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "total_cents": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def agg_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in batch["f"].to_pylist():
+            t = pq.read_table(f)
+            t = t.append_column(
+                "n_orders", pa.array(np.ones(t.num_rows, np.int64))
+            )
+            out.append(
+                t.group_by("o_custkey")
+                .aggregate([("n_orders", "sum"), ("cents", "sum")])
+                .rename_columns(["o_custkey", "n_orders", "total_cents"])
+            )
+        return pa.concat_tables(out)
+
+    df = (
+        rd.from_items([{"f": f} for f in files])
+        .map_batches(agg_bucket, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df, {"o_custkey": "int64", "n_orders": "int64", "total_cents": "int64"}
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("o_custkey").reset_index(drop=True)
+
+
+BUCKETED_SQL = """
+SELECT o_custkey,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
