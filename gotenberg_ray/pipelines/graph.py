@@ -37,6 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -507,20 +508,27 @@ def reachable_nodes(sf_dir: str) -> pd.DataFrame:
     (recursive CTE / graph-traversal shape) Ray Data has no native
     operator for.
 
-    Distributed shape: classic frontier iteration. Each round is ONE
-    bucketed ``hash_join`` of the (node-sized) frontier against the
-    edge table on ``src`` plus ONE anti join against the visited set —
-    the exchanges carry the frontier and its out-edges only, never the
-    whole graph adjacency, and min-depth falls out for free because a
-    node is claimed by the FIRST round that reaches it. The hop budget
-    bounds the rounds, so the plan is statically K joins long (no
-    driver-side convergence loop over row data). The DuckDB twin is
-    the recursive CTE over the same arithmetic edge generator."""
-    from ray.data.aggregate import Count
+    Distributed shape: classic frontier iteration, TWO all-to-alls per
+    round: (1) one bucketed ``hash_join`` of the (node-sized) frontier
+    against the edge table on ``src`` — the exchange carries the
+    frontier and its out-edges only, never the whole adjacency; (2)
+    one ``groupby(node).min(depth)`` over visited ∪ candidates, which
+    folds same-round dedup, the anti join against earlier rounds, AND
+    the visited merge into a single min-reduction (a node's depth is
+    final the first round it appears, so min() preserves it). The next
+    frontier is just the rows whose min depth equals the round number.
+    The hop budget bounds the rounds, so the plan is statically K
+    rounds long (no driver-side convergence loop over row data). The
+    DuckDB twin is the recursive CTE over the same edge generator."""
+    from ray.data.aggregate import Min
 
     from .joins import hash_join
 
+    # materialize the derived edge table ONCE — every BFS round joins
+    # against it, and a lazy Dataset would re-derive it per round (at
+    # scale: the one-time edge partitioning amortized across rounds)
     edges, _ = _doc_link_edges(sf_dir)
+    edges = edges.materialize()
 
     def seeds(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -534,15 +542,17 @@ def reachable_nodes(sf_dir: str) -> pd.DataFrame:
 
     from ..io import read_table
 
-    frontier = read_table(sf_dir, "documents", ["doc_id"]).map_batches(
-        seeds, batch_format="pyarrow"
-    )
-    visited = frontier  # (node, depth) rows; grows per round
+    visited = (
+        read_table(sf_dir, "documents", ["doc_id"])
+        .map_batches(seeds, batch_format="pyarrow")
+        .materialize()
+    )  # compact (node, min-depth) rows, one per discovered node
+    frontier = visited
     edge_schema = [("src", pa.int64()), ("dst", pa.int64())]
 
     for k in range(1, BFS_DEPTH + 1):
-        # expand: frontier ⋈ edges on node=src → candidate dst's
-        def fr_prep(b: pa.Table, _k=k) -> pa.Table:
+        # expand: frontier ⋈ edges on node=src → candidate dst's at k
+        def fr_prep(b: pa.Table) -> pa.Table:
             if b.num_rows == 0 or "node" not in b.column_names:
                 return pa.table({"src": pa.array([], pa.int64())})
             return pa.table({"src": b["node"]})
@@ -551,6 +561,7 @@ def reachable_nodes(sf_dir: str) -> pd.DataFrame:
             frontier.map_batches(fr_prep, batch_format="pyarrow"),
             edges,
             on="src",
+            num_partitions=8,
             left_schema=[("src", pa.int64())],
             right_schema=edge_schema,
         )
@@ -568,48 +579,31 @@ def reachable_nodes(sf_dir: str) -> pd.DataFrame:
             )
 
         candidates = expanded.map_batches(next_nodes, batch_format="pyarrow")
-        # min-depth claim: drop anything an earlier round reached
-        fresh = hash_join(
-            candidates,
-            visited.map_batches(
-                lambda b: pa.table({"node": b["node"]})
-                if b.num_rows and "node" in b.column_names
-                else pa.table({"node": pa.array([], pa.int64())}),
-                batch_format="pyarrow",
-            ),
-            on="node",
-            join_type="left anti",
-            left_schema=[("node", pa.int64()), ("depth", pa.int64())],
-            right_schema=[("node", pa.int64())],
-        )
-        # global dedup of this round's claims (several frontier nodes
-        # may reach the same dst in the same round)
-        frontier = (
-            fresh.groupby("node")
-            .aggregate(Count(alias_name="_c"))
+        # one min-reduction = dedup + anti-join + visited merge
+        visited = (
+            visited.union(candidates)
+            .groupby("node")
+            .aggregate(Min("depth", alias_name="depth"))
             .map_batches(
-                lambda b, _k=k: pa.table(
+                lambda b: pa.table(
                     {
-                        "node": b["node"]
-                        if b.num_rows and "node" in b.column_names
-                        else pa.array([], pa.int64()),
-                        "depth": pa.array(
-                            np.full(
-                                b.num_rows
-                                if b.num_rows and "node" in b.column_names
-                                else 0,
-                                _k,
-                                np.int64,
-                            )
-                        ),
+                        "node": pc.cast(b["node"], pa.int64()),
+                        "depth": pc.cast(b["depth"], pa.int64()),
                     }
+                )
+                if b.num_rows and "node" in b.column_names
+                else pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "depth": pa.array([], pa.int64())}
                 ),
                 batch_format="pyarrow",
             )
+            .materialize()  # two consumers: next round + final collect
         )
-        # two consumers (next round's anti + final union) — pin blocks
-        frontier = frontier.materialize()
-        visited = visited.union(frontier)
+        if k < BFS_DEPTH:
+            frontier = visited.filter(
+                expr=f"depth == {k}"
+            )  # fresh nodes only — fused map, no extra exchange
 
     df = visited.to_pandas()
     df = ensure_columns(df, {"node": "int64", "depth": "int64"})
