@@ -232,6 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # depth-bounded BFS (recursive-CTE shape): per-round bucketed
         # frontier ⋈ edges + anti join vs visited (oracle-checked)
         "reachable_nodes": GR.reachable_nodes,
+        # bounded-hop weighted SSSP (distributed Bellman-Ford with an
+        # improved-only frontier; oracle-checked)
+        "shortest_paths": GR.shortest_paths,
         "contamination_check": T.contamination_check,
         "curation_pipeline": T.curation_pipeline,
         "vocab_top_df": T.vocab_top_df,
@@ -430,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": T.CLUSTERS_SQL,
         "triangle_count": GR.TRIANGLES_SQL,
         "reachable_nodes": GR.REACHABLE_SQL,
+        "shortest_paths": GR.SHORTEST_SQL,
         "dedup_incremental": INC.DEDUP_INCREMENTAL_SQL,
         "events_daily_incremental": INC.EVENTS_DAILY_INCREMENTAL_SQL,
         "duplicate_span_stats": T.DUP_SPANS_SQL,

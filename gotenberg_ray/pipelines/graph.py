@@ -635,3 +635,189 @@ bfs AS (
 SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS depth
 FROM bfs GROUP BY node ORDER BY doc_id
 """
+
+
+# -------------------------------------------- weighted shortest path
+
+SP_SEEDS = BFS_SEEDS  # same seed set as the BFS
+SP_HOPS = 3  # relaxation rounds (Bellman-Ford bound)
+_SP_COST_CAP = 64  # max cost < 64 at this hop budget → packs in 6 bits
+
+
+def _weighted_edges(sf_dir: str):
+    """Link graph + deterministic weight w = 1 + ((src+dst) mod 5)."""
+    edges, n = _doc_link_edges(sf_dir)
+
+    def add_w(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        return b.append_column("w", pa.array(1 + (src + dst) % 5))
+
+    return edges.map_batches(add_w, batch_format="pyarrow"), n
+
+
+def shortest_paths(sf_dir: str) -> pd.DataFrame:
+    """Bounded-hop weighted shortest paths from the seed set (doc_id <
+    5) — distributed Bellman-Ford: ``SP_HOPS`` relaxation rounds, each
+    ONE bucketed frontier⋈edges join plus ONE min-cost groupby; the
+    next frontier is exactly the set of nodes whose best cost IMPROVED
+    (found with one anti join on packed (node, cost) keys — cost ≤ 63
+    rides in the low 6 bits), so settled subgraphs stop generating
+    traffic, the delta-stepping property that makes distributed SSSP
+    tractable. Correctness: a node that improved in round k expanded
+    with its optimal ≤k-hop prefix, so every ≤K-hop path cost is
+    covered by induction. The DuckDB twin enumerates paths with a
+    recursive CTE and takes min(cost)."""
+    from ray.data.aggregate import Min
+
+    from .joins import hash_join
+
+    edges, _ = _weighted_edges(sf_dir)
+    edges = edges.materialize()
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids < SP_SEEDS
+        return pa.table(
+            {
+                "node": pa.array(ids[keep].astype(np.int64)),
+                "cost": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            }
+        )
+
+    from ..io import read_table
+
+    visited = (
+        read_table(sf_dir, "documents", ["doc_id"])
+        .map_batches(seeds, batch_format="pyarrow")
+        .materialize()
+    )
+    frontier = visited
+    ew_schema = [("src", _I64), ("dst", _I64), ("w", _I64)]
+    nc_schema = [("node", _I64), ("cost", _I64)]
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return pa.table({"pk": pa.array([], _I64)})
+        n_ = b["node"].to_numpy(zero_copy_only=False)
+        c_ = b["cost"].to_numpy(zero_copy_only=False)
+        return pa.table({"pk": pa.array(n_ * _SP_COST_CAP + c_)})
+
+    for k in range(1, SP_HOPS + 1):
+        def fr_prep(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "node" not in b.column_names:
+                return pa.table(
+                    {"src": pa.array([], _I64), "fcost": pa.array([], _I64)}
+                )
+            return pa.table({"src": b["node"], "fcost": b["cost"]})
+
+        expanded = hash_join(
+            frontier.map_batches(fr_prep, batch_format="pyarrow"),
+            edges,
+            on="src",
+            num_partitions=8,
+            left_schema=[("src", _I64), ("fcost", _I64)],
+            right_schema=ew_schema,
+        )
+
+        def relax(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "dst" not in b.column_names:
+                return pa.table(
+                    {"node": pa.array([], _I64), "cost": pa.array([], _I64)}
+                )
+            t = pa.table(
+                {
+                    "node": b["dst"],
+                    "cost": pc.add(b["fcost"], b["w"]),
+                }
+            )
+            return (
+                t.group_by("node")
+                .aggregate([("cost", "min")])  # batch-local relax
+                .rename_columns(["node", "cost"])
+            )
+
+        candidates = expanded.map_batches(relax, batch_format="pyarrow")
+        old = visited
+        visited = (
+            visited.union(candidates)
+            .groupby("node")
+            .aggregate(Min("cost", alias_name="cost"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": pc.cast(b["node"], _I64),
+                        "cost": pc.cast(b["cost"], _I64),
+                    }
+                )
+                if b.num_rows and "node" in b.column_names
+                else pa.table(
+                    {"node": pa.array([], _I64), "cost": pa.array([], _I64)}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if k < SP_HOPS:
+            # frontier = pairs that are NEW or IMPROVED vs the old map
+            improved = hash_join(
+                visited.map_batches(
+                    lambda b: _pairs(b).append_column(
+                        "node", b["node"]
+                    ).append_column("cost", b["cost"])
+                    if b.num_rows and "node" in b.column_names
+                    else pa.table(
+                        {"pk": pa.array([], _I64), "node": pa.array([], _I64),
+                         "cost": pa.array([], _I64)}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                old.map_batches(_pairs, batch_format="pyarrow"),
+                on="pk",
+                join_type="left anti",
+                num_partitions=8,
+                left_schema=[("pk", _I64), ("node", _I64), ("cost", _I64)],
+                right_schema=[("pk", _I64)],
+            )
+            frontier = improved.map_batches(
+                lambda b: pa.table({"node": b["node"], "cost": b["cost"]})
+                if b.num_rows and "node" in b.column_names
+                else pa.table(
+                    {"node": pa.array([], _I64), "cost": pa.array([], _I64)}
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+
+    df = visited.to_pandas()
+    df = ensure_columns(df, {"node": "int64", "cost": "int64"})
+    df = df.rename(columns={"node": "doc_id"})
+    for c in ("doc_id", "cost"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SHORTEST_SQL = f"""
+WITH RECURSIVE
+n AS (SELECT count(*) AS nn FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src,
+         (((doc_id*2654435761 + j*40503) % nn)
+          * ((doc_id*2654435761 + j*40503) % nn)) % nn AS dst,
+         1 + ((doc_id
+               + (((doc_id*2654435761 + j*40503) % nn)
+                  * ((doc_id*2654435761 + j*40503) % nn)) % nn) % 5) AS w
+  FROM documents, (VALUES (1),(2),(3)) t(j), n
+  WHERE (((doc_id*2654435761 + j*40503) % nn)
+         * ((doc_id*2654435761 + j*40503) % nn)) % nn <> doc_id
+),
+sp AS (
+  SELECT doc_id AS node, 0 AS cost, 0 AS hops FROM documents
+  WHERE doc_id < {SP_SEEDS}
+  UNION ALL
+  SELECT e.dst, s.cost + e.w, s.hops + 1
+  FROM sp s JOIN edges e ON e.src = s.node
+  WHERE s.hops < {SP_HOPS}
+)
+SELECT node AS doc_id, CAST(min(cost) AS BIGINT) AS cost
+FROM sp GROUP BY node ORDER BY doc_id
+"""

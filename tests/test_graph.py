@@ -183,3 +183,24 @@ class TestReachableNodes:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.astype("int64").reset_index(drop=True)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShortestPaths:
+    def test_matches_sql_twin_and_dominates_bfs(self, sf_dir):
+        import duckdb
+
+        a = G.shortest_paths(sf_dir)
+        b = G.shortest_paths(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = con.sql(G.SHORTEST_SQL).df().astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # same reachable set as the unweighted BFS (same seeds/hops),
+        # and cost ≥ depth (every edge weighs ≥ 1)
+        bfs = G.reachable_nodes(sf_dir)
+        assert set(a["doc_id"]) == set(bfs["doc_id"])
+        m = a.merge(bfs, on="doc_id")
+        assert (m["cost"] >= m["depth"]).all()
+        assert (a.set_index("doc_id").loc[: G.SP_SEEDS - 1, "cost"] == 0).all()
