@@ -628,6 +628,38 @@ _COV_TS0 = np.int64(631152000) * US  # 1990-01-01 — below every event ts
 _COV_BIG = np.int64(1) << np.int64(51)  # > any (ts - TS0) span in µs
 
 
+def coverage_kernel(
+    uid: np.ndarray, s: np.ndarray, dur_us: np.int64
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-user interval-union length of [s, s+dur) intervals — ONE
+    lexsort + one vectorized running-max scan; the per-user reset is
+    free because each user's intervals shift into a disjoint int64
+    range (dense index × 2^51). Returns (users, active_us, counts),
+    users ascending. Pure numpy — property-tested against the O(n²)
+    brute-force union in tests/test_properties.py."""
+    e = s + dur_us
+    _, inv = np.unique(uid, return_inverse=True)
+    base = inv.astype(np.int64) * _COV_BIG
+    s_sh = base + (s - _COV_TS0)
+    e_sh = base + (e - _COV_TS0)
+    order = np.lexsort((e_sh, s_sh))  # user blocks are contiguous
+    s_sh, e_sh, uid_o = s_sh[order], e_sh[order], uid[order]
+    pm = np.maximum.accumulate(e_sh)
+    pm_excl = np.empty_like(pm)
+    if len(pm):
+        pm_excl[0] = np.iinfo(np.int64).min
+        pm_excl[1:] = pm[:-1]
+    gain = np.maximum(0, e_sh - np.maximum(s_sh, pm_excl))
+    starts = segment_starts(uid_o)
+    active = np.add.reduceat(gain, starts) if len(starts) else np.array([], np.int64)
+    counts = np.diff(np.append(starts, len(uid_o)))
+    return (
+        uid_o[starts],
+        active.astype(np.int64),
+        counts.astype(np.int64),
+    )
+
+
 def user_active_time(sf_dir: str) -> pd.DataFrame:
     """Interval-union coverage per user: every event opens the
     interval [ts, ts+300 s); the answer is the LENGTH OF THE UNION of
@@ -661,26 +693,12 @@ def user_active_time(sf_dir: str) -> pd.DataFrame:
     def cover(part: pa.Table) -> pa.Table:
         uid = part["user_id"].to_numpy(zero_copy_only=False)
         s = part["s"].to_numpy(zero_copy_only=False)
-        e = s + dur_us
-        _, inv = np.unique(uid, return_inverse=True)
-        base = inv.astype(np.int64) * _COV_BIG
-        s_sh = base + (s - _COV_TS0)
-        e_sh = base + (e - _COV_TS0)
-        order = np.lexsort((e_sh, s_sh))  # user blocks are contiguous
-        s_sh, e_sh, uid_o = s_sh[order], e_sh[order], uid[order]
-        pm = np.maximum.accumulate(e_sh)
-        pm_excl = np.empty_like(pm)
-        pm_excl[0] = np.iinfo(np.int64).min
-        pm_excl[1:] = pm[:-1]
-        gain = np.maximum(0, e_sh - np.maximum(s_sh, pm_excl))
-        starts = segment_starts(uid_o)
-        active = np.add.reduceat(gain, starts)
-        counts = np.diff(np.append(starts, len(uid_o)))
+        users, active, counts = coverage_kernel(uid, s, dur_us)
         return pa.table(
             {
-                "user_id": pa.array(uid_o[starts]),
-                "active_us": pa.array(active.astype(np.int64)),
-                "n_events": pa.array(counts.astype(np.int64)),
+                "user_id": pa.array(users),
+                "active_us": pa.array(active),
+                "n_events": pa.array(counts),
             }
         )
 

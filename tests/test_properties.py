@@ -154,3 +154,37 @@ def test_segment_ranks_matches_reference():
     keys = np.array([1, 1, 1, 4, 4, 9, 9, 9, 9, 12])
     assert list(segment_ranks(keys)) == [1, 2, 3, 1, 2, 1, 2, 3, 4, 1]
     assert list(segment_ranks(np.array([], dtype=np.int64))) == []
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 2_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_coverage_kernel_equals_bruteforce(pairs, dur):
+    """The vectorized interval-union kernel (disjoint-shift running
+    max) equals the O(n·m) brute-force union for ANY interval set."""
+    from gotenberg_ray.pipelines.windows import _COV_TS0, coverage_kernel
+
+    uid = np.array([u for u, _ in pairs], np.int64)
+    s = _COV_TS0 + np.array([x for _, x in pairs], np.int64)
+    users, active, counts = coverage_kernel(uid, s, np.int64(dur))
+    assert list(users) == sorted(set(uid.tolist()))
+    for u, a, c in zip(users, active, counts):
+        ss = np.sort(s[uid == u])
+        covered = 0
+        cur_end = None
+        for x in ss:
+            lo, hi = int(x), int(x) + dur
+            if cur_end is None or lo >= cur_end:
+                covered += hi - lo
+                cur_end = hi
+            else:
+                covered += max(0, hi - cur_end)
+                cur_end = max(cur_end, hi)
+        assert a == covered
+        assert c == (uid == u).sum()
