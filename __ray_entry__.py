@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-stream band join: ALL (click, purchase) pairs within
         # the hour band, counted via per-user prefix sums
         "click_purchase_pairs": W.click_purchase_pairs,
+        # trailing-window anomaly flag (integer cross-multiplication)
+        "events_spike_days": W.events_spike_days,
         # distributed analytics (anti-join / exact quantiles without a
         # sort / two-phase distinct / mergeable HLL sketch)
         "customers_no_urgent_orders": AN.customers_no_urgent_orders,
@@ -402,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": W.RETENTION_SQL,
         "events_decayed_score": W.DECAYED_SQL,
         "click_purchase_pairs": W.PAIRS_SQL,
+        "events_spike_days": W.SPIKE_SQL,
         "line_dedup": LN.LINE_DEDUP_SQL,
         "orders_upsert": INC.ORDERS_UPSERT_SQL,
         "orders_table_diff": INC.TABLE_DIFF_SQL,

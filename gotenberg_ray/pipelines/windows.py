@@ -988,3 +988,108 @@ FROM p JOIN c
  AND c.ts < p.ts
 GROUP BY p.user_id ORDER BY p.user_id
 """
+
+
+# ------------------------------------------------ spike detection
+
+SPIKE_TRAIL_D = 7  # trailing window (exclusive of the day itself)
+SPIKE_NUM, SPIKE_DEN = 21, 20  # spike when count > 105% of trailing mean
+
+
+def events_spike_days(sf_dir: str) -> pd.DataFrame:
+    """Trailing-window anomaly detection: calendar days whose event
+    count exceeds ``SPIKE_NUM/SPIKE_DEN`` (105%) of the mean of the
+    preceding ``SPIKE_TRAIL_D`` days (full windows only) — the
+    alerting shape of a streaming monitor, integer-exact via
+    cross-multiplication (n·7·20 > 21·prev7, no float mean).
+
+    Distributed shape: the corpus folds to calendar-sized daily counts
+    in one groupby; each day then CONTRIBUTES its count to the next 7
+    days (bounded flat-map expansion — the same trailing-window trick
+    as ``rolling_distinct_users``), a second calendar-sized groupby
+    folds the trailing sums, and the spike predicate joins the two
+    aggregate-sized tables. Nothing row-sized is exchanged twice."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = _ts_us(batch.column("ts")) // DAY_US
+        t = pa.table({"day": pa.array(day)})
+        return (
+            t.group_by("day")
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "n"])
+        )
+
+    daily = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # two consumers: expansion + the final join
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "day" not in batch.column_names:
+            return pa.table(
+                {"day": pa.array([], pa.int64()),
+                 "prev_n": pa.array([], pa.int64()),
+                 "prev_days": pa.array([], pa.int64())}
+            )
+        day = batch["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = (day[:, None] + np.arange(1, SPIKE_TRAIL_D + 1)[None, :]).ravel()
+        return pa.table(
+            {
+                "day": pa.array(tgt),
+                "prev_n": pa.array(np.repeat(n, SPIKE_TRAIL_D)),
+                "prev_days": pa.array(np.ones(len(tgt), np.int64)),
+            }
+        )
+
+    trailing = (
+        daily.map_batches(expand, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("prev_n", alias_name="prev_n"),
+            Sum("prev_days", alias_name="prev_days"),
+        )
+        .to_pandas()
+    )
+    trailing = ensure_columns(
+        trailing, {"day": "int64", "prev_n": "int64", "prev_days": "int64"}
+    )
+    cur = ensure_columns(daily.to_pandas(), {"day": "int64", "n": "int64"})
+    df = cur.merge(trailing, on="day", how="inner")
+    full = df["prev_days"] == SPIKE_TRAIL_D
+    spike = (
+        df["n"] * SPIKE_TRAIL_D * SPIKE_DEN > SPIKE_NUM * df["prev_n"]
+    )
+    df = df[full & spike][["day", "n", "prev_n"]].copy()
+    df["day"] = (
+        pd.to_datetime(df["day"].astype("int64") * 86_400, unit="s")
+        .dt.strftime("%Y-%m-%d")
+    )
+    for c in ("n", "prev_n"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("day").reset_index(drop=True)
+
+
+SPIKE_SQL = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+w AS (
+  SELECT day, n,
+         sum(n) OVER (ORDER BY day
+             RANGE BETWEEN INTERVAL {SPIKE_TRAIL_D} DAYS PRECEDING
+                       AND INTERVAL 1 DAY PRECEDING) AS prev_n,
+         count(*) OVER (ORDER BY day
+             RANGE BETWEEN INTERVAL {SPIKE_TRAIL_D} DAYS PRECEDING
+                       AND INTERVAL 1 DAY PRECEDING) AS prev_days
+  FROM d)
+SELECT strftime(day, '%Y-%m-%d') AS day, n,
+       CAST(prev_n AS BIGINT) AS prev_n
+FROM w
+WHERE prev_days = {SPIKE_TRAIL_D}
+  AND n * {SPIKE_TRAIL_D} * {SPIKE_DEN} > {SPIKE_NUM} * prev_n
+ORDER BY day
+"""

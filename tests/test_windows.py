@@ -233,3 +233,24 @@ class TestClickPurchasePairs:
         # every pair's gap is < the band width
         assert (a["total_gap_s"] < a["n_pairs"] * W.PAIR_WINDOW_S).all()
         assert (a["n_pairs"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpikeDays:
+    def test_matches_sql_twin(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import windows as W
+
+        a = W.events_spike_days(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS FROM '{sf_dir}/events.parquet'")
+        want = con.sql(W.SPIKE_SQL).df()
+        for c in ("n", "prev_n"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # flagged days really exceed the gate
+        assert len(a) > 0  # non-vacuous on this corpus
+        assert (
+            a["n"] * W.SPIKE_TRAIL_D * W.SPIKE_DEN > W.SPIKE_NUM * a["prev_n"]
+        ).all()
