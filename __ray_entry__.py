@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import train as TR
+    from gotenberg_ray.pipelines import urls as U
     from gotenberg_ray.pipelines import windows as W
 
     return {
@@ -293,6 +294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         # sub-resource admission (pause-filter decision algebra)
         "subresource_admission": A.subresource_admission,
+        # RFC-3986 canonicalization under the oracle gate (messy-URL
+        # corpus whose canonical set is arithmetically predictable)
+        "url_host_counts": U.url_host_counts,
         # deterministic distributed sampling
         "sample_bernoulli": SA.sample_bernoulli,
         "sample_bottomk": SA.sample_bottomk,
@@ -357,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import skyline as SK
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import tfidf as TFIDF
+    from gotenberg_ray.pipelines import urls as U
     from gotenberg_ray.pipelines import windows as W
 
     return {
@@ -465,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_page_counts": T.CONVERT_PAGES_SQL,
         "screenshot_page_counts": T.SCREENSHOT_PAGES_SQL,
         "subresource_admission": A.ADMISSION_SQL,
+        "url_host_counts": U.URL_HOSTS_SQL,
         "sample_bernoulli": SA.SAMPLE_BERNOULLI_SQL,
         "sample_bottomk": SA.SAMPLE_BOTTOMK_SQL,
         "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,

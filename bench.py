@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "click_purchase_pairs",
     "orders_table_diff",
     "orders_price_outliers",
+    "shortest_paths",
+    "search_topk",
+    "user_retention",
 ]
 
 

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from gotenberg_ray.functions import urlkit as U
 
@@ -118,3 +119,43 @@ def test_domain_normalize_and_match():
     assert U.domain_matches("a.ex.com", ["*.ex.com"])
     assert U.domain_matches("ex.com", ["ex.com:443"])
     assert not U.domain_matches("notex.com", ["ex.com"])
+
+
+class TestUrlHostCorpus:
+    def test_every_variant_canonicalizes_to_expected(self):
+        from gotenberg_ray.functions.urlkit import canonicalize_url_host
+        from gotenberg_ray.pipelines.urls import N_HOSTS, _raw_urls
+
+        for d in range(64):
+            want = f"https://host{d % N_HOSTS}.example.com/p/{d}"
+            for raw in _raw_urls(d):
+                c, h = canonicalize_url_host(raw)
+                assert c == want, (raw, c)
+                assert h == f"host{d % N_HOSTS}.example.com"
+
+    def test_twin_variant_collapses(self):
+        from gotenberg_ray.functions.urlkit import canonicalize_url_host
+        from gotenberg_ray.pipelines.urls import _raw_urls
+
+        raws = _raw_urls(6)  # 6 % 4 == 2 → messy + clean twin
+        assert len(raws) == 2 and raws[0] != raws[1]
+        assert canonicalize_url_host(raws[0])[0] == canonicalize_url_host(raws[1])[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUrlHostCounts:
+    def test_matches_sql_twin(self, sf_dir):
+        import duckdb
+        import pandas as pd
+
+        from gotenberg_ray.pipelines import urls as U
+
+        a = U.url_host_counts(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = con.sql(U.URL_HOSTS_SQL).df()
+        for c in ("n_urls", "n_canon"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # the twin variants really collapsed: fewer canonicals than raws
+        assert (a["n_canon"] < a["n_urls"]).any()
