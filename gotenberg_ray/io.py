@@ -295,3 +295,39 @@ def compact_partitioned(path: str) -> dict:
         "removed_files": int((res["n_files"] - 1).sum()) if len(res) else 0,
         "rows": int(res["rows"].sum()) if len(res) else 0,
     }
+
+
+def read_evolved(
+    paths: list[str],
+    schema: list[tuple[str, "object"]],
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Schema-evolution-tolerant read: parquet files written under
+    DIFFERENT generations of a table schema stream through as the
+    declared target schema — missing columns null-fill, widened
+    numerics cast, extra columns drop. The lakehouse "schema merge on
+    read" every long-lived 100 TB table eventually needs (files land
+    over months; the schema moves).
+
+    ``schema`` is [(name, pyarrow type), ...] — the target. Casting
+    happens per batch in the workers (zero-copy where types already
+    match); the declared schema also makes empty files total."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fields = [(n, t) for n, t in schema if columns is None or n in columns]
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = []
+        for name, typ in fields:
+            if name in batch.column_names:
+                col = batch.column(name)
+                cols.append(pc.cast(col, typ) if col.type != typ else col)
+            else:
+                cols.append(pa.nulls(batch.num_rows, typ))
+        return pa.table(dict(zip([n for n, _ in fields], cols)))
+
+    # one read task per file: files may disagree on schema, so blocks
+    # must not mix files before the align step
+    ds = rd.read_parquet(paths, override_num_blocks=max(1, len(paths)))
+    return ds.map_batches(align, batch_format="pyarrow")

@@ -37,6 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..functions.hashing import fnv64, splitmix64
@@ -432,4 +433,109 @@ def hash_join(
         # semantics
         tagged.groupby(_PID, num_partitions=num_partitions)
         .map_groups(join_partition, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------- adaptive strategy
+
+
+BROADCAST_MAX_BYTES = 64 << 20  # right side ≤ 64 MB → broadcast
+
+
+def broadcast_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    *,
+    right_on: str | None = None,
+    left_schema=None,
+    right_schema=None,
+    join_type: str = "inner",
+) -> rd.Dataset:
+    """Map-side join against a SMALL right side: the right table is
+    collected once, shipped to the object store once (``ray.put``
+    inside the Dataset plan via closure capture of the Arrow table),
+    and every left batch joins locally — no shuffle of either side.
+    Only for true dimension tables; ``auto_join`` enforces the size
+    gate. Supports inner / left outer / left semi / left anti."""
+    if join_type not in ("inner", "left outer", "left semi", "left anti"):
+        raise ValueError(f"broadcast_join does not support {join_type!r}")
+    rkey = right_on or on
+
+    def _align(t: pa.Table, fields) -> pa.Table:
+        """Schema-less/partial (often empty) block → declared schema."""
+        if fields is None:
+            return t
+        cols = []
+        for name, typ in fields:
+            if name in t.column_names:
+                col = t.column(name)
+                cols.append(pc.cast(col, typ) if col.type != typ else col)
+            else:
+                cols.append(pa.nulls(t.num_rows, typ))
+        return pa.table(dict(zip([n for n, _ in fields], cols)))
+
+    tables = [ray.get(r) for r in right.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if tables:
+        rt = pa.concat_tables(tables, promote_options="default")
+    elif right_schema is not None:
+        rt = _align(pa.table({}), right_schema)
+    else:
+        raise ValueError("broadcast_join: empty right side needs right_schema")
+    if rkey != on:
+        rt = rt.rename_columns(
+            [on if c == rkey else c for c in rt.column_names]
+        )
+    rt_ref = ray.put(rt)
+    lfields = left_schema
+
+    def probe(batch: pa.Table) -> pa.Table:
+        rt_local = ray.get(rt_ref)
+        if batch.num_rows == 0 or on not in batch.column_names:
+            batch = _align(batch, lfields)
+            if on not in batch.column_names:
+                return batch
+        return _local_join(batch, rt_local, on, join_type)
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
+def auto_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    *,
+    right_on: str | None = None,
+    left_schema=None,
+    right_schema=None,
+    join_type: str = "inner",
+    num_partitions: int = 32,
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+) -> rd.Dataset:
+    """Adaptive join-strategy selection — the planner decision every
+    SQL engine makes, made explicit: materialize the right side, read
+    its ACTUAL size from block metadata, and pick map-side broadcast
+    (small right: zero shuffles) or the bucketed two-sided
+    ``hash_join`` (big right: both sides exchange once). The left side
+    is never materialized by the decision."""
+    right = right.materialize()
+    size = right.size_bytes() or 0
+    if size <= broadcast_max_bytes and join_type in (
+        "inner", "left outer", "left semi", "left anti",
+    ):
+        return broadcast_join(
+            left, right, on,
+            right_on=right_on,
+            left_schema=left_schema,
+            right_schema=right_schema,
+            join_type=join_type,
+        )
+    return hash_join(
+        left, right, on,
+        right_on=right_on,
+        left_schema=left_schema,
+        right_schema=right_schema,
+        join_type=join_type,
+        num_partitions=num_partitions,
     )

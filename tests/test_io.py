@@ -253,3 +253,59 @@ class TestAppendAndCompact:
         assert len(after) == total
         assert not os.path.exists(os.path.join(bdir, "_compact.ready"))
         assert not os.path.exists(os.path.join(bdir, "_compact.tmp"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadEvolved:
+    def test_mixed_generations_align(self, tmp_path):
+        # gen 1: (doc_id int32, lang) — no score column yet
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int32()),
+                    "lang": pa.array(["en", "de"]),
+                }
+            ),
+            str(tmp_path / "gen1.parquet"),
+        )
+        # gen 2: doc_id widened to int64, score added, lang dropped
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([3], pa.int64()),
+                    "score": pa.array([9], pa.int64()),
+                    "extra": pa.array(["zzz"]),
+                }
+            ),
+            str(tmp_path / "gen2.parquet"),
+        )
+        schema = [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("score", pa.int64()),
+        ]
+        df = (
+            gio.read_evolved(
+                [str(tmp_path / "gen1.parquet"), str(tmp_path / "gen2.parquet")],
+                schema,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(df.columns) == ["doc_id", "lang", "score"]
+        assert df["doc_id"].tolist() == [1, 2, 3]
+        assert df["lang"].tolist()[:2] == ["en", "de"] and pd.isna(df["lang"][2])
+        assert pd.isna(df["score"][0]) and df["score"][2] == 9
+
+    def test_column_projection(self, tmp_path):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1], pa.int64())}),
+            str(tmp_path / "a.parquet"),
+        )
+        df = gio.read_evolved(
+            [str(tmp_path / "a.parquet")],
+            [("doc_id", pa.int64()), ("score", pa.int64())],
+            columns=["doc_id"],
+        ).to_pandas()
+        assert list(df.columns) == ["doc_id"]

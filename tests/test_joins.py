@@ -248,3 +248,60 @@ class TestDetectHotKeys:
         ds = rd.from_pandas(pd.DataFrame({"k": np.arange(10_000) % 997}))
         hot = detect_hot_keys(ds, "k", num_partitions=8, capacity=2048)
         assert len(hot) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAutoJoin:
+    def _sides(self):
+        import ray.data as rd
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "lv": pa.array([10, 20, 30, 40, 50], pa.int64()),
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([2, 4, 9], pa.int64()),
+                    "rv": pa.array([200, 400, 900], pa.int64()),
+                }
+            )
+        )
+        return left, right
+
+    def test_broadcast_path_equals_hash_join(self):
+        from gotenberg_ray.pipelines import joins as J
+
+        for jt in ("inner", "left outer", "left semi", "left anti"):
+            left, right = self._sides()
+            got = (
+                J.auto_join(left, right, "k", join_type=jt)
+                .to_pandas()
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+            left, right = self._sides()
+            want = (
+                J.hash_join(left, right, "k", join_type=jt,
+                            num_partitions=4)
+                .to_pandas()
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+            got = got[sorted(got.columns)]
+            want = want[sorted(want.columns)]
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_big_right_takes_bucketed_path(self):
+        from gotenberg_ray.pipelines import joins as J
+
+        left, right = self._sides()
+        # force the bucketed path with a 0-byte broadcast budget
+        out = J.auto_join(
+            left, right, "k", broadcast_max_bytes=0, num_partitions=4
+        ).to_pandas()
+        assert sorted(out["k"].tolist()) == [2, 4]
