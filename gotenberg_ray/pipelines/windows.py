@@ -918,53 +918,75 @@ def click_purchase_pairs(sf_dir: str) -> pd.DataFrame:
     counts ALL pairs in the band, the shape of stream-stream joins in
     streaming engines (bounded-staleness correlation).
 
-    Distributed shape: one user-keyed exchange; per group both sides
-    sort once and two ``np.searchsorted`` calls bound each purchase's
+    Distributed shape: rows route ONCE by ``user_id % P`` (bucketed
+    keyed exchange — P group tasks, not one per user); inside each
+    bucket one lexsort splits users into contiguous segments and each
+    user costs two ``np.searchsorted`` calls bounding every purchase's
     click band, so pair counts AND exact summed gaps come from prefix
     sums — O((n+m) log m) per user, never materializing the pair
     blow-up. Output is per-user (n_pairs, total_gap_s), integer-µs
     exact, floor-divided to seconds identically to the SQL twin."""
     win_us = np.int64(PAIR_WINDOW_S) * US
+    P = 16
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        kinds = g["event_type"].to_numpy()
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        p_ts = np.sort(ts_us[kinds == "purchase"])
-        c_ts = np.sort(ts_us[kinds == "click"])
-        if len(p_ts) == 0 or len(c_ts) == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "n_pairs": pd.Series([], dtype="int64"),
-                    "total_gap_s": pd.Series([], dtype="int64"),
-                }
-            )
-        pref = np.concatenate(([0], np.cumsum(c_ts)))
-        lo = np.searchsorted(c_ts, p_ts - win_us, side="left")
-        hi = np.searchsorted(c_ts, p_ts, side="left")
-        cnt = hi - lo
-        gaps_us = int((p_ts * cnt).sum() - (pref[hi] - pref[lo]).sum())
-        n_pairs = int(cnt.sum())
-        if n_pairs == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "n_pairs": pd.Series([], dtype="int64"),
-                    "total_gap_s": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.DataFrame(
+    def bucket(batch: pa.Table) -> pa.Table:
+        kinds = batch["event_type"]
+        if isinstance(kinds, pa.ChunkedArray):
+            kinds = kinds.combine_chunks()
+        keep = pc.is_in(kinds, value_set=pa.array(["purchase", "click"]))
+        b = batch.filter(keep)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_pairs": [n_pairs],
-                "total_gap_s": [gaps_us // US],
+                "pid": pa.array((uid % P).astype(np.int32)),
+                "user_id": pa.array(uid),
+                "ts_us": pa.array(_ts_us(b.column("ts"))),
+                "is_p": pc.cast(
+                    pc.equal(b["event_type"], "purchase"), pa.int8()
+                ),
+            }
+        )
+
+    def per_bucket(part: pa.Table) -> pa.Table:
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = part["ts_us"].to_numpy(zero_copy_only=False)
+        is_p = part["is_p"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((ts_us, is_p, uid))
+        uid, ts_us, is_p = uid[order], ts_us[order], is_p[order]
+        users, pairs, gaps = [], [], []
+        starts = segment_starts(uid)
+        ends = np.append(starts[1:], len(uid))
+        for st, en in zip(starts, ends):
+            u = uid[st]
+            seg_p = ts_us[st:en][is_p[st:en]]
+            seg_c = ts_us[st:en][~is_p[st:en]]
+            if not len(seg_p) or not len(seg_c):
+                continue
+            pref = np.concatenate(([0], np.cumsum(seg_c)))
+            lo = np.searchsorted(seg_c, seg_p - win_us, side="left")
+            hi = np.searchsorted(seg_c, seg_p, side="left")
+            cnt = hi - lo
+            n_pairs = int(cnt.sum())
+            if n_pairs == 0:
+                continue
+            users.append(int(u))
+            pairs.append(n_pairs)
+            gaps.append(
+                int((seg_p * cnt).sum() - (pref[hi] - pref[lo]).sum()) // US
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n_pairs": pa.array(pairs, pa.int64()),
+                "total_gap_s": pa.array(gaps, pa.int64()),
             }
         )
 
     df = (
         _read(sf_dir, "events", ["user_id", "ts", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     df = ensure_columns(
