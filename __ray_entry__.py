@@ -281,6 +281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE tokenizer training: one distributed word-histogram
         # pass, merge loop on the histogram (rows-only - iterative)
         "bpe_train": TFIDF.bpe_train,
+        # tokenizer SERVING: apply the trained merges corpus-wide
+        # (broadcast merge table, actor-pool word cache; rows-only)
+        "bpe_encode_stats": TFIDF.bpe_encode_stats,
         # BPE inner loop on its own (adjacent pair counts; oracle)
         "bpe_top_pairs": TFIDF.bpe_top_pairs,
         # collocation extraction: adjacent-pair lift (exponentiated

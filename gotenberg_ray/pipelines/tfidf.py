@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 from ..functions.frames import ensure_columns
-from ..io import read_table
+from ..io import parallelism_hint, read_table
 
 
 def _explode_tf(batch: pa.Table) -> pa.Table:
@@ -596,3 +596,129 @@ JOIN u ur ON ur.tok = pc.tok_r
 CROSS JOIN total
 ORDER BY lift_e4 DESC, pc.pair LIMIT 20
 """
+
+
+# ----------------------------------------------------- BPE encoding
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Sub-token count of one word under trained merges (classic BPE
+    apply: repeatedly merge the lowest-rank adjacent pair)."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return len(sym)
+
+
+def bpe_encode_stats(sf_dir: str, n_merges: int = 30) -> pd.DataFrame:
+    """Apply the corpus-trained BPE to the corpus — the tokenizer
+    SERVING pass that follows ``bpe_train``: per language, documents /
+    words / sub-tokens under the trained merges (the
+    compression-per-language signal a data-mix designer reads).
+
+    Distributed shape: the merge table (the tiny training output)
+    broadcasts once via ``ray.put``; an ACTOR-POOL stage holds the
+    rank dict plus a per-actor word→length cache (Zipf: the cache hits
+    almost always, so each distinct word is encoded once per actor,
+    not once per occurrence); per-batch partial (lang, docs, words,
+    subtokens) rows fold through a language-sized groupby. Rows-only
+    check (iterative merges are not SQL-expressible); parity with a
+    driver reference encoder is pinned in tests."""
+    import ray
+
+    merges = bpe_train(sf_dir, n_merges=n_merges)
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(merges["merge_rank"], merges["left"], merges["right"])
+    }
+    ranks_ref = ray.put(ranks)
+
+    class BpeEncoder:
+        def __init__(self):
+            self.ranks = ray.get(ranks_ref)
+            self.cache: dict[str, int] = {}
+
+        def _len(self, w: str) -> int:
+            n = self.cache.get(w)
+            if n is None:
+                n = bpe_encode_word(w, self.ranks)
+                self.cache[w] = n
+            return n
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            flat = pc.utf8_lower(toks.values)
+            keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+                zero_copy_only=False
+            )
+            words = flat.filter(pa.array(keep)).to_pylist()
+            sub = np.fromiter(
+                (self._len(w) for w in words), np.int64, len(words)
+            )
+            n_rows = batch.num_rows
+            subtotal = np.zeros(n_rows, np.int64)
+            np.add.at(subtotal, parents[keep], sub)
+            wordtotal = np.bincount(
+                parents[keep], minlength=n_rows
+            ).astype(np.int64)
+            t = pa.table(
+                {
+                    "lang": batch["lang"],
+                    "n_docs": pa.array(np.ones(n_rows, np.int64)),
+                    "n_words": pa.array(wordtotal),
+                    "n_subtokens": pa.array(subtotal),
+                }
+            )
+            return (
+                t.group_by("lang")
+                .aggregate(
+                    [("n_docs", "sum"), ("n_words", "sum"),
+                     ("n_subtokens", "sum")]
+                )
+                .rename_columns(
+                    ["lang", "n_docs", "n_words", "n_subtokens"]
+                )
+            )
+
+    df = (
+        read_table(
+            sf_dir, "documents", columns=["lang", "text"],
+            min_blocks=parallelism_hint(),
+        )
+        .map_batches(
+            BpeEncoder,
+            batch_format="pyarrow",
+            batch_size=256,
+            # leave headroom for the read tasks: an actor pool sized to
+            # the whole CPU budget starves its own upstream
+            concurrency=max(1, min(4, parallelism_hint() - 2)),
+        )
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_subtokens", alias_name="n_subtokens"),
+        )
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"lang": "object", "n_docs": "int64", "n_words": "int64",
+         "n_subtokens": "int64"},
+    )
+    for c in ("n_docs", "n_words", "n_subtokens"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)

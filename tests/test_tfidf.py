@@ -153,3 +153,58 @@ class TestCoocLift:
         for c in ("n_pair", "lift_e4"):
             want[c] = want[c].astype("int64")
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeEncode:
+    def test_parity_with_driver_reference_and_bounds(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import tfidf as T
+
+        a = T.bpe_encode_stats(sf_dir)
+        b = T.bpe_encode_stats(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        # driver reference: encode every word with the same merges
+        merges = T.bpe_train(sf_dir)
+        ranks = {
+            (l, r): int(k)
+            for k, l, r in zip(
+                merges["merge_rank"], merges["left"], merges["right"]
+            )
+        }
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        docs = con.sql("SELECT lang, text FROM documents").df()
+        agg = {}
+        cache = {}
+
+        def wlen(w):
+            if w not in cache:
+                cache[w] = T.bpe_encode_word(w, ranks)
+            return cache[w]
+
+        for lang, text in zip(docs["lang"], docs["text"]):
+            words = [w for w in (text or "").lower().split() if w]
+            st = sum(wlen(w) for w in words)
+            d = agg.setdefault(lang, [0, 0, 0])
+            d[0] += 1
+            d[1] += len(words)
+            d[2] += st
+        want = (
+            pd.DataFrame(
+                [
+                    {"lang": k, "n_docs": v[0], "n_words": v[1],
+                     "n_subtokens": v[2]}
+                    for k, v in agg.items()
+                ]
+            )
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        for c in ("n_docs", "n_words", "n_subtokens"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # merges compress: fewer subtokens than the unmerged bound
+        # (chars + </w> per word), never fewer than one per word
+        assert (a["n_subtokens"] >= a["n_words"]).all()
