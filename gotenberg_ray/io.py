@@ -158,6 +158,14 @@ def write_partitioned(
             if d.startswith("bucket-")
             and os.path.exists(os.path.join(path, d, "_COMPLETE"))
         }
+        if len(done) >= num_partitions:
+            # fully-written layout: short-circuit BEFORE the Dataset
+            # executes — a no-op resume must not pay the corpus scan
+            return {
+                "written_buckets": 0,
+                "written_rows": 0,
+                "skipped_buckets": len(done),
+            }
 
     def tag(batch: pa.Table) -> pa.Table:
         if direct:
@@ -228,12 +236,21 @@ def compact_partitioned(path: str) -> dict:
     Distributed shape: each bucket compacts independently (a Dataset
     of bucket descriptors fans out over the pool — per-bucket work
     never leaves its worker, the driver sees one summary row per
-    bucket). Crash-safe per bucket via a two-phase rename: the merged
-    file lands as ``_compact.tmp`` (possibly torn on a crash — always
-    discarded by the next run), is renamed to ``_compact.ready``
-    (complete by construction), and only then are the superseded
-    files unlinked and the ready file promoted to ``part-0.parquet``.
-    A re-run heals any interrupted bucket from the ready file."""
+    bucket). Crash-safe per bucket via a manifest + two-phase rename:
+
+    1. ``_compact.manifest`` records EXACTLY which files the merge
+       supersedes (so a part appended between a crash and the healing
+       re-run is never touched);
+    2. the merged file lands as ``_compact.tmp`` (possibly torn on a
+       crash — always discarded), then renames to ``_compact.ready``
+       (complete by construction);
+    3. the manifest's files are unlinked and ready promotes to
+       ``compacted.parquet`` — a name neither write mode ever emits,
+       so a healing promote can't clobber a post-crash append.
+
+    A re-run heals any interrupted bucket: manifest without ready →
+    the merge never completed, drop the manifest; ready + manifest →
+    finish steps 3 exactly as the crashed run would have."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -246,21 +263,35 @@ def compact_partitioned(path: str) -> dict:
     if not buckets:
         return {"compacted_buckets": 0, "removed_files": 0, "rows": 0}
 
+    def _promote(bdir: str, ready: str, manifest: str) -> tuple[int, int]:
+        """Steps 3: unlink exactly the superseded files, promote."""
+        with open(manifest) as f:
+            superseded = [ln for ln in f.read().splitlines() if ln]
+        for f_ in superseded:
+            p_ = os.path.join(bdir, f_)
+            if os.path.exists(p_):
+                os.unlink(p_)
+        n_rows = pq.read_metadata(ready).num_rows
+        os.replace(ready, os.path.join(bdir, "compacted.parquet"))
+        os.unlink(manifest)
+        return len(superseded), n_rows
+
     def compact_one(batch: pa.Table) -> pa.Table:
         out = []
         for bdir in batch["bdir"].to_pylist():
             tmp = os.path.join(bdir, "_compact.tmp")
             ready = os.path.join(bdir, "_compact.ready")
+            manifest = os.path.join(bdir, "_compact.manifest")
             if os.path.exists(tmp):  # torn write from a crash
                 os.unlink(tmp)
-            if os.path.exists(ready):  # heal: promote the merged file
-                for f in os.listdir(bdir):
-                    if f.endswith(".parquet") and not f.startswith("_"):
-                        os.unlink(os.path.join(bdir, f))
-                n_prior = pq.read_metadata(ready).num_rows
-                os.replace(ready, os.path.join(bdir, "part-0.parquet"))
-                out.append((bdir, 1, n_prior))
+            if os.path.exists(ready) and os.path.exists(manifest):
+                n_files, n_rows = _promote(bdir, ready, manifest)  # heal
+                out.append((bdir, n_files, n_rows))
                 continue
+            if os.path.exists(manifest):  # merge never completed
+                os.unlink(manifest)
+            if os.path.exists(ready):  # manifest lost: superseded set
+                os.unlink(ready)  # unknown — discard, re-merge below
             parts = sorted(
                 f
                 for f in os.listdir(bdir)
@@ -271,12 +302,12 @@ def compact_partitioned(path: str) -> dict:
             merged = pa.concat_tables(
                 [pq.read_table(os.path.join(bdir, f)) for f in parts]
             )
+            with open(manifest, "w") as f:
+                f.write("\n".join(parts))
             pq.write_table(merged, tmp)
             os.replace(tmp, ready)
-            for f in parts:
-                os.unlink(os.path.join(bdir, f))
-            os.replace(ready, os.path.join(bdir, "part-0.parquet"))
-            out.append((bdir, len(parts), merged.num_rows))
+            n_files, n_rows = _promote(bdir, ready, manifest)
+            out.append((bdir, n_files, n_rows))
         return pa.table(
             {
                 "bdir": pa.array([o[0] for o in out]),
@@ -311,11 +342,26 @@ def read_evolved(
 
     ``schema`` is [(name, pyarrow type), ...] — the target. Casting
     happens per batch in the workers (zero-copy where types already
-    match); the declared schema also makes empty files total."""
+    match); the declared schema also makes empty files total. Column
+    pruning pushes into the parquet reader: only target columns that
+    exist in at least one file are requested, so dropped/unprojected
+    columns never leave storage."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     fields = [(n, t) for n, t in schema if columns is None or n in columns]
+    targets = [n for n, _ in fields]
+    # footer-only metadata reads — cheap at any scale; the per-file
+    # projection is the intersection of target and stored columns
+    per_file_cols: list[list[str] | None] = []
+    for p in paths:
+        try:
+            names = set(pq.read_schema(p).names)
+            cols = [n for n in targets if n in names]
+            per_file_cols.append(cols or None)
+        except OSError:
+            per_file_cols.append(None)
 
     def align(batch: pa.Table) -> pa.Table:
         cols = []
@@ -327,7 +373,36 @@ def read_evolved(
                 cols.append(pa.nulls(batch.num_rows, typ))
         return pa.table(dict(zip([n for n, _ in fields], cols)))
 
-    # one read task per file: files may disagree on schema, so blocks
-    # must not mix files before the align step
-    ds = rd.read_parquet(paths, override_num_blocks=max(1, len(paths)))
-    return ds.map_batches(align, batch_format="pyarrow")
+    # one read per file: files may disagree on schema (Ray's parquet
+    # reader projects against the FIRST file's schema, so a shared
+    # column list would reject late-generation columns); each file
+    # reads only its own intersection and aligns, then the streams
+    # union
+    parts = [
+        rd.read_parquet(p, columns=c, override_num_blocks=1).map_batches(
+            align, batch_format="pyarrow"
+        )
+        for p, c in zip(paths, per_file_cols)
+    ]
+    ds = parts[0]
+    for part in parts[1:]:
+        ds = ds.union(part)
+    return ds
+
+
+def scratch_layout_path(kind: str, sf_dir: str, table: str) -> str:
+    """Scratch directory for a derived layout (index / bucketed /
+    z-order), keyed by the SOURCE TABLE's identity — absolute path +
+    size + mtime — so same-basename corpora get distinct layouts and
+    an in-place regeneration invalidates rather than silently reuses
+    the stale one."""
+    from .functions.hashing import fnv64_one
+
+    src = table_path(os.path.abspath(sf_dir), table)
+    try:
+        st = os.stat(src)
+        ident = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        ident = src
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/gotenberg_{kind}/{tag}-{fnv64_one(ident):016x}"

@@ -132,8 +132,9 @@ def zorder_scan(sf_dir: str) -> pd.DataFrame:
                 "sum_qty": pd.Series([], dtype="int64"),
             }
         )
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/tmp/gotenberg_zorder/{tag}"
+    from ..io import scratch_layout_path
+
+    path = scratch_layout_path("zorder", sf_dir, "lineitem")
     write_zordered(sf_dir, path, pmax, smax)
 
     p0, p1, s0, s1 = _rect(pmax, smax)
@@ -243,10 +244,9 @@ def bucketed_customer_totals(sf_dir: str) -> pd.DataFrame:
     query family repeats."""
     import ray.data as rd
 
-    from ..io import read_table, write_partitioned
+    from ..io import read_table, scratch_layout_path, write_partitioned
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = f"/tmp/gotenberg_bucketed/{tag}"
+    path = scratch_layout_path("bucketed", sf_dir, "orders")
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -37,8 +37,13 @@ TOP_K = 10
 
 
 def _index_path(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/gotenberg_index/{tag}"
+    """Index directory keyed by the CORPUS IDENTITY (path+size+mtime
+    via ``io.scratch_layout_path``) — same-basename corpora get
+    distinct indexes and an in-place regeneration invalidates the old
+    postings instead of silently reusing them."""
+    from ..io import scratch_layout_path
+
+    return scratch_layout_path("index", sf_dir, "documents")
 
 
 def build_index(sf_dir: str) -> str:

@@ -223,13 +223,13 @@ class TestAppendAndCompact:
         )
         # idempotent: second run finds nothing to do
         assert gio.compact_partitioned(out)["compacted_buckets"] == 0
-        # marker row counts survive compaction
+        # exactly one merged file remains per bucket
         for d in bdirs:
             files = [
                 f for f in os.listdir(os.path.join(out, d))
                 if f.endswith(".parquet")
             ]
-            assert files == ["part-0.parquet"]
+            assert files == ["compacted.parquet"]
 
     def test_compact_heals_interrupted_bucket(self, tmp_path):
         out, total = self._mk(tmp_path, runs=2)
@@ -240,19 +240,45 @@ class TestAppendAndCompact:
             f for f in os.listdir(bdir) if f.endswith(".parquet")
         )
         # simulate a crash AFTER the ready rename, BEFORE the unlinks:
-        # merged file present alongside the superseded originals
+        # manifest + merged file present alongside the superseded
+        # originals — PLUS a part appended after the crash, which the
+        # heal must preserve (it is not in the manifest)
+        merged = pa.concat_tables(
+            [pq.read_table(os.path.join(bdir, f)) for f in parts]
+        )
+        with open(os.path.join(bdir, "_compact.manifest"), "w") as f:
+            f.write("\n".join(parts))
+        pq.write_table(merged, os.path.join(bdir, "_compact.ready"))
+        with open(os.path.join(bdir, "_compact.tmp"), "wb") as f:
+            f.write(b"torn")
+        late = pa.table(
+            {"doc_id": pa.array([99999], pa.int64()),
+             "v": pa.array([7], pa.int64())}
+        )
+        pq.write_table(late, os.path.join(bdir, f"part-{len(parts)}.parquet"))
+        gio.compact_partitioned(out)
+        after = gio.read_partitioned(out).to_pandas()
+        assert len(after) == total + 1  # late-append row survived
+        assert 99999 in set(after["doc_id"])
+        for leftover in ("_compact.ready", "_compact.tmp", "_compact.manifest"):
+            assert not os.path.exists(os.path.join(bdir, leftover))
+
+    def test_heal_without_manifest_discards_and_remerges(self, tmp_path):
+        out, total = self._mk(tmp_path, runs=2)
+        bdir = os.path.join(
+            out, sorted(d for d in os.listdir(out) if d.startswith("bucket-"))[0]
+        )
+        # a ready file with no manifest is unusable (superseded set
+        # unknown) — the re-run must discard it and re-merge safely
+        parts = sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))
         merged = pa.concat_tables(
             [pq.read_table(os.path.join(bdir, f)) for f in parts]
         )
         pq.write_table(merged, os.path.join(bdir, "_compact.ready"))
-        # plus a torn tmp from the same crash
-        with open(os.path.join(bdir, "_compact.tmp"), "wb") as f:
-            f.write(b"torn")
         gio.compact_partitioned(out)
         after = gio.read_partitioned(out).to_pandas()
         assert len(after) == total
         assert not os.path.exists(os.path.join(bdir, "_compact.ready"))
-        assert not os.path.exists(os.path.join(bdir, "_compact.tmp"))
 
 
 @pytest.mark.usefixtures("ray_session")
