@@ -86,8 +86,7 @@ def customers_no_urgent_orders(sf_dir: str, priority: str = "1-URGENT") -> pd.Da
         .aggregate(Sum("n", alias_name="n_customers"))
         .to_pandas()
     )
-    if df.empty:  # empty groupby loses its column labels
-        df = pd.DataFrame({"c_nationkey": [], "n_customers": []})
+    df = ensure_columns(df, {"c_nationkey": "int64", "n_customers": "int64"})
     nat = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()

@@ -112,7 +112,16 @@ def connected_components(
         n = np.unique(b["src"].to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(n, _I64), "lbl": pa.array(n, _I64)})
 
-    labels = bi.map_batches(init_labels, batch_format="pyarrow")
+    from ray.data.aggregate import Min as _MinInit
+
+    # global dedup before the loop: batch-local unique leaves one
+    # (node, lbl) row PER BLOCK a node appears in, and every duplicate
+    # multiplies round-1 join messages by the node's block fan-out
+    labels = (
+        bi.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node", num_partitions=num_partitions)
+        .aggregate(_MinInit("lbl", alias_name="lbl"))
+    )
     prev_sum: int | None = None
     converged = False
     for _ in range(max_iters):

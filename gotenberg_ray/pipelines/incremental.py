@@ -72,8 +72,12 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
         return _with_hash(pa.concat_tables([fresh, replay]))
 
     docs = lambda: read_table(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
-    old = docs().map_batches(old_side, batch_format="pyarrow")
-    incoming = docs().map_batches(incoming_side, batch_format="pyarrow")
+    # each side has TWO consumers (bloom build + join/split) — pin the
+    # hashed blocks once so the read+fnv64 pass doesn't re-execute
+    old = docs().map_batches(old_side, batch_format="pyarrow").materialize()
+    incoming = (
+        docs().map_batches(incoming_side, batch_format="pyarrow").materialize()
+    )
 
     # 2. existing-corpus bloom gates the incoming batch
     old_bloom = build_key_bloom(
@@ -81,20 +85,32 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
     )
     old_ref = ray.put(old_bloom.to_bytes())
 
-    def split_candidates(batch: pa.Table, want_candidates: bool) -> pa.Table:
-        bf = BloomFilter.from_bytes(ray.get(old_ref))
-        hit = bf.contains(
-            batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
-        )
-        return batch.filter(pa.array(hit if want_candidates else ~hit))
+    class SplitCandidates:
+        # actor pool: the bloom deserializes ONCE per actor, not once
+        # per batch (from_bytes copies the whole bit array)
+        def __init__(self, want_candidates: bool):
+            self.bf = BloomFilter.from_bytes(ray.get(old_ref))
+            self.want = want_candidates
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hit = self.bf.contains(
+                batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+            return batch.filter(pa.array(hit if self.want else ~hit))
 
     definite_new = incoming.map_batches(
-        lambda b: split_candidates(b, False), batch_format="pyarrow"
+        SplitCandidates,
+        fn_constructor_args=(False,),
+        batch_format="pyarrow",
+        concurrency=2,
     )
     # candidates are few (true dups + bloom fps) — materialize once:
     # consumed by the candidate-bloom build AND the verify join
     candidates = incoming.map_batches(
-        lambda b: split_candidates(b, True), batch_format="pyarrow"
+        SplitCandidates,
+        fn_constructor_args=(True,),
+        batch_format="pyarrow",
+        concurrency=2,
     ).materialize()
 
     # 3. symmetric prune: a bloom of the CANDIDATE hashes shrinks the
@@ -105,14 +121,19 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
     )
     cand_ref = ray.put(cand_bloom.to_bytes())
 
-    def prune_old(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter.from_bytes(ray.get(cand_ref))
-        hit = bf.contains(
-            batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
-        )
-        return batch.filter(pa.array(hit))
+    class PruneOld:
+        def __init__(self):
+            self.bf = BloomFilter.from_bytes(ray.get(cand_ref))
 
-    old_matches = old.map_batches(prune_old, batch_format="pyarrow")
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hit = self.bf.contains(
+                batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+            return batch.filter(pa.array(hit))
+
+    old_matches = old.map_batches(
+        PruneOld, batch_format="pyarrow", concurrency=2
+    )
 
     # 4. verified text-equal join against the pruned existing side
     verified = hash_join(

@@ -304,18 +304,9 @@ def events_gap_fill(sf_dir: str) -> pd.DataFrame:
     per-batch partial count → (day,type) groupby; densification and
     the lag column run on the DRIVER over the aggregate, which is
     calendar-sized (#days × #types), not data-sized — that is the
-    correct venue at any corpus size."""
-    bounds = _event_day_bounds(sf_dir)
-    if bounds is None:
-        return pd.DataFrame(
-            {
-                "day": pd.Series([], dtype="object"),
-                "event_type": pd.Series([], dtype="object"),
-                "n": pd.Series([], dtype="int64"),
-                "delta": pd.Series([], dtype="int64"),
-            }
-        )
-    d0, d1 = bounds
+    correct venue at any corpus size. The calendar bounds come off the
+    counts aggregate itself (its day column spans min..max of the
+    data), so the corpus is scanned exactly ONCE."""
 
     def prep(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -337,6 +328,16 @@ def events_gap_fill(sf_dir: str) -> pd.DataFrame:
     counts = ensure_columns(
         counts, {"day": "int64", "event_type": "object", "n": "int64"}
     )
+    if not len(counts):
+        return pd.DataFrame(
+            {
+                "day": pd.Series([], dtype="object"),
+                "event_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "delta": pd.Series([], dtype="int64"),
+            }
+        )
+    d0, d1 = int(counts["day"].min()), int(counts["day"].max())
     types = sorted(counts["event_type"].unique())
     grid = pd.MultiIndex.from_product(
         [range(d0, d1 + 1), types], names=["day", "event_type"]
@@ -843,19 +844,6 @@ def events_decayed_score(sf_dir: str) -> pd.DataFrame:
     is not just a groupby — the plan broadcasts the scalar, never the
     data."""
     ds = _read(sf_dir, "events", ["ts", "event_type"])
-    max_us = ds.max("ts")
-    if max_us is None:
-        return pd.DataFrame(
-            {
-                "event_type": pd.Series([], dtype="object"),
-                "decayed_score": pd.Series([], dtype="int64"),
-                "n_events": pd.Series([], dtype="int64"),
-            }
-        )
-    try:  # timestamp-like (pandas/numpy) — tz-naive epoch-µs
-        last_day = np.int64(np.datetime64(max_us, "us").astype(np.int64)) // DAY_US
-    except (TypeError, ValueError):  # already an integer epoch-µs
-        last_day = np.int64(int(max_us)) // DAY_US
 
     def partial(batch: pa.Table) -> pa.Table:
         day = _ts_us(batch.column("ts")) // DAY_US
@@ -877,6 +865,17 @@ def events_decayed_score(sf_dir: str) -> pd.DataFrame:
     cells = ensure_columns(
         cells, {"event_type": "object", "day": "int64", "n": "int64"}
     )
+    if not len(cells):
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "decayed_score": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+    # the watermark comes off the groups-sized aggregate itself (floor
+    # is monotone, so max(day) == floor(max(ts))) — no second scan
+    last_day = np.int64(cells["day"].max())
     age = last_day - cells["day"].astype("int64")
     cells = cells[age <= DECAY_WINDOW_D].copy()
     age = last_day - cells["day"].astype("int64")
