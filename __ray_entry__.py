@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable Misra-Gries heavy hitters (exact when capacity >=
         # distinct keys -> oracle; bounded error beyond)
         "heavy_hitter_users": AN.heavy_hitter_users,
+        # count-min sketch point queries (mergeable d×w matrix; exact
+        # here, ε·N-bounded overestimate at any cardinality)
+        "cms_event_counts": AN.cms_event_counts,
         # ANALYZE-style column profile (exact distinct by value hash)
         "orders_profile": AN.orders_profile,
         # exact grouped covariance via carry-split integer moments
@@ -425,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "events_chi2_type_dow": AN.CHI2_SQL,
         "distinct_users_daily": AN.DISTINCT_DAILY_SQL,
         "heavy_hitter_users": AN.HEAVY_HITTERS_SQL,
+        "cms_event_counts": AN.CMS_COUNTS_SQL,
         "orders_profile": AN.ORDERS_PROFILE_SQL,
         "corr_qty_price": AN.CORR_SQL,
         "docs_above_lang_avg": AN.DOCS_ABOVE_AVG_SQL,

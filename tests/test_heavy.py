@@ -100,3 +100,58 @@ def test_weighted_update_and_capacity_one():
         k, est = mg.keys[0], int(mg.counts[0])
         true = 15 if k == 1 else 3
         assert est <= true <= est + mg.err
+
+
+class TestCountMin:
+    def test_never_underestimates_and_bound(self):
+        import numpy as np
+
+        from gotenberg_ray.state.cms import CountMin
+
+        rng = np.random.RandomState(7)
+        keys = rng.zipf(1.5, 20_000).astype(np.int64) % 500
+        sk = CountMin(width=1 << 10, depth=4)
+        sk.update(keys)
+        uniq, true = np.unique(keys, return_counts=True)
+        est = sk.query(uniq)
+        assert (est >= true).all()  # one-sided
+        assert (est - true <= sk.error_bound()).all()
+
+    def test_merge_equals_single_pass_and_layout_invariance(self):
+        import numpy as np
+
+        from gotenberg_ray.state.cms import CountMin
+
+        rng = np.random.RandomState(11)
+        keys = rng.randint(0, 1000, 30_000).astype(np.int64)
+        whole = CountMin().update(keys)
+        for split in (2, 7):
+            parts = np.array_split(keys, split)
+            merged = CountMin()
+            for p in parts:
+                merged.merge(CountMin().update(p))
+            assert np.array_equal(merged.table, whole.table)
+            assert merged.n == whole.n
+
+    def test_bytes_roundtrip_and_string_keys(self):
+        import numpy as np
+
+        from gotenberg_ray.state.cms import CountMin
+
+        sk = CountMin(width=256, depth=3)
+        sk.update(["a", "b", "a", "c"], None)
+        rt = CountMin.from_bytes(sk.to_bytes())
+        assert np.array_equal(rt.table, sk.table) and rt.n == sk.n
+        assert list(rt.query(["a", "b", "c", "zz"])[:3] >= [2, 1, 1]) == [True] * 3
+
+    def test_exact_when_sparse(self):
+        import numpy as np
+
+        from gotenberg_ray.state.cms import CountMin
+
+        # 5 keys vs a 4×4096 matrix: exact with overwhelming margin —
+        # the property cms_event_counts' oracle pairing relies on
+        keys = np.repeat(np.arange(5, dtype=np.int64), [10, 20, 30, 40, 50])
+        sk = CountMin()
+        sk.update(keys)
+        assert sk.query(np.arange(5, dtype=np.int64)).tolist() == [10, 20, 30, 40, 50]
