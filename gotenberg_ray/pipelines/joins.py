@@ -57,10 +57,19 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 def _pid_domain(key_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Key column → the uint64 value partition routing mods (ints are
-    splitmix-finalized so dense keys spread; strings are fnv64)."""
+    splitmix-finalized so dense keys spread; strings are fnv64).
+
+    Nulls fill to 0 BEFORE the numpy conversion: a null in an int
+    column otherwise degrades the whole batch to float64, which
+    rounds keys above 2^53 (routing them away from their matches) and
+    casts NaN to a platform-dependent uint64. Null keys never match in
+    the local join anyway (SQL semantics) — they only need a
+    CONSISTENT route."""
     if isinstance(key_col, pa.ChunkedArray):
         key_col = key_col.combine_chunks()
     if pa.types.is_integer(key_col.type):
+        if key_col.null_count:
+            key_col = pc.fill_null(key_col, 0)
         return _mix64(key_col.to_numpy(zero_copy_only=False).astype(np.uint64))
     return fnv64(key_col)
 
@@ -203,6 +212,8 @@ def _key_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
+        if col.null_count:  # same null discipline as _pid_domain
+            col = pc.fill_null(col, 0)
         return col.to_numpy(zero_copy_only=False).astype(np.uint64)
     return fnv64(col)
 
@@ -475,7 +486,7 @@ def broadcast_join(
                 cols.append(pa.nulls(t.num_rows, typ))
         return pa.table(dict(zip([n for n, _ in fields], cols)))
 
-    tables = [ray.get(r) for r in right.to_arrow_refs()]
+    tables = ray.get(right.to_arrow_refs())  # one batched fetch
     tables = [t for t in tables if t.num_rows]
     if tables:
         rt = pa.concat_tables(tables, promote_options="default")

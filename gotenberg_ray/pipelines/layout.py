@@ -125,12 +125,9 @@ def zorder_scan(sf_dir: str) -> pd.DataFrame:
     only the intersecting grid cells."""
     pmax, smax = _key_maxes(sf_dir)
     if pmax == 0 and smax == 0:
-        return pd.DataFrame(
-            {
-                "l_returnflag": pd.Series([], dtype="object"),
-                "n": pd.Series([], dtype="int64"),
-                "sum_qty": pd.Series([], dtype="int64"),
-            }
+        return ensure_columns(
+            pd.DataFrame(),
+            {"l_returnflag": "object", "n": "int64", "sum_qty": "int64"},
         )
     from ..io import scratch_layout_path
 
@@ -145,12 +142,9 @@ def zorder_scan(sf_dir: str) -> pd.DataFrame:
         if os.path.exists(os.path.join(path, f"bucket-{c}", "part.parquet"))
     ]
     if not files:
-        return pd.DataFrame(
-            {
-                "l_returnflag": pd.Series([], dtype="object"),
-                "n": pd.Series([], dtype="int64"),
-                "sum_qty": pd.Series([], dtype="int64"),
-            }
+        return ensure_columns(
+            pd.DataFrame(),
+            {"l_returnflag": "object", "n": "int64", "sum_qty": "int64"},
         )
 
     def agg(batch: pa.Table) -> pa.Table:
@@ -275,12 +269,9 @@ def bucketed_customer_totals(sf_dir: str) -> pd.DataFrame:
         and os.path.exists(os.path.join(path, d, "_COMPLETE"))
     ]
     if not files:
-        return pd.DataFrame(
-            {
-                "o_custkey": pd.Series([], dtype="int64"),
-                "n_orders": pd.Series([], dtype="int64"),
-                "total_cents": pd.Series([], dtype="int64"),
-            }
+        return ensure_columns(
+            pd.DataFrame(),
+            {"o_custkey": "int64", "n_orders": "int64", "total_cents": "int64"},
         )
 
     def agg_bucket(batch: pa.Table) -> pa.Table:

@@ -25,29 +25,27 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
-
-
-def _mix64(x: np.ndarray) -> np.ndarray:
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
-    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
-    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
-    return x ^ (x >> np.uint64(31))
+from ..functions.hashing import fnv64, hash_family, splitmix64
 
 
 def _key_domain(keys) -> np.ndarray:
-    """Keys → uint64 hash domain (ints mixed, strings fnv64)."""
-    from ..functions.hashing import fnv64
-
+    """Keys → uint64 hash domain (ints splitmix-mixed, strings fnv64)
+    — the ONE mixer from functions/hashing.py, so the sketch never
+    diverges from the engine's other hash consumers. Null ints fill
+    to 0 first (a null otherwise degrades the numpy view to float64
+    and reroutes the whole batch through the string branch)."""
     if isinstance(keys, (pa.Array, pa.ChunkedArray)):
         if pa.types.is_integer(keys.type):
+            if keys.null_count:
+                keys = pc.fill_null(keys, 0)
             keys = keys.to_numpy(zero_copy_only=False)
         else:
             return fnv64(keys)
     keys = np.asarray(keys)
     if keys.dtype.kind in "iu":
-        return _mix64(keys.astype(np.uint64))
+        return splitmix64(keys.astype(np.uint64))
     return fnv64(pa.array([str(k) for k in keys]))
 
 
@@ -61,10 +59,10 @@ class CountMin:
         self.n = 0  # total weight folded in (for the error bound)
 
     def _cols(self, dom: np.ndarray) -> np.ndarray:
-        """(depth, n) column indices for each key hash."""
-        seeds = _mix64(np.arange(1, self.depth + 1, dtype=np.uint64))
+        """(depth, n) column indices: the shared seeded hash family
+        (h_i(x) = splitmix64(x ^ splitmix64(i+1)), hashing.py)."""
         return (
-            _mix64(dom[None, :] ^ seeds[:, None]) % np.uint64(self.width)
+            hash_family(dom, self.depth).T % np.uint64(self.width)
         ).astype(np.int64)
 
     def update(self, keys, counts=None) -> "CountMin":

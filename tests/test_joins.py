@@ -305,3 +305,50 @@ class TestAutoJoin:
             left, right, "k", broadcast_max_bytes=0, num_partitions=4
         ).to_pandas()
         assert sorted(out["k"].tolist()) == [2, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNullIntKeys:
+    def test_null_in_batch_does_not_degrade_big_keys(self):
+        """A null in an int64 key column must not float64-degrade the
+        batch: keys above 2^53 still route to their matches, and null
+        keys drop per SQL semantics."""
+        import ray.data as rd
+
+        from gotenberg_ray.pipelines import joins as J
+
+        big = (1 << 60) + 1
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([big, 7, None], pa.int64()),
+                    "lv": pa.array([1, 2, 3], pa.int64()),
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([big, 7], pa.int64()),
+                    "rv": pa.array([10, 20], pa.int64()),
+                }
+            )
+        )
+        out = (
+            J.hash_join(left, right, "k", num_partitions=4)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert sorted(out["k"].tolist()) == [7, big]
+        assert set(out["rv"]) == {10, 20}
+
+    def test_cms_null_ints_stay_one_sided(self):
+        import numpy as np
+
+        from gotenberg_ray.state.cms import CountMin
+
+        sk = CountMin(width=1 << 10, depth=4)
+        sk.update(pa.array([1, 2, None, 1], pa.int64()))
+        est = sk.query(np.array([1, 2], np.int64))
+        assert est[0] >= 2 and est[1] >= 1  # never under

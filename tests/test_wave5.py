@@ -74,19 +74,21 @@ class TestZorderScan:
         pmax, smax = LY._key_maxes(sf_dir)
         cells = LY.cells_for_rect(*LY._rect(pmax, smax), pmax, smax)
         assert len(cells) < LY.N_CELLS
-        tag = os.path.basename(os.path.normpath(sf_dir))
+        from gotenberg_ray.io import scratch_layout_path
+
+        layout_dir = scratch_layout_path("zorder", sf_dir, "lineitem")
         written = [
-            d
-            for d in os.listdir(f"/tmp/gotenberg_zorder/{tag}")
-            if d.startswith("bucket-")
+            d for d in os.listdir(layout_dir) if d.startswith("bucket-")
         ]
         assert len(cells) < len(written), "scan did not prune"
 
     def test_layout_resumable(self, sf_dir):
         """Second write skips completed buckets (marker protocol)."""
+        from gotenberg_ray.io import scratch_layout_path
+
         pmax, smax = LY._key_maxes(sf_dir)
-        tag = os.path.basename(os.path.normpath(sf_dir))
-        path = f"/tmp/gotenberg_zorder/{tag}"
+        path = scratch_layout_path("zorder", sf_dir, "lineitem")
+        LY.write_zordered(sf_dir, path, pmax, smax)  # ensure built
         stats = LY.write_zordered(sf_dir, path, pmax, smax)
         assert stats["written_buckets"] == 0
         assert stats["skipped_buckets"] > 0
