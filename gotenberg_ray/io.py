@@ -212,17 +212,43 @@ def write_partitioned(
     }
 
 
-def read_partitioned(path: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_partitioned(
+    path: str,
+    columns: list[str] | None = None,
+    as_of: int | None = None,
+) -> rd.Dataset:
     """Read back a ``write_partitioned`` directory (complete buckets
     only — a half-written bucket without its marker is invisible; all
-    ``part-*.parquet`` files of an append-mode bucket are included)."""
+    ``part-*.parquet`` files of an append-mode bucket are included).
+
+    ``as_of``: time travel over append-mode landings. Each append run
+    lands exactly one ``part-<k>.parquet`` per non-empty bucket, so
+    generation k of the table is the union of parts 0..k-1;
+    ``as_of=k`` reads only those, reproducing the table as it stood
+    after the k-th landing. Compaction collapses history into
+    ``compacted.parquet`` (documented trade: OPTIMIZE forfeits
+    time travel for the compacted range, as lakehouse engines do when
+    snapshots expire)."""
+
+    def keep(f: str) -> bool:
+        if not f.endswith(".parquet"):
+            return False
+        if as_of is None:
+            return True
+        if not f.startswith("part-"):
+            return False  # compacted/legacy files have no generation
+        try:
+            return int(f[len("part-") : -len(".parquet")]) < as_of
+        except ValueError:
+            return False
+
     files = [
         os.path.join(path, d, f)
         for d in sorted(os.listdir(path))
         if d.startswith("bucket-")
         and os.path.exists(os.path.join(path, d, "_COMPLETE"))
         for f in sorted(os.listdir(os.path.join(path, d)))
-        if f.endswith(".parquet")
+        if keep(f)
     ]
     return rd.read_parquet(files, columns=columns)
 

@@ -335,3 +335,33 @@ class TestReadEvolved:
             columns=["doc_id"],
         ).to_pandas()
         assert list(df.columns) == ["doc_id"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTimeTravel:
+    def test_as_of_reproduces_each_generation(self, tmp_path):
+        import ray.data as rd
+
+        out = str(tmp_path / "tt")
+        per_run = []
+        for r in range(3):
+            rows = 32 * (r + 1)
+            t = pa.table(
+                {
+                    "doc_id": pa.array(
+                        range(r * 1000, r * 1000 + rows), pa.int64()
+                    ),
+                    "gen": pa.array([r] * rows, pa.int64()),
+                }
+            )
+            gio.write_partitioned(
+                rd.from_arrow(t), out, key="doc_id",
+                num_partitions=4, append=True,
+            )
+            per_run.append(rows)
+        for k in range(1, 4):
+            df = gio.read_partitioned(out, as_of=k).to_pandas()
+            assert len(df) == sum(per_run[:k])
+            assert set(df["gen"]) == set(range(k))
+        # no as_of → everything
+        assert len(gio.read_partitioned(out).to_pandas()) == sum(per_run)
