@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_pairs": W.click_purchase_pairs,
         # trailing-window anomaly flag (integer cross-multiplication)
         "events_spike_days": W.events_spike_days,
+        # LAG()-per-key at scale: global Markov transition matrix
+        "event_transitions": W.event_transitions,
         # distributed analytics (anti-join / exact quantiles without a
         # sort / two-phase distinct / mergeable HLL sketch)
         "customers_no_urgent_orders": AN.customers_no_urgent_orders,
@@ -241,6 +243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded-hop weighted SSSP (distributed Bellman-Ford with an
         # improved-only frontier; oracle-checked)
         "shortest_paths": GR.shortest_paths,
+        # subtree rollup via transitive closure by repeated squaring
+        # (⌈log₂ depth⌉ self-joins; oracle-checked)
+        "hierarchy_rollup": GR.hierarchy_rollup,
         "contamination_check": T.contamination_check,
         "curation_pipeline": T.curation_pipeline,
         "vocab_top_df": T.vocab_top_df,
@@ -416,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "events_decayed_score": W.DECAYED_SQL,
         "click_purchase_pairs": W.PAIRS_SQL,
         "events_spike_days": W.SPIKE_SQL,
+        "event_transitions": W.TRANSITIONS_SQL,
         "line_dedup": LN.LINE_DEDUP_SQL,
         "orders_upsert": INC.ORDERS_UPSERT_SQL,
         "orders_table_diff": INC.TABLE_DIFF_SQL,
@@ -449,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": GR.TRIANGLES_SQL,
         "reachable_nodes": GR.REACHABLE_SQL,
         "shortest_paths": GR.SHORTEST_SQL,
+        "hierarchy_rollup": GR.HIERARCHY_SQL,
         "dedup_incremental": INC.DEDUP_INCREMENTAL_SQL,
         "events_daily_incremental": INC.EVENTS_DAILY_INCREMENTAL_SQL,
         "duplicate_span_stats": T.DUP_SPANS_SQL,

@@ -166,6 +166,10 @@ def connected_components(
             .map_batches(partial_min, batch_format="pyarrow")
             .groupby("node", num_partitions=num_partitions)
             .aggregate(_Min("lbl", alias_name="lbl"))
+            # block-count reset: the sort-shuffle preserves input block
+            # count and the union adds blocks each round — unchecked,
+            # block counts grow per round (see hierarchy_rollup)
+            .repartition(num_partitions)
             .materialize()
         )
         s = int(new.sum("lbl"))
@@ -607,6 +611,8 @@ def reachable_nodes(sf_dir: str) -> pd.DataFrame:
                 ),
                 batch_format="pyarrow",
             )
+            .repartition(8)  # the sort-shuffle preserves block count;
+            # unchecked, blocks multiply per round (see hierarchy_rollup)
             .materialize()  # two consumers: next round + final collect
         )
         if k < BFS_DEPTH:
@@ -765,6 +771,7 @@ def shortest_paths(sf_dir: str) -> pd.DataFrame:
                 ),
                 batch_format="pyarrow",
             )
+            .repartition(8)  # block-count reset (see hierarchy_rollup)
             .materialize()
         )
         if k < SP_HOPS:
@@ -829,4 +836,205 @@ sp AS (
 )
 SELECT node AS doc_id, CAST(min(cost) AS BIGINT) AS cost
 FROM sp GROUP BY node ORDER BY doc_id
+"""
+
+
+# ------------------------------------- subtree rollup (closure by squaring)
+
+HIER_MAX_ROUNDS = 6  # covers depth ≤ 2^6 = 64 (N ≤ 2^64 nodes)
+
+
+def hierarchy_rollup(sf_dir: str) -> pd.DataFrame:
+    """Subtree aggregation over a parent-pointer hierarchy (the
+    org-chart / comment-thread / category-tree rollup): every doc's
+    parent is ``doc_id // 2`` (doc 0 is the root), and the answer is
+    each node's DESCENDANT-INCLUSIVE character total and count.
+
+    Distributed shape: transitive closure by REPEATED SQUARING —
+    R₀ = parent edges, R_{k+1} = R_k ∪ (R_k ∘ R_k) — so a depth-d
+    tree closes in ⌈log₂ d⌉ bucketed self-joins instead of d
+    level-by-level rounds; the pair table tops out at N·depth rows
+    (every (node, proper-ancestor) pair exactly once — the union
+    dedups by packed pair key per round). One final join against the
+    value column + one groupby folds the rollup; self-contribution
+    joins in arithmetically. The DuckDB twin climbs the same chains
+    with a recursive CTE."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..io import read_table
+    from .joins import hash_join
+
+    def base(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids > 0  # the root has no proper ancestor
+        ids = ids[keep]
+        return pa.table(
+            {"node": pa.array(ids), "anc": pa.array(ids // 2)}
+        )
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+    pairs = docs.map_batches(base, batch_format="pyarrow").materialize()
+    max_id = docs.max("doc_id")
+    if max_id is None or int(max_id) <= 0:
+        rounds = 0
+    else:
+        depth = int(np.floor(np.log2(int(max_id)))) + 1
+        rounds = min(HIER_MAX_ROUNDS, max(1, int(np.ceil(np.log2(depth)))))
+
+    def pack(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return pa.table({"pk": pa.array([], _I64)})
+        key = (
+            b["node"].to_numpy(zero_copy_only=False) << np.int64(32)
+        ) | b["anc"].to_numpy(zero_copy_only=False)
+        return pa.table({"pk": pa.array(np.unique(key))})
+
+    def unpack(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "pk" not in b.column_names:
+            return pa.table(
+                {"node": pa.array([], _I64), "anc": pa.array([], _I64)}
+            )
+        key = b["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(key >> np.int64(32)),
+                "anc": pa.array(key & np.int64((1 << 32) - 1)),
+            }
+        )
+
+    for _ in range(rounds):
+        # compose: (node → anc) ∘ (anc → anc2) — one bucketed join on
+        # the middle vertex
+        hop = hash_join(
+            pairs.map_batches(
+                lambda b: pa.table({"mid": b["anc"], "node": b["node"]})
+                if b.num_rows and "anc" in b.column_names
+                else pa.table(
+                    {"mid": pa.array([], _I64), "node": pa.array([], _I64)}
+                ),
+                batch_format="pyarrow",
+            ),
+            pairs.map_batches(
+                lambda b: pa.table({"mid": b["node"], "anc2": b["anc"]})
+                if b.num_rows and "node" in b.column_names
+                else pa.table(
+                    {"mid": pa.array([], _I64), "anc2": pa.array([], _I64)}
+                ),
+                batch_format="pyarrow",
+            ),
+            on="mid",
+            num_partitions=8,
+            left_schema=[("mid", _I64), ("node", _I64)],
+            right_schema=[("mid", _I64), ("anc2", _I64)],
+        ).map_batches(
+            lambda b: pa.table({"node": b["node"], "anc": b["anc2"]})
+            if b.num_rows and "node" in b.column_names
+            else pa.table(
+                {"node": pa.array([], _I64), "anc": pa.array([], _I64)}
+            ),
+            batch_format="pyarrow",
+        )
+        # union + global pair dedup: batch-local unique on the packed
+        # (node, anc) key, then ONE native-aggregate groupby — never a
+        # per-group Python call
+        from ray.data.aggregate import Count as _Count
+
+        pairs = (
+            pairs.union(hop)
+            .map_batches(pack, batch_format="pyarrow")
+            .groupby("pk", num_partitions=8)
+            .aggregate(_Count(alias_name="_c"))
+            .map_batches(unpack, batch_format="pyarrow")
+            # the sort-shuffle PRESERVES input block count, and union
+            # adds the hop's blocks — without a reset the block count
+            # triples per round and per-task overhead dominates
+            .repartition(8)
+            .materialize()
+        )
+
+    def vals(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(batch["doc_id"], _I64),
+                "chars": pc.cast(batch["n_chars"], _I64),
+            }
+        )
+
+    values = read_table(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        vals, batch_format="pyarrow"
+    )
+    # each node's value flows to every proper ancestor...
+    contrib = hash_join(
+        pairs,
+        values,
+        on="node",
+        num_partitions=8,
+        left_schema=[("node", _I64), ("anc", _I64)],
+        right_schema=[("node", _I64), ("chars", _I64)],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["anc"],
+                "subtree_chars": b["chars"],
+                "n_desc": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        if b.num_rows and "anc" in b.column_names
+        else pa.table(
+            {
+                "doc_id": pa.array([], _I64),
+                "subtree_chars": pa.array([], _I64),
+                "n_desc": pa.array([], _I64),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # ...and to itself (self-inclusive rollup)
+    own = values.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["node"],
+                "subtree_chars": b["chars"],
+                "n_desc": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        if b.num_rows and "node" in b.column_names
+        else pa.table(
+            {
+                "doc_id": pa.array([], _I64),
+                "subtree_chars": pa.array([], _I64),
+                "n_desc": pa.array([], _I64),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    df = (
+        contrib.union(own)
+        .groupby("doc_id")
+        .aggregate(
+            _Sum("subtree_chars", alias_name="subtree_chars"),
+            _Sum("n_desc", alias_name="n_desc"),
+        )
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df, {"doc_id": "int64", "subtree_chars": "int64", "n_desc": "int64"}
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+HIERARCHY_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT doc_id AS node, doc_id AS anc FROM documents
+  UNION ALL
+  SELECT c.node, c.anc // 2
+  FROM chain c WHERE c.anc > 0
+)
+SELECT chain.anc AS doc_id,
+       sum(d.n_chars)::BIGINT AS subtree_chars,
+       count(*)::BIGINT AS n_desc
+FROM chain JOIN documents d ON d.doc_id = chain.node
+GROUP BY chain.anc ORDER BY doc_id
 """

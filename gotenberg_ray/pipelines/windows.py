@@ -1114,3 +1114,87 @@ WHERE prev_days = {SPIKE_TRAIL_D}
   AND n * {SPIKE_TRAIL_D} * {SPIKE_DEN} > {SPIKE_NUM} * prev_n
 ORDER BY day
 """
+
+
+# ------------------------------------------- event-transition matrix
+
+_TRANS_P = 16
+
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordered event-type TRANSITION counts folded into the
+    global Markov matrix — the LAG() OVER (PARTITION BY key ORDER BY
+    ts) shape at scale, the input statistic of next-event prediction
+    and funnel-drop analysis.
+
+    Distributed shape: rows route once by ``user_id % P``; inside each
+    bucket ONE lexsort by (user, ts, event_id) makes every user's
+    stream contiguous and ordered, the lag is an array shift with the
+    first row of each user segment masked out (no per-user loop), and
+    per-batch (prev, cur) partial counts fold through a
+    |types|²-sized groupby. Deterministic under ts ties via the
+    event_id tiebreak — same ordering as the SQL window."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array((uid % _TRANS_P).astype(np.int32)),
+                "user_id": pa.array(uid),
+                "ts_us": pa.array(_ts_us(batch.column("ts"))),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def transitions(part: pa.Table) -> pa.Table:
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        ts = part["ts_us"].to_numpy(zero_copy_only=False)
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        types = part["event_type"].take(pa.array(order))
+        first_of_user = np.zeros(len(uid), bool)
+        first_of_user[segment_starts(uid)] = True
+        keep = ~first_of_user  # rows that HAVE a predecessor
+        prev_idx = np.flatnonzero(keep) - 1
+        t = pa.table(
+            {
+                "prev_type": types.take(pa.array(prev_idx)),
+                "event_type": types.filter(pa.array(keep)),
+                "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+        return (
+            t.group_by(["prev_type", "event_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["prev_type", "event_type", "n"])
+        )
+
+    df = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(transitions, batch_format="pyarrow")
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df, {"prev_type": "object", "event_type": "object", "n": "int64"}
+    )
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+
+TRANSITIONS_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, count(*)::BIGINT AS n
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, event_type
+"""

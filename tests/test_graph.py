@@ -204,3 +204,25 @@ class TestShortestPaths:
         m = a.merge(bfs, on="doc_id")
         assert (m["cost"] >= m["depth"]).all()
         assert (a.set_index("doc_id").loc[: G.SP_SEEDS - 1, "cost"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHierarchyRollup:
+    def test_matches_sql_twin_and_tree_invariants(self, sf_dir):
+        import duckdb
+
+        a = G.hierarchy_rollup(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = con.sql(G.HIERARCHY_SQL).df().astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # root subsumes everything; leaves subsume only themselves
+        total = int(
+            con.sql("SELECT sum(n_chars)::BIGINT s FROM documents").df()["s"][0]
+        )
+        n = len(a)
+        root = a.set_index("doc_id").loc[0]
+        assert int(root["subtree_chars"]) == total
+        assert int(root["n_desc"]) == n
+        leaves = a[a["doc_id"] > (n - 1) // 2]
+        assert (leaves["n_desc"] == 1).all()

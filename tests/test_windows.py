@@ -254,3 +254,24 @@ class TestSpikeDays:
         assert (
             a["n"] * W.SPIKE_TRAIL_D * W.SPIKE_DEN > W.SPIKE_NUM * a["prev_n"]
         ).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventTransitions:
+    def test_matches_sql_twin_and_mass(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import windows as W
+
+        a = W.event_transitions(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS FROM '{sf_dir}/events.parquet'")
+        want = con.sql(W.TRANSITIONS_SQL).df()
+        want["n"] = want["n"].astype("int64")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+        # transition mass = events minus one per active user
+        tot = con.sql(
+            "SELECT count(*)::BIGINT - count(DISTINCT user_id)::BIGINT c"
+            " FROM events"
+        ).df()["c"][0]
+        assert int(a["n"].sum()) == int(tot)
