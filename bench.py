@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "shortest_paths",
     "search_topk",
     "user_retention",
+    "hierarchy_rollup",
+    "event_transitions",
 ]
 
 

