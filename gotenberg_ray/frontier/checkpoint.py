@@ -65,14 +65,7 @@ def table_to_shard_state(table: pa.Table) -> dict:
     }
 
 
-def write(
-    ckpt_dir: str,
-    shard_states: list[dict],
-    driver: dict,
-    metrics: pa.Table | None = None,
-) -> str:
-    epoch = driver["epoch"]
-    d = os.path.join(ckpt_dir, f"epoch={epoch:06d}")
+def _write_into(d: str, shard_states: list[dict], driver: dict, metrics) -> None:
     os.makedirs(d, exist_ok=True)
     for st in shard_states:
         pq.write_table(
@@ -87,17 +80,59 @@ def write(
         json.dump(driver, f, sort_keys=True)
     with open(os.path.join(d, "_COMPLETE"), "w") as f:
         f.write("ok")
+
+
+def write(
+    ckpt_dir: str,
+    shard_states: list[dict],
+    driver: dict,
+    metrics: pa.Table | None = None,
+) -> str:
+    """Atomic snapshot write. A FRESH epoch dir writes in place with
+    ``_COMPLETE`` last (a kill mid-write leaves no marker). RE-writing
+    an epoch that already carries a marker (the final post-drain write
+    when the virtual epoch didn't advance) must not tear the existing
+    valid snapshot: the new state lands in a ``_tmp-`` dir (invisible
+    to resume), the old dir renames away, the tmp renames in, and the
+    old dir is removed — a kill anywhere leaves either the old or the
+    new CONSISTENT snapshot discoverable (worst case: neither, and
+    resume falls back to the previous complete epoch)."""
+    import shutil
+
+    epoch = driver["epoch"]
+    name = f"epoch={epoch:06d}"
+    d = os.path.join(ckpt_dir, name)
+    # sweep stale intermediates from earlier interrupted rewrites
+    for e in os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else []:
+        if e.startswith(("_tmp-epoch=", "_old-epoch=")):
+            shutil.rmtree(os.path.join(ckpt_dir, e), ignore_errors=True)
+    if not os.path.exists(os.path.join(d, "_COMPLETE")):
+        _write_into(d, shard_states, driver, metrics)
+        return d
+    tmp = os.path.join(ckpt_dir, f"_tmp-{name}")
+    old = os.path.join(ckpt_dir, f"_old-{name}")
+    _write_into(tmp, shard_states, driver, metrics)
+    os.rename(d, old)  # old swept above, so the name is free
+    os.rename(tmp, d)
+    shutil.rmtree(old, ignore_errors=True)
     return d
 
 
 def latest_epoch_dir(ckpt_dir: str) -> str | None:
     if not os.path.isdir(ckpt_dir):
         return None
-    dirs = sorted(
-        e for e in os.listdir(ckpt_dir)
-        if e.startswith("epoch=") and os.path.exists(os.path.join(ckpt_dir, e, "_COMPLETE"))
-    )
-    return os.path.join(ckpt_dir, dirs[-1]) if dirs else None
+    import re
+
+    epochs = []
+    for e in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"epoch=(\d+)", e)
+        if m and os.path.exists(os.path.join(ckpt_dir, e, "_COMPLETE")):
+            epochs.append((int(m.group(1)), e))
+    if not epochs:
+        return None
+    # numeric order: lexicographic sort mis-orders once the virtual
+    # epoch outgrows the %06d zero padding
+    return os.path.join(ckpt_dir, max(epochs)[1])
 
 
 def load_latest(ckpt_dir: str) -> dict:

@@ -285,10 +285,9 @@ def admit_candidates(
         },
         schema=CANDIDATE_SCHEMA,
     )
-    bad = pa.array(~ok)
     rejected = pa.table(
         {
-            "url": urls.filter(bad) if isinstance(urls, (pa.Array, pa.ChunkedArray)) else pa.array([u for u, o in zip(urls, ok) if not o], pa.string()),
+            "url": urls.filter(pa.array(~ok)),
             "error_type": pa.array([e for e in err if e], pa.string()),
         }
     )
@@ -975,6 +974,16 @@ def run_crawl(
     rejected_parts: list[pa.Table] = []
     if resume:
         state = ckpt.load_latest(checkpoint_dir)
+        # a partition-count mismatch would silently zip-truncate the
+        # frontier (dropped seen-sets re-fetch; dropped heaps lose
+        # URLs) — refuse rather than resume from a different sharding
+        if len(state["shards"]) != cfg.n_partitions:
+            raise ValueError(
+                f"checkpoint has {len(state['shards'])} partitions but "
+                f"the run is configured with {cfg.n_partitions}; resume "
+                "with the checkpoint's n_partitions (state is sharded "
+                "by fnv64(url) % n_partitions and cannot re-shard here)"
+            )
         shards.restore(state["shards"])
         k = state["driver"]["epoch"]
         next_seq = state["driver"]["next_seq"]
@@ -1037,12 +1046,19 @@ def run_crawl(
         mode == "ray" and not (checkpoint_dir and cfg.checkpoint_every)
     )
 
-    def _finish_epoch(fetch_refs, k_f, n_grants_f, t_pop_f, t_fetch_f) -> None:
+    def _finish_epoch(source, k_f, n_grants_f, t_pop_f, t_fetch_f) -> None:
         """Collect one epoch's fetch results and fold them into logs,
-        link-candidate specs, metrics, and counters."""
+        link-candidate specs, metrics, and counters. ``source`` is the
+        Ray fetch-ref list, or (local mode) a zero-arg callable
+        producing the already-collected tuple — ONE fold path for both
+        modes, so the deterministic seq-assignment / spec-segmentation
+        logic cannot diverge between them."""
         nonlocal fetch_seq, next_seq, epochs_done
         _spans_before = getattr(runner, "spans_total", 0)
-        log, key_tables, payloads, links_rejected = runner.collect(fetch_refs)
+        if callable(source):
+            log, key_tables, payloads, links_rejected = source()
+        else:
+            log, key_tables, payloads, links_rejected = runner.collect(source)
         _t_route = _time.time()
         if links_rejected.num_rows:
             rejected_parts.append(links_rejected)
@@ -1201,78 +1217,12 @@ def run_crawl(
                 _finish_epoch(fetch_refs, k, n_grants, _t_pop, _t_fetch)
             k += 1
         else:
-            log, key_tables, payloads, links_rejected = runner(popped, k)
+            _popped = popped
             popped = None
-            _t_route = _time.time()
-            if links_rejected.num_rows:
-                rejected_parts.append(links_rejected)
-            if cfg.detailed_logs:
-                log = log.add_column(
-                    0,
-                    "fetch_seq",
-                    pa.array(np.arange(fetch_seq, fetch_seq + log.num_rows)),
-                )
-                log = log.append_column(
-                    "epoch", pa.array(np.full(log.num_rows, k))
-                )
-                fetch_seq += log.num_rows
-                if log_sink is not None:
-                    log_sink(log)
-                else:
-                    logs.append(log)
-            else:
-                fetch_seq += log.num_rows
-            n_links = sum(t.num_rows for t in key_tables)
-            if n_links:
-                parent = np.concatenate(
-                    [t.column("parent_seq").to_numpy(zero_copy_only=False) for t in key_tables]
-                )
-                lidx = np.concatenate(
-                    [t.column("link_index").to_numpy(zero_copy_only=False) for t in key_tables]
-                )
-                part = np.concatenate(
-                    [t.column("partition").to_numpy(zero_copy_only=False) for t in key_tables]
-                )
-                chunk_id = np.concatenate(
-                    [np.full(t.num_rows, ci, dtype=np.int64) for ci, t in enumerate(key_tables)]
-                )
-                row_idx = np.concatenate(
-                    [np.arange(t.num_rows, dtype=np.int64) for t in key_tables]
-                )
-                order = np.lexsort((lidx, parent))
-                seqs = np.empty(n_links, dtype=np.int64)
-                seqs[order] = np.arange(next_seq, next_seq + n_links, dtype=np.int64)
-                next_seq += n_links
-                combo = part * len(payloads) + chunk_id
-                o2 = np.argsort(combo, kind="stable")
-                sc = combo[o2]
-                seg_starts = np.concatenate(([0], np.nonzero(np.diff(sc))[0] + 1))
-                seg_ends = np.concatenate((seg_starts[1:], [len(sc)]))
-                specs: dict[int, list[tuple]] = {}
-                for a, b in zip(seg_starts, seg_ends):
-                    ids = o2[a:b]
-                    p = int(part[ids[0]])
-                    c = int(chunk_id[ids[0]])
-                    specs.setdefault(p, []).append((payloads[c], row_idx[ids], seqs[ids]))
-                pending.append((specs, (k + L) * W))
-            epoch_metrics.record(
-                epoch=k,
-                grants=n_grants,
-                errors=(
-                    log.filter(pc.not_equal(log.column("error_type"), "")).num_rows
-                    if "error_type" in log.column_names
-                    else 0
-                ),
-                links_offered=n_links,
-                links_rejected=links_rejected.num_rows,
-                spans_out=getattr(runner, "spans_total", 0) - _spans_before,
-                pop_s=round(_t_fetch - _t_pop, 4),
-                fetch_s=round(_t_route - _t_fetch, 4),
-                busy_s=round(getattr(runner, "last_busy_s", 0.0), 4),
-                route_s=round(_time.time() - _t_route, 4),
+            _finish_epoch(
+                lambda: runner(_popped, k), k, n_grants, _t_pop, _t_fetch
             )
             k += 1
-            epochs_done += 1
         if (
             checkpoint_dir
             and cfg.checkpoint_every

@@ -207,3 +207,61 @@ def test_hot_host_salting_spreads_and_preserves_budget(ray_session, tmp_path):
     res_ray = run_crawl(frontier, docs, robots, salted, mode="ray")
     assert res_salt.fetch_log.equals(res_ray.fetch_log)
     assert res_salt.counters == res_ray.counters
+
+
+def test_resume_refuses_partition_mismatch(small_world, tmp_path):
+    """A checkpoint sharded at P partitions must not silently resume
+    under a different P — the seen-sets/heaps are keyed by
+    fnv64 % P and zip-truncation would drop frontier state."""
+    import dataclasses
+
+    docs, frontier, robots, cfg = small_world
+    d = str(tmp_path / "ck")
+    run_crawl(
+        frontier, docs, robots,
+        dataclasses.replace(cfg, max_epochs=5),
+        mode="local", checkpoint_dir=d,
+    )
+    with pytest.raises(ValueError, match="partitions"):
+        run_crawl(
+            frontier, docs, robots,
+            dataclasses.replace(cfg, n_partitions=2),
+            mode="local", checkpoint_dir=d, resume=True,
+        )
+
+
+def test_latest_epoch_dir_orders_numerically(tmp_path):
+    """epoch=1000012 must beat epoch=999999 (lexicographic order
+    breaks once the virtual epoch outgrows the %06d padding)."""
+    import os
+
+    for e in (999999, 1000012):
+        p = tmp_path / f"epoch={e:06d}"
+        p.mkdir()
+        (p / "_COMPLETE").write_text("ok")
+    got = ckpt.latest_epoch_dir(str(tmp_path))
+    assert got.endswith("epoch=1000012")
+
+
+def test_checkpoint_rewrite_is_atomic(small_world, tmp_path):
+    """Re-writing a completed epoch dir must swap, not tear: the new
+    snapshot fully replaces the old and no intermediates remain."""
+    import os
+
+    docs, frontier, robots, cfg = small_world
+    d = str(tmp_path / "ck")
+    res = run_crawl(
+        frontier, docs, robots, cfg, mode="local", checkpoint_dir=d
+    )
+    ep = ckpt.latest_epoch_dir(d)
+    before = ckpt.checkpoint_digest(ep)
+    state = ckpt.load_latest(d)
+    # rewrite the SAME epoch with mutated driver state — must not tear
+    driver = dict(state["driver"])
+    ckpt.write(d, state["shards"], driver)
+    after = ckpt.checkpoint_digest(ckpt.latest_epoch_dir(d))
+    assert after == before  # same states → same bytes
+    leftovers = [
+        e for e in os.listdir(d) if e.startswith(("_tmp-", "_old-"))
+    ]
+    assert leftovers == []
