@@ -46,8 +46,6 @@ from ..schemas import (
     make_span,
 )
 
-PAGE_NUMBER_MARK = '<span class="pageNumber"></span>'
-TOTAL_PAGES_MARK = '<span class="totalPages"></span>'
 
 
 @dataclasses.dataclass
@@ -315,8 +313,6 @@ def _page_counts_vector(spans: pa.ChunkedArray | pa.Array) -> pa.Array:
     for non-empty docs."""
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
-    import numpy as np
-
     lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(spans)
     parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
@@ -334,8 +330,6 @@ def _identity_parts(batch: pa.Table) -> pa.Table:
     default options → the chain is the identity; spans stay zero-copy."""
     n = batch.num_rows
     doc_ids = batch.column("doc_id")
-    import numpy as np
-
     arrays = [
         doc_ids,
         pa.array(np.zeros(n, dtype=np.int32)),
@@ -533,9 +527,23 @@ def convert_batch(batch: pa.Table) -> pa.Table:
             )
             continue
         if CV.vectorizable(opts, route):
-            cols = CV.convert_group(
-                sub.column("spans"), _col(sub, "doc_id"), opts, route
-            )
+            try:
+                cols = CV.convert_group(
+                    sub.column("spans"), _col(sub, "doc_id"), opts, route
+                )
+            except (
+                S.InvalidInput,
+                S.MethodNotSupported,
+                TypeError,
+                AttributeError,
+                ValueError,
+                KeyError,
+            ):
+                # option combinations vectorizable() can't pre-screen
+                # (bad pdfa level, wrongly-typed metadata, …): fall to
+                # the row path, which turns them into 400-family rows —
+                # errors are data, never stage crashes
+                cols = None
             if cols is not None:
                 outs.append(
                     pa.Table.from_arrays(
@@ -618,7 +626,18 @@ def _convert_rows_fallback(batch: pa.Table) -> pa.Table:
                 ]
             for p in convert_row(doc_ids[i], spans_i, opts):
                 emit(doc_ids[i], p)
-        except (S.InvalidInput, S.MethodNotSupported):
+        except (
+            S.InvalidInput,
+            S.MethodNotSupported,
+            # wrongly-TYPED option values (list where a dict belongs,
+            # non-string keys, …) surface as these from the span
+            # algebra — the reference maps every malformed request to
+            # a 400, never a crash (api/context.go form validation)
+            TypeError,
+            AttributeError,
+            ValueError,
+            KeyError,
+        ):
             emit(
                 doc_ids[i],
                 PartRow(

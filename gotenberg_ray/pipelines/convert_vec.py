@@ -277,7 +277,9 @@ class _Group:
         keep = ~(is_pb & ((page + 1) % k == 0))
         part_of_span = page // k
         _pb, _row, _rank, pages = self._page_structure()
-        n_parts = -(-pages // k)  # 0 pages → 0 parts
+        # 0-page rows still yield ONE empty part (≡ spans.split_spans:
+        # dropping the row entirely would lose the document silently)
+        n_parts = np.maximum(1, -(-pages // k))
         out_row_base = np.r_[0, np.cumsum(n_parts)]
         n_out = int(out_row_base[-1])
         oos = (out_row_base[span_row] + part_of_span)[keep]

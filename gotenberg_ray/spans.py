@@ -169,6 +169,11 @@ def split_spans(
             raise InvalidInput("split span must be >= 1")
         if unify:
             raise InvalidInput("split unify is incompatible with mode=intervals")
+        if not pages:
+            # a zero-page document still yields ONE (empty) part —
+            # returning [] would silently drop the document from the
+            # output (no part row, no error row)
+            return [[]]
         return [join_pages(pages[i : i + k]) for i in range(0, len(pages), k)]
     if mode == SPLIT_PAGES:
         sel = parse_page_selection(span_arg, n)

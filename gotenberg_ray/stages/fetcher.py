@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import fnv64, splitmix64
-from ..functions.urlkit import expand_status_codes
+from ..functions.urlkit import expand_status_codes, status_fails
 from ..schemas import (
     ERR_INVALID_INPUT,
     ERR_NONE,
@@ -226,9 +226,7 @@ class SimulatedFetcher:
         opt_codes = enc.indices.to_numpy(zero_copy_only=False)
         for code, val in enumerate(enc.dictionary.to_pylist()):
             rows = opt_codes == code
-            bad[rows] = np.isin(
-                statuses[rows].astype(np.uint16), self._fail_set(val)
-            )
+            bad[rows] = status_fails(statuses[rows], self._fail_set(val))
         ok = found & ~bad
 
         # spans via zero-copy take (errors take the sentinel empty row)
@@ -236,10 +234,11 @@ class SimulatedFetcher:
         spans_out = self.spans_col.take(pa.array(take_idx))
 
         st = self.stats
-        req = np.where(ok, st["req"][np.where(found, idx, 0)], 1)
-        byts = np.where(ok, st["bytes"][np.where(found, idx, 0)], 0)
-        failed = np.where(ok, st["failed"][np.where(found, idx, 0)], 1)
-        n_orig = np.where(ok, st["origins_len"][np.where(found, idx, 0)], 0)
+        safe = np.where(found, idx, 0)  # one safe-gather index for all
+        req = np.where(ok, st["req"][safe], 1)
+        byts = np.where(ok, st["bytes"][safe], 0)
+        failed = np.where(ok, st["failed"][safe], 1)
+        n_orig = np.where(ok, st["origins_len"][safe], 0)
         origins_list = st["origins"]
 
         urls_flat: list[str] = []

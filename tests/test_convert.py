@@ -307,3 +307,31 @@ def test_screenshot_omit_background_without_print_background():
     out = convert_batch(t)
     assert out.column("status").to_pylist() == ["success"]
     assert json.loads(out.column("metadata_json")[0].as_py())["omitBackground"] is True
+
+
+def test_malformed_typed_options_become_error_rows():
+    """Wrongly-TYPED option values (right names, wrong JSON types) must
+    yield 400-family error rows, never stage crashes — the reference
+    maps every malformed request to a 400 (api/context.go)."""
+    cases = [
+        {"permissions": ["allow_print"]},  # list where dict belongs
+        {"metadata": ["x"]},  # list where dict belongs
+        {"rotate_angle": "ninety", "rotate_pages": "1"},
+        {"pdfa": "PDF/A-9"},  # invalid level reaches convert_format
+    ]
+    for opts in cases:
+        b = convert_batch(batch_of([("d", doc(2), opts)]))
+        assert b.column("error_type").to_pylist() == ["invalid_input"], opts
+        assert b.column("status").to_pylist() == ["error"], opts
+
+
+def test_zero_page_doc_split_intervals_keeps_the_document():
+    """A zero-page (empty-span) doc under split=intervals must emit one
+    empty part, not vanish from the output."""
+    b = convert_batch(
+        batch_of([("d0", [], {"split_mode": "intervals", "split_span": "2"})])
+    )
+    assert b.num_rows == 1
+    assert b.column("doc_id").to_pylist() == ["d0"]
+    assert b.column("status").to_pylist() == ["success"]
+    assert b.column("page_count").to_pylist() == [0]
