@@ -30,6 +30,16 @@ QUERY_VEC_ID = 0
 DUP_THRESHOLD = 0.46  # sits in a wide gap of the pairwise-sim spectrum
 
 
+
+def _pool_size() -> int:
+    """Actor-pool size for the CPU-bound scoring stages: scale with the
+    session's cores but always leave headroom for the upstream read
+    tasks (a pool sized to the whole CPU budget starves its own
+    input); floor 1, cap 8."""
+    from ..io import parallelism_hint
+
+    return max(1, min(8, parallelism_hint() - 2))
+
 def _emb(sf_dir: str) -> rd.Dataset:
     from ..io import parallelism_hint, read_table
 
@@ -113,7 +123,7 @@ def knn_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(TopK, batch_format="pyarrow", concurrency=2)
+        .map_batches(TopK, batch_format="pyarrow", concurrency=_pool_size())
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -178,7 +188,7 @@ def knn_filtered(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(FilteredTopK, batch_format="pyarrow", concurrency=2)
+        .map_batches(FilteredTopK, batch_format="pyarrow", concurrency=_pool_size())
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -398,7 +408,7 @@ def knn_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(PQScore, batch_format="pyarrow", concurrency=2)
+        .map_batches(PQScore, batch_format="pyarrow", concurrency=_pool_size())
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -466,7 +476,7 @@ def knn_int8(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(TopKQ, batch_format="pyarrow", concurrency=2)
+        .map_batches(TopKQ, batch_format="pyarrow", concurrency=_pool_size())
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -516,7 +526,7 @@ def knn_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(Probe, batch_format="pyarrow", concurrency=2)
+        .map_batches(Probe, batch_format="pyarrow", concurrency=_pool_size())
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -596,7 +606,7 @@ def knn_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(ProbeLists, batch_format="pyarrow", concurrency=2)
+        .map_batches(ProbeLists, batch_format="pyarrow", concurrency=_pool_size())
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -671,7 +681,7 @@ def semdedup(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
 
     df = (
         _emb(sf_dir)
-        .map_batches(Assign, batch_format="pyarrow", concurrency=2)
+        .map_batches(Assign, batch_format="pyarrow", concurrency=_pool_size())
         .groupby("cluster_id")
         .map_groups(prune_cluster, batch_format="pyarrow")
         .to_pandas()
@@ -738,18 +748,23 @@ def rerank_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(Recall, batch_format="pyarrow", concurrency=2)
+        .map_batches(Recall, batch_format="pyarrow", concurrency=_pool_size())
         .to_pandas()
-        .sort_values(["sim", "vec_id"], ascending=[False, True])
-        .head(k0)
     )
+    # empty recall (store holds only the query row): to_pandas loses
+    # the column labels — restore the typed frame before sorting
+    cands = ensure_columns(cands, {"vec_id": "int64", "sim": "float64",
+                                   "embedding": "object"})
+    cands = cands.sort_values(
+        ["sim", "vec_id"], ascending=[False, True]
+    ).head(k0)
     cand_ds = rd.from_arrow(
         pa.table(
             {
                 "vec_id": pa.array(cands["vec_id"].to_numpy(), pa.int64()),
                 "embedding": pa.array(
                     [list(map(float, e)) for e in cands["embedding"]],
-                    pa.list_(pa.float32()),
+                    pa.list_(pa.float64()),
                 ),
             }
         )
@@ -780,10 +795,15 @@ def rerank_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
 
     out = (
         cand_ds.map_batches(
-            CrossScorer, batch_format="pyarrow", batch_size=32, concurrency=2
+            CrossScorer, batch_format="pyarrow", batch_size=32, concurrency=_pool_size()
         )
         .to_pandas()
-        .sort_values(["rerank_score_e6", "vec_id"], ascending=[False, True])
+    )
+    out = ensure_columns(
+        out, {"vec_id": "int64", "rerank_score_e6": "int64"}
+    )
+    out = (
+        out.sort_values(["rerank_score_e6", "vec_id"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
     )

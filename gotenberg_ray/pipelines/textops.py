@@ -194,7 +194,7 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
     )
     df = ensure_columns(df, {"keep_id": "int64"})
     return (
-        pd.DataFrame({"doc_id": sorted(df["keep_id"])})
+        pd.DataFrame({"doc_id": sorted(df["keep_id"])}, dtype="int64")
         .reset_index(drop=True)
     )
 
@@ -1314,7 +1314,7 @@ def duplicate_span_stats(sf_dir: str, window: int = 20) -> pd.DataFrame:
         hs: list[np.ndarray] = []
         ds_: list[np.ndarray] = []
         for i, t in enumerate(batch["text"].to_pylist()):
-            u = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            u = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
             if len(u) < window:
                 continue
             hu = np.unique(_window_hashes(u))
