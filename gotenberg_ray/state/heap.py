@@ -57,7 +57,11 @@ class FrontierHeap:
 
     # ------------------------------------------------------------------ push
     def push(self, ready_time: int, priority: int, seq: int, url_hash: int) -> None:
-        self._scalars.append((int(ready_time), -int(priority), int(seq), int(url_hash)))
+        # url_hash wraps to signed here and back to uint64 in
+        # _consolidate — a raw int ≥ 2^63 (half of all fnv64 values)
+        # would overflow the int64 scalar matrix otherwise
+        uh_signed = int(np.uint64(url_hash).astype(np.int64))
+        self._scalars.append((int(ready_time), -int(priority), int(seq), uh_signed))
         self._live += 1
 
     def push_bulk(
@@ -81,7 +85,18 @@ class FrontierHeap:
         self._live += n
 
     def delete(self, seq: int) -> None:
-        self._deleted.add(int(seq))
+        """Lazy tombstone. Double-deletes and deletes of absent seqs
+        are no-ops — decrementing unconditionally would desynchronize
+        ``_live`` from the real entry count."""
+        seq = int(seq)
+        if seq in self._deleted:
+            return
+        present = any(
+            (c[2] == seq).any() for c in self._chunks
+        ) or any(s[2] == seq for s in self._scalars)
+        if not present:
+            return
+        self._deleted.add(seq)
         self._live -= 1
 
     # --------------------------------------------------------------- internal

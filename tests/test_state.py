@@ -152,3 +152,26 @@ def test_robots_cache_counts_fetches():
 def test_empty_robots_allows_everything():
     rc = RobotsCache(lambda h: None)
     assert rc.allowed("h", "/anything")
+
+
+class TestHeapScalarApi:
+    def test_push_big_hash_roundtrips(self):
+        from gotenberg_ray.state.heap import FrontierHeap
+
+        h = FrontierHeap()
+        big = 0xD6E8FEB86659FD93  # ≥ 2^63
+        h.push(0, 1, 7, big)
+        t = h.to_table()
+        assert t.column("url_hash").to_pylist() == [big]
+
+    def test_delete_is_idempotent_and_checks_presence(self):
+        from gotenberg_ray.state.heap import FrontierHeap
+
+        h = FrontierHeap()
+        h.push(0, 1, 7, 1)
+        h.delete(7)
+        h.delete(7)  # double delete: no-op
+        h.delete(99)  # absent seq: no-op
+        assert len(h) == 0
+        h.push(1, 1, 8, 2)
+        assert len(h) == 1
