@@ -178,12 +178,9 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
-def lang_source_rollup(sf_dir: str) -> pd.DataFrame:
-    """GROUPING SETS ((lang, source), (lang), ()) over document counts
-    and characters: the finest level runs distributed (partial agg →
-    groupby combine); the subtotal/total levels derive from the finest
-    result, which is groups-sized (|langs|×|sources|) — the corpus is
-    scanned exactly once. 'ALL' marks rolled-up dimensions."""
+def _fine_lang_source(sf_dir: str) -> pd.DataFrame:
+    """ONE corpus scan → the finest (lang, source) cells; every
+    grouping-set level of rollup AND cube derives from this frame."""
 
     def partial(batch: pa.Table) -> pa.Table:
         return (
@@ -215,21 +212,34 @@ def lang_source_rollup(sf_dir: str) -> pd.DataFrame:
     )
     fine["total_chars"] = fine["total_chars"].astype("int64")
     fine["n_docs"] = fine["n_docs"].astype("int64")
-    by_lang = (
-        fine.groupby("lang", as_index=False)[["total_chars", "n_docs"]]
-        .sum()
-        .assign(source="ALL")
-    )
-    total = pd.DataFrame(
+    return fine
+
+
+def _grand_total(fine: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
         {
             "lang": ["ALL"],
             "source": ["ALL"],
             "total_chars": [fine["total_chars"].sum()],
             "n_docs": [fine["n_docs"].sum()],
         }
+    )[fine.columns]
+
+
+def lang_source_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS ((lang, source), (lang), ()) over document counts
+    and characters: the finest level runs distributed (partial agg →
+    groupby combine); the subtotal/total levels derive from the finest
+    result, which is groups-sized (|langs|×|sources|) — the corpus is
+    scanned exactly once. 'ALL' marks rolled-up dimensions."""
+    fine = _fine_lang_source(sf_dir)
+    by_lang = (
+        fine.groupby("lang", as_index=False)[["total_chars", "n_docs"]]
+        .sum()
+        .assign(source="ALL")
     )
     out = pd.concat(
-        [fine, by_lang[fine.columns], total[fine.columns]], ignore_index=True
+        [fine, by_lang[fine.columns], _grand_total(fine)], ignore_index=True
     )
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
 
@@ -246,43 +256,10 @@ ORDER BY lang, source
 
 
 def lang_source_cube(sf_dir: str) -> pd.DataFrame:
-    """Full CUBE(lang, source): all four grouping sets. Same
-    scan-once plan as the rollup — the corpus streams through ONE
-    (lang, source) partial-agg groupby; every coarser grouping set
-    (lang-only, source-only, grand total) derives from that
-    cells-sized result, so adding grouping sets costs zero extra
-    passes over the data."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        return (
-            pa.table(
-                {
-                    "lang": batch["lang"],
-                    "source": batch["source"],
-                    "n_chars": batch["n_chars"],
-                }
-            )
-            .group_by(["lang", "source"])
-            .aggregate([("n_chars", "sum"), ([], "count_all")])
-        )
-
-    fine = (
-        read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["lang", "source"])
-        .aggregate(
-            Sum("n_chars_sum", alias_name="total_chars"),
-            Sum("count_all", alias_name="n_docs"),
-        )
-        .to_pandas()
-    )
-    fine = ensure_columns(
-        fine,
-        {"lang": "object", "source": "object",
-         "total_chars": "int64", "n_docs": "int64"},
-    )
-    fine["total_chars"] = fine["total_chars"].astype("int64")
-    fine["n_docs"] = fine["n_docs"].astype("int64")
+    """Full CUBE(lang, source): all four grouping sets from the same
+    single-scan fine cells as the rollup — adding grouping sets costs
+    zero extra passes over the data."""
+    fine = _fine_lang_source(sf_dir)
     levels = [fine]
     for dims, rolled in ((["lang"], "source"), (["source"], "lang")):
         lv = (
@@ -291,16 +268,7 @@ def lang_source_cube(sf_dir: str) -> pd.DataFrame:
             .assign(**{rolled: "ALL"})
         )
         levels.append(lv[fine.columns])
-    levels.append(
-        pd.DataFrame(
-            {
-                "lang": ["ALL"],
-                "source": ["ALL"],
-                "total_chars": [fine["total_chars"].sum()],
-                "n_docs": [fine["n_docs"].sum()],
-            }
-        )[fine.columns]
-    )
+    levels.append(_grand_total(fine))
     out = pd.concat(levels, ignore_index=True)
     out["n_docs"] = out["n_docs"].astype("int64")
     out["total_chars"] = out["total_chars"].astype("int64")

@@ -256,12 +256,16 @@ def pack_shuffled(sf_dir: str, ctx: int = 512, num_buckets: int = 32) -> pd.Data
     Same two-pass ``ordered_prefix_sum``, keyed on the priority."""
     _KNUTH, _M32 = 2654435761, 1 << 32
 
+    def _pri(ids: np.ndarray) -> np.ndarray:
+        return (
+            (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(_M32)
+        ).astype(np.int64)
+
     def tokenize(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pri = (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(_M32)
         return pa.table(
             {
-                "pri": pa.array(pri.astype(np.int64)),
+                "pri": pa.array(_pri(ids)),
                 "doc_id": pa.array(ids),
                 "n_tokens": pa.array(_token_counts(batch)),
             }
@@ -274,17 +278,26 @@ def pack_shuffled(sf_dir: str, ctx: int = 512, num_buckets: int = 32) -> pd.Data
 
     # carry doc_id through the prefix sum via a composite value? No —
     # the helper keeps (key, value); join doc_id back by priority
-    # (bijective ⇒ unique key) with one bucketed join
+    # (bijective ⇒ unique key). The join's build side needs only
+    # (pri, doc_id) — a pure function of the id column — so it reads
+    # doc_id alone and the corpus is TOKENIZED EXACTLY ONCE.
     from .joins import hash_join
     from .relational import JOIN_PARTITIONS
 
     summed = ordered_prefix_sum(
         docs, "pri", "n_tokens", span, num_partitions=min(num_buckets, 16)
     )
+
+    def id_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"pri": pa.array(_pri(ids)), "doc_id": pa.array(ids)}
+        )
+
     joined = hash_join(
         summed,
-        docs.map_batches(
-            lambda b: b.select(["pri", "doc_id"]), batch_format="pyarrow"
+        read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+            id_side, batch_format="pyarrow"
         ),
         on="pri",
         num_partitions=JOIN_PARTITIONS,

@@ -64,21 +64,46 @@ JOIN_PARTITIONS = 16  # ≈ test-box cores/2; ∝ cluster size at scale
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1 shape: filter → derived cols → partial agg → groupby."""
+    """TPC-H Q1 shape: filter → derived cols → partial agg → groupby.
+
+    INTEGER-EXACT throughout: money is 2-decimal and tax/discount are
+    2-decimal fractions, so disc_price is exact at ×10⁴ and charge at
+    ×10⁶ in int64 — sums are bit-identical under any block layout
+    (the float-boundary class that can flake a round(,2) comparison
+    cannot occur). Averages are floor-divided ×10⁴ integers, mirrored
+    exactly in the SQL twin (positive values: ``//`` ≡ floor on both
+    sides). At 10¹²-row scale the ×10⁶ charge sum outgrows int64 —
+    the carry-split limb pattern of ``analytics.corr_qty_price`` is
+    the drop-in fix."""
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"), type=pa.timestamp("us"))
 
     def prep(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
-        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), batch["l_tax"]))
-        batch = batch.append_column("disc_price", disc).append_column("charge", charge)
-        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        i64 = pa.int64()
+        qty = pc.cast(pc.round(batch["l_quantity"]), i64)
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), i64)
+        disc = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)), i64)
+        tax = pc.cast(pc.round(pc.multiply(batch["l_tax"], 100.0)), i64)
+        disc_e4 = pc.multiply(cents, pc.subtract(pa.scalar(100, i64), disc))
+        charge_e6 = pc.multiply(disc_e4, pc.add(pa.scalar(100, i64), tax))
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": qty,
+                "base_e2": cents,
+                "disc_e4": disc_e4,
+                "charge_e6": charge_e6,
+                "discount_e2": disc,
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [
-                ("l_quantity", "sum"),
-                ("l_extendedprice", "sum"),
-                ("disc_price", "sum"),
-                ("charge", "sum"),
-                ("l_discount", "sum"),
+                ("qty", "sum"),
+                ("base_e2", "sum"),
+                ("disc_e4", "sum"),
+                ("charge_e6", "sum"),
+                ("discount_e2", "sum"),
                 ([], "count_all"),
             ]
         )
@@ -98,40 +123,52 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     )
     partial = ds.map_batches(prep, batch_format="pyarrow")
     final = partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity_sum", alias_name="sum_qty"),
-        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
-        Sum("disc_price_sum", alias_name="sum_disc_price"),
-        Sum("charge_sum", alias_name="sum_charge"),
-        Sum("l_discount_sum", alias_name="sum_disc"),
+        Sum("qty_sum", alias_name="sum_qty"),
+        Sum("base_e2_sum", alias_name="sum_base_price_e2"),
+        Sum("disc_e4_sum", alias_name="sum_disc_price_e4"),
+        Sum("charge_e6_sum", alias_name="sum_charge_e6"),
+        Sum("discount_e2_sum", alias_name="sum_disc_e2"),
         Sum("count_all", alias_name="count_order"),
     )
     df = ensure_columns(
         final.to_pandas(),
         {"l_returnflag": "object", "l_linestatus": "object",
-         "sum_qty": "float64", "sum_base_price": "float64",
-         "sum_disc_price": "float64", "sum_charge": "float64",
-         "sum_disc": "float64", "count_order": "int64"},
+         "sum_qty": "int64", "sum_base_price_e2": "int64",
+         "sum_disc_price_e4": "int64", "sum_charge_e6": "int64",
+         "sum_disc_e2": "int64", "count_order": "int64"},
     ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
-    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
-    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
-    df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(4)
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        df[c] = df[c].round(2)
-    return df.drop(columns=["sum_disc"])
+    n = df["count_order"].astype("int64")
+    df["avg_qty_e4"] = (df["sum_qty"].astype("int64") * 10_000) // n
+    df["avg_price_e4"] = df["sum_base_price_e2"].astype("int64") * 100 // n
+    df["avg_disc_e4"] = df["sum_disc_e2"].astype("int64") * 100 // n
+    for c in df.columns:
+        if c not in ("l_returnflag", "l_linestatus"):
+            df[c] = df[c].astype("int64")
+    return df.drop(columns=["sum_disc_e2"])
 
 
 Q1_SQL = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS base_e2,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_e4,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS charge_e6,
+         CAST(round(l_discount * 100) AS BIGINT) AS discount_e2
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(sum(l_quantity) / count(*), 4) AS avg_qty,
-       round(sum(l_extendedprice) / count(*), 4) AS avg_price,
-       round(sum(l_discount) / count(*), 4) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       sum(qty)::BIGINT AS sum_qty,
+       sum(base_e2)::BIGINT AS sum_base_price_e2,
+       sum(disc_e4)::BIGINT AS sum_disc_price_e4,
+       sum(charge_e6)::BIGINT AS sum_charge_e6,
+       CAST(sum(qty) * 10000 // count(*) AS BIGINT) AS avg_qty_e4,
+       CAST(sum(base_e2) * 100 // count(*) AS BIGINT) AS avg_price_e4,
+       CAST(sum(discount_e2) * 100 // count(*) AS BIGINT) AS avg_disc_e4,
+       count(*)::BIGINT AS count_order
+FROM t
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
@@ -330,18 +367,26 @@ def q6_revenue_forecast(sf_dir: str) -> pd.DataFrame:
             ),
         )
         batch = batch.filter(m)
-        rev = pc.multiply(batch["l_extendedprice"], batch["l_discount"])
-        return pa.table({"rev": rev})
+        # price·discount is exact at ×10⁴ in int64 (both 2-decimal):
+        # the sum is reduction-order independent by construction
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64()
+        )
+        return pa.table({"rev_e4": pc.multiply(cents, disc)})
 
     ds = _read(
         sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
     )
-    total = ds.map_batches(fn, batch_format="pyarrow").sum("rev") or 0.0
-    return pd.DataFrame({"revenue": [round(total, 2)]})
+    total = ds.map_batches(fn, batch_format="pyarrow").sum("rev_e4") or 0
+    return pd.DataFrame({"revenue_e4": pd.Series([int(total)], dtype="int64")})
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS revenue_e4
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24

@@ -174,8 +174,19 @@ def mix_domains(sf_dir: str) -> pd.DataFrame:
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        srcs = batch["source"].to_pylist()
-        cut = np.fromiter((thresh[s] for s in srcs), dtype=np.uint64, count=len(srcs))
+        srcs = batch["source"]
+        if isinstance(srcs, pa.ChunkedArray):
+            srcs = srcs.combine_chunks()
+        # vectorized threshold gather: dictionary-encode the source
+        # column (one lookup per DISTINCT source), then one np.take —
+        # no per-row Python in the corpus-scale gate
+        enc = srcs.dictionary_encode()
+        per_code = np.fromiter(
+            (thresh[s] for s in enc.dictionary.to_pylist()),
+            dtype=np.uint64,
+            count=len(enc.dictionary),
+        )
+        cut = per_code[enc.indices.to_numpy(zero_copy_only=False)]
         keep = _mix(ids) < cut
         return batch.filter(pa.array(keep))
 
