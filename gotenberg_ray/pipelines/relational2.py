@@ -815,12 +815,18 @@ def q8_market_share(
         )
         if rk == region_key
     }
-    target_key = {
+    nation_keys = {
         n: k
         for k, n in zip(
             nation_t["n_nationkey"].to_pylist(), nation_t["n_name"].to_pylist()
         )
-    }[nation]
+    }
+    if nation not in nation_keys:  # same degrade as the region guard
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("o_year", "nation_e4", "total_e4")}
+        )
+    target_key = nation_keys[nation]
     cust_keys = pa.array(sorted(region_nations), pa.int32())
 
     def supp_prep(batch: pa.Table) -> pa.Table:

@@ -664,15 +664,27 @@ def q16_part_supplier_counts(sf_dir: str) -> pd.DataFrame:
     distinct suppliers per (brand, type, size) part profile, excluding
     a brand/type slice and a (tiny, derived) bad-supplier set.
 
-    The bad-supplier set is filtered at the SOURCE scan and broadcast
-    by closure (it is bounded by the acctbal predicate, a few rows);
+    The bad-supplier set is filtered at the source scan DISTRIBUTED
+    (only the matching keys — a few rows — ever reach the driver) and
+    broadcast by closure;
     (partkey, suppkey) pairs dedupe per batch and again per join
     partition, the profile join bloom-prunes the fact side, and the
     exact distinct is the grouped-by-(profile, suppkey) shuffle — one
     row per distinct pair reaches the final tiny count."""
-    bad = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
-    bad_keys = bad.filter(pc.less(bad["s_acctbal"], 0.0))["s_suppkey"]
-    bad_set = pa.array(bad_keys.to_pylist(), pa.int64())
+    bad_df = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+        .map_batches(
+            lambda b: b.filter(pc.less(b["s_acctbal"], 0.0)).select(
+                ["s_suppkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    bad_set = pa.array(
+        bad_df["s_suppkey"].astype("int64").tolist() if len(bad_df) else [],
+        pa.int64(),
+    )
 
     def part_prep(b: pa.Table) -> pa.Table:
         m = pc.and_(
@@ -789,13 +801,27 @@ def q20_excess_suppliers(sf_dir: str, prefix: str = "blue", year: str = "1997") 
     quantity of a part-name slice in one year (relative threshold so
     the result is non-empty at every scale), decorated with names.
 
-    Chain: part-name slice → semi-filter lineitem (broadcast key set —
-    the slice is a selective dimension subset) → per-supplier quantity
+    Chain: part-name slice (filtered at the scan DISTRIBUTED — only
+    the ~1/25 matching keys reach the driver, then broadcast once via
+    the object store) → semi-filter lineitem → per-supplier quantity
     groupby → global max (a tiny aggregate over the #suppliers-sized
-    result) → threshold filter → bucketed join to supplier for names."""
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
-    keys = part.filter(pc.starts_with(part["p_name"], prefix))["p_partkey"]
-    keyset = pa.array(keys.to_pylist(), pa.int64())
+    result) → threshold filter → bucketed join to supplier for names.
+    If the slice itself outgrew broadcast, the bloom-pruned bucketed
+    semi-join in joins.py is the drop-in replacement."""
+    keys_df = (
+        _read(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(
+            lambda b: b.filter(pc.starts_with(b["p_name"], prefix)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    keyset = pa.array(
+        keys_df["p_partkey"].astype("int64").tolist() if len(keys_df) else [],
+        pa.int64(),
+    )
     lo, hi = _ts(f"{year}-01-01"), _ts(f"{int(year) + 1}-01-01")
 
     def li_prep(b: pa.Table) -> pa.Table:

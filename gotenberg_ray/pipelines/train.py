@@ -109,9 +109,26 @@ def training_data_pipeline(
     text_rows = pages.map_batches(_extract_text, batch_format="pyarrow")
 
     # quality gate: token floor + type-token ratio (the quality.py
-    # thresholds, inlined on the already-tokenized rows)
+    # repetition signal, inlined on the already-tokenized rows: a page
+    # whose distinct-token share falls below 25% is boilerplate/spam)
     def gate(batch: pa.Table) -> pa.Table:
         keep = pc.greater_equal(batch["n_tokens"], min_tokens)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat_h = fnv64(toks.values)
+        total = np.bincount(parents, minlength=batch.num_rows)
+        # distinct per row: sort (row, hash) pairs, count run starts
+        order = np.lexsort((flat_h, parents))
+        pr, hr = parents[order], flat_h[order]
+        new = np.ones(len(pr), bool)
+        if len(pr) > 1:
+            new[1:] = (pr[1:] != pr[:-1]) | (hr[1:] != hr[:-1])
+        distinct = np.bincount(parents[order][new], minlength=batch.num_rows)
+        ttr_ok = (total == 0) | (distinct * 4 >= total)  # TTR ≥ 0.25
+        keep = pc.and_(keep, pa.array(ttr_ok))
         return batch.filter(keep)
 
     gated = text_rows.map_batches(gate, batch_format="pyarrow")
@@ -168,19 +185,24 @@ def training_data_pipeline(
     sink = write_partitioned(packed, out_dir, key="pack_id", num_partitions=8)
 
     n_pages = pages.count()
-    stats = packed.aggregate(
-        Sum("n_tokens", alias_name="total_tokens"),
-    )
     n_unique = packed.count()
     from ray.data.aggregate import Max
 
-    n_packs = int(packed.aggregate(Max("pack_id", alias_name="m"))["m"]) + 1
+    if n_unique == 0:
+        # every page failed the gate (e.g. a min_tokens above the page
+        # size) — Dataset.aggregate returns None on empty input, so
+        # summarize the empty stream explicitly
+        total_tokens, n_packs = 0, 0
+    else:
+        stats = packed.aggregate(Sum("n_tokens", alias_name="total_tokens"))
+        total_tokens = int(stats["total_tokens"])
+        n_packs = int(packed.aggregate(Max("pack_id", alias_name="m"))["m"]) + 1
     return pd.DataFrame(
         {
             "n_pages": [int(n_pages)],
             "n_unique_parts": [int(n_unique)],
-            "total_tokens": [int(stats["total_tokens"])],
-            "n_packs": [int(n_packs)],
+            "total_tokens": [total_tokens],
+            "n_packs": [n_packs],
             "written_buckets": [int(sink["written_buckets"] + sink["skipped_buckets"])],
         }
     )
