@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import re
+from functools import cmp_to_key as _cmp_to_key
 from urllib.parse import urlsplit, urlunsplit
 
 _NUM_PREFIX = re.compile(r"^(\d+)")
@@ -72,27 +73,69 @@ def parse_duration(value: str) -> float:
     value = value.strip()
     if not value:
         raise ValueError("empty duration")
+    # the WHOLE string must be (number unit)+ — Go's time.ParseDuration
+    # rejects trailing garbage like '1hgarbage', so must we
+    if not re.fullmatch(r"(?:[0-9.]+(?:ns|us|µs|ms|s|m|h))+", value):
+        raise ValueError(f"invalid duration {value!r}")
     total = 0.0
     for num, unit in re.findall(r"([0-9.]+)(ns|us|µs|ms|s|m|h)", value):
         total += float(num) * _DUR_FACTORS[unit]
-    if total == 0.0 and not re.fullmatch(r"(?:[0-9.]+(?:ns|us|µs|ms|s|m|h))+", value):
-        raise ValueError(f"invalid duration {value!r}")
     return total
 
 
-def alphanumeric_key(name: str):
-    """Sort key matching gotenberg/sort.go:26-113: leading number,
-    else number before the extension, else trailing number, else
-    lexicographic."""
-    stem, dot, _ext = name.rpartition(".")
-    base = stem if dot else name
-    m = _NUM_PREFIX.match(name)
+_GO_PREFIX = re.compile(r"^(\d+)(.*)$")
+_GO_EXT_SUFFIX = re.compile(r"^(.*?)(\d+)(\.[^.]+)$")
+_GO_SUFFIX = re.compile(r"^(.*?)(\d+)$")
+_LOC_NONE, _LOC_PREFIX, _LOC_SUFFIXISH = 0, 1, 2
+
+
+def _extract_number(name: str) -> tuple[int, str, int]:
+    """Mirror of sort.go extractNumber: (number, rest, location)."""
+    base = name.rsplit("/", 1)[-1]
+    m = _GO_PREFIX.match(base)
     if m:
-        return (0, int(m.group(1)), name)
-    m = _NUM_TRAIL.search(base)
+        return int(m.group(1)), m.group(2), _LOC_PREFIX
+    m = _GO_EXT_SUFFIX.match(base)
     if m:
-        return (1, base[: m.start()], int(m.group(1)), name)
-    return (2, name, 0, "")
+        return int(m.group(2)), m.group(1) + m.group(3), _LOC_SUFFIXISH
+    m = _GO_SUFFIX.match(base)
+    if m:
+        return int(m.group(2)), m.group(1), _LOC_SUFFIXISH
+    return -1, base, _LOC_NONE
+
+
+def _alphanumeric_cmp(a: str, b: str) -> int:
+    """EXACT transcription of AlphanumericSort.Less (sort.go:37-79) —
+    the pairwise rules (prefix pairs: number then rest; suffix pairs:
+    rest then number; mixed: rest then prefix-first) are not
+    expressible as a single sort key, so the comparator itself is the
+    parity artifact. (For heterogeneous prefix/suffix mixes Go's Less
+    is not transitive; on the homogeneous fixture families the routes
+    actually sort, both engines agree exactly.)"""
+    num_a, rest_a, loc_a = _extract_number(a)
+    num_b, rest_b, loc_b = _extract_number(b)
+    if num_a != -1 and num_b != -1:
+        if loc_a == _LOC_PREFIX and loc_b == _LOC_PREFIX:
+            if num_a != num_b:
+                return -1 if num_a < num_b else 1
+            return (rest_a > rest_b) - (rest_a < rest_b)
+        if loc_a != _LOC_PREFIX and loc_b != _LOC_PREFIX:
+            if rest_a != rest_b:
+                return -1 if rest_a < rest_b else 1
+            if num_a != num_b:
+                return -1 if num_a < num_b else 1
+            return (a > b) - (a < b)
+        if rest_a != rest_b:
+            return -1 if rest_a < rest_b else 1
+        return -1 if loc_a == _LOC_PREFIX else 1
+    if num_a != -1:
+        return -1
+    if num_b != -1:
+        return 1
+    return (a > b) - (a < b)
+
+
+alphanumeric_key = _cmp_to_key(_alphanumeric_cmp)
 
 
 def digit_suffix_key(name: str):
@@ -115,11 +158,15 @@ def redact_url(url: str) -> str:
     """Strip userinfo + query values from logged URLs (RedactURL)."""
     try:
         p = urlsplit(url)
+        port = p.port  # .port raises on out-of-range/non-numeric ports
+        host = p.hostname or ""
     except ValueError:
+        # log hygiene must never crash on attacker-supplied URLs —
+        # fall back to the raw string rather than raising
         return url
-    netloc = p.hostname or ""
-    if p.port:
-        netloc = f"{netloc}:{p.port}"
+    netloc = host
+    if port:
+        netloc = f"{netloc}:{port}"
     if p.username:
         netloc = f"xxx@{netloc}"
     query = "&".join(

@@ -66,8 +66,14 @@ def predict_lang(texts: list[str]) -> list[str]:
     out = []
     for t in texts:
         t = (t or "").lower()
-        best, best_score = "en", -1
+        # seed with en's own score so empty/tied inputs really fall
+        # back to 'en' (a -1 seed let the alphabetically-first language
+        # claim every zero-score document)
+        best = "en"
+        best_score = sum(t.count(g) for g in _PROFILES["en"])
         for lang in sorted(_PROFILES):
+            if lang == "en":
+                continue
             score = sum(t.count(g) for g in _PROFILES[lang])
             if score > best_score:
                 best, best_score = lang, score

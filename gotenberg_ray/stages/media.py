@@ -67,7 +67,7 @@ class DecodeBackend:
                 "real image/audio codecs are not available in this container; "
                 "plug PIL/ffmpeg here"
             )
-        h = int(fnv64([payload.hex() if len(payload) < 64 else payload[:64].hex()])[0])
+        h = int(fnv64([payload[:64].hex()])[0])
         rng = np.uint64(h)
         width = int(splitmix64(int(rng) ^ 0x1) % 1920) + 16
         height = int(splitmix64(int(rng) ^ 0x2) % 1080) + 16
