@@ -167,7 +167,6 @@ def register_builtins() -> None:
     global _BUILTINS_DONE
     if _BUILTINS_DONE:
         return
-    _BUILTINS_DONE = True
 
     from .pipelines.convert import convert_batch
     from .pipelines.flagship import crawl_convert
@@ -233,7 +232,12 @@ def register_builtins() -> None:
             name="webhook_sink",
             kind="batch",
             fn=WebhookSender,
-            schema_in=("doc_id",),
+            schema_in=(
+                "doc_id", "error_type", "webhook_url", "error_url", "body",
+            ),
             description="async webhook delivery w/ bounded retries (webhook.go:50-66)",
         )
     )
+    # flag only AFTER the final registration: a failure mid-way must
+    # not leave the registry permanently partial behind the guard
+    _BUILTINS_DONE = True

@@ -77,12 +77,15 @@ def parse_content_disposition_filename(header: str) -> str | None:
     return str(name)
 
 
-def disk_name_for(doc_id: str, url: str, filename: str) -> str:
+def disk_name_for(doc_id: str, url: str, filename: str, entry_index: int = 0) -> str:
     """UUID-on-disk analogue (issue #1500, context.go:349-352):
-    collision-proof per (request, entry), keeps only the extension so
-    arbitrarily long original names can't exceed NAME_MAX. Deterministic
-    (hash, not uuid4) — same inputs, same checkpointable name."""
-    h = int(fnv64([f"{doc_id}\x00{url}"])[0])
+    collision-proof per (request, entry) — the ENTRY INDEX is part of
+    the hash so two entries sharing a URL in one request (watermark +
+    stamp from the same asset) get distinct files. Keeps only the
+    extension so arbitrarily long original names can't exceed
+    NAME_MAX. Deterministic (hash, not uuid4) — same inputs, same
+    checkpointable name."""
+    h = int(fnv64([f"{doc_id}\x00{url}\x00{entry_index}"])[0])
     ext = os.path.splitext(filename)[1][:16]
     return f"dl-{h:016x}{ext}"
 
@@ -176,7 +179,7 @@ class DownloadFromStage:
             return base
         filename = sanitize_filename(filename)
         base["filename"] = filename
-        base["disk_name"] = disk_name_for(doc_id, url, filename)
+        base["disk_name"] = disk_name_for(doc_id, url, filename, idx)
         base["n_bytes"] = len(body)
         field = dl.get("field") or ("embedded" if dl.get("embedded") else "")
         base["form_field"] = _FIELD_MAP.get(str(field), "")

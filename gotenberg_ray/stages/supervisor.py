@@ -77,6 +77,9 @@ class Supervisor:
             self.started = False
         self.restart_count += 1
         self._health_cached = None
+        # a fresh backend gets the full 2-failure grace — leaking the
+        # old count would mark it unhealthy on one transient probe
+        self._health_failures = 0
         self._ensure_started()
 
     def healthy(self) -> bool:

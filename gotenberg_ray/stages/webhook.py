@@ -47,11 +47,19 @@ def sniff_content_type(head: bytes) -> str:
         return "application/zip"
     if head.lstrip()[:1] in (b"{", b"["):
         return "application/json"
-    try:
-        head.decode("utf-8")
-        return "text/plain; charset=utf-8"
-    except UnicodeDecodeError:
-        return "application/octet-stream"
+    probe = head
+    # a multibyte sequence can straddle the 512-byte prefix cut — trim
+    # up to 3 trailing continuation bytes before judging the text
+    for _ in range(3):
+        try:
+            probe.decode("utf-8")
+            return "text/plain; charset=utf-8"
+        except UnicodeDecodeError:
+            if probe and probe[-1] & 0xC0 in (0x80, 0xC0):
+                probe = probe[:-1]
+                continue
+            break
+    return "application/octet-stream"
 
 
 class WebhookSender:
@@ -68,11 +76,15 @@ class WebhookSender:
 
     def __init__(
         self,
-        transport: Callable[[str, str, dict, bytes], int],
+        transport: Callable[[str, str, dict, bytes], int] | None = None,
         max_retries: int = DOWNLOAD_MAX_RETRIES,
         sleep: Callable[[float], None] | None = None,
     ):
-        self.transport = transport
+        # deterministic default (no network in this sandbox): delivery
+        # succeeds unless the URL hash says otherwise — the same
+        # synthetic-transport convention as stages/download.py, so the
+        # registry's default config can construct the actor
+        self.transport = transport or _synthetic_webhook_transport
         self.max_retries = max_retries
         self.sleep = sleep or (lambda s: None)
 
@@ -114,9 +126,7 @@ class WebhookSender:
             ok = 200 <= status < 300
             out["doc_id"].append(doc_id)
             out["event"].append(
-                ("webhook.success" if ok else "webhook.error")
-                if not err
-                else ("webhook.error")
+                "webhook.success" if ok and not err else "webhook.error"
             )
             out["url"].append(url)
             out["http_status"].append(status)
@@ -133,3 +143,15 @@ class WebhookSender:
             ],
             schema=EVENTS_SCHEMA,
         )
+
+
+def _synthetic_webhook_transport(
+    method: str, url: str, headers: dict, body: bytes
+) -> int:
+    """Deterministic stand-in for an HTTP client (no network in this
+    container): ~6% of URLs fail with 503 by hash, everything else
+    returns 200 — the same seeded-failure convention the download
+    stage and the fetch simulator use."""
+    from ..functions.hashing import fnv64_one
+
+    return 503 if fnv64_one(url) % 16 == 0 else 200
