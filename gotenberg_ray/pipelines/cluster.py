@@ -36,15 +36,14 @@ import ray
 
 from ..io import read_table
 
-Q_BITS = 20
+from .dimred import Q_BITS  # one fixed-point scale across operators
+from .embedops import _batch_matrix
+
 Q_SCALE = 1 << Q_BITS  # float → ×2²⁰ int64; d·(2·2²⁰)² ≪ 2⁶³ for d ≤ 2¹⁸
 
 
 def _quantize(batch: pa.Table) -> np.ndarray:
-    emb = batch["embedding"].combine_chunks()
-    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    x = flat.reshape(batch.num_rows, -1)
-    return np.rint(x * Q_SCALE).astype(np.int64)
+    return np.rint(_batch_matrix(batch) * Q_SCALE).astype(np.int64)
 
 
 def _assign(xq: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -34,18 +34,9 @@ N_COMPONENTS = 2
 PROJ_SCALE = 1_000_000
 
 
-def _emb(sf_dir: str):
-    from ..io import parallelism_hint, read_table
-
-    return read_table(sf_dir, "embeddings", min_blocks=parallelism_hint())
-
-
-def _batch_matrix(batch: pa.Table) -> np.ndarray:
-    col = batch.column("embedding")
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    return flat.reshape(batch.num_rows, -1)
+# ONE embedding reader + matrix decoder for the whole engine — a
+# future decode fix (fixed-size lists, empty blocks) lands everywhere
+from .embedops import _batch_matrix, _emb  # noqa: E402
 
 
 def _moment_partials(batch: pa.Table) -> pa.Table:

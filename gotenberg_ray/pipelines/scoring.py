@@ -132,6 +132,8 @@ def doc_lm_score(sf_dir: str) -> pd.DataFrame:
             self.vocab, self.uni, self.pair_keys, self.pair_counts = ray.get(
                 model_ref
             )
+            # the C hashtable builds ONCE per actor, not per batch
+            self.vocab_index = pd.Index(self.vocab)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -148,7 +150,7 @@ def doc_lm_score(sf_dir: str) -> pd.DataFrame:
             # hash-based lookup (C hashtable) beats per-string binary
             # search; tokens absent from the model (-1) can only come
             # from single-token docs, which contribute no pairs
-            tok_id = pd.Index(self.vocab).get_indexer(flat)
+            tok_id = self.vocab_index.get_indexer(flat)
             same_doc = doc_ix[1:] == doc_ix[:-1]
             v = len(self.vocab)
             a_id = tok_id[:-1][same_doc]

@@ -42,11 +42,6 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_table(sf_dir, table, columns)
 
 
-def _sum_violations(ds) -> int:
-    row = ds.aggregate(Sum("v", alias_name="v"))
-    return int(row["v"] or 0) if row else 0
-
-
 def orders_expectations(sf_dir: str) -> pd.DataFrame:
     from .joins import hash_join
 
@@ -93,15 +88,12 @@ def orders_expectations(sf_dir: str) -> pd.DataFrame:
             {"o_custkey": batch["o_custkey"]}
         ).group_by("o_custkey").aggregate([])
 
-    def count_partial(batch: pa.Table) -> pa.Table:
-        return pa.table({"v": pa.array([batch.num_rows], pa.int64())})
-
-    n_distinct = _sum_violations(
+    n_distinct = (
         _read(sf_dir, "orders", ["o_custkey"])
         .map_batches(local_keys, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Count(alias_name="_c"))
-        .map_batches(count_partial, batch_format="pyarrow")
+        .count()  # Dataset.count() IS the row count — no extra stage
     )
     dup_violations = n_rows - n_distinct
 
@@ -121,9 +113,7 @@ def orders_expectations(sf_dir: str) -> pd.DataFrame:
         left_schema=[("o_custkey", pa.int64())],
         right_schema=[("c_custkey", pa.int64())],
     )
-    fk_violations = _sum_violations(
-        orphans.map_batches(count_partial, batch_format="pyarrow")
-    )
+    fk_violations = orphans.count()
 
     return pd.DataFrame(
         {
