@@ -223,7 +223,8 @@ def embedding_label_stats(sf_dir: str) -> pd.DataFrame:
 
 
 LABEL_STATS_SQL = """
-SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label ORDER BY label
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors
+FROM embeddings GROUP BY label ORDER BY label
 """
 
 

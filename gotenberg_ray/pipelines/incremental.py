@@ -308,7 +308,7 @@ EVENTS_DAILY_INCREMENTAL_SQL = """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS spend_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
 FROM events
 GROUP BY day, event_type
 ORDER BY day, event_type

@@ -262,8 +262,8 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
        any_value(o_orderdate) AS o_orderdate
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -334,8 +334,8 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -470,8 +470,8 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, any_value(c_name) AS c_name, any_value(n_name) AS n_name,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -532,8 +532,8 @@ def top_parts_by_revenue(sf_dir: str) -> pd.DataFrame:
 
 TOP_PARTS_SQL = """
 SELECT p_partkey, any_value(p_name) AS p_name,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_partkey
 ORDER BY revenue_e4 DESC, p_partkey
@@ -626,8 +626,8 @@ def part_brand_stats(sf_dir: str) -> pd.DataFrame:
 
 
 PART_BRAND_SQL = """
-SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
-       sum(CAST(round(p_retailprice * 100) AS BIGINT)) * 100 // count(*) AS avg_price_e4
+SELECT p_brand, count(*) AS n_parts, CAST(max(p_size) AS BIGINT) AS max_size,
+       CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) * 100 // count(*) AS BIGINT) AS avg_price_e4
 FROM part GROUP BY p_brand ORDER BY p_brand
 """
 

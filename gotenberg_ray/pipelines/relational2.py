@@ -287,8 +287,8 @@ def q7_nation_trade(
 Q7_SQL = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -363,12 +363,12 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 Q14_SQL = """
-SELECT sum(CASE WHEN p_type = 'PROMO'
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
                 THEN CAST(round(l_extendedprice * 100) AS BIGINT)
                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                ELSE 0 END) AS promo_e4,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_e4
+                ELSE 0 END) AS BIGINT) AS promo_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_e4
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
 """
@@ -434,8 +434,8 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
 Q15_SQL = """
 WITH rev AS (
   SELECT l_suppkey AS s_suppkey,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_rev_e4
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_e4
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey)
@@ -567,7 +567,7 @@ WITH branded AS (
 stats AS (
   SELECT l_partkey, sum(qty_e2) AS sum_qty_e2, count(*) AS n
   FROM branded GROUP BY l_partkey)
-SELECT sum(price_cents) AS total_cents, count(*) AS n_items
+SELECT CAST(sum(price_cents) AS BIGINT) AS total_cents, count(*) AS n_items
 FROM branded JOIN stats USING (l_partkey)
 WHERE 5 * qty_e2 * n < sum_qty_e2
 """
@@ -653,7 +653,7 @@ def q18_large_orders(sf_dir: str, min_qty: int = 150) -> pd.DataFrame:
 Q18_SQL = """
 SELECT any_value(c_name) AS c_name, any_value(o_custkey) AS o_custkey, o_orderkey,
        any_value(o_orderdate) AS o_orderdate,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_e2
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_e2
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -761,8 +761,8 @@ def q19_branded_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 Q19_SQL = """
-SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -949,12 +949,12 @@ def q8_market_share(
 
 Q8_SQL = """
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-       sum(CASE WHEN sn.n_name = 'NATION_3'
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
                 THEN CAST(round(l_extendedprice * 100) AS BIGINT)
                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                ELSE 0 END) AS nation_e4,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_e4
+                ELSE 0 END) AS BIGINT) AS nation_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_e4
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey

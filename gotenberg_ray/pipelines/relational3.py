@@ -390,10 +390,10 @@ def q9_product_profit(sf_dir: str, name_like: str = "red") -> pd.DataFrame:
 Q9_SQL = """
 SELECT n_name,
        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
              * (100 - CAST(round(l_discount * 100) AS BIGINT))
            - CAST(round(p_retailprice * 100) AS BIGINT)
-             * CAST(round(l_quantity) AS BIGINT) * 100) AS profit_e4
+             * CAST(round(l_quantity) AS BIGINT) * 100) AS BIGINT) AS profit_e4
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -465,8 +465,8 @@ def q11_important_parts(sf_dir: str) -> pd.DataFrame:
 Q11_SQL = """
 WITH v AS (
   SELECT l_partkey AS p_partkey,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS value_e4
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS value_e4
   FROM lineitem GROUP BY l_partkey)
 SELECT p_partkey, value_e4
 FROM v
@@ -567,10 +567,10 @@ def q12_priority_lines(sf_dir: str, year: str = "1997") -> pd.DataFrame:
 
 Q12_SQL = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_lines,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_lines
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -893,7 +893,7 @@ def q20_excess_suppliers(sf_dir: str, prefix: str = "blue", year: str = "1997") 
 Q20_SQL = """
 WITH q AS (
   SELECT l_suppkey AS s_suppkey,
-         sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
   FROM lineitem
   WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
     AND l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1212,7 +1212,7 @@ WITH sel AS (
          CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
   FROM customer WHERE c_nationkey % 5 IN (0, 2, 4)),
 a AS (SELECT sum(bal_cents) AS tot, count(*) AS cnt FROM sel WHERE bal_cents > 0)
-SELECT cntry, count(*) AS numcust, sum(bal_cents) AS totacctbal_cents
+SELECT cntry, count(*) AS numcust, CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
 FROM sel, a
 WHERE bal_cents * cnt > tot
   AND NOT EXISTS (SELECT 1 FROM orders

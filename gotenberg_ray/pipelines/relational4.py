@@ -180,7 +180,7 @@ s AS (
          count(*)::BIGINT AS n_supp,
          sum(CAST(round(s_acctbal * 100) AS BIGINT))::BIGINT AS supp_cents
   FROM supplier WHERE s_acctbal > {SUPP_BAL_MIN} GROUP BY 1)
-SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+SELECT CAST(coalesce(c.nationkey, s.nationkey) AS BIGINT) AS nationkey,
        coalesce(n_cust, 0) AS n_cust,
        coalesce(cust_cents, 0) AS cust_cents,
        coalesce(n_supp, 0) AS n_supp,
@@ -260,7 +260,7 @@ WITH r AS (
              ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
                       c_custkey) AS rn
   FROM customer)
-SELECT c_nationkey,
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        string_agg(c_name, ',' ORDER BY rn) AS top_names,
        sum(cents)::BIGINT AS top_cents,
        count(*)::BIGINT AS n_top

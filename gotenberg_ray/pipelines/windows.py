@@ -610,7 +610,7 @@ WITH dim AS (
            + (c_custkey % {SCD2_MOD}) * INTERVAL 1 DAY,
          TIMESTAMP '2999-01-01 00:00:00'
   FROM customer)
-SELECT version,
+SELECT CAST(version AS BIGINT) AS version,
        count(*)::BIGINT AS n_orders,
        sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
 FROM orders o

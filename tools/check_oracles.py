@@ -43,6 +43,16 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
     except AssertionError as e:
         return "VALUE MISMATCH: " + str(e).split("\n")[-2][:200]
+    # The driver's value hash is dtype-sensitive (int64 vs float64 hash
+    # differently even when every value is equal — the round-2 HUGEINT
+    # regression class), so equal values are not enough: dtypes must match.
+    bad = [
+        f"{c}: ray={a[c].dtype} sql={b[c].dtype}"
+        for c in a.columns
+        if a[c].dtype != b[c].dtype
+    ]
+    if bad:
+        return "DTYPE MISMATCH: " + "; ".join(bad)
     return "OK"
 
 
