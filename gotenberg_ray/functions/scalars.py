@@ -73,6 +73,14 @@ def parse_duration(value: str) -> float:
     value = value.strip()
     if not value:
         raise ValueError("empty duration")
+    # Go's time.ParseDuration accepts an optional leading sign and the
+    # special case "0" / "+0" / "-0" with no unit
+    sign = 1.0
+    if value[0] in "+-":
+        sign = -1.0 if value[0] == "-" else 1.0
+        value = value[1:]
+    if value == "0":
+        return 0.0
     # the WHOLE string must be (number unit)+ — Go's time.ParseDuration
     # rejects trailing garbage like '1hgarbage', so must we
     if not re.fullmatch(r"(?:[0-9.]+(?:ns|us|µs|ms|s|m|h))+", value):
@@ -80,7 +88,7 @@ def parse_duration(value: str) -> float:
     total = 0.0
     for num, unit in re.findall(r"([0-9.]+)(ns|us|µs|ms|s|m|h)", value):
         total += float(num) * _DUR_FACTORS[unit]
-    return total
+    return sign * total
 
 
 _GO_PREFIX = re.compile(r"^(\d+)(.*)$")

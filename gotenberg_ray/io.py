@@ -194,7 +194,13 @@ def write_partitioned(
                     prior = int(f.read() or 0)
         else:
             fname = "part.parquet"
-        pq.write_table(part, os.path.join(bdir, fname))
+        # Two-phase write: a kill mid-write must never leave a torn
+        # parquet under a name read_partitioned includes (append-mode
+        # buckets already carry a _COMPLETE marker from prior landings,
+        # so the marker alone can't shield a torn part-<k>.parquet).
+        tmp = os.path.join(bdir, f"_{fname}.tmp")
+        pq.write_table(part, tmp)
+        os.replace(tmp, os.path.join(bdir, fname))
         with open(os.path.join(bdir, "_COMPLETE"), "w") as f:
             f.write(str(prior + part.num_rows))
         return pa.table({"bucket": [bid], "rows": [part.num_rows]})

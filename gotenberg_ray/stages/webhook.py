@@ -49,8 +49,10 @@ def sniff_content_type(head: bytes) -> str:
         return "application/json"
     probe = head
     # a multibyte sequence can straddle the 512-byte prefix cut — trim
-    # up to 3 trailing continuation bytes before judging the text
-    for _ in range(3):
+    # up to 3 trailing bytes, and always decode once more after the
+    # final strip (a 4-byte sequence cut after lead+2 continuations
+    # needs 3 strips plus a 4th judging decode)
+    for _ in range(4):
         try:
             probe.decode("utf-8")
             return "text/plain; charset=utf-8"

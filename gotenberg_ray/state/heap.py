@@ -51,6 +51,11 @@ class FrontierHeap:
         self._scalars: list[tuple[int, int, int, int]] = []  # (ready, negp, seq, uh)
         self._deleted: set[int] = set()
         self._live = 0
+        # live-seq index, built lazily on the first delete() and kept
+        # in sync afterwards — pays its memory only when tombstoning is
+        # actually used, and makes each presence check O(1) instead of
+        # a scan over every chunk (quadratic under frequent deletes)
+        self._seq_index: set[int] | None = None
 
     def __len__(self) -> int:
         return self._live
@@ -63,6 +68,8 @@ class FrontierHeap:
         uh_signed = int(np.uint64(url_hash).astype(np.int64))
         self._scalars.append((int(ready_time), -int(priority), int(seq), uh_signed))
         self._live += 1
+        if self._seq_index is not None:
+            self._seq_index.add(int(seq))
 
     def push_bulk(
         self,
@@ -83,6 +90,8 @@ class FrontierHeap:
             )
         )
         self._live += n
+        if self._seq_index is not None:
+            self._seq_index.update(int(s) for s in self._chunks[-1][2])
 
     def delete(self, seq: int) -> None:
         """Lazy tombstone. Double-deletes and deletes of absent seqs
@@ -91,11 +100,14 @@ class FrontierHeap:
         seq = int(seq)
         if seq in self._deleted:
             return
-        present = any(
-            (c[2] == seq).any() for c in self._chunks
-        ) or any(s[2] == seq for s in self._scalars)
-        if not present:
+        if self._seq_index is None:
+            self._seq_index = {
+                int(s) for c in self._chunks for s in c[2]
+            } | {s[2] for s in self._scalars}
+            self._seq_index -= self._deleted
+        if seq not in self._seq_index:
             return
+        self._seq_index.discard(seq)
         self._deleted.add(seq)
         self._live -= 1
 
@@ -140,6 +152,8 @@ class FrontierHeap:
         keep = ~mask
         self._chunks = [(ready[keep], negp[keep], seq[keep], uh[keep])]
         self._live -= n_pop
+        if self._seq_index is not None:
+            self._seq_index.difference_update(int(s) for s in seq[mask])
         r, p, s, u = ready[mask], negp[mask], seq[mask], uh[mask]
         order = np.lexsort((s, p, r))
         return r[order], -p[order], s[order], u[order]

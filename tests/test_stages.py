@@ -212,6 +212,13 @@ def test_sniff_content_type():
     assert sniff_content_type(b'  {"a": 1}') == "application/json"
     assert sniff_content_type("text".encode()) == "text/plain; charset=utf-8"
     assert sniff_content_type(b"\xff\xfe\x00binary") == "application/octet-stream"
+    # a 4-byte UTF-8 sequence straddling the 512-byte cut at every
+    # possible offset must still be judged text (needs up to 3 strips
+    # plus a final decode)
+    emoji = "🎉".encode()  # 4 bytes
+    for cut in (1, 2, 3):
+        head = (b"x" * (512 - cut) + emoji)[:512]
+        assert sniff_content_type(head) == "text/plain; charset=utf-8", cut
 
 
 # ----------------------------------------------------------------- scalars
@@ -232,8 +239,17 @@ def test_byte_size_and_duration():
     assert SC.parse_duration("30s") == 30.0
     assert SC.parse_duration("1h30m") == 5400.0
     assert SC.parse_duration("500ms") == 0.5
+    # Go time.ParseDuration parity: bare "0" and signed durations
+    assert SC.parse_duration("0") == 0.0
+    assert SC.parse_duration("-0") == 0.0
+    assert SC.parse_duration("+1h") == 3600.0
+    assert SC.parse_duration("-1.5h") == -5400.0
     with pytest.raises(ValueError):
         SC.parse_duration("nope")
+    with pytest.raises(ValueError):
+        SC.parse_duration("1")  # non-zero number needs a unit
+    with pytest.raises(ValueError):
+        SC.parse_duration("--1h")
 
 
 def test_alphanumeric_sort_matches_reference_families():

@@ -76,6 +76,32 @@ def test_heap_order_and_lazy_deletion():
     assert h.pop_ready(horizon=10) == [(5, 1, 10, 100)]
 
 
+def test_heap_delete_index_stays_consistent():
+    # deletes interleaved with pushes, bulk pushes and pops must keep
+    # the lazily-built live-seq index in sync with the real entry set
+    import numpy as np
+
+    h = FrontierHeap()
+    h.push(1, 0, 1, 10)
+    h.delete(1)  # builds the index
+    assert len(h) == 0
+    h.push(2, 0, 2, 11)  # scalar push after index exists
+    h.push_bulk(
+        np.array([3, 4]), np.array([0, 0]), np.array([3, 4]), np.array([12, 13], dtype=np.uint64)
+    )
+    h.delete(3)
+    h.delete(3)  # double delete: no-op
+    h.delete(99)  # absent: no-op
+    assert len(h) == 2
+    out = h.pop_ready(horizon=10)
+    assert [t[2] for t in out] == [2, 4]
+    h.delete(2)  # popped seq: must be absent from the index now
+    assert len(h) == 0
+    h.push(5, 0, 2, 11)  # re-push a previously-popped seq
+    h.delete(2)
+    assert len(h) == 0
+
+
 def test_heap_canonical_serialization():
     a, b = FrontierHeap(), FrontierHeap()
     for args in [(3, 1, 1, 10), (1, 2, 2, 11), (2, 3, 3, 12)]:
