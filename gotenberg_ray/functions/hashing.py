@@ -198,6 +198,68 @@ def hamming64(a: np.ndarray, b: int) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
+def hamming64_pairwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise Hamming distance between two uint64 arrays."""
+    x = np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+def simhash64_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row 64-bit SimHash of whitespace tokens for a WHOLE text
+    column: identical values to ``simhash64(fnv64((text or
+    '').split()))`` per row, but tokenization (split_whitespace),
+    hashing (one fnv64 call) and the per-bit votes (np.add.reduceat
+    over a signed bit matrix) all run as batch kernels. Empty rows
+    hash to 0, matching the scalar path."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    toks = pc.utf8_split_whitespace(texts)
+    n_rows = len(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = toks.values
+    # Arrow's split keeps empty tokens at string edges; str.split() does
+    # not — drop them so both paths tokenize identically
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+    lens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if not len(flat):
+        return out
+    h = fnv64(flat)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nz = np.flatnonzero(lens > 0)
+    pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    # the signed bit matrix is (tokens × 64) int32 — slice the row range
+    # so it stays ~64 MB regardless of how token-dense the batch is
+    chunk_tokens = 1 << 18
+    row_lo = 0
+    while row_lo < len(nz):
+        row_hi = row_lo
+        tok_lo = starts[nz[row_lo]]
+        tok_hi = tok_lo
+        while row_hi < len(nz) and tok_hi - tok_lo < chunk_tokens:
+            tok_hi = starts[nz[row_hi]] + lens[nz[row_hi]]
+            row_hi += 1
+        rows = nz[row_lo:row_hi]
+        hh = h[tok_lo:tok_hi]
+        signed = (
+            ((hh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+            * 2
+            - 1
+        )
+        acc = np.add.reduceat(signed, starts[rows] - tok_lo, axis=0)
+        out[rows] = ((acc > 0).astype(np.uint64) * pow2).sum(axis=1)
+        row_lo = row_hi
+    return out
+
+
 def shingle_hashes_batch(
     texts: pa.Array | pa.ChunkedArray, n: int = 3
 ) -> tuple[np.ndarray, np.ndarray]:

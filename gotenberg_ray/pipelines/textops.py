@@ -24,8 +24,11 @@ from ..functions import textkit as T
 from ..functions.frames import ensure_columns
 from ..functions.hashing import (
     fnv64,
-    hamming64,    shingle_hashes_batch,
+    hamming64,
+    hamming64_pairwise,
+    shingle_hashes_batch,
     simhash64,
+    simhash64_batch,
 )
 from ..schemas import KIND_TEXT, SPANS_TYPE, make_span
 from .relational import _rename  # shared column-rename helper (workers
@@ -601,46 +604,78 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
     return _verify_pairs_distributed(cands, sf_dir, jaccard_threshold, grams=grams)
 
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 10) -> pd.DataFrame:
-    """SimHash near-dup: 64-bit signatures per batch, then pairwise
-    hamming within 16-bit prefix buckets (the bucketing is the scale
-    path — only same-prefix pairs are compared). No SQL oracle."""
+def dedup_simhash(
+    sf_dir: str, max_hamming: int = 10, num_partitions: int = 16
+) -> pd.DataFrame:
+    """SimHash near-dup: vectorized 64-bit signatures per batch
+    (``simhash64_batch``: one fnv64 call + reduceat bit votes), then
+    pairwise hamming within 16-bit prefix buckets (the bucketing is
+    the scale path — only same-prefix pairs are compared).
+
+    Pairing follows the ``_bucket_candidate_pairs`` shape: ONE
+    hash-partitioned shuffle on the bucket key, then per PARTITION a
+    sort + run detection builds every within-bucket (i, j) index pair,
+    and a single XOR+popcount over all pairs at once filters on
+    ``max_hamming`` — no per-row Python, no per-group map_groups
+    (65 536 mostly-tiny groups would pay pandas overhead per group).
+    No SQL oracle."""
+    from .joins import partition_ids
 
     def sig_stage(batch: pa.Table) -> pa.Table:
-        sigs = []
-        for text in batch["text"].to_pylist():
-            toks = (text or "").split()
-            sigs.append(simhash64(fnv64(toks)) if toks else 0)
-        sigs = np.array(sigs, dtype=np.uint64)
+        sigs = simhash64_batch(batch["text"])
+        bucket = (sigs >> np.uint64(48)).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "sig": pa.array(sigs),
-                "bucket": pa.array((sigs >> np.uint64(48)).astype(np.int64)),
+                "bucket": pa.array(bucket),
+                "_pid": partition_ids(pa.array(bucket), num_partitions),
             }
         )
 
-    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy().astype(np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            d = hamming64(sigs[i + 1 :], int(sigs[i]))
-            for off in np.nonzero(d <= max_hamming)[0]:
-                rows.append((int(ids[i]), int(ids[i + 1 + off]), int(d[off])))
-        if not rows:
-            return pd.DataFrame(
-                {"a_id": pd.Series([], dtype="int64"), "b_id": pd.Series([], dtype="int64"),
-                 "hamming": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame(rows, columns=["a_id", "b_id", "hamming"])
+    def pairs_in_partition(part: pa.Table) -> pa.Table:
+        part = part.select(["bucket", "doc_id", "sig"]).sort_by(
+            [("bucket", "ascending"), ("doc_id", "ascending")]
+        )
+        b = part["bucket"].to_numpy(zero_copy_only=False)
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        sigs = part["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        empty = pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if len(b) < 2:
+            return empty
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], len(b)]
+        lens = ends - starts
+        i_out, j_out = [], []
+        for s, n in zip(starts[lens >= 2], lens[lens >= 2]):
+            iu, ju = np.triu_indices(int(n), k=1)
+            i_out.append(s + iu)
+            j_out.append(s + ju)
+        if not i_out:
+            return empty
+        ii = np.concatenate(i_out)
+        jj = np.concatenate(j_out)
+        d = hamming64_pairwise(sigs[ii], sigs[jj])
+        m = d <= max_hamming
+        return pa.table(
+            {
+                "a_id": pa.array(ids[ii[m]].astype(np.int64)),
+                "b_id": pa.array(ids[jj[m]].astype(np.int64)),
+                "hamming": pa.array(d[m].astype(np.int64)),
+            }
+        )
 
     df = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(sig_stage, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_of, batch_format="pandas")
+        .groupby("_pid", num_partitions=num_partitions)
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
         .to_pandas()
     )
     df = ensure_columns(

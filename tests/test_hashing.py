@@ -55,6 +55,40 @@ def test_simhash_close_for_similar_sets():
     assert H.hamming64(np.array([h1], dtype=np.uint64), far)[0] > d
 
 
+def test_simhash64_batch_matches_scalar_path():
+    import pyarrow as pa
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        None,
+        "  leading and trailing   whitespace  ",
+        "one",
+        "日本語 テキスト と spaces",
+        "a b c d e f g h i j " * 40,  # long row exercises vote accumulation
+        "\t\n  ",  # whitespace-only → zero tokens → sig 0
+    ]
+    batch = H.simhash64_batch(pa.array(texts, pa.string()))
+    for t, got in zip(texts, batch):
+        toks = (t or "").split()
+        want = H.simhash64(H.fnv64(toks)) if toks else 0
+        assert int(got) == want, t
+    # chunk boundary path: force multiple internal slices
+    many = pa.array(["w%d x y z" % i for i in range(500)], pa.string())
+    import gotenberg_ray.functions.hashing as hm
+
+    full = hm.simhash64_batch(many)
+    for i in (0, 250, 499):
+        toks = many[i].as_py().split()
+        assert int(full[i]) == H.simhash64(H.fnv64(toks))
+
+
+def test_hamming64_pairwise():
+    a = np.array([0, 0xFFFFFFFFFFFFFFFF, 0b1010], dtype=np.uint64)
+    b = np.array([0, 0, 0b0101], dtype=np.uint64)
+    assert H.hamming64_pairwise(a, b).tolist() == [0, 64, 4]
+
+
 def test_shingles():
     sh = H.shingle_hashes(["a", "b", "c", "d"], n=2)
     assert len(sh) == 3
