@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_stats": E.embedding_label_stats,
         "doc_embedding_stats": E.doc_embedding_stats,
         "embedding_dup_pairs": E.embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": E.embedding_dup_pairs_lsh,
         # semantic dedup (k-means + within-cluster greedy prune;
         # rows-only — k-means has no SQL twin)
         "semdedup": E.semdedup,
@@ -494,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_stats": E.LABEL_STATS_SQL,
         "doc_embedding_stats": E.DOC_EMB_SQL,
         "embedding_dup_pairs": E.DUP_PAIRS_SQL,
+        "embedding_dup_pairs_lsh": E.DUP_PAIRS_LSH_SQL,
         # no oracle (sketches / heuristics / approximate search):
         # dedup_minhash, dedup_simhash, lang_id_confusion,
         # doc_fingerprints, knn_lsh, knn_ivf, hll_users_per_type

@@ -196,7 +196,9 @@ def test_embedding_dup_pairs_tiled_exact(ray_session, tmp_path):
                   "label": pa.array(["x"] * n)}),
         f"{tmp_path}/embeddings.parquet",
     )
-    got = E.embedding_dup_pairs(str(tmp_path), threshold=0.9, num_blocks=4)
+    got = E.embedding_dup_pairs(
+        str(tmp_path), threshold=0.9, num_blocks=4, method="exact"
+    )
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     sims = mn @ mn.T
     a, b = np.nonzero(np.triu(sims > 0.9, k=1))
@@ -204,6 +206,24 @@ def test_embedding_dup_pairs_tiled_exact(ray_session, tmp_path):
     exp = exp.sort_values(["a_id", "b_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
     assert ((got["a_id"] == 10) & (got["b_id"] == 50)).any()
+    # the sub-quadratic default path (auto→LSH at 0.9) must find the
+    # same pairs: candidates from 57 seeded hyperplane tables, then
+    # exact cosine verification
+    lsh = E.embedding_dup_pairs(str(tmp_path), threshold=0.9)
+    pd.testing.assert_frame_equal(lsh, exp)
+
+
+def test_lsh_join_plan_picks_the_sound_path():
+    # production near-dup thresholds admit a cheap full-recall plan
+    hi = E.lsh_join_plan(0.9)
+    assert hi["feasible"] and hi["work_ratio"] < 0.05 and hi["tables"] <= 64
+    mid = E.lsh_join_plan(0.75)
+    assert mid["feasible"] and mid["work_ratio"] < 0.5
+    # at the corpus default 0.46 (0.001 above the measured noise
+    # floor) NO pruning plan beats brute force — auto must go exact
+    lo = E.lsh_join_plan(E.DUP_THRESHOLD)
+    assert not lo["feasible"]
+    assert not E.lsh_join_plan(0.0)["feasible"]
 
 
 class TestDuplicateSpanStats:
