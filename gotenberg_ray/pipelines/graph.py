@@ -850,15 +850,21 @@ def hierarchy_rollup(sf_dir: str) -> pd.DataFrame:
     parent is ``doc_id // 2`` (doc 0 is the root), and the answer is
     each node's DESCENDANT-INCLUSIVE character total and count.
 
-    Distributed shape: transitive closure by REPEATED SQUARING —
-    R₀ = parent edges, R_{k+1} = R_k ∪ (R_k ∘ R_k) — so a depth-d
-    tree closes in ⌈log₂ d⌉ bucketed self-joins instead of d
-    level-by-level rounds; the pair table tops out at N·depth rows
-    (every (node, proper-ancestor) pair exactly once — the union
-    dedups by packed pair key per round). One final join against the
-    value column + one groupby folds the rollup; self-contribution
-    joins in arithmetically. The DuckDB twin climbs the same chains
-    with a recursive CTE."""
+    Distributed shape: transitive closure by POINTER DOUBLING —
+    J_k(node) is the ancestor exactly 2^k above, R_k holds every
+    (node, ancestor) pair with distance ≤ 2^k, and each round adds
+    R_{k+1} = R_k ∪ (J_k ∘ R_k), J_{k+1} = J_k ∘ J_k. In a TREE the
+    composed pairs are brand-new by construction (each (node, anc)
+    pair has one distance, reached through one midpoint), so the
+    closure needs NO per-round dedup shuffle; the compose's left side
+    is one jump row per live node (not the N·2^k accumulated pairs of
+    plain R∘R squaring), and nodes whose jump reached the root leave
+    the frontier — rounds stop at the OBSERVED depth (empty frontier),
+    with HIER_MAX_ROUNDS as the safety cap. A depth-d tree closes in
+    ⌈log₂ d⌉ rounds; the pair table tops out at N·depth rows. One
+    final join against the value column + one groupby folds the
+    rollup; self-contribution joins in arithmetically. The DuckDB twin
+    climbs the same chains with a recursive CTE."""
     from ray.data.aggregate import Sum as _Sum
 
     from ..io import read_table
@@ -869,88 +875,94 @@ def hierarchy_rollup(sf_dir: str) -> pd.DataFrame:
         keep = ids > 0  # the root has no proper ancestor
         ids = ids[keep]
         return pa.table(
-            {"node": pa.array(ids), "anc": pa.array(ids // 2)}
+            {
+                "node": pa.array(ids),
+                "anc": pa.array(ids // 2),
+                "dist": pa.array(np.ones(len(ids), np.int64)),
+            }
         )
 
     docs = read_table(sf_dir, "documents", ["doc_id"])
     pairs = docs.map_batches(base, batch_format="pyarrow").materialize()
+    # for parent = id // 2 the depth of node id is exactly
+    # ⌊log₂ id⌋ + 1, so the observed tree depth IS log₂(max_id) — one
+    # metadata-cheap aggregate, no per-round count() sync barriers
     max_id = docs.max("doc_id")
     if max_id is None or int(max_id) <= 0:
         rounds = 0
     else:
         depth = int(np.floor(np.log2(int(max_id)))) + 1
-        rounds = min(HIER_MAX_ROUNDS, max(1, int(np.ceil(np.log2(depth)))))
+        rounds = min(HIER_MAX_ROUNDS, max(0, int(np.ceil(np.log2(depth)))))
 
-    def pack(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "node" not in b.column_names:
-            return pa.table({"pk": pa.array([], _I64)})
-        key = (
-            b["node"].to_numpy(zero_copy_only=False) << np.int64(32)
-        ) | b["anc"].to_numpy(zero_copy_only=False)
-        return pa.table({"pk": pa.array(np.unique(key))})
-
-    def unpack(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "pk" not in b.column_names:
-            return pa.table(
-                {"node": pa.array([], _I64), "anc": pa.array([], _I64)}
+    def frontier_of(step: int):
+        # jumps of distance exactly 2^k whose target still has
+        # ancestors of its own, shaped for the compose join
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "anc" not in b.column_names:
+                return pa.table(
+                    {"mid": pa.array([], _I64), "node": pa.array([], _I64)}
+                )
+            b = b.filter(
+                pc.and_(pc.equal(b["dist"], step), pc.greater(b["anc"], 0))
             )
-        key = b["pk"].to_numpy(zero_copy_only=False)
+            return pa.table({"mid": b["anc"], "node": b["node"]})
+
+        return fn
+
+    def as_mid_anc2(b: pa.Table) -> pa.Table:
+        if b.num_rows and "node" in b.column_names:
+            return pa.table(
+                {"mid": b["node"], "anc2": b["anc"], "dist2": b["dist"]}
+            )
         return pa.table(
             {
-                "node": pa.array(key >> np.int64(32)),
-                "anc": pa.array(key & np.int64((1 << 32) - 1)),
+                "mid": pa.array([], _I64),
+                "anc2": pa.array([], _I64),
+                "dist2": pa.array([], _I64),
             }
         )
 
+    def hop_of(step: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows and "node" in b.column_names:
+                return pa.table(
+                    {
+                        "node": b["node"],
+                        "anc": b["anc2"],
+                        "dist": pc.add(b["dist2"], step),
+                    }
+                )
+            return pa.table(
+                {
+                    "node": pa.array([], _I64),
+                    "anc": pa.array([], _I64),
+                    "dist": pa.array([], _I64),
+                }
+            )
+
+        return fn
+
+    step = 1  # 2^k
     for _ in range(rounds):
-        # compose: (node → anc) ∘ (anc → anc2) — one bucketed join on
-        # the middle vertex
+        # new pairs: jump 2^k (the dist==2^k slice is the jump table —
+        # a filter, not a second join), then collect the target's
+        # ≤2^k-chain; in a TREE every composed pair is brand-new (one
+        # distance, one midpoint), so no per-round dedup shuffle
         hop = hash_join(
-            pairs.map_batches(
-                lambda b: pa.table({"mid": b["anc"], "node": b["node"]})
-                if b.num_rows and "anc" in b.column_names
-                else pa.table(
-                    {"mid": pa.array([], _I64), "node": pa.array([], _I64)}
-                ),
-                batch_format="pyarrow",
-            ),
-            pairs.map_batches(
-                lambda b: pa.table({"mid": b["node"], "anc2": b["anc"]})
-                if b.num_rows and "node" in b.column_names
-                else pa.table(
-                    {"mid": pa.array([], _I64), "anc2": pa.array([], _I64)}
-                ),
-                batch_format="pyarrow",
-            ),
+            pairs.map_batches(frontier_of(step), batch_format="pyarrow"),
+            pairs.map_batches(as_mid_anc2, batch_format="pyarrow"),
             on="mid",
             num_partitions=8,
             left_schema=[("mid", _I64), ("node", _I64)],
-            right_schema=[("mid", _I64), ("anc2", _I64)],
-        ).map_batches(
-            lambda b: pa.table({"node": b["node"], "anc": b["anc2"]})
-            if b.num_rows and "node" in b.column_names
-            else pa.table(
-                {"node": pa.array([], _I64), "anc": pa.array([], _I64)}
-            ),
-            batch_format="pyarrow",
-        )
-        # union + global pair dedup: batch-local unique on the packed
-        # (node, anc) key, then ONE native-aggregate groupby — never a
-        # per-group Python call
-        from ray.data.aggregate import Count as _Count
-
-        pairs = (
-            pairs.union(hop)
-            .map_batches(pack, batch_format="pyarrow")
-            .groupby("pk", num_partitions=8)
-            .aggregate(_Count(alias_name="_c"))
-            .map_batches(unpack, batch_format="pyarrow")
-            # the sort-shuffle PRESERVES input block count, and union
-            # adds the hop's blocks — without a reset the block count
-            # triples per round and per-task overhead dominates
-            .repartition(8)
-            .materialize()
-        )
+            right_schema=[("mid", _I64), ("anc2", _I64), ("dist2", _I64)],
+        ).map_batches(hop_of(step), batch_format="pyarrow")
+        # the join's sort-shuffle PRESERVES input block count, and the
+        # input is pairs twice — without a reset blocks triple per
+        # round (observed 162 tiny blocks by round 4). Repartition only
+        # the NEW distance band: blocks stay ≤ 8·rounds and the moved
+        # bytes are proportional to the new pairs, not the closure.
+        pairs = pairs.union(hop.repartition(8)).materialize()
+        step *= 2
 
     def vals(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -965,7 +977,12 @@ def hierarchy_rollup(sf_dir: str) -> pd.DataFrame:
     )
     # each node's value flows to every proper ancestor...
     contrib = hash_join(
-        pairs,
+        pairs.map_batches(
+            lambda b: b.select(["node", "anc"])
+            if b.num_rows and "node" in b.column_names
+            else pa.table({"node": pa.array([], _I64), "anc": pa.array([], _I64)}),
+            batch_format="pyarrow",
+        ),
         values,
         on="node",
         num_partitions=8,
