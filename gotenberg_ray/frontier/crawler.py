@@ -206,6 +206,19 @@ class CrawlConfig:
     # fed from the previous run's host histogram.
     salt_hosts: tuple[str, ...] = ()
     salt_k: int = 1
+    # auto-salting (SURVEY §4.2 row 3 "k chosen from observed depth"):
+    # detect hot hosts from a Misra–Gries pass over the ADMITTED seed
+    # frontier before the first offer and fold them into salt_hosts,
+    # with salt_k = the observed hot share in fair-share units. The
+    # decision is made once per run and rides the checkpointed config —
+    # see resolve_auto_salt for why it must never change mid-run.
+    auto_salt: bool = False
+    # hot bar in fair-share (n/P) units: any host above ONE fair share
+    # cannot be balanced by hashing alone; 1.5 leaves headroom so
+    # ordinary skew doesn't salt every slightly-popular host. (The
+    # join layer's detect_hot_keys uses 4× because a join partition
+    # tolerates more imbalance than a politeness-bound crawl shard.)
+    auto_salt_factor: float = 1.5
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)
@@ -449,6 +462,60 @@ def partition_of(
             )
             h = np.where(hot_np, h ^ salts, h)
     return (h % np.uint64(n_partitions)).astype(np.int64)
+
+
+def resolve_auto_salt(cfg: CrawlConfig, accepted: pa.Table) -> CrawlConfig:
+    """Hot-host auto-salting (SURVEY §4.2 row 3, "k chosen from
+    observed depth"): one Misra–Gries pass over the ADMITTED seed
+    frontier's hosts; a host whose lower-bound count exceeds
+    ``auto_salt_factor ×`` the fair per-shard share (n/P) joins
+    ``salt_hosts``, and ``salt_k`` is the observed depth —
+    ⌈hottest count / fair share⌉, capped at P.
+
+    The decision is made ONCE, before the first offer, and persisted
+    via the checkpointed config. It must never change mid-run: routing
+    has to stay a pure function of the URL because the shard-LOCAL
+    seen sets are keyed by routing — re-salting an already-offered
+    host would send a re-offered duplicate to a shard that has never
+    seen it, breaking the layout-independence contract (identical
+    fetched set and duplicate count under any salting) that
+    test_hot_host_salting asserts. Mid-run epoch-boundary re-salting
+    requires the two-phase seen/queue split (seen-check at a
+    url-hash-keyed shard, queue+politeness at the salted shard) — the
+    documented 100 TB growth path, deliberately not taken here."""
+    from ..state.heavy import MisraGries
+
+    n = accepted.num_rows
+    if n == 0 or cfg.n_partitions <= 1:
+        return cfg
+    g = (
+        pa.table({"h": accepted.column("host").combine_chunks()})
+        .group_by("h")
+        .aggregate([([], "count_all")])
+        .rename_columns(["h", "c"])
+    )
+    mg = MisraGries(4096)
+    mg.update(
+        g["h"].to_numpy(zero_copy_only=False),
+        g["c"].to_numpy(zero_copy_only=False),
+    )
+    fair = n / cfg.n_partitions
+    thresh = cfg.auto_salt_factor * fair
+    hot = [
+        (str(k), int(c)) for k, c in zip(mg.keys, mg.counts) if c >= thresh
+    ]
+    if not hot:
+        return cfg
+    k = min(
+        cfg.n_partitions,
+        max(int(np.ceil(c / fair)) for _, c in hot),
+    )
+    if k <= 1:
+        return cfg
+    hosts = tuple(sorted(set(cfg.salt_hosts) | {h for h, _ in hot}))
+    return dataclasses.replace(
+        cfg, salt_hosts=hosts, salt_k=max(cfg.salt_k, k)
+    )
 
 
 def _split_by_partition(table: pa.Table, parts: np.ndarray, n: int) -> list[pa.Table]:
@@ -944,6 +1011,25 @@ def run_crawl(
         if not resume
         else None
     )
+    _seed_admitted: tuple | None = None
+    state = None
+    if resume:
+        state = ckpt.load_latest(checkpoint_dir)
+        if cfg.auto_salt:
+            # the auto-decided salting rides the checkpointed config —
+            # a resumed run MUST route identically to the original
+            saved = json.loads(state["driver"]["config"])
+            cfg = dataclasses.replace(
+                cfg,
+                salt_hosts=tuple(saved.get("salt_hosts", ())),
+                salt_k=int(saved.get("salt_k", 1)),
+            )
+    elif cfg.auto_salt:
+        # the salt decision needs the admitted seed hosts, so collect
+        # admission before shard construction (auto mode trades a
+        # little setup overlap for the observed-host histogram)
+        _seed_admitted = admit_seed_frontier_collect(_admit_handle)
+        cfg = resolve_auto_salt(cfg, _seed_admitted[0])
     shards = LocalShards(cfg, robots) if mode == "local" else RayShards(cfg, robots)
     runner = (
         LocalFetchRunner(docs, cfg, pages_dir)
@@ -973,7 +1059,9 @@ def run_crawl(
     logs: list[pa.Table] = []
     rejected_parts: list[pa.Table] = []
     if resume:
-        state = ckpt.load_latest(checkpoint_dir)
+        # (state was loaded before shard construction — the salt config
+        # had to be adopted first so the shards' politeness budgets and
+        # the routing below agree with the original run)
         # a partition-count mismatch would silently zip-truncate the
         # frontier (dropped seen-sets re-fetch; dropped heaps lose
         # URLs) — refuse rather than resume from a different sharding
@@ -999,7 +1087,11 @@ def run_crawl(
         # seed cost was the largest fixed term in the N-vs-4N scaling
         # measurement. Ordered concat keeps the result identical to the
         # sequential reference (determinism parity by construction).
-        accepted, rejected = admit_seed_frontier_collect(_admit_handle)
+        accepted, rejected = (
+            _seed_admitted
+            if _seed_admitted is not None  # auto-salt collected early
+            else admit_seed_frontier_collect(_admit_handle)
+        )
         rejected_parts.append(rejected)
         parts = partition_of(
             accepted.column("host").combine_chunks(),

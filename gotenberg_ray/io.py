@@ -70,7 +70,26 @@ def read_table(
     nb = num_blocks or blocks_for(path)
     if min_blocks:
         nb = max(nb, min_blocks)
-    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+    # pandas-written parquet carries b'pandas' schema metadata, and
+    # hash(pa.Schema) raises "unhashable type: 'dict'" on it — Ray's
+    # block concat then logs a schema-dedup warning inside every
+    # multi-fragment read task and every downstream unify. Handing
+    # read_parquet an explicit metadata-free schema (one footer read
+    # on the driver) keeps every block schema clean and hashable.
+    schema = None
+    try:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        schema = _pq.read_schema(path).remove_metadata()
+        if columns is not None:
+            # the explicit schema must match the projection
+            schema = _pa.schema([schema.field(c) for c in columns])
+    except Exception:  # noqa: BLE001 — fall back to inference
+        schema = None
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=nb, schema=schema
+    )
 
 
 def write_table(ds: rd.Dataset, path: str, **kwargs) -> None:

@@ -209,6 +209,76 @@ def test_hot_host_salting_spreads_and_preserves_budget(ray_session, tmp_path):
     assert res_salt.counters == res_ray.counters
 
 
+def test_auto_salt_detects_hot_host(ray_session, tmp_path):
+    """VERDICT r2 task 6: with salt_hosts=() and auto_salt=True, the
+    Misra–Gries pass over the admitted seed frontier must detect the
+    50%-share host, choose k from the observed depth, spread it across
+    shards, and preserve the exact crawl contract (same fetched URL
+    set and duplicate count as unsalted; ray ≡ sequential; resume
+    adopts the same salting from the checkpointed config)."""
+    import dataclasses
+
+    from gotenberg_ray.corpus import HOT_HOST
+    from gotenberg_ray.frontier import checkpoint as _ck
+    from gotenberg_ray.frontier.crawler import resolve_auto_salt
+
+    docs = make_documents(40, seed=7)
+    frontier = make_frontier(250, n_docs=40, seed=7, hot_frac=0.5)
+    robots = make_robots(host_pool(20), seed=7)
+    base = CrawlConfig(
+        n_partitions=4,
+        epoch_width=8,
+        max_epochs=500,
+        link_universe=200,
+        fetch_concurrency=2,
+        fetch_num_cpus=0.5,
+    )
+    auto = dataclasses.replace(base, auto_salt=True)
+
+    # the decision itself: MG over the admitted seed hosts
+    from gotenberg_ray.frontier.crawler import (
+        UrlFilter,
+        admit_seed_frontier,
+    )
+
+    accepted, _ = admit_seed_frontier(frontier, UrlFilter([], []), parallel=False)
+    resolved = resolve_auto_salt(auto, accepted)
+    assert HOT_HOST in resolved.salt_hosts
+    assert resolved.salt_k == 2  # 50% share over 4 shards = 2 fair shares
+    # no other host clears the 4×-fair-share bar on this corpus
+    assert resolved.salt_hosts == (HOT_HOST,)
+
+    res_base = run_crawl(frontier, docs, robots, base, mode="local")
+    res_auto = run_crawl(frontier, docs, robots, auto, mode="local")
+    log_b = res_base.fetch_log.to_pandas()
+    log_a = res_auto.fetch_log.to_pandas()
+    # exactness contract survives auto-salting
+    assert set(log_b["url_canon"]) == set(log_a["url_canon"])
+    assert res_base.counters["duplicate"] == res_auto.counters["duplicate"]
+
+    # determinism: ray orchestration reproduces the sequential run
+    res_ray = run_crawl(frontier, docs, robots, auto, mode="ray")
+    assert res_auto.fetch_log.equals(res_ray.fetch_log)
+    assert res_auto.counters == res_ray.counters
+
+    # resume adopts the checkpointed salt decision bit-identically
+    full_dir = str(tmp_path / "full")
+    res_full = run_crawl(
+        frontier, docs, robots, auto, mode="local", checkpoint_dir=full_dir
+    )
+    part_dir = str(tmp_path / "part")
+    cfg_a = dataclasses.replace(auto, max_epochs=7)
+    run_crawl(frontier, docs, robots, cfg_a, mode="local", checkpoint_dir=part_dir)
+    res_res = run_crawl(
+        frontier, docs, robots, auto, mode="local",
+        checkpoint_dir=part_dir, resume=True,
+    )
+    d_full = _ck.latest_epoch_dir(full_dir)
+    d_part = _ck.latest_epoch_dir(part_dir)
+    assert _ck.checkpoint_digest(d_full) == _ck.checkpoint_digest(d_part)
+    assert res_full.counters == res_res.counters
+
+
 def test_resume_refuses_partition_mismatch(small_world, tmp_path):
     """A checkpoint sharded at P partitions must not silently resume
     under a different P — the seen-sets/heaps are keyed by
