@@ -34,6 +34,15 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..functions.frames import ensure_columns
+from ..functions.limbs import (
+    CARRY as LIMB_CARRY,
+    limb_ray_aggs,
+    limb_sums,
+    limbify,
+    recombine_limbs,
+    renorm_limbs,
+    split_limbs,
+)
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
@@ -72,9 +81,9 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     (the float-boundary class that can flake a round(,2) comparison
     cannot occur). Averages are floor-divided ×10⁴ integers, mirrored
     exactly in the SQL twin (positive values: ``//`` ≡ floor on both
-    sides). At 10¹²-row scale the ×10⁶ charge sum outgrows int64 —
-    the carry-split limb pattern of ``analytics.corr_qty_price`` is
-    the drop-in fix."""
+    sides). The wide ×10⁴/×10⁶ money sums (charge_e6 outgrows int64
+    around SF 15) fold as Sum128 two-limb integers
+    (``functions.limbs``), so the reduction is exact at any scale."""
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"), type=pa.timestamp("us"))
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -97,16 +106,17 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
                 "discount_e2": disc,
             }
         )
-        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        t = limbify(t, ["disc_e4", "charge_e6"])
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [
                 ("qty", "sum"),
                 ("base_e2", "sum"),
-                ("disc_e4", "sum"),
-                ("charge_e6", "sum"),
+                *limb_sums(["disc_e4", "charge_e6"]),
                 ("discount_e2", "sum"),
                 ([], "count_all"),
             ]
         )
+        return renorm_limbs(g, ["disc_e4", "charge_e6"])
 
     ds = _read(
         sf_dir,
@@ -125,8 +135,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     final = partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("qty_sum", alias_name="sum_qty"),
         Sum("base_e2_sum", alias_name="sum_base_price_e2"),
-        Sum("disc_e4_sum", alias_name="sum_disc_price_e4"),
-        Sum("charge_e6_sum", alias_name="sum_charge_e6"),
+        *limb_ray_aggs(["disc_e4", "charge_e6"]),
         Sum("discount_e2_sum", alias_name="sum_disc_e2"),
         Sum("count_all", alias_name="count_order"),
     )
@@ -134,9 +143,17 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         final.to_pandas(),
         {"l_returnflag": "object", "l_linestatus": "object",
          "sum_qty": "int64", "sum_base_price_e2": "int64",
-         "sum_disc_price_e4": "int64", "sum_charge_e6": "int64",
+         "disc_e4_hi": "int64", "disc_e4_lo": "int64",
+         "charge_e6_hi": "int64", "charge_e6_lo": "int64",
          "sum_disc_e2": "int64", "count_order": "int64"},
     ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    df = recombine_limbs(df, ["disc_e4", "charge_e6"])
+    df = df.rename(
+        columns={
+            "disc_e4": "sum_disc_price_e4",
+            "charge_e6": "sum_charge_e6",
+        }
+    )
     n = df["count_order"].astype("int64")
     df["avg_qty_e4"] = (df["sum_qty"].astype("int64") * 10_000) // n
     df["avg_price_e4"] = df["sum_base_price_e2"].astype("int64") * 100 // n
@@ -314,16 +331,20 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
     def nat_partial(batch: pa.Table) -> pa.Table:
-        return batch.select(["c_nationkey", "rev"]).group_by("c_nationkey").aggregate(
-            [("rev", "sum")]
-        )
+        # per-nation totals are coarse-group money sums — fold as
+        # Sum128 limbs so the reduction is exact at any corpus size
+        t = limbify(batch.select(["c_nationkey", "rev"]), ["rev"])
+        g = t.group_by("c_nationkey").aggregate(limb_sums(["rev"]))
+        return renorm_limbs(g, ["rev"])
 
     df = (
         joined.map_batches(nat_partial, batch_format="pyarrow")
         .groupby("c_nationkey")
-        .aggregate(Sum("rev_sum", alias_name="revenue_e4"))
+        .aggregate(*limb_ray_aggs(["rev"]))
         .to_pandas()
     )
+    if len(df):
+        df = recombine_limbs(df, ["rev"]).rename(columns={"rev": "revenue_e4"})
     df = ensure_columns(df, {"c_nationkey": "int64", "revenue_e4": "int64"})
     df["n_name"] = df["c_nationkey"].map(nat_name)
     df["revenue_e4"] = df["revenue_e4"].astype("int64")
@@ -375,13 +396,26 @@ def q6_revenue_forecast(sf_dir: str) -> pd.DataFrame:
         disc = pc.cast(
             pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64()
         )
-        return pa.table({"rev_e4": pc.multiply(cents, disc)})
+        rev = pc.multiply(cents, disc).to_numpy(zero_copy_only=False)
+        # one Sum128 partial row per batch: the global scalar money sum
+        # outgrows int64 around SF 1500 — fold as two limbs instead
+        limb_hi, limb_lo = split_limbs(rev)
+        h, lo_s = int(limb_hi.sum()), int(limb_lo.sum())
+        return pa.table(
+            {
+                "rev_hi": pa.array([h + lo_s // LIMB_CARRY], pa.int64()),
+                "rev_lo": pa.array([lo_s % LIMB_CARRY], pa.int64()),
+            }
+        )
 
     ds = _read(
         sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
     )
-    total = ds.map_batches(fn, batch_format="pyarrow").sum("rev_e4") or 0
-    return pd.DataFrame({"revenue_e4": pd.Series([int(total)], dtype="int64")})
+    agg = ds.map_batches(fn, batch_format="pyarrow").aggregate(
+        Sum("rev_hi", alias_name="hi"), Sum("rev_lo", alias_name="lo")
+    )
+    total = int(agg.get("hi") or 0) * LIMB_CARRY + int(agg.get("lo") or 0)
+    return pd.DataFrame({"revenue_e4": pd.Series([total], dtype="int64")})
 
 
 Q6_SQL = """

@@ -24,6 +24,7 @@ import pyarrow.parquet as pq
 from ray.data.aggregate import Sum
 
 from ..functions.frames import ensure_columns
+from ..functions.limbs import limb_ray_aggs, limb_sums, limbify, recombine_limbs, renorm_limbs
 from .relational import JOIN_PARTITIONS, _read, _rename, _rev_e4
 
 
@@ -353,10 +354,13 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
 
     df = joined.map_batches(split_promo, batch_format="pyarrow").to_pandas()
     df = ensure_columns(df, {"promo_e4": "int64", "total_e4": "int64"})
+    # exact Python-int fold over the per-batch partials: a batch's own
+    # sum is int64-safe (≤ rows-per-block × 10⁹ e4-units), the GLOBAL
+    # fold is the part that outgrows int64 at scale
     out = pd.DataFrame(
         {
-            "promo_e4": [int(df["promo_e4"].sum())],
-            "total_e4": [int(df["total_e4"].sum())],
+            "promo_e4": [sum(int(v) for v in df["promo_e4"])],
+            "total_e4": [sum(int(v) for v in df["total_e4"])],
         }
     )
     return out
@@ -551,8 +555,10 @@ def q17_small_quantity(sf_dir: str, brand: str = "Brand#1") -> pd.DataFrame:
     df = ensure_columns(df, {"total_cents": "int64", "n_items": "int64"})
     return pd.DataFrame(
         {
-            "total_cents": [int(df["total_cents"].sum())],
-            "n_items": [int(df["n_items"].sum())],
+            # exact Python-int global fold (per-batch partials are
+            # int64-safe; the global money sum is not at scale)
+            "total_cents": [sum(int(v) for v in df["total_cents"])],
+            "n_items": [sum(int(v) for v in df["n_items"])],
         }
     )
 
@@ -754,8 +760,10 @@ def q19_branded_revenue(sf_dir: str) -> pd.DataFrame:
     df = ensure_columns(df, {"revenue_e4": "int64", "n_items": "int64"})
     return pd.DataFrame(
         {
-            "revenue_e4": [int(df["revenue_e4"].sum())],
-            "n_items": [int(df["n_items"].sum())],
+            # exact Python-int global fold (per-batch partials are
+            # int64-safe; the global money sum is not at scale)
+            "revenue_e4": [sum(int(v) for v in df["revenue_e4"])],
+            "n_items": [sum(int(v) for v in df["n_items"])],
         }
     )
 
@@ -923,18 +931,15 @@ def q8_market_share(
     )
 
     def final_partial(batch: pa.Table) -> pa.Table:
-        t = batch.select(["o_year", "rev", "nat_rev"])
-        return _rename(
-            t.group_by("o_year").aggregate([("rev", "sum"), ("nat_rev", "sum")]),
-            {"rev_sum": "rev", "nat_rev_sum": "nat_rev"},
-        )
+        # per-year totals are coarse-group money sums — Sum128 limbs
+        t = limbify(batch.select(["o_year", "rev", "nat_rev"]), ["rev", "nat_rev"])
+        g = t.group_by("o_year").aggregate(limb_sums(["rev", "nat_rev"]))
+        return renorm_limbs(g, ["rev", "nat_rev"])
 
     df = (
         j3.map_batches(final_partial, batch_format="pyarrow")
         .groupby("o_year")
-        .aggregate(
-            Sum("nat_rev", alias_name="nation_e4"), Sum("rev", alias_name="total_e4")
-        )
+        .aggregate(*limb_ray_aggs(["rev", "nat_rev"]))
         .to_pandas()
     )
     if df.empty:  # empty Ray results lose column labels
@@ -942,6 +947,9 @@ def q8_market_share(
             {c: pd.Series([], dtype="int64")
              for c in ("o_year", "nation_e4", "total_e4")}
         )
+    df = recombine_limbs(df, ["rev", "nat_rev"]).rename(
+        columns={"rev": "total_e4", "nat_rev": "nation_e4"}
+    )
     for c in ("o_year", "nation_e4", "total_e4"):
         df[c] = df[c].astype("int64")
     return df.sort_values("o_year").reset_index(drop=True)

@@ -188,3 +188,59 @@ def test_coverage_kernel_equals_bruteforce(pairs, dur):
                 cur_end = max(cur_end, hi)
         assert a == covered
         assert c == (uid == u).sum()
+
+
+# ---------------------------------------------------------------- Sum128
+
+
+@given(
+    st.lists(
+        # adversarial magnitudes: per-row values near the int64 edge in
+        # both signs, plus carry-boundary values
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=0,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_sum128_exact_under_any_block_layout(vals, n_chunks):
+    """The limb fold must equal the exact Python-int sum regardless of
+    how rows are split into blocks (renormalize → fold associativity),
+    including negative values (floor-split) and carry boundaries."""
+    from gotenberg_ray.functions import limbs as L
+
+    vals = vals + [0, 1, L.CARRY - 1, L.CARRY, -L.CARRY, -1]
+    arr = np.array(vals, dtype=np.int64)
+    chunks = np.array_split(arr, n_chunks)
+    hi_total, lo_total = 0, 0
+    for ch in chunks:  # per-batch partial: split, sum, renormalize
+        hi, lo = L.split_limbs(ch)
+        h, lo_s = int(hi.sum()), int(lo.sum())
+        hi_total += h + lo_s // L.CARRY
+        lo_total += lo_s % L.CARRY
+    # global fold (Ray Sum over the partials), then driver recombine
+    assert hi_total * L.CARRY + lo_total == sum(int(v) for v in vals)
+
+
+def test_sum128_table_roundtrip():
+    from gotenberg_ray.functions import limbs as L
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "b", "b"]),
+            "v": pa.array(
+                [2**62, 2**62, -(2**62), 7, -(2**62)], pa.int64()
+            ),
+        }
+    )
+    t2 = L.limbify(t, ["v"])
+    g = t2.group_by("k").aggregate(L.limb_sums(["v"]))
+    g = L.renorm_limbs(g, ["v"])
+    df = g.to_pandas().rename(
+        columns={"v_hi_sum": "v_hi", "v_lo_sum": "v_lo"}
+    )
+    out = L.recombine_limbs(df, ["v"], dtype="object")
+    got = dict(zip(out["k"], out["v"]))
+    assert got["a"] == 2**63  # exceeds int64 — exact as Python int
+    assert got["b"] == -(2**63) + 7
