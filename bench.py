@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     "user_retention",
     "hierarchy_rollup",
     "event_transitions",
+    # round 3: sub-quadratic LSH near-dup (plan-gated) and the
+    # vectorized simhash family
+    "embedding_dup_pairs_lsh",
+    "dedup_simhash",
 ]
 
 
