@@ -58,10 +58,11 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
     half, quarter = n_total // 2, n_total // 4
 
     def old_side(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.less(batch["doc_id"], half))
-        return _with_hash(batch)
+        return batch.filter(pc.less(batch["doc_id"], half))
 
     def incoming_side(batch: pa.Table) -> pa.Table:
+        # the replay rows keep their hash (same text) — only doc_id
+        # shifts, so ONE shared hash pass serves both sides
         fresh = batch.filter(pc.greater_equal(batch["doc_id"], half))
         replay = batch.filter(pc.less(batch["doc_id"], quarter))
         replay = replay.set_column(
@@ -69,15 +70,18 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
             "doc_id",
             pc.add(replay["doc_id"], pa.scalar(n_total, pa.int64())),
         )
-        return _with_hash(pa.concat_tables([fresh, replay]))
+        return pa.concat_tables([fresh, replay])
 
-    docs = lambda: read_table(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
-    # each side has TWO consumers (bloom build + join/split) — pin the
-    # hashed blocks once so the read+fnv64 pass doesn't re-execute
-    old = docs().map_batches(old_side, batch_format="pyarrow").materialize()
-    incoming = (
-        docs().map_batches(incoming_side, batch_format="pyarrow").materialize()
+    # ONE corpus scan + ONE fnv64 pass, pinned; both sides are cheap
+    # filters over the hashed blocks (r2 ran the read+hash twice and
+    # made two separate bloom-gated passes over the incoming side)
+    base = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(_with_hash, batch_format="pyarrow")
+        .materialize()
     )
+    old = base.map_batches(old_side, batch_format="pyarrow")
+    incoming = base.map_batches(incoming_side, batch_format="pyarrow")
 
     # 2. existing-corpus bloom gates the incoming batch
     old_bloom = build_key_bloom(
@@ -85,32 +89,30 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
     )
     old_ref = ray.put(old_bloom.to_bytes())
 
-    class SplitCandidates:
+    class FlagCandidates:
         # actor pool: the bloom deserializes ONCE per actor, not once
         # per batch (from_bytes copies the whole bit array)
-        def __init__(self, want_candidates: bool):
+        def __init__(self):
             self.bf = BloomFilter.from_bytes(ray.get(old_ref))
-            self.want = want_candidates
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             hit = self.bf.contains(
                 batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
             )
-            return batch.filter(pa.array(hit if self.want else ~hit))
+            return batch.append_column("_maybe_dup", pa.array(hit))
 
-    definite_new = incoming.map_batches(
-        SplitCandidates,
-        fn_constructor_args=(False,),
+    # one bloom-gated pass; the split into definite-new vs candidates
+    # is then two trivial filters over the pinned flagged blocks
+    flagged = incoming.map_batches(
+        FlagCandidates, batch_format="pyarrow", concurrency=2
+    ).materialize()
+    definite_new = flagged.map_batches(
+        lambda b: b.filter(pc.invert(b["_maybe_dup"])).drop_columns(["_maybe_dup"]),
         batch_format="pyarrow",
-        concurrency=2,
     )
-    # candidates are few (true dups + bloom fps) — materialize once:
-    # consumed by the candidate-bloom build AND the verify join
-    candidates = incoming.map_batches(
-        SplitCandidates,
-        fn_constructor_args=(True,),
+    candidates = flagged.map_batches(
+        lambda b: b.filter(b["_maybe_dup"]).drop_columns(["_maybe_dup"]),
         batch_format="pyarrow",
-        concurrency=2,
     ).materialize()
 
     # 3. symmetric prune: a bloom of the CANDIDATE hashes shrinks the
