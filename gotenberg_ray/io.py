@@ -38,6 +38,14 @@ def blocks_for(path: str) -> int:
     return max(_MIN_BLOCKS, min(_MAX_BLOCKS, size // TARGET_BLOCK_BYTES + 1))
 
 
+def table_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer — no Dataset execution (a
+    ``ds.count()`` after any transform runs the whole read)."""
+    import pyarrow.parquet as _pq
+
+    return int(_pq.ParquetFile(table_path(sf_dir, table)).metadata.num_rows)
+
+
 def table_path(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 

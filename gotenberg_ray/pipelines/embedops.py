@@ -312,35 +312,33 @@ def _lsh_candidate_pairs(
     pow2 = 1 << np.arange(bits, dtype=np.int64)
     table_base = np.arange(tables, dtype=np.int64) << np.int64(bits + 1)
 
-    class Sign:
-        def __init__(self):
-            self.planes: np.ndarray | None = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table(
-                    {
-                        "bucket": pa.array([], pa.uint64()),
-                        "doc_id": pa.array([], pa.int64()),
-                    }
-                )
-            m = _batch_matrix(batch)
-            if self.planes is None:
-                self.planes = np.random.RandomState(LSH_JOIN_SEED).standard_normal(
-                    (tables * bits, m.shape[1])
-                )
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            sig_bits = (m @ self.planes.T) > 0  # (rows, tables·bits)
-            sigs = (sig_bits.reshape(len(m), tables, bits) * pow2).sum(axis=2)
-            bucket = table_base + sigs.astype(np.int64)  # (rows, tables)
+    def sign(batch: pa.Table) -> pa.Table:
+        # stateless task stage (no actor-pool spin-up): regenerating
+        # the seeded planes is ~tables·bits·dim gaussians per batch —
+        # microseconds, identical everywhere by the fixed seed
+        if batch.num_rows == 0:
             return pa.table(
                 {
-                    "bucket": pa.array(bucket.reshape(-1).astype(np.uint64)),
-                    "doc_id": pa.array(np.repeat(ids, tables).astype(np.int64)),
+                    "bucket": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
                 }
             )
+        m = _batch_matrix(batch)
+        planes = np.random.RandomState(LSH_JOIN_SEED).standard_normal(
+            (tables * bits, m.shape[1])
+        )
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sig_bits = (m @ planes.T) > 0  # (rows, tables·bits)
+        sigs = (sig_bits.reshape(len(m), tables, bits) * pow2).sum(axis=2)
+        bucket = table_base + sigs.astype(np.int64)  # (rows, tables)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.reshape(-1).astype(np.uint64)),
+                "doc_id": pa.array(np.repeat(ids, tables).astype(np.int64)),
+            }
+        )
 
-    buckets = ds.map_batches(Sign, batch_format="pyarrow", concurrency=_pool_size())
+    buckets = ds.map_batches(sign, batch_format="pyarrow")
     return _distinct_pairs(
         _bucket_candidate_pairs(buckets, num_partitions=num_partitions),
         num_partitions=num_partitions,
@@ -370,22 +368,18 @@ def _verify_cosine_pairs(
         pairs = cands.to_pandas()
         a = pairs["a_id"].to_numpy().astype(np.int64)
         b = pairs["b_id"].to_numpy().astype(np.int64)
-        ids_ref = ray.put(np.union1d(a, b))
+        cand_ids = np.union1d(a, b)  # sorted — ships once in the task closure
 
-        class Filt:
-            def __init__(self):
-                self.ids = ray.get(ids_ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                keep = np.isin(
-                    batch.column("vec_id").to_numpy(zero_copy_only=False), self.ids
-                )
-                return batch.filter(pa.array(keep))
+        def filt(batch: pa.Table) -> pa.Table:
+            keep = np.isin(
+                batch.column("vec_id").to_numpy(zero_copy_only=False), cand_ids
+            )
+            return batch.filter(pa.array(keep))
 
         vecs = (
             _emb(sf_dir)
             .select_columns(["vec_id", "embedding"])
-            .map_batches(Filt, batch_format="pyarrow", concurrency=_pool_size())
+            .map_batches(filt, batch_format="pyarrow")
             .to_pandas()
         )
         vid = vecs["vec_id"].to_numpy().astype(np.int64)
@@ -479,12 +473,20 @@ def embedding_dup_pairs(
         plan = lsh_join_plan(threshold)
         if not plan["tables"]:
             raise ValueError(f"LSH infeasible at threshold {threshold}")
+        ds = _emb(sf_dir).select_columns(["vec_id", "embedding"])
+        # partition count ∝ bucket-row volume (N·tables): a 16-way
+        # all-to-all on a few hundred KB is pure task overhead; at
+        # cluster scale the same formula grows the exchange with data.
+        # Row count comes from the parquet footer — a ds.count() here
+        # would execute the whole read once just to size the shuffle.
+        from ..io import table_rows
+
+        n = table_rows(sf_dir, "embeddings")
+        parts = int(max(2, min(16, (n * plan["tables"]) // 100_000)))
         cands = _lsh_candidate_pairs(
-            _emb(sf_dir).select_columns(["vec_id", "embedding"]),
-            bits=plan["bits"],
-            tables=plan["tables"],
+            ds, bits=plan["bits"], tables=plan["tables"], num_partitions=parts
         )
-        return _verify_cosine_pairs(cands, sf_dir, threshold)
+        return _verify_cosine_pairs(cands, sf_dir, threshold, num_partitions=parts)
     refs = (
         _emb(sf_dir)
         .select_columns(["vec_id", "embedding"])
