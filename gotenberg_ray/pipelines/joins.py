@@ -305,6 +305,7 @@ def hash_join(
     hot_keys: pa.Array | None = None,
     salt: int = 8,
     allow_partial_left_agg: bool = False,
+    joined_map: Callable[[pa.Table], pa.Table] | None = None,
 ) -> rd.Dataset:
     """Distributed hash join of two Datasets on an equality key.
 
@@ -352,17 +353,32 @@ def hash_join(
     caller passes ``allow_partial_left_agg=True`` to assert the fold
     is a mergeable partial (count/sum/min-style) whose downstream
     re-aggregates.
+
+    ``joined_map``: optional per-partition post-join fold. Without
+    salting, every row of a join key lands in exactly one partition, so
+    a key-complete aggregate over the joined rows (per-order counts,
+    argmin join-backs) can run HERE instead of paying a second
+    key-hash shuffle after the join — downstream then combines only
+    the fold's (small) output. With salting the fold sees only a hot
+    key's per-partition slice, so like ``left_agg`` it is rejected
+    unless ``allow_partial_left_agg=True``. The fold may change the
+    output schema entirely; its result is returned as-is.
     """
     if bloom_prune_left and join_type != "inner":
         raise ValueError("bloom_prune_left requires join_type='inner'")
     salting = hot_keys is not None and len(hot_keys) > 0 and salt > 1
     if salting and join_type not in ("inner", "left outer", "left semi", "left anti"):
         raise ValueError(f"skew salting does not support join_type={join_type!r}")
-    if salting and left_agg is not None and not allow_partial_left_agg:
+    if (
+        salting
+        and (left_agg is not None or joined_map is not None)
+        and not allow_partial_left_agg
+    ):
         raise ValueError(
-            "skew salting makes left_agg folds per-partition-partial for "
-            "hot keys; pass allow_partial_left_agg=True only if the fold "
-            "is a mergeable partial that downstream re-aggregates"
+            "skew salting makes left_agg/joined_map folds per-partition-"
+            "partial for hot keys; pass allow_partial_left_agg=True only "
+            "if the fold is a mergeable partial that downstream "
+            "re-aggregates"
         )
     hot_dom = np.sort(_pid_domain(hot_keys)) if salting else None
     right_key = right_on or on
@@ -435,7 +451,10 @@ def hash_join(
         # (combiner-added columns, if any, follow the declared ones)
         known = [n for n in out_names if n in joined.column_names]
         extra = [n for n in joined.column_names if n not in out_names]
-        return joined.select(known + extra)
+        joined = joined.select(known + extra)
+        if joined_map is not None:
+            joined = joined_map(joined)
+        return joined
 
     return (
         # num_partitions pins the all-to-all's output partition count to

@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Sum
 
 from .joins import hash_join, partition_ids
 from ..functions.frames import ensure_columns
@@ -949,26 +949,15 @@ def q21_waiting_suppliers(sf_dir: str, lag_days: int = 30, topk: int = 20) -> pd
             lambda b: b.select(["o_orderkey", "o_orderdate"]), batch_format="pyarrow"
         )
     )
-    joined = hash_join(
-        li,
-        orders,
-        on="o_orderkey",
-        num_partitions=JOIN_PARTITIONS,
-        left_agg=li_fold,
-        left_schema=[
-            ("o_orderkey", pa.int64()),
-            ("s_suppkey", pa.int64()),
-            ("max_ship", pa.timestamp("us")),
-        ],
-        right_schema=[("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))],
-    )
-
     lag_us = pa.scalar(lag_days * 86_400_000_000, pa.int64())
 
-    def order_partial(b: pa.Table) -> pa.Table:
-        # one global row per (order, supplier) reaches here (left_agg
-        # folded within the orderkey partition) — so count/sum/max per
-        # order are associative partials safe to combine downstream
+    def order_blame(b: pa.Table) -> pa.Table:
+        # joined_map: runs inside the orderkey-hash partition, where
+        # every (order, supplier) row of an order is present (left_agg
+        # folded them to one row each) — the per-order aggregate is
+        # COMPLETE here, the sole-late-supplier predicate applies
+        # locally, and only tiny (s_suppkey, numwait) partials leave
+        # the partition instead of a second orderkey all-to-all.
         late = pc.cast(
             pc.greater(
                 pc.subtract(
@@ -987,37 +976,35 @@ def q21_waiting_suppliers(sf_dir: str, lag_days: int = 30, topk: int = 20) -> pd
                 "late_supp": pc.multiply(late, b["s_suppkey"]),
             }
         )
-        return _rename(
+        g = _rename(
             t.group_by("o_orderkey").aggregate(
                 [("n_supp", "sum"), ("n_late", "sum"), ("late_supp", "max")]
             ),
             {"n_supp_sum": "n_supp", "n_late_sum": "n_late", "late_supp_max": "late_supp"},
         )
-
-    per_order = (
-        joined.map_batches(order_partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(
-            Sum("n_supp", alias_name="n_supp"),
-            Sum("n_late", alias_name="n_late"),
-            Max("late_supp", alias_name="late_supp"),
-        )
-    )
-
-    def blame_partial(b: pa.Table) -> pa.Table:
         keep = pc.and_(
-            pc.equal(b["n_late"], pa.scalar(1, pa.int64())),
-            pc.greater_equal(b["n_supp"], pa.scalar(2, pa.int64())),
+            pc.equal(g["n_late"], pa.scalar(1, pa.int64())),
+            pc.greater_equal(g["n_supp"], pa.scalar(2, pa.int64())),
         )
-        t = pa.table({"s_suppkey": b.filter(keep)["late_supp"]})
-        g = t.group_by("s_suppkey").aggregate([([], "count_all")])
-        return g.rename_columns(["s_suppkey", "numwait"])
+        blame = pa.table({"s_suppkey": g.filter(keep)["late_supp"]})
+        return blame.group_by("s_suppkey").aggregate([([], "count_all")]).rename_columns(
+            ["s_suppkey", "numwait"]
+        )
 
-    blamed = (
-        per_order.map_batches(blame_partial, batch_format="pyarrow")
-        .groupby("s_suppkey")
-        .aggregate(Sum("numwait", alias_name="numwait"))
-    )
+    blamed = hash_join(
+        li,
+        orders,
+        on="o_orderkey",
+        num_partitions=JOIN_PARTITIONS,
+        left_agg=li_fold,
+        joined_map=order_blame,
+        left_schema=[
+            ("o_orderkey", pa.int64()),
+            ("s_suppkey", pa.int64()),
+            ("max_ship", pa.timestamp("us")),
+        ],
+        right_schema=[("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))],
+    ).groupby("s_suppkey").aggregate(Sum("numwait", alias_name="numwait"))
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
     named = hash_join(
         blamed,
