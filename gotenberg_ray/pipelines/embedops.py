@@ -302,12 +302,15 @@ def _lsh_candidate_pairs(
     ``tables`` independent b-bit hyperplane sketches in ONE matmul per
     batch, lands in one bucket per table (buckets namespaced by the
     table index), and ``_bucket_candidate_pairs`` turns same-bucket
-    runs into pairs with one hash-partitioned shuffle; cross-table
-    duplicates are deduped distributed (``_distinct_pairs``). The
+    runs into pairs with one hash-partitioned shuffle. Cross-table
+    duplicate pairs are NOT deduped here — the verifier owns that
+    (driver-side ``np.unique`` on the small path, ``_distinct_pairs``
+    before the bucketed joins on the large path), saving one
+    all-to-all per run. The
     planes are regenerated per ACTOR from the fixed seed and the batch
     dim (identical everywhere, a few hundred KB) — once in state, not
     once per batch, and no driver-side dim probe."""
-    from .textops import _bucket_candidate_pairs, _distinct_pairs
+    from .textops import _bucket_candidate_pairs
 
     pow2 = 1 << np.arange(bits, dtype=np.int64)
     table_base = np.arange(tables, dtype=np.int64) << np.int64(bits + 1)
@@ -339,10 +342,7 @@ def _lsh_candidate_pairs(
         )
 
     buckets = ds.map_batches(sign, batch_format="pyarrow")
-    return _distinct_pairs(
-        _bucket_candidate_pairs(buckets, num_partitions=num_partitions),
-        num_partitions=num_partitions,
-    )
+    return _bucket_candidate_pairs(buckets, num_partitions=num_partitions)
 
 
 _EMPTY_DUP = {"a_id": "int64", "b_id": "int64"}
@@ -352,13 +352,20 @@ def _verify_cosine_pairs(
     cands: rd.Dataset, sf_dir: str, threshold: float, num_partitions: int = 16
 ) -> pd.DataFrame:
     """Exact cosine verification of candidate (a_id, b_id) pairs — the
-    LSH path's precision guarantee. Small candidate sets (≲2M) take the
-    plasma-local fast path: stream-FILTER the vector table down to just
-    the candidate ids (O(candidates), not O(corpus), reaches the
-    driver), then one vectorized gather+dot. Larger sets go through the
-    bucketed shuffle join twice (vectors attached by a_id then b_id),
-    mirroring ``textops._verify_pairs_distributed``."""
+    LSH path's precision guarantee. Accepts DUPLICATED candidates
+    (OR-amplified LSH emits a pair once per agreeing table) and owns
+    the dedup. Small candidate sets (≲2M) take the plasma-local fast
+    path: dedup is one driver-side ``np.unique`` over packed u64 pairs
+    (no shuffle), then stream-FILTER the vector table down to just the
+    candidate ids (O(candidates), not O(corpus), reaches the driver)
+    and one vectorized gather+dot. Larger sets pay the distributed
+    ``_distinct_pairs`` exchange first — pre-verify, because a true
+    near-dup pair agrees in MANY tables and verifying every copy would
+    multiply the join volume — then go through the bucketed shuffle
+    join twice (vectors attached by a_id then b_id), mirroring
+    ``textops._verify_pairs_distributed``."""
     from .joins import hash_join
+    from .textops import _distinct_pairs
 
     cands = cands.materialize()
     n_pairs = cands.count()
@@ -366,8 +373,17 @@ def _verify_cosine_pairs(
         return ensure_columns(pd.DataFrame(), _EMPTY_DUP)
     if n_pairs <= 2_000_000:
         pairs = cands.to_pandas()
-        a = pairs["a_id"].to_numpy().astype(np.int64)
-        b = pairs["b_id"].to_numpy().astype(np.int64)
+        uniq = np.unique(
+            np.stack(
+                [
+                    pairs["a_id"].to_numpy().astype(np.int64),
+                    pairs["b_id"].to_numpy().astype(np.int64),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        a, b = uniq[:, 0], uniq[:, 1]
         cand_ids = np.union1d(a, b)  # sorted — ships once in the task closure
 
         def filt(batch: pa.Table) -> pa.Table:
@@ -394,6 +410,7 @@ def _verify_cosine_pairs(
         out = pd.DataFrame({"a_id": a[m], "b_id": b[m]})
         return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
+    cands = _distinct_pairs(cands, num_partitions=num_partitions)
     emb_t = pa.list_(pa.float32())
     vecs = _emb(sf_dir).select_columns(["vec_id", "embedding"])
     side_a = vecs.map_batches(
