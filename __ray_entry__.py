@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count-min sketch point queries (mergeable d×w matrix; exact
         # here, ε·N-bounded overestimate at any cardinality)
         "cms_event_counts": AN.cms_event_counts,
+        "hll_daily_users": AN.hll_daily_users,
         # ANALYZE-style column profile (exact distinct by value hash)
         "orders_profile": AN.orders_profile,
         # exact grouped covariance via carry-split integer moments

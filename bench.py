@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     # vectorized simhash family
     "embedding_dup_pairs_lsh",
     "dedup_simhash",
+    "hll_daily_users",
 ]
 
 

@@ -1117,3 +1117,73 @@ CMS_COUNTS_SQL = """
 SELECT event_type, count(*)::BIGINT AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ------------------------------------------------- hyperloglog
+
+
+def hll_daily_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per day answered from per-block HYPERLOGLOG
+    partials (Flajolet et al. 2007, ``state/hll.py``) — the
+    approximate scale path beside the exact ``distinct_users_daily``
+    family: an exact windowed distinct moves every (day, user) pair
+    through an all-to-all, while this moves one 16 KB register array
+    per (block, day) regardless of event volume, and the per-day merge
+    is an element-wise max (idempotent — safe under task retries).
+
+    Approximate by design (rel. std. err. 1.04/√m ≈ 0.8% at p = 14;
+    near-exact in the linear-counting regime the test corpus sits in),
+    so there is deliberately NO SQL twin — the pytest suite pins the
+    error envelope against the exact count and the layout-invariance /
+    merge-associativity contracts instead (the CMS/heavy-hitter
+    pattern)."""
+    from ..state.hll import HyperLogLog
+    from .windows import _day_nums, _fmt_days
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = _day_nums(batch["ts"])
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(days, kind="stable")
+        d = days[order]
+        u = users[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]]) if len(d) else np.array([], np.int64)
+        ends = np.r_[starts[1:], len(d)] if len(starts) else np.array([], np.int64)
+        out_day, out_sk = [], []
+        for s, e in zip(starts, ends):
+            out_day.append(int(d[s]))
+            out_sk.append(HyperLogLog().update(u[s:e]).to_bytes())
+        return pa.table(
+            {
+                "day": pa.array(out_day, pa.int64()),
+                "sk": pa.array(out_sk, pa.binary()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        blobs = group["sk"].to_pylist()
+        sk = HyperLogLog.from_bytes(blobs[0])
+        for raw in blobs[1:]:
+            sk.merge(HyperLogLog.from_bytes(raw))
+        return pa.table(
+            {
+                "day": group["day"].slice(0, 1),
+                "n_users_est": pa.array([sk.estimate()], pa.int64()),
+            }
+        )
+
+    df = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(fold, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df = ensure_columns(df, {"day": "int64", "n_users_est": "int64"})
+    df = df.sort_values("day").reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "day": pd.Series(_fmt_days(df["day"]), dtype="object"),
+            "n_users_est": df["n_users_est"].astype("int64"),
+        }
+    )
+    return out

@@ -104,20 +104,22 @@ def search_topk(sf_dir: str) -> pd.DataFrame:
             .rename_columns(["doc_id", "total_tf", "n_terms"])
         )
 
-    def sort_key(batch: pa.Table) -> pa.Table:
+    def local_top(batch: pa.Table) -> pa.Table:
+        # the doc-keyed groupby upstream made each doc's fold complete
+        # and partition-local, so the global top-K is the merge of the
+        # per-block top-Ks — no global sort exchange; ≤ K·blocks rows
+        # (not the corpus) reach the driver
         if batch.num_rows == 0 or "doc_id" not in batch.column_names:
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
                     "total_tf": pa.array([], pa.int64()),
                     "n_terms": pa.array([], pa.int64()),
-                    "neg_tf": pa.array([], pa.int64()),
                 }
             )
-        return batch.append_column(
-            "neg_tf",
-            pa.array(-batch["total_tf"].to_numpy(zero_copy_only=False)),
-        )
+        return batch.sort_by(
+            [("total_tf", "descending"), ("doc_id", "ascending")]
+        ).slice(0, TOP_K)
 
     df = (
         rd.read_parquet(files)
@@ -127,17 +129,18 @@ def search_topk(sf_dir: str) -> pd.DataFrame:
             Sum("total_tf", alias_name="total_tf"),
             Sum("n_terms", alias_name="n_terms"),
         )
-        .map_batches(sort_key, batch_format="pyarrow")
-        .sort(["neg_tf", "doc_id"])
-        .limit(TOP_K)
+        .map_batches(local_top, batch_format="pyarrow")
         .to_pandas()
     )
     df = ensure_columns(
         df,
-        {"doc_id": "int64", "total_tf": "int64", "n_terms": "int64",
-         "neg_tf": "int64"},
+        {"doc_id": "int64", "total_tf": "int64", "n_terms": "int64"},
     )
-    df = df.drop(columns=["neg_tf"]).reset_index(drop=True)
+    df = (
+        df.sort_values(["total_tf", "doc_id"], ascending=[False, True])
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
     df.insert(0, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
     for c in df.columns:
         df[c] = df[c].astype("int64")
