@@ -20,9 +20,34 @@ here, for two reasons:
 
 from __future__ import annotations
 
+import logging
 import os
 
 import ray.data as rd
+
+
+class _EmptyBundleSchemaFilter(logging.Filter):
+    """Drop ONE known-benign Ray Data warning: a pinned-partition-count
+    shuffle (``groupby(..., num_partitions=P).map_groups``, the bucketed
+    hash-join posture) legitimately yields schema-LESS empty blocks for
+    unoccupied partitions, and the streaming executor warns "Operator
+    produced a RefBundle with a different schema ... new schema: ."
+    once per such block. The empty new schema carries no rows, so the
+    divergence cannot affect values; real divergences (both schemas
+    non-empty) still log."""
+
+    _NEEDLE = "new schema: . This may lead to unexpected behavior"
+
+    def filter(self, record: logging.LogRecord) -> bool:  # pragma: no cover
+        try:
+            return self._NEEDLE not in record.getMessage()
+        except Exception:
+            return True
+
+
+logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyBundleSchemaFilter())
 
 TARGET_BLOCK_BYTES = 32 << 20  # ~32 MB of parquet per block
 _MIN_BLOCKS = 2
