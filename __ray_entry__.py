@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": SA.sample_stratified,
         "mix_domains": SA.mix_domains,
         "sample_weighted": SA.sample_weighted,
+        # leakage-guarded group-aware train/val/test split (assignment
+        # hashes the source, so near-dups of one site can't straddle
+        # train and eval)
+        "split_by_group": SA.split_by_group,
         # similarity search
         "knn_topk": E.knn_topk,
         # hybrid (metadata-filtered) vector search: predicate applies
@@ -492,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,
         "mix_domains": SA.MIX_DOMAINS_SQL,
         "sample_weighted": SA.SAMPLE_WEIGHTED_SQL,
+        "split_by_group": SA.SPLIT_BY_GROUP_SQL,
         "knn_topk": E.KNN_SQL,
         "embedding_label_stats": E.LABEL_STATS_SQL,
         "doc_embedding_stats": E.DOC_EMB_SQL,

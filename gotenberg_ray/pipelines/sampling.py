@@ -256,3 +256,102 @@ LIMIT 100
 # priorities are near-unique (distinct hash // weight); a tie at the
 # k-boundary would be nondeterministic, so the pytest oracle also
 # verifies the boundary is strict on this corpus.
+
+
+# ------------------------------------------- leakage-guarded split
+
+TRAIN_PCT, VAL_PCT = 90, 95  # bucket < 90 → train, < 95 → val, else test
+
+
+def split_by_group(sf_dir: str) -> pd.DataFrame:
+    """Group-aware train/val/test split — the eval-contamination guard
+    a training-data pipeline needs: assignment is a deterministic hash
+    of the GROUP (``source``), not the document, so every document of a
+    source lands in the same split and near-duplicate pages from one
+    site can never straddle train and eval. (Doc-level splitting leaks:
+    two near-dup pages of the same site end up one in train, one in
+    test, and the benchmark measures memorization.)
+
+    Scale shape: one corpus scan folds per-batch ``(source → docs,
+    chars)`` cells with a pyarrow ``group_by``; the keyed combine moves
+    only distinct-source cells (domains ≪ documents at any corpus
+    size); the split decision runs once per distinct source. The hash
+    is the first 8 hex digits of md5 — chosen over the engine's
+    splitmix64 domain because DuckDB computes the identical value
+    (``('0x' || substr(md5(s), 1, 8))::BIGINT``), making the twin
+    hash-exact rather than rows-only.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {
+                "source": pc.fill_null(batch["source"], ""),
+                "n_chars": batch["n_chars"],
+            }
+        )
+        g = t.group_by("source").aggregate([("n_chars", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "chars": g["n_chars_sum"],
+                "docs": g["count_all"],
+            }
+        )
+
+    df = (
+        read_table(sf_dir, "documents", columns=["source", "n_chars"])
+        .map_batches(cells, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("chars", alias_name="chars"), Sum("docs", alias_name="docs"))
+        .to_pandas()
+    )
+    df = ensure_columns(df, {"source": "object", "chars": "int64", "docs": "int64"})
+    buckets = np.array(
+        [
+            int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16) % 100
+            for s in df["source"]
+        ],
+        dtype=np.int64,
+    )
+    df["split"] = np.where(
+        buckets < TRAIN_PCT, "train", np.where(buckets < VAL_PCT, "val", "test")
+    )
+    out = (
+        df.groupby("split", as_index=False)
+        .agg(
+            n_docs=("docs", "sum"),
+            n_sources=("source", "size"),
+            total_chars=("chars", "sum"),
+        )
+        .astype({"n_docs": "int64", "n_sources": "int64", "total_chars": "int64"})
+    )
+    return out.sort_values("split").reset_index(drop=True)
+
+
+SPLIT_BY_GROUP_SQL = f"""
+WITH assign AS (
+    SELECT source,
+           CASE
+               WHEN b < {TRAIN_PCT} THEN 'train'
+               WHEN b < {VAL_PCT} THEN 'val'
+               ELSE 'test'
+           END AS split
+    FROM (
+        SELECT source,
+               ('0x' || substr(md5(coalesce(source, '')), 1, 8))::BIGINT % 100 AS b
+        FROM (SELECT DISTINCT source FROM documents)
+    )
+)
+SELECT a.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN assign a USING (source)
+GROUP BY a.split
+ORDER BY a.split
+"""

@@ -64,3 +64,45 @@ class TestSampling:
         pd.testing.assert_frame_equal(got, want)
         corpus_avg = con.sql("SELECT avg(n_chars) FROM documents").fetchone()[0]
         assert got["n_chars"].mean() > corpus_avg  # heavy-doc skew
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSplitByGroup:
+    def test_matches_oracle_and_dtypes(self, sf_dir):
+        import duckdb
+
+        got = SA.split_by_group(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = con.sql(SA.SPLIT_BY_GROUP_SQL).df()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_no_group_straddles_splits(self, sf_dir):
+        # the leakage guard itself: independently recompute the
+        # doc-level assignment and check each source maps to ONE split
+        import hashlib
+
+        import duckdb
+
+        con = duckdb.connect()
+        docs = con.sql(
+            f"SELECT source, count(*) AS n FROM '{sf_dir}/documents.parquet' "
+            "GROUP BY source"
+        ).df()
+        buckets = docs["source"].map(
+            lambda s: int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16) % 100
+        )
+        split = buckets.map(
+            lambda b: "train" if b < SA.TRAIN_PCT else ("val" if b < SA.VAL_PCT else "test")
+        )
+        per_split_docs = docs.groupby(split)["n"].sum()
+        got = SA.split_by_group(sf_dir).set_index("split")["n_docs"]
+        assert got.to_dict() == {k: int(v) for k, v in per_split_docs.items()}
+        # every split present iff it owns at least one source; counts sum to corpus
+        assert int(got.sum()) == int(docs["n"].sum())
+
+    def test_covers_all_docs_and_determinism(self, sf_dir):
+        a = SA.split_by_group(sf_dir)
+        b = SA.split_by_group(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
+        assert set(a["split"]).issubset({"train", "val", "test"})
