@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # here, ε·N-bounded overestimate at any cardinality)
         "cms_event_counts": AN.cms_event_counts,
         "hll_daily_users": AN.hll_daily_users,
+        # HLL set algebra: union = register max-merge, intersection by
+        # inclusion–exclusion — 3 × 16 KB of registers moved, total
+        "hll_set_ops": AN.hll_set_ops,
         # ANALYZE-style column profile (exact distinct by value hash)
         "orders_profile": AN.orders_profile,
         # exact grouped covariance via carry-split integer moments

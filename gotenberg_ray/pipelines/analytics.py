@@ -220,36 +220,25 @@ FROM events GROUP BY day ORDER BY day
 
 HLL_P = 12  # 2^12 registers → ~1.6% standard error
 HLL_M = 1 << HLL_P
-_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 
 def _hll_add(reg: np.ndarray, hashes: np.ndarray) -> None:
-    """Fold 64-bit hashes into registers: index = top p bits, rank =
-    leading-zero count of the rest + 1 (vectorized)."""
-    idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
-    cur = hashes << np.uint64(HLL_P)
-    # leading zeros of the remaining 64−p bits via vectorized binary
-    # reduction (float log2 is lossy near 2^53); all-zero words get the
-    # max count
-    lz = np.full(len(hashes), 64 - HLL_P, dtype=np.uint8)
-    active = cur != 0
-    lz[active] = 0
-    width = 32
-    while width:
-        hi_zero = active & ((cur >> np.uint64(64 - width)) == 0)
-        lz[hi_zero] += width
-        cur[hi_zero] = cur[hi_zero] << np.uint64(width)
-        width //= 2
-    rank = np.minimum(lz + 1, 64 - HLL_P + 1).astype(np.uint8)
-    np.maximum.at(reg, idx, rank)
+    """Fold PRE-MIXED 64-bit hashes into a raw register array — thin
+    shim over the shared ``state/hll.py`` kernel (one implementation of
+    the rank/scatter-max math engine-wide)."""
+    from ..state.hll import HyperLogLog
+
+    sk = HyperLogLog(p=HLL_P)
+    sk.registers = reg  # update in place — callers own the buffer
+    sk.update_hashes(np.asarray(hashes, dtype=np.uint64))
 
 
 def _hll_estimate(reg: np.ndarray) -> int:
-    est = _HLL_ALPHA * HLL_M * HLL_M / np.sum(np.exp2(-reg.astype(np.float64)))
-    zeros = int((reg == 0).sum())
-    if est <= 2.5 * HLL_M and zeros:
-        est = HLL_M * math.log(HLL_M / zeros)  # small-range correction
-    return int(round(est))
+    from ..state.hll import HyperLogLog
+
+    sk = HyperLogLog(p=HLL_P)
+    sk.registers = np.asarray(reg, dtype=np.uint8)
+    return sk.estimate()
 
 
 def hll_users_per_type(sf_dir: str) -> pd.DataFrame:
@@ -1187,3 +1176,81 @@ def hll_daily_users(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out
+
+
+def hll_set_ops(sf_dir: str) -> pd.DataFrame:
+    """HLL SET ALGEBRA — distinct-user overlap between two behaviors
+    ('click' vs 'purchase') computed entirely from three fixed-size
+    sketches: |A|, |B| from per-type register merges and |A∪B| from
+    merging the SAME partials once more (union is the sketch's native
+    operation), then |A∩B| = |A| + |B| − |A∪B| by inclusion–exclusion.
+    An exact overlap is a distinct on the full (user, type) key space —
+    two all-to-alls; this moves 3 × 16 KB of registers total, at any
+    corpus size, and reuses ONE scan's per-(block, type) partials for
+    all four numbers.
+
+    Approximate by design → rows-only (no SQL twin): the intersection
+    inherits the union's absolute error, so small overlaps are noisy —
+    the pytest battery pins the error envelope against the exact
+    counts, and clamps are asserted (estimate never negative, never
+    above min(|A|, |B|))."""
+    from ..state.hll import HyperLogLog
+
+    KINDS = ("click", "purchase")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kinds = np.asarray(batch["event_type"].to_pylist())
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        out_k, out_sk = [], []
+        for k in KINDS:
+            sel = kinds == k
+            if sel.any():
+                out_k.append(k)
+                out_sk.append(HyperLogLog().update(users[sel]).to_bytes())
+        return pa.table(
+            {"kind": pa.array(out_k, pa.string()),
+             "sk": pa.array(out_sk, pa.binary())}
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        blobs = group["sk"].to_pylist()
+        sk = HyperLogLog.from_bytes(blobs[0])
+        for raw in blobs[1:]:
+            sk.merge(HyperLogLog.from_bytes(raw))
+        return pa.table(
+            {"kind": group["kind"].slice(0, 1),
+             "sk": pa.array([sk.to_bytes()], pa.binary())}
+        )
+
+    per_kind = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("kind")
+        .map_groups(fold, batch_format="pyarrow")
+        .to_pandas()
+    )
+    per_kind = ensure_columns(per_kind, {"kind": "object", "sk": "object"})
+    sketches = {
+        r["kind"]: HyperLogLog.from_bytes(r["sk"]) for _, r in per_kind.iterrows()
+    }
+    n_a = sketches[KINDS[0]].estimate() if KINDS[0] in sketches else 0
+    n_b = sketches[KINDS[1]].estimate() if KINDS[1] in sketches else 0
+    if len(sketches) == 2:
+        union_sk = HyperLogLog.from_bytes(sketches[KINDS[0]].to_bytes()).merge(
+            sketches[KINDS[1]]
+        )
+        n_union = union_sk.estimate()
+    else:
+        n_union = max(n_a, n_b)
+    # inclusion–exclusion, clamped to the lattice bounds
+    n_both = min(max(n_a + n_b - n_union, 0), n_a, n_b)
+    return pd.DataFrame(
+        {
+            "metric": pd.Series(
+                ["n_click", "n_purchase", "n_union", "n_both"], dtype="object"
+            ),
+            "est_users": pd.Series(
+                [n_a, n_b, n_union, n_both], dtype="int64"
+            ),
+        }
+    )

@@ -66,7 +66,14 @@ class HyperLogLog:
         # (measured: 400 distinct "host-i" keys collapsed to ~40
         # occupied registers); one splitmix64 finalizer fixes the
         # avalanche for every key domain
-        h = splitmix64(h)
+        return self.update_hashes(splitmix64(h))
+
+    def update_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        """Fold PRE-HASHED uint64 values (already avalanche-mixed) —
+        the entry point for callers that own their hash domain (e.g.
+        ``analytics._hll_add``)."""
+        if not len(h):
+            return self
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         # remaining 64−p bits, left-aligned in a 64-bit word: rho =
         # leading zeros + 1, computed as (64 − bit_length) + 1 over the

@@ -97,3 +97,33 @@ def test_hll_daily_users_tracks_exact(ray_session, sf_dir):
     err = (df["n_users_est"].to_numpy() - exact.to_numpy()).astype(np.int64)
     # linear-counting regime at test scale: within ±2% (and ≥ ±2 abs)
     assert (np.abs(err) <= np.maximum(2, 0.02 * exact.to_numpy())).all()
+
+
+def test_hll_set_ops_tracks_exact(ray_session, sf_dir):
+    from gotenberg_ray.pipelines.analytics import hll_set_ops
+
+    df = hll_set_ops(sf_dir).set_index("metric")["est_users"]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    clicks = set(ev.loc[ev["event_type"] == "click", "user_id"])
+    buys = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    exact = {
+        "n_click": len(clicks),
+        "n_purchase": len(buys),
+        "n_union": len(clicks | buys),
+        "n_both": len(clicks & buys),
+    }
+    for metric in ("n_click", "n_purchase", "n_union"):
+        true = exact[metric]
+        assert abs(int(df[metric]) - true) <= max(3, 0.02 * true), metric
+    # the intersection inherits ABSOLUTE error from all three terms:
+    # bound it by 2% of the union, not of itself
+    assert abs(int(df["n_both"]) - exact["n_both"]) <= max(5, 0.04 * exact["n_union"])
+    # lattice clamps always hold
+    assert 0 <= int(df["n_both"]) <= min(int(df["n_click"]), int(df["n_purchase"]))
+    assert int(df["n_union"]) <= int(df["n_click"]) + int(df["n_purchase"])
+
+
+def test_hll_set_ops_deterministic(ray_session, sf_dir):
+    from gotenberg_ray.pipelines.analytics import hll_set_ops
+
+    pd.testing.assert_frame_equal(hll_set_ops(sf_dir), hll_set_ops(sf_dir))
