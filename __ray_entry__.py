@@ -338,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shortlist + exact refine; rows-only - approximate by design)
         "knn_pq": E.knn_pq,
         "knn_ivf": E.knn_ivf,
+        # composed IVF-PQ (IVFADC): probe-pruned scan over 9-byte
+        # residual codes + exact shortlist refine
+        "knn_ivfpq": E.knn_ivfpq,
         "embedding_label_stats": E.embedding_label_stats,
         "doc_embedding_stats": E.doc_embedding_stats,
         "embedding_dup_pairs": E.embedding_dup_pairs,

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "embedding_dup_pairs_lsh",
     "dedup_simhash",
     "hll_daily_users",
+    # composed IVF-PQ residual ANN (probe-pruned 9-byte-code scan)
+    "knn_ivfpq",
 ]
 
 

@@ -275,3 +275,29 @@ class TestEventTransitions:
             " FROM events"
         ).df()["c"][0]
         assert int(a["n"].sum()) == int(tot)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnIvfPq:
+    def test_recall_vs_exact_and_deterministic(self, sf_dir):
+        from gotenberg_ray.pipelines import embedops as E
+
+        exact = set(E.knn_topk(sf_dir, k=10)["vec_id"])
+        a = E.knn_ivfpq(sf_dir, k=10)
+        b = E.knn_ivfpq(sf_dir, k=10)
+        pd.testing.assert_frame_equal(a, b)
+        assert list(a.columns) == ["rank", "vec_id"]
+        assert a["vec_id"].is_unique
+        # bounded above by IVF's probe recall (nprobe=4/16 lists);
+        # residual-ADC + exact refine shouldn't lose more within lists
+        assert len(set(a["vec_id"]) & exact) >= 5
+
+    def test_probe_subset_of_ivf(self, sf_dir):
+        """Every IVF-PQ hit must come from a probed list — i.e. be a
+        member of the same candidate universe knn_ivf scans — so the
+        two paths can only differ by in-list ranking."""
+        from gotenberg_ray.pipelines import embedops as E
+
+        ivf = E.knn_ivf(sf_dir, k=50)
+        ivfpq = E.knn_ivfpq(sf_dir, k=10)
+        assert set(ivfpq["vec_id"]) <= set(ivf["vec_id"])
