@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hashes the source, so near-dups of one site can't straddle
         # train and eval)
         "split_by_group": SA.split_by_group,
+        # DSIR importance resampling (hashed-ngram log-ratio scoring,
+        # two streaming scans; histogram cells are all that shuffle)
+        "dsir_select": SA.dsir_select,
         # similarity search
         "knn_topk": E.knn_topk,
         # hybrid (metadata-filtered) vector search: predicate applies

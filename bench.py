@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "hll_daily_users",
     # composed IVF-PQ residual ANN (probe-pruned 9-byte-code scan)
     "knn_ivfpq",
+    # DSIR importance resampling (two streaming scans)
+    "dsir_select",
 ]
 
 

@@ -355,3 +355,147 @@ FROM documents d JOIN assign a USING (source)
 GROUP BY a.split
 ORDER BY a.split
 """
+
+
+# --------------------------------------- DSIR importance resampling
+
+DSIR_BUCKETS = 8192  # hashed n-gram feature space
+DSIR_ALPHA = 1.0  # add-α smoothing on both distributions
+DSIR_KEEP_PCT = 25  # resample the top-quartile by importance
+_DSIR_SAMPLE_K = 4096  # threshold sample (quantile_sketch posture)
+
+
+def _dsir_flat_grams(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Batch → (flat bucket ids, per-doc gram counts): hashed unigrams
+    + bigrams of whitespace-lowercased words, ONE vectorized fnv64 call
+    over the flattened gram list (no per-token Python hashing)."""
+    from ..functions.hashing import fnv64
+
+    grams: list[str] = []
+    counts = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        n0 = len(grams)
+        grams.extend(toks)
+        grams.extend(a + " " + b for a, b in zip(toks, toks[1:]))
+        counts[i] = len(grams) - n0
+    if not grams:
+        return np.empty(0, np.int64), counts
+    buckets = (fnv64(pa.array(grams, pa.string())) % np.uint64(DSIR_BUCKETS)).astype(
+        np.int64
+    )
+    return buckets, counts
+
+
+def dsir_select(sf_dir: str) -> pd.DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169, public): score every document by how much
+    more likely its hashed-n-gram features are under a TARGET
+    distribution than under the raw-corpus distribution, then keep the
+    top ``DSIR_KEEP_PCT``%. Target here = the ``lang == 'en'`` slice (a
+    stand-in for the curated target corpus a production run would
+    supply as its own table).
+
+    Two streaming scans — the paper's own shape:
+
+    1. **Estimate**: per-batch bucket histograms for raw and target
+       (one vectorized fnv64 over the batch's flattened grams; two
+       ``np.add.at`` scatters), combined by a ``DSIR_BUCKETS``-row
+       groupby — the shuffle moves ≤ 8192 × blocks cells, never text.
+       The driver turns the two histograms into per-bucket log-ratios
+       ``w_b = log((t_b+α)/Σt) − log((r_b+α)/Σr)`` (64 KB, broadcast).
+    2. **Score + select**: per-doc importance = Σ w over its grams
+       (gather + ``add.reduceat`` at doc offsets). The keep threshold
+       is the exact (100−pct) order statistic of a deterministic
+       bottom-k-by-``mix64(doc_id)`` score sample (the mergeable
+       ``quantile_sketch`` posture — the paper itself thresholds
+       stochastically via Gumbel noise; a sample quantile keeps the
+       pass bounded and layout-independent).
+
+    Rows-only (log-ratio floats aren't SQL-hash-reproducible); pytest
+    pins an exact pandas reimplementation of both passes."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import splitmix64
+
+    def hist(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        buckets, counts = _dsir_flat_grams(texts)
+        raw = np.zeros(DSIR_BUCKETS, np.int64)
+        tgt = np.zeros(DSIR_BUCKETS, np.int64)
+        np.add.at(raw, buckets, 1)
+        is_tgt = np.repeat(langs == "en", counts)
+        np.add.at(tgt, buckets[is_tgt], 1)
+        nz = np.flatnonzero(raw)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "raw_n": pa.array(raw[nz], pa.int64()),
+                "tgt_n": pa.array(tgt[nz], pa.int64()),
+            }
+        )
+
+    hdf = (
+        read_table(sf_dir, "documents", columns=["text", "lang"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("raw_n", alias_name="raw_n"), Sum("tgt_n", alias_name="tgt_n"))
+        .to_pandas()
+    )
+    hdf = ensure_columns(hdf, {"bucket": "int64", "raw_n": "int64", "tgt_n": "int64"})
+    raw = np.full(DSIR_BUCKETS, 0, np.int64)
+    tgt = np.full(DSIR_BUCKETS, 0, np.int64)
+    raw[hdf["bucket"]] = hdf["raw_n"]
+    tgt[hdf["bucket"]] = hdf["tgt_n"]
+    w = np.log((tgt + DSIR_ALPHA) / max(tgt.sum(), 1)) - np.log(
+        (raw + DSIR_ALPHA) / max(raw.sum(), 1)
+    )
+
+    import ray
+
+    w_ref = ray.put(w)
+
+    class Score:
+        def __init__(self):
+            self.w = ray.get(w_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            buckets, counts = _dsir_flat_grams(batch["text"].to_pylist())
+            offsets = np.r_[0, np.cumsum(counts)[:-1]]
+            vals = self.w[buckets] if len(buckets) else np.empty(0)
+            scores = np.zeros(len(ids))
+            nonempty = counts > 0
+            if nonempty.any():
+                sums = np.add.reduceat(vals, offsets[nonempty])
+                scores[nonempty] = sums
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "score_e6": pa.array(
+                        np.round(scores * 1e6).astype(np.int64)
+                    ),
+                }
+            )
+
+    from .embedops import _pool_size
+
+    scored = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(Score, batch_format="pyarrow", concurrency=_pool_size())
+        .to_pandas()
+    )
+    scored = ensure_columns(scored, {"doc_id": "int64", "score_e6": "int64"})
+    if len(scored) == 0:
+        scored["selected"] = pd.Series([], dtype="int64")
+        return scored
+    # deterministic sample quantile threshold (bottom-k by id hash)
+    pri = splitmix64(scored["doc_id"].to_numpy().astype(np.uint64))
+    k = min(_DSIR_SAMPLE_K, len(pri))
+    sample = scored["score_e6"].to_numpy()[np.argsort(pri, kind="stable")[:k]]
+    q = np.sort(sample)[max(int(np.ceil((100 - DSIR_KEEP_PCT) / 100 * k)) - 1, 0)]
+    scored["selected"] = (scored["score_e6"] > q).astype("int64")
+    for c in scored.columns:
+        scored[c] = scored[c].astype("int64")
+    return scored.sort_values("doc_id").reset_index(drop=True)

@@ -106,3 +106,66 @@ class TestSplitByGroup:
         b = SA.split_by_group(sf_dir)
         pd.testing.assert_frame_equal(a, b)
         assert set(a["split"]).issubset({"train", "val", "test"})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDsir:
+    def _pandas_oracle(self, sf_dir):
+        """Exact reimplementation of both DSIR passes in pandas."""
+        import numpy as np
+
+        from gotenberg_ray.functions.hashing import fnv64, splitmix64
+
+        docs = pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ).sort_values("doc_id")
+        raw = np.zeros(SA.DSIR_BUCKETS, np.int64)
+        tgt = np.zeros(SA.DSIR_BUCKETS, np.int64)
+        per_doc = []
+        import pyarrow as pa
+
+        for _, r in docs.iterrows():
+            toks = (r["text"] or "").lower().split()
+            grams = toks + [a + " " + b for a, b in zip(toks, toks[1:])]
+            if grams:
+                b = (
+                    fnv64(pa.array(grams, pa.string())) % np.uint64(SA.DSIR_BUCKETS)
+                ).astype(np.int64)
+            else:
+                b = np.empty(0, np.int64)
+            per_doc.append(b)
+            np.add.at(raw, b, 1)
+            if r["lang"] == "en":
+                np.add.at(tgt, b, 1)
+        w = np.log((tgt + SA.DSIR_ALPHA) / max(tgt.sum(), 1)) - np.log(
+            (raw + SA.DSIR_ALPHA) / max(raw.sum(), 1)
+        )
+        scores = np.array([w[b].sum() if len(b) else 0.0 for b in per_doc])
+        score_e6 = np.round(scores * 1e6).astype(np.int64)
+        ids = docs["doc_id"].to_numpy().astype(np.int64)
+        pri = splitmix64(ids.astype(np.uint64))
+        k = min(SA._DSIR_SAMPLE_K, len(pri))
+        sample = score_e6[np.argsort(pri, kind="stable")[:k]]
+        q = np.sort(sample)[
+            max(int(np.ceil((100 - SA.DSIR_KEEP_PCT) / 100 * k)) - 1, 0)
+        ]
+        return pd.DataFrame(
+            {"doc_id": ids, "score_e6": score_e6,
+             "selected": (score_e6 > q).astype("int64")}
+        ).reset_index(drop=True)
+
+    def test_matches_exact_reimplementation(self, sf_dir):
+        got = SA.dsir_select(sf_dir)
+        want = self._pandas_oracle(sf_dir)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_selected_fraction_and_monotonicity(self, sf_dir):
+        got = SA.dsir_select(sf_dir)
+        frac = got["selected"].mean()
+        assert 0.05 <= frac <= 0.5  # ~KEEP_PCT with sample-quantile slack
+        # selection is an upward-closed set in score
+        assert got.loc[got["selected"] == 1, "score_e6"].min() > \
+            got.loc[got["selected"] == 0, "score_e6"].max() - 1
+
+    def test_deterministic(self, sf_dir):
+        pd.testing.assert_frame_equal(SA.dsir_select(sf_dir), SA.dsir_select(sf_dir))
