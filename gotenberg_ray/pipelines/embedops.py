@@ -140,6 +140,114 @@ ORDER BY rank LIMIT 10
 """
 
 
+MULTI_QUERY_IDS = (0, 1, 2, 3)  # the multi-query batch
+
+
+def knn_multi(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """BATCHED brute-force cosine top-k — Q queries answered in ONE
+    corpus pass: the query matrix (Q×d, normalized) broadcasts once via
+    ``ray.put``; each batch scores ALL queries with a single (n×d)@(d×Q)
+    matmul (one BLAS call amortizes the corpus read across the whole
+    query batch — the shape a retrieval service's query-batching loop
+    produces); each block emits ≤ Q·k candidate rows; the driver merge
+    is per-query. Query rows themselves are excluded from the corpus
+    side, mirroring the SQL twin's ``NOT IN``."""
+    ids_set = set(MULTI_QUERY_IDS)
+
+    def grab_queries(batch: pa.Table) -> pa.Table:
+        keep = np.isin(
+            batch.column("vec_id").to_numpy(zero_copy_only=False),
+            list(ids_set),
+        )
+        return batch.filter(pa.array(keep))
+
+    qt = (
+        _emb(sf_dir)
+        .select_columns(["vec_id", "embedding"])
+        .map_batches(grab_queries, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(qt) == 0:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64")}
+        )
+    qt = qt.sort_values("vec_id").reset_index(drop=True)
+    qids = qt["vec_id"].to_numpy().astype(np.int64)
+    qmat = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    state = ray.put((qids, qmat.T))  # (d × Q), matmul-ready
+
+    class MultiTopK:
+        def __init__(self):
+            self.qids, self.qT = ray.get(state)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, self.qids)
+            if not keep.any():
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "sim": pa.array([], pa.float64())}
+                )
+            m, ids = m[keep], ids[keep]
+            sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ self.qT
+            kk = min(k, sims.shape[0])
+            # per-query local top-k in one argpartition over axis 0
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+            q_rep = np.repeat(self.qids, kk)
+            rows = part.T.ravel()
+            return pa.table(
+                {
+                    "query_id": pa.array(q_rep),
+                    "vec_id": pa.array(ids[rows].astype(np.int64)),
+                    "sim": pa.array(sims[rows, np.repeat(np.arange(len(self.qids)), kk)]),
+                }
+            )
+
+    cands = (
+        _emb(sf_dir)
+        .map_batches(MultiTopK, batch_format="pyarrow", concurrency=_pool_size())
+        .to_pandas()
+    )
+    cands = ensure_columns(
+        cands, {"query_id": "int64", "vec_id": "int64", "sim": "float64"}
+    )
+    out = (
+        cands.sort_values(["query_id", "sim", "vec_id"],
+                          ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out = out[["query_id", "rank", "vec_id"]].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+KNN_MULTI_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe
+    FROM embeddings WHERE vec_id IN {MULTI_QUERY_IDS}
+)
+SELECT query_id, rank, vec_id FROM (
+    SELECT q.query_id,
+           row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                        e.vec_id) AS rank,
+           e.vec_id
+    FROM embeddings e, q
+    WHERE e.vec_id NOT IN {MULTI_QUERY_IDS}
+)
+WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 FILTER_LABELS = (0, 3, 6, 9)  # the metadata predicate of the hybrid query
 
 

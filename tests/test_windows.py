@@ -301,3 +301,36 @@ class TestKnnIvfPq:
         ivf = E.knn_ivf(sf_dir, k=50)
         ivfpq = E.knn_ivfpq(sf_dir, k=10)
         assert set(ivfpq["vec_id"]) <= set(ivf["vec_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnMulti:
+    def test_matches_sql_twin(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import embedops as E
+
+        got = E.knn_multi(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS FROM '{sf_dir}/embeddings.parquet'")
+        want = con.sql(E.KNN_MULTI_SQL).df()
+        for c in want.columns:
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_per_query_agrees_with_single(self, sf_dir):
+        """Query 0's multi-query ranking must equal knn_topk modulo the
+        candidate universe (multi excludes ALL query ids, single only
+        its own) — so compare after dropping the other query ids."""
+        from gotenberg_ray.pipelines import embedops as E
+
+        single = E.knn_topk(sf_dir, k=10)
+        multi = E.knn_multi(sf_dir, k=10 + len(E.MULTI_QUERY_IDS))
+        m0 = multi.loc[multi["query_id"] == 0, "vec_id"]
+        m0 = m0[~m0.isin(E.MULTI_QUERY_IDS)].head(10).tolist()
+        assert m0 == single["vec_id"].tolist()
+
+    def test_deterministic(self, sf_dir):
+        from gotenberg_ray.pipelines import embedops as E
+
+        pd.testing.assert_frame_equal(E.knn_multi(sf_dir), E.knn_multi(sf_dir))
