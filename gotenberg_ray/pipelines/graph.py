@@ -215,7 +215,9 @@ def _doc_link_edges(sf_dir: str):
 
     from ..io import read_table
 
-    n_nodes = int(read_table(sf_dir, "documents", columns=["doc_id"]).count())
+    from ..io import table_rows
+
+    n_nodes = table_rows(sf_dir, "documents")  # footer count, no read pass
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -54,7 +54,11 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
     from .joins import build_key_bloom, hash_join
     from .relational import JOIN_PARTITIONS
 
-    n_total = int(read_table(sf_dir, "documents", columns=["doc_id"]).count())
+    # footer row count — a Dataset .count() here would execute a whole
+    # extra read pass before the pinned scan below even starts
+    from ..io import table_rows
+
+    n_total = table_rows(sf_dir, "documents")
     half, quarter = n_total // 2, n_total // 4
 
     def old_side(batch: pa.Table) -> pa.Table:

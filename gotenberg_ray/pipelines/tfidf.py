@@ -59,7 +59,9 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     from .relational import JOIN_PARTITIONS
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    n_docs = int(read_table(sf_dir, "documents", columns=["doc_id"]).count())
+    from ..io import table_rows
+
+    n_docs = table_rows(sf_dir, "documents")  # footer count, no read pass
 
     # consumed twice (the DF branch and the join's left side) — one
     # materialized exchange of the (doc, term, tf) rows beats running
