@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL set algebra: union = register max-merge, intersection by
         # inclusion–exclusion — 3 × 16 KB of registers moved, total
         "hll_set_ops": AN.hll_set_ops,
+        # exact CUME_DIST from value-count partials, no global sort;
+        # integer n_le/n_total so the hash can't drift on division
+        "orders_cume_dist": AN.orders_cume_dist,
         # ANALYZE-style column profile (exact distinct by value hash)
         "orders_profile": AN.orders_profile,
         # exact grouped covariance via carry-split integer moments
@@ -454,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_users": AN.HEAVY_HITTERS_SQL,
         "cms_event_counts": AN.CMS_COUNTS_SQL,
         "orders_profile": AN.ORDERS_PROFILE_SQL,
+        "orders_cume_dist": AN.CUME_DIST_SQL,
         "corr_qty_price": AN.CORR_SQL,
         "docs_above_lang_avg": AN.DOCS_ABOVE_AVG_SQL,
         "top_orders_per_customer": A2.TOP_PER_CUSTOMER_SQL,

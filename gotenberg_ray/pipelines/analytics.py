@@ -1254,3 +1254,75 @@ def hll_set_ops(sf_dir: str) -> pd.DataFrame:
             ),
         }
     )
+
+
+def orders_cume_dist(sf_dir: str) -> pd.DataFrame:
+    """Exact CUME_DIST over order prices within each priority WITHOUT
+    a global sort: the ``order_price_quantiles`` histogram posture —
+    per-batch (priority, price) value-count partials, one groupby
+    keyed by the 5-value priority column, then a per-key fold that
+    pre-folds repeated prices and walks ONE cumsum. The ratio is
+    emitted as exact integers (n_le / n_total) rather than a float so
+    the oracle hash can't drift on division. The shuffle moves
+    Σ min(batch, domain) partial rows — money domains are bounded, so
+    the per-key slice is O(domain), never O(orders)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_e2 = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"o_orderpriority": batch["o_orderpriority"], "price_e2": price_e2}
+        )
+        g = t.group_by(["o_orderpriority", "price_e2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "price_e2", "cnt"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = (
+            g.groupby("price_e2", as_index=False)["cnt"]
+            .sum()
+            .sort_values("price_e2")
+        )
+        n_le = f["cnt"].to_numpy().cumsum()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g["o_orderpriority"].iloc[0],
+                "price_e2": f["price_e2"].to_numpy(),
+                "n_le": n_le,
+                "n_total": np.full(len(f), n_le[-1] if len(f) else 0),
+            }
+        )
+
+    df = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"o_orderpriority": "object", "price_e2": "int64",
+         "n_le": "int64", "n_total": "int64"},
+    )
+    for c in ("price_e2", "n_le", "n_total"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["o_orderpriority", "price_e2"]).reset_index(drop=True)
+
+
+CUME_DIST_SQL = """
+WITH v AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority, price_e2
+)
+SELECT o_orderpriority, price_e2,
+       CAST(sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY price_e2
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_le,
+       CAST(sum(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n_total
+FROM v
+ORDER BY o_orderpriority, price_e2
+"""

@@ -254,3 +254,22 @@ class TestChi2:
             " (epoch_us(ts) // 86400000000 + 4) % 7 AS p FROM events"
         ).df()
         assert (chk["d"] == chk["p"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCumeDist:
+    def test_matches_sql_twin(self, sf_dir):
+        import duckdb
+
+        got = AN.orders_cume_dist(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW orders AS FROM '{sf_dir}/orders.parquet'")
+        want = con.sql(AN.CUME_DIST_SQL).df()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_cdf_invariants(self, sf_dir):
+        got = AN.orders_cume_dist(sf_dir)
+        for _, g in got.groupby("o_orderpriority"):
+            assert g["n_le"].is_monotonic_increasing
+            assert (g["n_le"] <= g["n_total"]).all()
+            assert g["n_le"].iloc[-1] == g["n_total"].iloc[0]
