@@ -197,6 +197,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact CUME_DIST from value-count partials, no global sort;
         # integer n_le/n_total so the hash can't drift on division
         "orders_cume_dist": AN.orders_cume_dist,
+        # exact p50 in one raw scan + coarse-bucket pinpoint — the
+        # unbounded-domain exact-quantile path (O(2^16), not O(domain))
+        "order_price_median2p": AN.order_price_median2p,
         # ANALYZE-style column profile (exact distinct by value hash)
         "orders_profile": AN.orders_profile,
         # exact grouped covariance via carry-split integer moments
@@ -458,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_event_counts": AN.CMS_COUNTS_SQL,
         "orders_profile": AN.ORDERS_PROFILE_SQL,
         "orders_cume_dist": AN.CUME_DIST_SQL,
+        "order_price_median2p": AN.MEDIAN2P_SQL,
         "corr_qty_price": AN.CORR_SQL,
         "docs_above_lang_avg": AN.DOCS_ABOVE_AVG_SQL,
         "top_orders_per_customer": A2.TOP_PER_CUSTOMER_SQL,

@@ -1326,3 +1326,121 @@ SELECT o_orderpriority, price_e2,
 FROM v
 ORDER BY o_orderpriority, price_e2
 """
+
+
+def order_price_median2p(sf_dir: str) -> pd.DataFrame:
+    """Exact p50 per priority for UNBOUNDED value domains in exactly
+    TWO streaming passes — the scale path the ``order_price_quantiles``
+    docstring names as its fallback: that operator shuffles one partial
+    row per DISTINCT value (O(domain)); this one is O(2¹⁶) regardless
+    of domain width.
+
+    Pass 1: per-batch counts into 2¹⁶ COARSE buckets spanning the
+    observed [min, max] (driver gets min/max from one tiny aggregate
+    over the same partials — no extra scan: each batch emits its local
+    min/max beside its histogram cells). The driver's cumsum locates,
+    per priority, the single coarse bucket containing the p50 rank and
+    how many values precede it. Pass 2: stream-filter ONLY values
+    inside that bucket per priority (a bucket holds n/2¹⁶ of the data
+    in expectation) and select the (rank − below)-th smallest exactly.
+
+    Matches DuckDB ``quantile_disc(…, 0.5)`` exactly (both sides rank
+    with ⌈0.5·n⌉)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        price_e2 = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"prio": batch["o_orderpriority"], "v": price_e2}
+        )
+        g = t.group_by(["prio", "v"]).aggregate([([], "count_all")])
+        # local min/max ride along as extra columns; Min/Max fold them
+        return pa.table(
+            {
+                "prio": g["prio"],
+                "v": g["v"],
+                "cnt": g["count_all"],
+            }
+        )
+
+    # ONE raw scan, pinned as per-batch value-count cells (already ≪
+    # raw rows); the coarse histogram AND the pinpoint filter both
+    # read these cells, so no second pass over storage happens at all
+    base = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(cells, batch_format="pyarrow")
+        .materialize()
+    )
+    bounds = base.aggregate(Min("v"), Max("v"))
+    if not bounds or bounds.get("min(v)") is None:
+        return pd.DataFrame(
+            {"o_orderpriority": pd.Series([], dtype="object"),
+             "p50_e2": pd.Series([], dtype="int64")}
+        )
+    lo, hi = int(bounds["min(v)"]), int(bounds["max(v)"])
+    width = max((hi - lo) // 65536 + 1, 1)
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        b = pc.divide(pc.subtract(batch["v"], pa.scalar(lo, pa.int64())),
+                      pa.scalar(width, pa.int64()))
+        t = pa.table({"prio": batch["prio"], "b": b, "cnt": batch["cnt"]})
+        g = t.group_by(["prio", "b"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["prio", "b", "cnt"])
+
+    hist = (
+        base.map_batches(coarse, batch_format="pyarrow")
+        .groupby("prio")
+        .map_groups(
+            lambda g: g.groupby("b", as_index=False)
+            .agg(prio=("prio", "first"), cnt=("cnt", "sum"))
+            .sort_values("b"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    hist = ensure_columns(hist, {"b": "int64", "prio": "object", "cnt": "int64"})
+    targets = {}
+    for prio, g in hist.groupby("prio"):
+        n = int(g["cnt"].sum())
+        rank = max(math.ceil(0.5 * n), 1)
+        cum = g["cnt"].cumsum()
+        i = int(np.searchsorted(cum.to_numpy(), rank, side="left"))
+        bucket = int(g["b"].iloc[i])
+        below = int(cum.iloc[i - 1]) if i else 0
+        targets[prio] = (bucket, rank - below)
+
+    # pass 2: only the target bucket's values survive the filter
+    def pinpoint(batch: pa.Table) -> pa.Table:
+        keep_b = np.array(
+            [targets[p][0] if p in targets else -1
+             for p in batch["prio"].to_pylist()],
+            dtype=np.int64,
+        )
+        b = ((batch["v"].to_numpy(zero_copy_only=False) - lo) // width)
+        return batch.filter(pa.array(b == keep_b))
+
+    fine = base.map_batches(pinpoint, batch_format="pyarrow").to_pandas()
+    fine = ensure_columns(fine, {"prio": "object", "v": "int64", "cnt": "int64"})
+    out_rows = []
+    for prio, g in fine.groupby("prio"):
+        g = g.groupby("v", as_index=False)["cnt"].sum().sort_values("v")
+        need = targets[prio][1]
+        cum = g["cnt"].cumsum().to_numpy()
+        out_rows.append(
+            (prio, int(g["v"].to_numpy()[np.searchsorted(cum, need, side="left")]))
+        )
+    out = pd.DataFrame(out_rows, columns=["o_orderpriority", "p50_e2"])
+    out["p50_e2"] = out["p50_e2"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+MEDIAN2P_SQL = """
+SELECT o_orderpriority,
+       CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+            AS BIGINT) AS p50_e2
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

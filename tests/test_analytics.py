@@ -273,3 +273,20 @@ class TestCumeDist:
             assert g["n_le"].is_monotonic_increasing
             assert (g["n_le"] <= g["n_total"]).all()
             assert g["n_le"].iloc[-1] == g["n_total"].iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMedian2P:
+    def test_matches_sql_twin(self, sf_dir):
+        import duckdb
+
+        got = AN.order_price_median2p(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW orders AS FROM '{sf_dir}/orders.parquet'")
+        want = con.sql(AN.MEDIAN2P_SQL).df()
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_agrees_with_full_histogram_path(self, sf_dir):
+        two_pass = AN.order_price_median2p(sf_dir).set_index("o_orderpriority")
+        full = AN.order_price_quantiles(sf_dir).set_index("o_orderpriority")
+        assert (two_pass["p50_e2"] == full["p50_e2"]).all()
