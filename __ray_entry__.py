@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": T.dedup_simhash,
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
         "dedup_clusters": T.dedup_clusters,
+        # per-cluster canonical pick: keep the LONGEST member (the
+        # curation rule), not the lowest id
+        "dedup_canonical": T.dedup_canonical,
         "dedup_incremental": INC.dedup_incremental,
         # CCNet/RefinedWeb-style line-level boilerplate removal (two
         # keyed exchanges; exact string compare inside line buckets)
@@ -478,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_clusters": T.CLUSTERS_SQL,
+        "dedup_canonical": T.CANONICAL_SQL,
         "triangle_count": GR.TRIANGLES_SQL,
         "reachable_nodes": GR.REACHABLE_SQL,
         "shortest_paths": GR.SHORTEST_SQL,

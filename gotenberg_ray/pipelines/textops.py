@@ -773,6 +773,81 @@ FROM reach GROUP BY u ORDER BY doc_id
 )
 
 
+def dedup_canonical(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
+    """Canonical-member selection for near-dup clusters: keep the
+    LONGEST member (ties → lowest doc_id), not the lowest-id one — the
+    production curation rule (the min-id representative of a cluster
+    may be the truncated fragment; the longest member carries the most
+    content). Returns (cluster_rep, canonical_id, n_members) per
+    cluster.
+
+    Plan: the :func:`dedup_clusters` components (near-dup docs only —
+    a sparse subset of any real corpus) → ``n_chars`` attached by a
+    broadcast stream-filter over documents (O(members) rows reach the
+    driver, never the corpus) → per-cluster argmax. At a corpus where
+    the clustered subset itself outgrew the driver, the same argmax
+    runs as a bucketed ``hash_join(..., joined_map=per-partition
+    argmax)`` keyed by cluster_rep — the fold is key-complete, the
+    documented growth path."""
+    clusters = dedup_clusters(sf_dir, threshold=threshold)
+    if len(clusters) == 0:
+        return pd.DataFrame(
+            {"cluster_rep": pd.Series([], dtype="int64"),
+             "canonical_id": pd.Series([], dtype="int64"),
+             "n_members": pd.Series([], dtype="int64")}
+        )
+    from ..io import read_table
+
+    member_ids = np.sort(clusters["doc_id"].to_numpy().astype(np.int64))
+
+    def grab(batch: pa.Table) -> pa.Table:
+        keep = np.isin(
+            batch["doc_id"].to_numpy(zero_copy_only=False), member_ids
+        )
+        return batch.filter(pa.array(keep))
+
+    chars = (
+        read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        .map_batches(grab, batch_format="pyarrow")
+        .to_pandas()
+    )
+    chars = ensure_columns(chars, {"doc_id": "int64", "n_chars": "int64"})
+    m = clusters.merge(chars, on="doc_id")
+    m = m.sort_values(
+        ["cluster_rep", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    out = m.groupby("cluster_rep", as_index=False).agg(
+        canonical_id=("doc_id", "first"), n_members=("doc_id", "size")
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cluster_rep").reset_index(drop=True)
+
+
+CANONICAL_SQL = (
+    CLUSTERS_SQL.replace(
+        "SELECT u AS doc_id, least(u, min(v)) AS cluster_rep\n"
+        "FROM reach GROUP BY u ORDER BY doc_id",
+        "",
+    ).rstrip()
+    + """
+, cl AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
+  FROM reach GROUP BY u
+)
+SELECT cluster_rep, doc_id AS canonical_id, n_members FROM (
+  SELECT cl.cluster_rep, cl.doc_id,
+         CAST(count(*) OVER (PARTITION BY cl.cluster_rep) AS BIGINT)
+             AS n_members,
+         row_number() OVER (PARTITION BY cl.cluster_rep
+                            ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+  FROM cl JOIN documents d USING (doc_id)
+)
+WHERE rn = 1 ORDER BY cluster_rep
+"""
+)
+
+
 def contamination_check(
     sf_dir: str, ngram: int = 5, min_shared: int = 3, eval_mod: int = 20
 ) -> pd.DataFrame:

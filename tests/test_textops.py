@@ -268,3 +268,36 @@ class TestDuplicateSpanStats:
         # rerun is bit-identical (layout-independent integer math)
         again = duplicate_span_stats(str(tmp_path))
         pd.testing.assert_frame_equal(got, again)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupCanonical:
+    def test_matches_sql_twin(self, sf_dir):
+        import duckdb
+
+        from gotenberg_ray.pipelines import textops as T
+
+        got = T.dedup_canonical(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = con.sql(T.CANONICAL_SQL).df()
+        for c in want.columns:
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_canonical_is_longest_member(self, sf_dir):
+        from gotenberg_ray.pipelines import textops as T
+
+        clusters = T.dedup_clusters(sf_dir)
+        docs = pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        got = T.dedup_canonical(sf_dir)
+        merged = clusters.merge(docs, on="doc_id")
+        for _, row in got.iterrows():
+            members = merged[merged["cluster_rep"] == row["cluster_rep"]]
+            assert row["n_members"] == len(members)
+            best = members.sort_values(
+                ["n_chars", "doc_id"], ascending=[False, True]
+            ).iloc[0]
+            assert row["canonical_id"] == best["doc_id"]
