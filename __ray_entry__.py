@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL set algebra: union = register max-merge, intersection by
         # inclusion–exclusion — 3 × 16 KB of registers moved, total
         "hll_set_ops": AN.hll_set_ops,
+        # rolling 7-day distinct from the SAME per-day sketches — one
+        # events scan for the whole series (merge per window)
+        "hll_rolling_users": AN.hll_rolling_users,
         # exact CUME_DIST from value-count partials, no global sort;
         # integer n_le/n_total so the hash can't drift on division
         "orders_cume_dist": AN.orders_cume_dist,

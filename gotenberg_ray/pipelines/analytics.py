@@ -1111,23 +1111,15 @@ FROM events GROUP BY event_type ORDER BY event_type
 # ------------------------------------------------- hyperloglog
 
 
-def hll_daily_users(sf_dir: str) -> pd.DataFrame:
-    """Distinct users per day answered from per-block HYPERLOGLOG
-    partials (Flajolet et al. 2007, ``state/hll.py``) — the
-    approximate scale path beside the exact ``distinct_users_daily``
-    family: an exact windowed distinct moves every (day, user) pair
-    through an all-to-all, while this moves one 16 KB register array
-    per (block, day) regardless of event volume, and the per-day merge
-    is an element-wise max (idempotent — safe under task retries).
-
-    Approximate by design (rel. std. err. 1.04/√m ≈ 0.8% at p = 14;
-    near-exact in the linear-counting regime the test corpus sits in),
-    so there is deliberately NO SQL twin — the pytest suite pins the
-    error envelope against the exact count and the layout-invariance /
-    merge-associativity contracts instead (the CMS/heavy-hitter
-    pattern)."""
+def _hll_day_sketches(sf_dir: str) -> pd.DataFrame:
+    """ONE scan → one folded HyperLogLog per active day (day int64,
+    sk bytes): per-block per-day register partials, merged by a
+    day-keyed groupby (element-wise max — idempotent under task
+    retries). Both daily and rolling distinct-user queries read these
+    sketches; the rolling one re-merges them per window WITHOUT
+    touching events again — the whole point of a mergeable sketch."""
     from ..state.hll import HyperLogLog
-    from .windows import _day_nums, _fmt_days
+    from .windows import _day_nums
 
     def partial(batch: pa.Table) -> pa.Table:
         days = _day_nums(batch["ts"])
@@ -1156,7 +1148,7 @@ def hll_daily_users(sf_dir: str) -> pd.DataFrame:
         return pa.table(
             {
                 "day": group["day"].slice(0, 1),
-                "n_users_est": pa.array([sk.estimate()], pa.int64()),
+                "sk": pa.array([sk.to_bytes()], pa.binary()),
             }
         )
 
@@ -1167,15 +1159,79 @@ def hll_daily_users(sf_dir: str) -> pd.DataFrame:
         .map_groups(fold, batch_format="pyarrow")
         .to_pandas()
     )
-    df = ensure_columns(df, {"day": "int64", "n_users_est": "int64"})
-    df = df.sort_values("day").reset_index(drop=True)
-    out = pd.DataFrame(
+    df = ensure_columns(df, {"day": "int64", "sk": "object"})
+    return df.sort_values("day").reset_index(drop=True)
+
+
+def hll_daily_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per day answered from per-block HYPERLOGLOG
+    partials (Flajolet et al. 2007, ``state/hll.py``) — the
+    approximate scale path beside the exact ``distinct_users_daily``
+    family: an exact windowed distinct moves every (day, user) pair
+    through an all-to-all, while this moves one 16 KB register array
+    per (block, day) regardless of event volume, and the per-day merge
+    is an element-wise max (idempotent — safe under task retries).
+
+    Approximate by design (rel. std. err. 1.04/√m ≈ 0.8% at p = 14;
+    near-exact in the linear-counting regime the test corpus sits in),
+    so there is deliberately NO SQL twin — the pytest suite pins the
+    error envelope against the exact count and the layout-invariance /
+    merge-associativity contracts instead (the CMS/heavy-hitter
+    pattern)."""
+    from ..state.hll import HyperLogLog
+    from .windows import _fmt_days
+
+    df = _hll_day_sketches(sf_dir)
+    return pd.DataFrame(
         {
             "day": pd.Series(_fmt_days(df["day"]), dtype="object"),
-            "n_users_est": df["n_users_est"].astype("int64"),
+            "n_users_est": pd.Series(
+                [HyperLogLog.from_bytes(b).estimate() for b in df["sk"]],
+                dtype="int64",
+            ),
         }
     )
-    return out
+
+
+def hll_rolling_users(sf_dir: str) -> pd.DataFrame:
+    """Trailing-7-day distinct users per calendar day from the SAME
+    per-day sketches ``hll_daily_users`` folds — each window is a merge
+    of ≤7 register arrays, so the events table is scanned ONCE for the
+    whole rolling series (the exact counterpart
+    ``windows.rolling_distinct_users`` must expand every (day, user)
+    pair 7×; at 100 TB the sketch path's window cost is
+    days × 16 KB, independent of event volume). Mirrors the exact
+    query's calendar densification: days inside [min, max] with no
+    active users still emit (estimate 0). Rows-only (approximate);
+    pytest pins the envelope against the exact rolling counts."""
+    from ..state.hll import HyperLogLog
+    from .windows import TRAIL_DAYS, _fmt_days
+
+    df = _hll_day_sketches(sf_dir)
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype="object"),
+             "n_users_7d_est": pd.Series([], dtype="int64")}
+        )
+    by_day = dict(zip(df["day"].tolist(), df["sk"].tolist()))
+    d0, d1 = int(df["day"].min()), int(df["day"].max())
+    days = np.arange(d0, d1 + 1, dtype=np.int64)
+    ests = []
+    for day in days:
+        sk = None
+        for past in range(TRAIL_DAYS):
+            raw = by_day.get(int(day) - past)
+            if raw is None:
+                continue
+            part = HyperLogLog.from_bytes(raw)
+            sk = part if sk is None else sk.merge(part)
+        ests.append(sk.estimate() if sk is not None else 0)
+    return pd.DataFrame(
+        {
+            "day": pd.Series(_fmt_days(days), dtype="object"),
+            "n_users_7d_est": pd.Series(ests, dtype="int64"),
+        }
+    )
 
 
 def hll_set_ops(sf_dir: str) -> pd.DataFrame:

@@ -127,3 +127,27 @@ def test_hll_set_ops_deterministic(ray_session, sf_dir):
     from gotenberg_ray.pipelines.analytics import hll_set_ops
 
     pd.testing.assert_frame_equal(hll_set_ops(sf_dir), hll_set_ops(sf_dir))
+
+
+def test_hll_rolling_users_tracks_exact(ray_session, sf_dir):
+    from gotenberg_ray.pipelines.analytics import hll_rolling_users
+    from gotenberg_ray.pipelines.windows import rolling_distinct_users
+
+    approx = hll_rolling_users(sf_dir)
+    exact = rolling_distinct_users(sf_dir)
+    assert list(approx["day"]) == list(exact["day"])
+    a = approx["n_users_7d_est"].to_numpy()
+    e = exact["n_users_7d"].to_numpy()
+    assert (np.abs(a - e) <= np.maximum(2, 0.02 * e)).all()
+
+
+def test_hll_rolling_consistency_with_daily(ray_session, sf_dir):
+    """A 7-day union can never estimate below the max single day it
+    covers (register-wise: merge is a max, estimate is monotone)."""
+    from gotenberg_ray.pipelines.analytics import hll_daily_users, hll_rolling_users
+
+    daily = hll_daily_users(sf_dir).set_index("day")["n_users_est"]
+    rolling = hll_rolling_users(sf_dir).set_index("day")["n_users_7d_est"]
+    for day, est in rolling.items():
+        if day in daily.index:
+            assert est >= daily[day]
