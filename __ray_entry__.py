@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucketed-table layout: per-key aggregate with NO query-time
         # exchange (keys complete inside their bucket file)
         "bucketed_customer_totals": LY.bucketed_customer_totals,
+        # sampled-splits range-partitioned GLOBAL sort (TeraSort plan):
+        # sorted runs land on disk; strided global-rank probe is the gate
+        "orders_range_sort": LY.orders_range_sort,
         # inverted-index build + pruned lookup (lexical retrieval)
         "search_topk": SE.search_topk,
         # distributed PCA (exact integer moments → driver eigenbasis →
@@ -501,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_expectations": VA.EXPECTATIONS_SQL,
         "zorder_scan": LY.ZORDER_SQL,
         "bucketed_customer_totals": LY.BUCKETED_SQL,
+        "orders_range_sort": LY.RANGE_SORT_SQL,
         "search_topk": SE.SEARCH_SQL,
         "doc_lm_score": SC.LM_SCORE_SQL,
         "skyline_parts": SK.SKYLINE_SQL,

@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "knn_ivfpq",
     # DSIR importance resampling (two streaming scans)
     "dsir_select",
+    # sampled-splits range-partitioned global sort (TeraSort plan)
+    "orders_range_sort",
 ]
 
 

@@ -309,3 +309,187 @@ SELECT o_custkey,
        sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
+
+
+# --------------------------- range-partitioned global sort (TeraSort)
+
+RANGE_BUCKETS = 32
+RANGE_SAMPLE_TARGET = RANGE_BUCKETS * 64  # keys sampled for splits
+PROBE_STRIDE = 100  # every 100th global rank is probed
+
+
+def _order_cents(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "o_orderkey": batch["o_orderkey"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def orders_range_sort(sf_dir: str) -> pd.DataFrame:
+    """Sampled-splits range-partitioned GLOBAL sort — the TeraSort plan
+    (O'Malley 2008), also Spark's ``sortByKey`` RangePartitioner and
+    the write path of every sorted lakehouse layout: a deterministic
+    key sample picks B−1 split points, ONE keyed exchange routes each
+    row to its key range, each range sorts locally and lands as one
+    sorted run, and concatenating runs in bucket order IS the globally
+    sorted table — no single machine ever holds more than ~N/B rows.
+
+    Plan (orders sorted by (cents, o_orderkey)):
+      0. sample pass — rows gated by ``splitmix64(o_orderkey)`` (content-
+         deterministic, layout-independent) yield ~2k sort keys; the
+         driver takes their quantiles as split points. O(sample) driver.
+      1. route + sort exchange — ``searchsorted(splits, cents)`` tags
+         each row's bucket; ``groupby(bucket).map_groups`` sorts each
+         range ONCE and writes it as an atomic sorted-run parquet
+         (tmp → ``os.replace``). Ties can't straddle buckets (routing
+         compares only ``cents``), so runs are disjoint by construction;
+         a pathological single-value tie-run lands in one bucket — the
+         growth path is a secondary split on the unique tiebreaker.
+      2. rank probe — run lengths come from B parquet FOOTERS (no data
+         read); their prefix sum gives each run's global rank offset,
+         and one tiny task per run re-reads it to emit every
+         ``PROBE_STRIDE``-th row as ``(pos, o_orderkey, cents)``.
+
+    The probe is the correctness contract: global position ``pos`` is
+    ``row_number() OVER (ORDER BY cents, o_orderkey) − 1`` in the SQL
+    twin, so a single misplaced or miscounted row anywhere shifts every
+    later rank and hash-fails. ``tests/test_rangesort.py`` additionally
+    checks the written runs concatenate globally sorted and preserve
+    row count. At 100 TB: sample ≪ data, one all-to-all at the
+    exchange, per-task memory ∝ N/B (B scales with the cluster), and
+    the sorted runs are the resumable output artifact."""
+    from ..io import read_table, scratch_layout_path, table_rows
+
+    empty_schema = {"pos": "int64", "o_orderkey": "int64", "cents": "int64"}
+    n_rows = table_rows(sf_dir, "orders")
+    if n_rows == 0:
+        return ensure_columns(pd.DataFrame(), empty_schema)
+
+    from ..functions.hashing import splitmix64
+
+    # ---- pass 0: deterministic sample → split points
+    gate = min(1 << 16, max(1, (RANGE_SAMPLE_TARGET << 16) // n_rows))
+
+    def sample_keys(batch: pa.Table) -> pa.Table:
+        t = _order_cents(batch)
+        h = splitmix64(t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return t.select(["cents"]).filter(pa.array((h & np.uint64(0xFFFF)) < gate))
+
+    sample = (
+        read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(sample_keys, batch_format="pyarrow")
+        .to_pandas()["cents"]
+        .to_numpy()
+    )
+    if len(sample):
+        qs = np.arange(1, RANGE_BUCKETS) / RANGE_BUCKETS
+        splits = np.unique(np.quantile(sample, qs, method="nearest").astype(np.int64))
+    else:
+        splits = np.empty(0, np.int64)  # degenerate: one bucket
+
+    path = scratch_layout_path("rangesort", sf_dir, "orders")
+    os.makedirs(path, exist_ok=True)
+
+    # ---- pass 1: route to key ranges, sort each range, land sorted runs
+    def route(batch: pa.Table) -> pa.Table:
+        t = _order_cents(batch)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        bucket = np.searchsorted(splits, cents, side="right").astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket))
+
+    def sort_and_land(part: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        bid = int(part["bucket"][0].as_py())
+        cents = part["cents"].to_numpy(zero_copy_only=False)
+        keys = part["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, cents))
+        run = pa.table(
+            {"o_orderkey": pa.array(keys[order]), "cents": pa.array(cents[order])}
+        )
+        tmp = os.path.join(path, f"_run-{bid}.tmp")
+        pq.write_table(run, tmp)
+        os.replace(tmp, os.path.join(path, f"run-{bid}.parquet"))
+        return pa.table({"bucket": [bid], "rows": [part.num_rows]})
+
+    (
+        read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=RANGE_BUCKETS)
+        .map_groups(sort_and_land, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # ---- pass 2: footer counts → global offsets → strided rank probe
+    import pyarrow.parquet as pq
+
+    runs = sorted(
+        (bid, os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.startswith("run-") and f.endswith(".parquet")
+        # guard against runs from an older code version with a larger
+        # bucket universe (the path is keyed by DATA identity only);
+        # same-version leftovers are deterministic and safe to reuse
+        for bid in [int(f.split("-")[1].split(".")[0])]
+        if bid <= len(splits)
+    )
+    offset, items = 0, []
+    for bid, f in runs:
+        n = int(pq.ParquetFile(f).metadata.num_rows)
+        items.append({"f": f, "offset": offset, "n": n})
+        offset += n
+
+    def probe(batch: pa.Table) -> pa.Table:
+        out = []
+        for f, off, n in zip(
+            batch["f"].to_pylist(), batch["offset"].to_pylist(), batch["n"].to_pylist()
+        ):
+            first = (-off) % PROBE_STRIDE
+            idx = np.arange(first, n, PROBE_STRIDE, dtype=np.int64)
+            if not len(idx):
+                continue
+            run = pq.read_table(f).take(pa.array(idx))
+            out.append(
+                pa.table(
+                    {
+                        "pos": pa.array(idx + off),
+                        "o_orderkey": run["o_orderkey"],
+                        "cents": run["cents"],
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in ("pos", "o_orderkey", "cents")}
+            )
+        return pa.concat_tables(out)
+
+    df = (
+        rd.from_items(items)
+        .map_batches(probe, batch_format="pyarrow", batch_size=4)
+        .to_pandas()
+    )
+    df = ensure_columns(df, empty_schema)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("pos").reset_index(drop=True)
+
+
+RANGE_SORT_SQL = """
+WITH r AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey
+         ) - 1 AS rnk
+  FROM orders
+)
+SELECT CAST(rnk AS BIGINT) AS pos, o_orderkey, cents
+FROM r WHERE rnk % 100 = 0 ORDER BY rnk
+"""
