@@ -481,17 +481,16 @@ def _verify_cosine_pairs(
         return ensure_columns(pd.DataFrame(), _EMPTY_DUP)
     if n_pairs <= 2_000_000:
         pairs = cands.to_pandas()
-        uniq = np.unique(
-            np.stack(
-                [
-                    pairs["a_id"].to_numpy().astype(np.int64),
-                    pairs["b_id"].to_numpy().astype(np.int64),
-                ],
-                axis=1,
-            ),
-            axis=0,
-        )
-        a, b = uniq[:, 0], uniq[:, 1]
+        pa_ids = pairs["a_id"].to_numpy().astype(np.int64)
+        pb_ids = pairs["b_id"].to_numpy().astype(np.int64)
+        if max(int(pa_ids.max()), int(pb_ids.max())) < 1 << 31:
+            # 1-D unique on packed pairs ≫ faster than axis=0 (same
+            # trick as textops._verify_pairs_small)
+            packed = np.unique((pa_ids << 32) | pb_ids)
+            a, b = packed >> 32, packed & 0xFFFFFFFF
+        else:
+            u = np.unique(np.stack([pa_ids, pb_ids], axis=1), axis=0)
+            a, b = u[:, 0], u[:, 1]
         cand_ids = np.union1d(a, b)  # sorted — ships once in the task closure
 
         def filt(batch: pa.Table) -> pa.Table:
@@ -511,9 +510,21 @@ def _verify_cosine_pairs(
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         order = np.argsort(vid)
         vid_sorted = vid[order]
-        ia = order[np.searchsorted(vid_sorted, a)]
-        ib = order[np.searchsorted(vid_sorted, b)]
-        sims = (mat[ia] * mat[ib]).sum(axis=1)
+        mat_s = mat[order]  # row i ↔ vid_sorted[i]
+        ra = np.searchsorted(vid_sorted, a)
+        rb = np.searchsorted(vid_sorted, b)
+        if len(cand_ids) <= 4096:
+            # few distinct ids, many pairs: ONE multithreaded BLAS gram
+            # matrix (k×k ≤ 134 MB) then an O(pairs) index — beats
+            # gathering two (pairs × dim) float64 temporaries by ~10×
+            sims = (mat_s @ mat_s.T)[ra, rb]
+        else:
+            # chunked einsum: no (pairs × dim) materialization at once,
+            # no elementwise-product temporary per chunk
+            sims = np.empty(len(a))
+            for i in range(0, len(a), 1_000_000):
+                s = slice(i, i + 1_000_000)
+                sims[s] = np.einsum("ij,ij->i", mat_s[ra[s]], mat_s[rb[s]])
         m = sims > threshold
         out = pd.DataFrame({"a_id": a[m], "b_id": b[m]})
         return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
