@@ -869,7 +869,7 @@ def hierarchy_rollup(sf_dir: str) -> pd.DataFrame:
     climbs the same chains with a recursive CTE."""
     from ray.data.aggregate import Sum as _Sum
 
-    from ..io import read_table
+    from ..io import read_table, table_rows
     from .joins import hash_join
 
     def base(batch: pa.Table) -> pa.Table:
@@ -884,16 +884,52 @@ def hierarchy_rollup(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    # size gate (same contract as DRIVER_MAX_EDGES for components): a
+    # closure of N·depth pairs under ~2M is cheaper to walk on the
+    # driver in numpy than to build with ⌈log₂ depth⌉ shuffle rounds —
+    # each distributed round costs a fixed keyed exchange regardless of
+    # how few pairs move. The distributed pointer-doubling path below
+    # is the 100 TB plan; results are identical (pytest cross-checks).
+    n_docs = table_rows(sf_dir, "documents")
     docs = read_table(sf_dir, "documents", ["doc_id"])
+    max_id = docs.max("doc_id") if n_docs else None
+    max_id = int(max_id) if max_id is not None else -1
+    depth = int(np.floor(np.log2(max_id))) + 1 if max_id > 0 else 0
+    if 0 <= max_id < 4_194_304 and n_docs * max(depth, 1) <= DRIVER_MAX_EDGES:
+        import ray as _ray
+
+        vals_t = pa.concat_tables(
+            _ray.get(
+                read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+                .to_arrow_refs()
+            )
+        )
+        ids = vals_t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = vals_t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        acc_chars = np.zeros(max_id + 2, np.int64)
+        acc_cnt = np.zeros(max_id + 2, np.int64)
+        cur = ids
+        while len(cur):
+            np.add.at(acc_chars, cur, chars)
+            np.add.at(acc_cnt, cur, 1)
+            live = cur > 0
+            cur, chars = cur[live] >> 1, chars[live]
+        keys = np.flatnonzero(acc_cnt)
+        return pd.DataFrame(
+            {
+                "doc_id": keys.astype(np.int64),
+                "subtree_chars": acc_chars[keys],
+                "n_desc": acc_cnt[keys],
+            }
+        ).reset_index(drop=True)
+
     pairs = docs.map_batches(base, batch_format="pyarrow").materialize()
     # for parent = id // 2 the depth of node id is exactly
     # ⌊log₂ id⌋ + 1, so the observed tree depth IS log₂(max_id) — one
     # metadata-cheap aggregate, no per-round count() sync barriers
-    max_id = docs.max("doc_id")
-    if max_id is None or int(max_id) <= 0:
+    if max_id <= 0:
         rounds = 0
     else:
-        depth = int(np.floor(np.log2(int(max_id)))) + 1
         rounds = min(HIER_MAX_ROUNDS, max(0, int(np.ceil(np.log2(depth)))))
 
     def frontier_of(step: int):

@@ -226,3 +226,11 @@ class TestHierarchyRollup:
         assert int(root["n_desc"]) == n
         leaves = a[a["doc_id"] > (n - 1) // 2]
         assert (leaves["n_desc"] == 1).all()
+
+    def test_distributed_path_matches_driver_gate(self, sf_dir, monkeypatch):
+        # the size gate routes small inputs to a driver numpy walk;
+        # force the pointer-doubling shuffle path and pin equality
+        fast = G.hierarchy_rollup(sf_dir)
+        monkeypatch.setattr(G, "DRIVER_MAX_EDGES", 0)
+        slow = G.hierarchy_rollup(sf_dir)
+        pd.testing.assert_frame_equal(fast, slow)
