@@ -110,9 +110,11 @@ def embedding_pca(sf_dir: str) -> pd.DataFrame:
                 }
             )
 
+    from .embedops import _task_stage
+
     df = (
         _emb(sf_dir)
-        .map_batches(Projector, batch_format="pyarrow", concurrency=2)
+        .map_batches(_task_stage(Projector), batch_format="pyarrow")
         .to_pandas()
     )
     df = ensure_columns(

@@ -32,13 +32,32 @@ DUP_THRESHOLD = 0.46  # sits in a wide gap of the pairwise-sim spectrum
 
 
 def _pool_size() -> int:
-    """Actor-pool size for the CPU-bound scoring stages: scale with the
-    session's cores but always leave headroom for the upstream read
-    tasks (a pool sized to the whole CPU budget starves its own
+    """Actor-pool size for stages whose ``__init__`` does real work
+    (model deserialize — ``rerank_topk``'s cross-scorer): scale with
+    the session's cores but always leave headroom for the upstream
+    read tasks (a pool sized to the whole CPU budget starves its own
     input); floor 1, cap 8."""
     from ..io import parallelism_hint
 
     return max(1, min(8, parallelism_hint() - 2))
+
+
+def _task_stage(cls):
+    """Run a callable-class scoring stage as a TASK pool instead of an
+    actor pool. Every stage below holds only broadcast state — a
+    ``ray.put`` handle whose per-read cost in a worker is a zero-copy
+    plasma lookup (~µs at centroid/codebook/query sizes) — so the
+    per-actor setup an actor pool amortizes is already free, while the
+    fresh actor-pool spin-up costs ~1.5 s PER CALL at any pool size
+    (measured at sf0.1: knn_pq 2.2 s → 0.3 s). Construction happens
+    per batch; the handle ships to each node once. Stages with real
+    ``__init__`` work (model load, index build) stay actor pools —
+    see ``rerank_topk``."""
+
+    def fn(batch: pa.Table, _cls=cls) -> pa.Table:
+        return _cls()(batch)
+
+    return fn
 
 def _emb(sf_dir: str) -> rd.Dataset:
     from ..io import parallelism_hint, read_table
@@ -123,7 +142,7 @@ def knn_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(TopK, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(_task_stage(TopK), batch_format="pyarrow")
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -210,7 +229,7 @@ def knn_multi(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(MultiTopK, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(_task_stage(MultiTopK), batch_format="pyarrow")
         .to_pandas()
     )
     cands = ensure_columns(
@@ -296,7 +315,7 @@ def knn_filtered(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(FilteredTopK, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(_task_stage(FilteredTopK), batch_format="pyarrow")
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -784,7 +803,7 @@ def knn_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(PQScore, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(_task_stage(PQScore), batch_format="pyarrow")
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -852,7 +871,7 @@ def knn_int8(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(TopKQ, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(_task_stage(TopKQ), batch_format="pyarrow")
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -902,7 +921,7 @@ def knn_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(Probe, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(_task_stage(Probe), batch_format="pyarrow")
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -982,7 +1001,7 @@ def knn_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(ProbeLists, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(_task_stage(ProbeLists), batch_format="pyarrow")
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -1104,7 +1123,7 @@ def knn_ivfpq(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(IvfPqScore, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(_task_stage(IvfPqScore), batch_format="pyarrow")
         .to_pandas()
     )
     return _merge_candidates(cands, k)
@@ -1179,7 +1198,7 @@ def semdedup(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
 
     df = (
         _emb(sf_dir)
-        .map_batches(Assign, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(_task_stage(Assign), batch_format="pyarrow")
         .groupby("cluster_id")
         .map_groups(prune_cluster, batch_format="pyarrow")
         .to_pandas()
@@ -1246,7 +1265,7 @@ def rerank_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
 
     cands = (
         _emb(sf_dir)
-        .map_batches(Recall, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(_task_stage(Recall), batch_format="pyarrow")
         .to_pandas()
     )
     # empty recall (store holds only the query row): to_pandas loses

@@ -108,6 +108,8 @@ def fuzzy_part_match(sf_dir: str) -> pd.DataFrame:
 
     probes_ref = ray.put(_probe_table(sf_dir))
 
+    from .embedops import _task_stage
+
     class BlockScorer:
         def __init__(self):
             self.probes = ray.get(probes_ref)
@@ -152,7 +154,7 @@ def fuzzy_part_match(sf_dir: str) -> pd.DataFrame:
 
     partials = (
         read_table(sf_dir, "part", ["p_partkey", "p_name"])
-        .map_batches(BlockScorer, batch_format="pyarrow", concurrency=2)
+        .map_batches(_task_stage(BlockScorer), batch_format="pyarrow")
         .to_pandas()
     )
     partials = ensure_columns(

@@ -479,11 +479,11 @@ def dsir_select(sf_dir: str) -> pd.DataFrame:
                 }
             )
 
-    from .embedops import _pool_size
+    from .embedops import _task_stage
 
     scored = (
         read_table(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(Score, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(_task_stage(Score), batch_format="pyarrow")
         .to_pandas()
     )
     scored = ensure_columns(scored, {"doc_id": "int64", "score_e6": "int64"})

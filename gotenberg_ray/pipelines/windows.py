@@ -150,6 +150,8 @@ def events_range_campaigns(sf_dir: str) -> pd.DataFrame:
     lo, hi = campaign_bounds_us()
     bounds_ref = ray.put((lo, hi))
 
+    from .embedops import _task_stage
+
     class PartialRangeAgg:
         def __init__(self):
             self.lo, self.hi = ray.get(bounds_ref)
@@ -177,7 +179,7 @@ def events_range_campaigns(sf_dir: str) -> pd.DataFrame:
 
     df = (
         _read(sf_dir, "events", ["ts", "value"])
-        .map_batches(PartialRangeAgg, batch_format="pyarrow", concurrency=2)
+        .map_batches(_task_stage(PartialRangeAgg), batch_format="pyarrow")
         .groupby("campaign_id")
         .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value_e2"))
         .to_pandas()
