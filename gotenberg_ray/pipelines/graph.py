@@ -236,6 +236,35 @@ def _doc_link_edges(sf_dir: str):
     return edges, n_nodes
 
 
+def _driver_link_graph(sf_dir: str):
+    """Size-gated driver copy of the derived link graph (the
+    ``DRIVER_MAX_EDGES`` contract, same as components / pagerank): for
+    n_docs·3 edges under the cap, the doc_id column ships to the
+    driver once and the edge list regenerates in numpy — cheaper than
+    K statically-planned join rounds whose per-round keyed exchange is
+    a fixed cost regardless of how few rows move. Returns
+    ``(ids, src, dst, n_nodes)`` or ``None`` above the gate; the
+    iterative distributed solvers below remain the 100 TB path
+    (pytest pins equality of both paths)."""
+    from ..io import read_table, table_rows
+
+    n_nodes = table_rows(sf_dir, "documents")
+    if n_nodes == 0 or n_nodes * 3 > DRIVER_MAX_EDGES:
+        return None
+    import ray as _ray
+
+    t = pa.concat_tables(
+        _ray.get(read_table(sf_dir, "documents", ["doc_id"]).to_arrow_refs())
+    )
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.repeat(ids, 3)
+    j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(ids))
+    h = (src * 2654435761 + j * 40503) % n_nodes
+    dst = (h * h) % n_nodes
+    keep = src != dst
+    return ids, src[keep], dst[keep], n_nodes
+
+
 def _numpy_pagerank(
     src: np.ndarray,
     dst: np.ndarray,
@@ -539,6 +568,26 @@ def reachable_nodes(sf_dir: str) -> pd.DataFrame:
 
     from .joins import hash_join
 
+    small = _driver_link_graph(sf_dir)
+    if small is not None:
+        ids, src, dst, _n = small
+        m_dom = int(max(ids.max(), dst.max(initial=0))) + 1
+        depth = np.full(m_dom, -1, np.int64)
+        frontier = ids[ids < BFS_SEEDS]
+        depth[frontier] = 0
+        for k in range(1, BFS_DEPTH + 1):
+            if not len(frontier):
+                break
+            in_f = np.zeros(m_dom, bool)
+            in_f[frontier] = True
+            cand = dst[in_f[src]]
+            frontier = np.unique(cand[depth[cand] < 0])
+            depth[frontier] = k
+        keys = np.flatnonzero(depth >= 0)
+        return pd.DataFrame(
+            {"doc_id": keys.astype(np.int64), "depth": depth[keys]}
+        ).reset_index(drop=True)
+
     # materialize the derived edge table ONCE — every BFS round joins
     # against it, and a lazy Dataset would re-derive it per round (at
     # scale: the one-time edge partitioning amortized across rounds)
@@ -688,6 +737,25 @@ def shortest_paths(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Min
 
     from .joins import hash_join
+
+    small = _driver_link_graph(sf_dir)
+    if small is not None:
+        ids, src, dst, _n = small
+        w = 1 + (src + dst) % 5
+        m_dom = int(max(ids.max(), dst.max(initial=0))) + 1
+        inf = np.iinfo(np.int64).max // 4
+        cost = np.full(m_dom, inf, np.int64)
+        cost[ids[ids < SP_SEEDS]] = 0
+        for _ in range(SP_HOPS):
+            # layered Bellman-Ford DP: relax strictly from the
+            # round-start snapshot so cost_k covers ≤k-edge paths only
+            prev = cost[src]
+            m = prev < inf
+            np.minimum.at(cost, dst[m], prev[m] + w[m])
+        keys = np.flatnonzero(cost < inf)
+        return pd.DataFrame(
+            {"doc_id": keys.astype(np.int64), "cost": cost[keys]}
+        ).reset_index(drop=True)
 
     edges, _ = _weighted_edges(sf_dir)
     edges = edges.materialize()

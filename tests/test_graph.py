@@ -184,6 +184,12 @@ class TestReachableNodes:
             got.reset_index(drop=True), want.astype("int64").reset_index(drop=True)
         )
 
+    def test_distributed_path_matches_driver_gate(self, sf_dir, monkeypatch):
+        fast = G.reachable_nodes(sf_dir)
+        monkeypatch.setattr(G, "DRIVER_MAX_EDGES", 0)
+        slow = G.reachable_nodes(sf_dir)
+        pd.testing.assert_frame_equal(fast, slow)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestShortestPaths:
@@ -204,6 +210,12 @@ class TestShortestPaths:
         m = a.merge(bfs, on="doc_id")
         assert (m["cost"] >= m["depth"]).all()
         assert (a.set_index("doc_id").loc[: G.SP_SEEDS - 1, "cost"] == 0).all()
+
+    def test_distributed_path_matches_driver_gate(self, sf_dir, monkeypatch):
+        fast = G.shortest_paths(sf_dir)
+        monkeypatch.setattr(G, "DRIVER_MAX_EDGES", 0)
+        slow = G.shortest_paths(sf_dir)
+        pd.testing.assert_frame_equal(fast, slow)
 
 
 @pytest.mark.usefixtures("ray_session")
