@@ -91,13 +91,14 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
     old_bloom = build_key_bloom(
         old.select_columns(["h"]), "h", capacity=max(1024, half * 2)
     )
-    old_ref = ray.put(old_bloom.to_bytes())
+    old_ref = ray.put(old_bloom.as_state())
 
     class FlagCandidates:
-        # actor pool: the bloom deserializes ONCE per actor, not once
-        # per batch (from_bytes copies the whole bit array)
+        # task pool: the probe-only bloom ships as as_state() — the
+        # bit array maps zero-copy from plasma per task (~µs), so no
+        # actor-pool spin-up is needed to amortize a deserialize
         def __init__(self):
-            self.bf = BloomFilter.from_bytes(ray.get(old_ref))
+            self.bf = BloomFilter.from_state(ray.get(old_ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             hit = self.bf.contains(
@@ -105,10 +106,12 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
             )
             return batch.append_column("_maybe_dup", pa.array(hit))
 
+    from .embedops import _task_stage
+
     # one bloom-gated pass; the split into definite-new vs candidates
     # is then two trivial filters over the pinned flagged blocks
     flagged = incoming.map_batches(
-        FlagCandidates, batch_format="pyarrow", concurrency=2
+        _task_stage(FlagCandidates), batch_format="pyarrow"
     ).materialize()
     definite_new = flagged.map_batches(
         lambda b: b.filter(pc.invert(b["_maybe_dup"])).drop_columns(["_maybe_dup"]),
@@ -125,11 +128,11 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
     cand_bloom = build_key_bloom(
         candidates.select_columns(["h"]), "h", capacity=max(1024, half)
     )
-    cand_ref = ray.put(cand_bloom.to_bytes())
+    cand_ref = ray.put(cand_bloom.as_state())
 
     class PruneOld:
         def __init__(self):
-            self.bf = BloomFilter.from_bytes(ray.get(cand_ref))
+            self.bf = BloomFilter.from_state(ray.get(cand_ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             hit = self.bf.contains(
@@ -138,7 +141,7 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
             return batch.filter(pa.array(hit))
 
     old_matches = old.map_batches(
-        PruneOld, batch_format="pyarrow", concurrency=2
+        _task_stage(PruneOld), batch_format="pyarrow"
     )
 
     # 4. verified text-equal join against the pruned existing side

@@ -416,13 +416,15 @@ def hash_join(
 
         from ..state.bloom import BloomFilter
 
-        bloom_bytes = build_key_bloom(right, on, bloom_capacity, bloom_fp).to_bytes()
-        bloom_ref = _ray.put(bloom_bytes)
+        bloom_ref = _ray.put(
+            build_key_bloom(right, on, bloom_capacity, bloom_fp).as_state()
+        )
 
         def prune(batch: pa.Table) -> pa.Table:
-            # ray.get on a plasma ref is cached per worker process; the
-            # rebuild is one O(m/8) frombuffer, cheap next to the probe
-            bf = BloomFilter.from_bytes(_ray.get(bloom_ref))
+            # as_state ships the bit array as numpy: ray.get maps it
+            # zero-copy from plasma, so the per-task rebuild is ~µs
+            # (probe-only — contains never writes the bits)
+            bf = BloomFilter.from_state(_ray.get(bloom_ref))
             keep = bf.contains(_key_u64(batch.column(on)))
             return batch.filter(pa.array(keep))
 

@@ -63,3 +63,20 @@ class BloomFilter:
         obj.fp_rate = float(np.frombuffer(raw[32:40], dtype=np.float64)[0])
         obj.bits = np.frombuffer(raw[40:], dtype=np.uint64).copy()
         return obj
+
+    # ---- broadcast probe format --------------------------------------------
+    # to_bytes/from_bytes is the durable checkpoint format; for
+    # broadcasting a PROBE-ONLY filter through the object store, ship
+    # the bits as a numpy array instead: ``ray.get`` maps it zero-copy
+    # from plasma (bytes objects are copied out), so per-task
+    # reconstruction costs ~µs and the filter never duplicates per
+    # worker. ``contains`` only reads ``bits``; ``add`` on a view
+    # would raise (read-only) — by design.
+    def as_state(self) -> tuple:
+        return (self.capacity, self.m, self.k, self.count, self.fp_rate, self.bits)
+
+    @classmethod
+    def from_state(cls, state: tuple) -> "BloomFilter":
+        obj = cls.__new__(cls)
+        (obj.capacity, obj.m, obj.k, obj.count, obj.fp_rate, obj.bits) = state
+        return obj
