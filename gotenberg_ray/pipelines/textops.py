@@ -472,26 +472,35 @@ def _verify_pairs_small(
         return batch.filter(pc.is_in(batch["doc_id"], value_set=_ids))
 
     gram_src = grams if grams is not None else _gram_sets(sf_dir)
-    gram_refs = gram_src.map_batches(filt, batch_format="pyarrow").to_arrow_refs()
+    gram_parts = _ray.get(
+        gram_src.map_batches(filt, batch_format="pyarrow").to_arrow_refs()
+    )
+    # concat + doc_id sort ONCE on the driver (the filtered table is
+    # candidate docs only — small by the ≤2M-pair gate) and broadcast;
+    # doing it per verify task repeated the same sort 49× at sf0.1
+    g = pa.concat_tables([t for t in gram_parts if t.num_rows]).sort_by(
+        [("doc_id", "ascending")]
+    )
+    glist = g["grams"]
+    if isinstance(glist, pa.ChunkedArray):
+        glist = glist.combine_chunks()
+    g_ref = _ray.put(
+        (g["doc_id"].to_numpy(zero_copy_only=False), glist)
+    )
 
     @_ray.remote
-    def verify_task(a_ids, b_ids, thr, *gram_parts):
-        g = pa.concat_tables(gram_parts).sort_by([("doc_id", "ascending")])
-        gid = g["doc_id"].to_numpy(zero_copy_only=False)
-        glist = g["grams"]
-        if isinstance(glist, pa.ChunkedArray):
-            glist = glist.combine_chunks()
+    def verify_task(a_ids, b_ids, thr):
+        gid, glist = _ray.get(g_ref)  # zero-copy plasma read
         ga = glist.take(pa.array(np.searchsorted(gid, a_ids)))
         gb = glist.take(pa.array(np.searchsorted(gid, b_ids)))
         return _verify_jaccard_kernel(a_ids, b_ids, ga, gb, thr)
 
-    # the per-pair intersect loop is the cost — slice the (sorted,
-    # unique) pair list across one task per ~16k pairs so verification
-    # uses every core; each task plasma-shares the same filtered gram
-    # refs (no copies)
+    # the pair-set kernel is the cost — slice the (sorted, unique)
+    # pair list across one task per ~16k pairs so verification uses
+    # every core; every task plasma-shares the one sorted gram table
     chunk = 16_384
     refs = [
-        verify_task.remote(a_ids[i : i + chunk], b_ids[i : i + chunk], threshold, *gram_refs)
+        verify_task.remote(a_ids[i : i + chunk], b_ids[i : i + chunk], threshold)
         for i in range(0, len(a_ids), chunk)
     ]
     out = pa.concat_tables(_ray.get(refs))
