@@ -122,6 +122,16 @@ BENCH_QUERIES = [
     "dsir_select",
     # sampled-splits range-partitioned global sort (TeraSort plan)
     "orders_range_sort",
+    # round-3 additions: batched multi-query ANN, windowed HLL distinct,
+    # leakage-guarded split, canonical near-dup pick, exact CUME_DIST,
+    # two-pass exact quantile, driver-gated pagerank
+    "knn_multi",
+    "hll_rolling_users",
+    "split_by_group",
+    "dedup_canonical",
+    "orders_cume_dist",
+    "order_price_median2p",
+    "pagerank",
 ]
 
 
