@@ -50,47 +50,88 @@ def _ts_us(col) -> np.ndarray:
 # ---------------------------------------------------------------- as-of join
 
 
+_WIN_P = 16  # user-hash buckets for the window operators' keyed exchange
+
+
 def events_asof_attribution(sf_dir: str) -> pd.DataFrame:
     """As-of join inside the events log: each ``purchase`` event is
     attributed to the same user's most recent ``view`` at-or-before it
     (classic last-touch attribution).
 
-    Shape: ONE read of events → hash-partition by ``user_id``
-    (``groupby``) → per-group vectorized as-of merge: sort both sides
-    by ts, ``np.searchsorted(view_ts, purchase_ts, side="right") - 1``
-    gives the latest view ≤ each purchase in O((n+m) log m). Output is
-    the per-user rollup (n_purchases, n_attributed, total attribution
-    latency in whole seconds) — integer-exact.
+    Shape: rows route ONCE by ``user_id % P`` (bucketed keyed
+    exchange — P group tasks, never one Python call per user), then
+    inside each bucket ONE lexsort by (user, ts, kind) makes "latest
+    view at-or-before" a forward-fill of the last view index
+    (``np.maximum.accumulate``) with a per-segment reset — views sort
+    before purchases at equal ts, so a same-µs view still attributes.
+    Per-user rollups (n_purchases, n_attributed, latency floor-seconds)
+    fold with ``reduceat`` — integer-exact, no per-group invocation.
     """
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        kinds = g["event_type"].to_numpy()
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        p_ts = np.sort(ts_us[kinds == "purchase"])
-        if len(p_ts) == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "n_purchases": pd.Series([], dtype="int64"),
-                    "n_attributed": pd.Series([], dtype="int64"),
-                    "latency_s": pd.Series([], dtype="int64"),
-                }
-            )
-        v_ts = np.sort(ts_us[kinds == "view"])
-        idx = np.searchsorted(v_ts, p_ts, side="right") - 1
-        hit = idx >= 0
-        lat_us = int((p_ts[hit] - v_ts[idx[hit]]).sum())
-        return pd.DataFrame(
+    def bucket(batch: pa.Table) -> pa.Table:
+        kinds = batch["event_type"]
+        if isinstance(kinds, pa.ChunkedArray):
+            kinds = kinds.combine_chunks()
+        keep = pc.is_in(kinds, value_set=pa.array(["purchase", "view"]))
+        b = batch.filter(keep)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_purchases": [int(len(p_ts))],
-                "n_attributed": [int(hit.sum())],
-                "latency_s": [lat_us // US],
+                "pid": pa.array((uid % _WIN_P).astype(np.int32)),
+                "user_id": pa.array(uid),
+                "ts_us": pa.array(_ts_us(b.column("ts"))),
+                "is_p": pc.cast(pc.equal(b["event_type"], "purchase"), pa.int8()),
             }
         )
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
-    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_purchases": pa.array([], pa.int64()),
+            "n_attributed": pa.array([], pa.int64()),
+            "latency_s": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_bucket(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return empty
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        ts = part["ts_us"].to_numpy(zero_copy_only=False)
+        is_p = part["is_p"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((is_p, ts, uid))
+        uid, ts, is_p = uid[order], ts[order], is_p[order]
+        starts = segment_starts(uid)
+        ends = np.append(starts[1:], n)
+        # forward-fill the index of the last view, reset per user by
+        # requiring it to fall inside the row's own segment
+        last_view = np.maximum.accumulate(
+            np.where(~is_p, np.arange(n, dtype=np.int64), np.int64(-1))
+        )
+        seg_start = np.repeat(starts, ends - starts)
+        attr = is_p & (last_view >= seg_start)
+        lat = np.where(attr, ts - ts[np.maximum(last_view, 0)], np.int64(0))
+        n_purch = np.add.reduceat(is_p.astype(np.int64), starts)
+        n_attr = np.add.reduceat(attr.astype(np.int64), starts)
+        lat_s = np.add.reduceat(lat, starts) // US
+        has_p = n_purch > 0
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts][has_p]),
+                "n_purchases": pa.array(n_purch[has_p]),
+                "n_attributed": pa.array(n_attr[has_p]),
+                "latency_s": pa.array(lat_s[has_p]),
+            }
+        )
+
+    df = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
     df = ensure_columns(
         df,
         {"user_id": "int64", "n_purchases": "int64",
@@ -216,26 +257,68 @@ def events_rolling_peak(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
     any trailing 1-hour window (RANGE frame semantics — the window is
     value-defined, peers with equal ts are all included).
 
-    Shape: hash-partition by ``user_id``, then per group sort once and
-    compute every event's trailing-window count with two binary-search
-    sweeps (``searchsorted``) — O(n log n) per key, no per-row Python.
+    Shape: rows route ONCE by ``user_id % P`` (bucketed keyed
+    exchange), then inside each bucket ONE lexsort by (user, ts) and a
+    single pair of ``searchsorted`` sweeps over a per-user-rebased key
+    (dense user index × 2^48 + µs-offset-within-user — spans stay well
+    under 2^48 µs ≈ 8.9 years, so windows can never bleed across
+    users) bound every event's trailing window; per-user peaks fold
+    with ``maximum.reduceat``. No per-group Python invocation.
     """
-    win_us = window_s * US
+    win_us = np.int64(window_s) * US
+    shift = np.int64(1) << 48
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("datetime64[us]").astype("int64").to_numpy())
-        hi = np.searchsorted(ts, ts, side="right")
-        lo = np.searchsorted(ts, ts - win_us, side="left")
-        return pd.DataFrame(
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "peak_1h": [int((hi - lo).max())],
-                "n_events": [int(len(ts))],
+                "pid": pa.array((uid % _WIN_P).astype(np.int32)),
+                "user_id": pa.array(uid),
+                "ts_us": pa.array(_ts_us(batch.column("ts"))),
             }
         )
 
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
-    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    def per_bucket(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "peak_1h": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        ts = part["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        starts = segment_starts(uid)
+        ends = np.append(starts[1:], n)
+        lens = ends - starts
+        # rebase each user's timestamps to its segment start, then lift
+        # into a disjoint int64 range per user so one global
+        # searchsorted respects segment boundaries
+        seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        rel = ts - np.repeat(ts[starts], lens)
+        key = seg_idx * shift + rel
+        hi = np.searchsorted(key, key, side="right")
+        lo = np.searchsorted(key, key - win_us, side="left")
+        peak = np.maximum.reduceat(hi - lo, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "peak_1h": pa.array(peak.astype(np.int64)),
+                "n_events": pa.array(lens.astype(np.int64)),
+            }
+        )
+
+    df = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
     df = ensure_columns(
         df, {"user_id": "int64", "peak_1h": "int64", "n_events": "int64"}
     )
