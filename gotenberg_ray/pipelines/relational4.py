@@ -67,7 +67,13 @@ def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
 def nation_balance_full_outer(sf_dir: str) -> pd.DataFrame:
     """Per-nation deficit-customer vs high-balance-supplier totals,
     FULL OUTER joined — nations appear when EITHER side is non-empty,
-    missing sides fill with zero."""
+    missing sides fill with zero.
+
+    The 25-group balance totals are the widest fold in this file (each
+    nation absorbs ~4% of the filtered balance mass), so both cents
+    columns travel as Sum128 limb pairs (functions/limbs.py — exact for
+    the NEGATIVE deficit balances too) and recombine on the driver."""
+    from ..functions.limbs import limbify, limb_sums, recombine_limbs, renorm_limbs
     from .joins import hash_join
 
     def cust_partial(batch: pa.Table) -> pa.Table:
@@ -80,11 +86,12 @@ def nation_balance_full_outer(sf_dir: str) -> pd.DataFrame:
                 "cust_cents": _cents(b["c_acctbal"]),
             }
         )
-        return (
-            t.group_by("nationkey")
-            .aggregate([("n_cust", "sum"), ("cust_cents", "sum")])
-            .rename_columns(["nationkey", "n_cust", "cust_cents"])
+        t = limbify(t, ["cust_cents"])
+        g = t.group_by("nationkey").aggregate(
+            [("n_cust", "sum"), *limb_sums(["cust_cents"])]
         )
+        g = g.rename_columns(["nationkey", "n_cust", "cust_cents_hi", "cust_cents_lo"])
+        return renorm_limbs(g, ["cust_cents"], suffix="")
 
     def supp_partial(batch: pa.Table) -> pa.Table:
         keep = pc.greater(batch["s_acctbal"], SUPP_BAL_MIN)
@@ -96,31 +103,35 @@ def nation_balance_full_outer(sf_dir: str) -> pd.DataFrame:
                 "supp_cents": _cents(b["s_acctbal"]),
             }
         )
-        return (
-            t.group_by("nationkey")
-            .aggregate([("n_supp", "sum"), ("supp_cents", "sum")])
-            .rename_columns(["nationkey", "n_supp", "supp_cents"])
+        t = limbify(t, ["supp_cents"])
+        g = t.group_by("nationkey").aggregate(
+            [("n_supp", "sum"), *limb_sums(["supp_cents"])]
         )
+        g = g.rename_columns(["nationkey", "n_supp", "supp_cents_hi", "supp_cents_lo"])
+        return renorm_limbs(g, ["supp_cents"], suffix="")
 
-    def fold(cols):
+    def fold(cols, limb):
         def _fold(part: pa.Table) -> pa.Table:
-            return (
+            g = (
                 part.group_by("nationkey")
                 .aggregate([(c, "sum") for c in cols])
                 .rename_columns(["nationkey", *cols])
             )
+            return renorm_limbs(g, [limb], suffix="")
 
         return _fold
 
     schema_l = [
         ("nationkey", pa.int64()),
         ("n_cust", pa.int64()),
-        ("cust_cents", pa.int64()),
+        ("cust_cents_hi", pa.int64()),
+        ("cust_cents_lo", pa.int64()),
     ]
     schema_r = [
         ("nationkey", pa.int64()),
         ("n_supp", pa.int64()),
-        ("supp_cents", pa.int64()),
+        ("supp_cents_hi", pa.int64()),
+        ("supp_cents_lo", pa.int64()),
     ]
     joined = hash_join(
         _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
@@ -132,38 +143,33 @@ def nation_balance_full_outer(sf_dir: str) -> pd.DataFrame:
         on="nationkey",
         join_type="full outer",
         num_partitions=8,
-        left_agg=fold(["n_cust", "cust_cents"]),
-        right_agg=fold(["n_supp", "supp_cents"]),
+        left_agg=fold(["n_cust", "cust_cents_hi", "cust_cents_lo"], "cust_cents"),
+        right_agg=fold(["n_supp", "supp_cents_hi", "supp_cents_lo"], "supp_cents"),
         left_schema=schema_l,
         right_schema=schema_r,
+    )
+
+    limb_cols = (
+        "n_cust", "cust_cents_hi", "cust_cents_lo",
+        "n_supp", "supp_cents_hi", "supp_cents_lo",
     )
 
     def fill(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "nationkey" not in batch.column_names:
             return pa.table(
-                {
-                    c: pa.array([], pa.int64())
-                    for c in (
-                        "nationkey", "n_cust", "cust_cents", "n_supp", "supp_cents"
-                    )
-                }
+                {c: pa.array([], pa.int64()) for c in ("nationkey", *limb_cols)}
             )
         cols = {"nationkey": batch["nationkey"]}
-        for c in ("n_cust", "cust_cents", "n_supp", "supp_cents"):
+        for c in limb_cols:
             cols[c] = pc.fill_null(pc.cast(batch[c], pa.int64()), 0)
         return pa.table(cols)
 
     df = joined.map_batches(fill, batch_format="pyarrow").to_pandas()
     df = ensure_columns(
-        df,
-        {
-            "nationkey": "int64",
-            "n_cust": "int64",
-            "cust_cents": "int64",
-            "n_supp": "int64",
-            "supp_cents": "int64",
-        },
+        df, {"nationkey": "int64", **{c: "int64" for c in limb_cols}}
     )
+    df = recombine_limbs(df, ["cust_cents", "supp_cents"])
+    df = df[["nationkey", "n_cust", "cust_cents", "n_supp", "supp_cents"]]
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("nationkey").reset_index(drop=True)

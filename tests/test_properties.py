@@ -244,3 +244,75 @@ def test_sum128_table_roundtrip():
     got = dict(zip(out["k"], out["v"]))
     assert got["a"] == 2**63  # exceeds int64 — exact as Python int
     assert got["b"] == -(2**63) + 7
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # hop-1 key
+            st.integers(min_value=0, max_value=1),  # hop-2 key
+            st.integers(min_value=-(2**61), max_value=2**61),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_sum128_multihop_chain_exact(rows, n_chunks):
+    """The q9/q22 wiring: limbs survive MULTIPLE re-group hops (fold by
+    a fine key, renormalize, re-fold by a coarser key, renormalize,
+    recombine) and still equal the exact Python-int sums — the chain
+    shape of q9's order → order×nation → nation×year profit folds."""
+    from gotenberg_ray.functions import limbs as L
+
+    t = pa.table(
+        {
+            "k1": pa.array([r[0] for r in rows], pa.int64()),
+            "k2": pa.array([r[1] for r in rows], pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    # per-batch hop: limbify + fold by (k1, k2) + renorm, per chunk
+    parts = []
+    idx = np.array_split(np.arange(t.num_rows), n_chunks)
+    for ix in idx:
+        if len(ix) == 0:
+            continue
+        c = t.take(pa.array(ix))
+        g = L.limbify(c, ["v"]).group_by(["k1", "k2"]).aggregate(L.limb_sums(["v"]))
+        g = L.renorm_limbs(g, ["v"])
+        parts.append(
+            g.rename_columns(
+                [n.replace("_sum", "") for n in g.column_names]
+            )
+        )
+    mid = pa.concat_tables(parts)
+    # second hop: coarser re-fold by k2 only (the nation×year analogue)
+    g2 = mid.group_by("k2").aggregate(
+        [("v_hi", "sum"), ("v_lo", "sum")]
+    )
+    g2 = L.renorm_limbs(g2, ["v"])
+    df = g2.to_pandas().rename(columns={"v_hi_sum": "v_hi", "v_lo_sum": "v_lo"})
+    out = L.recombine_limbs(df, ["v"], dtype="object")
+    got = dict(zip(out["k2"], out["v"]))
+    exact: dict[int, int] = {}
+    for k1, k2, v in rows:
+        exact[k2] = exact.get(k2, 0) + v
+    assert got == exact
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=60),
+    st.integers(min_value=0, max_value=2**62),
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_q22_threshold_rewrite_equals_cross_multiplication(bals, extra):
+    """bal·cnt > tot ⟺ bal ≥ tot//cnt + 1 — the overflow-free form
+    q22 ships to workers must select exactly the rows the SQL twin's
+    literal cross-multiplication selects, at any magnitude."""
+    tot = sum(bals) + extra  # tot need not equal sum(bals)
+    cnt = len(bals)
+    thr = tot // cnt + 1
+    for b in bals:
+        assert (b >= thr) == (b * cnt > tot)
