@@ -303,6 +303,35 @@ def test_sum128_multihop_chain_exact(rows, n_chunks):
 
 
 @given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), max_size=40),
+        max_size=25,
+    )
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_segment_unique_matches_per_segment_np_unique(segments):
+    """The one-lexsort segment-dedup that replaced _gram_sets' per-doc
+    np.unique loop must produce IDENTICAL per-segment sorted sets —
+    including empty segments and duplicate-heavy ones."""
+    from gotenberg_ray.pipelines.textops import segment_unique
+
+    vals = np.array(
+        [v for seg in segments for v in seg], dtype=np.uint64
+    )
+    offs = np.zeros(len(segments) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in segments], out=offs[1:])
+    got_v, got_o = segment_unique(vals, offs)
+    exp_parts = [np.unique(np.array(s, dtype=np.uint64)) for s in segments]
+    exp_v = (
+        np.concatenate(exp_parts) if exp_parts else np.empty(0, np.uint64)
+    )
+    exp_o = np.zeros(len(segments) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in exp_parts], out=exp_o[1:])
+    assert np.array_equal(got_v, exp_v)
+    assert np.array_equal(got_o, exp_o)
+
+
+@given(
     st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=60),
     st.integers(min_value=0, max_value=2**62),
 )
