@@ -351,10 +351,13 @@ def orders_range_sort(sf_dir: str) -> pd.DataFrame:
          compares only ``cents``), so runs are disjoint by construction;
          a pathological single-value tie-run lands in one bucket — the
          growth path is a secondary split on the unique tiebreaker.
-      2. rank probe — run lengths come from B parquet FOOTERS (no data
-         read); their prefix sum gives each run's global rank offset,
-         and one tiny task per run re-reads it to emit every
-         ``PROBE_STRIDE``-th row as ``(pos, o_orderkey, cents)``.
+      2. rank probe — the map_groups stage RETURNS the exact (bucket,
+         rows) manifest, so run discovery never trusts ``os.listdir``
+         (a stale run file from an older layout could otherwise shift
+         every downstream rank); the manifest's prefix sum gives each
+         run's global rank offset, and one tiny task per run re-reads
+         it to emit every ``PROBE_STRIDE``-th row as
+         ``(pos, o_orderkey, cents)``.
 
     The probe is the correctness contract: global position ``pos`` is
     ``row_number() OVER (ORDER BY cents, o_orderkey) − 1`` in the SQL
@@ -404,6 +407,8 @@ def orders_range_sort(sf_dir: str) -> pd.DataFrame:
         return t.append_column("bucket", pa.array(bucket))
 
     def sort_and_land(part: pa.Table) -> pa.Table:
+        import uuid
+
         import pyarrow.parquet as pq
 
         bid = int(part["bucket"][0].as_py())
@@ -413,37 +418,36 @@ def orders_range_sort(sf_dir: str) -> pd.DataFrame:
         run = pa.table(
             {"o_orderkey": pa.array(keys[order]), "cents": pa.array(cents[order])}
         )
-        tmp = os.path.join(path, f"_run-{bid}.tmp")
+        # tmp name unique PER ATTEMPT: a Ray task retry overlapping the
+        # original writer must never interleave into the same tmp file
+        # (os.replace would then promote a corrupt run)
+        tmp = os.path.join(path, f"_run-{bid}.{os.getpid()}.{uuid.uuid4().hex}.tmp")
         pq.write_table(run, tmp)
         os.replace(tmp, os.path.join(path, f"run-{bid}.parquet"))
         return pa.table({"bucket": [bid], "rows": [part.num_rows]})
 
-    (
+    manifest = (
         read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
         .map_batches(route, batch_format="pyarrow")
         .groupby("bucket", num_partitions=RANGE_BUCKETS)
         .map_groups(sort_and_land, batch_format="pyarrow")
-        .materialize()
+        .to_pandas()
     )
 
-    # ---- pass 2: footer counts → global offsets → strided rank probe
+    # ---- pass 2: manifest counts → global offsets → strided rank probe
+    # iterate EXACTLY the (bucket, rows) pairs the landing stage
+    # returned — never os.listdir, which could pick up a stale run file
+    # from an older routing whose bucket happens to be empty now
     import pyarrow.parquet as pq
 
-    runs = sorted(
-        (bid, os.path.join(path, f))
-        for f in os.listdir(path)
-        if f.startswith("run-") and f.endswith(".parquet")
-        # guard against runs from an older code version with a larger
-        # bucket universe (the path is keyed by DATA identity only);
-        # same-version leftovers are deterministic and safe to reuse
-        for bid in [int(f.split("-")[1].split(".")[0])]
-        if bid <= len(splits)
-    )
     offset, items = 0, []
-    for bid, f in runs:
-        n = int(pq.ParquetFile(f).metadata.num_rows)
-        items.append({"f": f, "offset": offset, "n": n})
-        offset += n
+    for bid, n in sorted(
+        zip(manifest["bucket"].astype(int), manifest["rows"].astype(int))
+    ):
+        items.append(
+            {"f": os.path.join(path, f"run-{bid}.parquet"), "offset": offset, "n": int(n)}
+        )
+        offset += int(n)
 
     def probe(batch: pa.Table) -> pa.Table:
         out = []
