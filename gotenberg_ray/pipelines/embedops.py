@@ -877,40 +877,61 @@ def knn_int8(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _merge_candidates(cands, k)
 
 
-LSH_PLANES = 12
+LSH_TABLES = 48  # L independent hash tables
+LSH_BITS = 7  # hyperplanes (code bits) per table
 LSH_SEED = 1234
 
 
 def _hyperplanes(dim: int) -> np.ndarray:
+    """(L·b, dim) stacked per-table hyperplane blocks, deterministic."""
     rng = np.random.RandomState(LSH_SEED)
-    return rng.standard_normal((LSH_PLANES, dim))
+    return rng.standard_normal((LSH_TABLES * LSH_BITS, dim))
+
+
+def _lsh_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, L) per-table bucket codes: sign bits packed per table."""
+    bits = (m @ planes.T) > 0
+    bits = bits.reshape(len(m), LSH_TABLES, LSH_BITS)
+    return bits @ (1 << np.arange(LSH_BITS))
 
 
 def knn_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """LSH-bucketed ANN (scale path; rows-only check vs its own size).
+    """Multi-table hyperplane-LSH ANN (scale path; approximate by
+    design — the brute-force twin ``knn_topk`` is the ground truth and
+    tests pin recall against it).
 
-    Random-hyperplane signatures bucket the vectors; the query probes
-    its own bucket plus all hamming-1 neighbors. Recall is approximate
-    by design — the brute-force twin (knn_topk) is the ground truth.
-    """
+    Classic E2LSH OR-construction: L=48 independent tables of b=7
+    sign bits each; a vector is a candidate iff it lands in the
+    query's EXACT bucket in ≥1 table. For a neighbor at hyperplane
+    agreement p, recall = 1 − (1−p⁷)⁴⁸ (0.5–1.0 measured at the
+    corpus's ~0.3 neighbor cosine; tests pin ≥0.5 vs knn_topk), while
+    a random vector passes with 1 − (1−2⁻⁷)⁴⁸ ≈ 31% — the
+    exact-cosine rescore touches a third of the corpus instead of all
+    of it, and tightens on any corpus whose neighbors are closer than
+    this deliberately-hard synthetic one. (The previous single-table
+    hamming-1 probe covered 13/4096 buckets and had ≈0 recall on
+    mid-similarity neighbors — an OR over tables is the textbook fix,
+    not a wider probe.) At index scale the same codes
+    become an inverted bucket table; as a streaming Ray stage the
+    cheap (256 dots → 32 byte-codes) filter per batch keeps it one
+    pass with no shuffle."""
     q = _query_vector(sf_dir)
     if q is None:
         return _empty_rank_frame()
     planes = _hyperplanes(len(q))
-    q_sig = int(((planes @ q) > 0) @ (1 << np.arange(LSH_PLANES)))
-    probe = {q_sig} | {q_sig ^ (1 << b) for b in range(LSH_PLANES)}
+    q_codes = _lsh_codes(q[None, :], planes)[0]
     qn = q / np.linalg.norm(q)
-    refs = ray.put((qn, planes, probe))
+    refs = ray.put((qn, planes, q_codes))
 
     class Probe:
         def __init__(self):
-            self.q, self.planes, self.probe = ray.get(refs)
+            self.q, self.planes, self.qcodes = ray.get(refs)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _batch_matrix(batch)
-            sigs = ((m @ self.planes.T) > 0) @ (1 << np.arange(LSH_PLANES))
+            codes = _lsh_codes(m, self.planes)
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            mask = np.isin(sigs, list(self.probe)) & (ids != QUERY_VEC_ID)
+            mask = (codes == self.qcodes).any(axis=1) & (ids != QUERY_VEC_ID)
             if not mask.any():
                 return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
             mm = m[mask]
