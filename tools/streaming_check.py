@@ -1,0 +1,128 @@
+"""§D streaming-scale check for the dedup family (VERDICT r3 next #7).
+
+Repeats the round-2 10×-data flat-RSS measurement (BASELINE.md §D) for
+``dedup_exact`` and ``dedup_minhash``: the scaled corpus is 16
+key-shifted unions of the sf0.1 documents table (doc_ids lifted into
+disjoint ranges; replica i>0 prefixes every token with ``i_`` so
+within-replica near-dup structure is preserved exactly while replicas
+are not near-dups of each other — otherwise a 94%-duplicate corpus
+measures the pathological all-pairs output, not streaming).
+
+Each configuration runs in a FRESH process (its own ray session) and
+reports wall time, docs/s, result rows, and the driver's peak RSS
+(ru_maxrss), so 1× vs 16× shows whether the driver footprint is flat.
+
+Usage:
+    python tools/streaming_check.py            # build + run all 4 configs
+    python tools/streaming_check.py --child dedup_exact /path/dir  # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BASE = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALED = "/tmp/gotenberg_ray_streamcheck_16x"
+COPIES = 16
+ID_SHIFT = 10**9
+
+
+def build_scaled() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(SCALED)
+    marker = out / "documents.parquet"
+    if marker.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    t = pq.read_table(f"{BASE}/documents.parquet")
+    parts = [t]
+    texts = t["text"].to_pylist()
+    for i in range(1, COPIES):
+        tag = f"{i}_"
+        retagged = [
+            " ".join(tag + w for w in (s or "").split()) for s in texts
+        ]
+        parts.append(
+            t.set_column(
+                t.column_names.index("doc_id"),
+                "doc_id",
+                pa.array(
+                    (t["doc_id"].to_numpy(zero_copy_only=False) + i * ID_SHIFT)
+                ),
+            ).set_column(
+                t.column_names.index("text"), "text", pa.array(retagged)
+            )
+        )
+    pq.write_table(pa.concat_tables(parts), marker)
+    return str(out)
+
+
+def run_child(query: str, sf_dir: str) -> None:
+    import resource
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from gotenberg_ray.pipelines import textops as T
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    fn = getattr(T, query)
+    t0 = time.time()
+    res = fn(sf_dir)
+    dt = time.time() - t0
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    print(
+        json.dumps(
+            {
+                "query": query,
+                "dir": sf_dir,
+                "n_docs": n_docs,
+                "sec": round(dt, 2),
+                "docs_per_sec": round(n_docs / dt, 1),
+                "result_rows": int(len(res)),
+                "driver_peak_rss_mb": round(peak_mb, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        i = sys.argv.index("--child")
+        run_child(sys.argv[i + 1], sys.argv[i + 2])
+        return
+    scaled = build_scaled()
+    for query in ("dedup_exact", "dedup_minhash"):
+        for d in (BASE, scaled):
+            out = subprocess.run(
+                [sys.executable, __file__, "--child", query, d],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=str(Path(__file__).resolve().parent.parent),
+            ).stdout
+            print(out.strip().splitlines()[-1])
+
+
+if __name__ == "__main__":
+    main()
