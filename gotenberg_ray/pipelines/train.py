@@ -78,6 +78,114 @@ def _extract_text(batch: pa.Table) -> pa.Table:
     )
 
 
+# --- the composition's stages as module-level functions, so the SAME
+# callables serve both the direct pipeline below and the stage-registry
+# composition (registry.register_builtins → "extract_text",
+# "quality_gate", "dedup_parts", "pack_contexts", "shard_sink";
+# equality of the two paths is pinned in tests/test_registry.py)
+
+
+def quality_gate(batch: pa.Table, min_tokens: int = 5) -> pa.Table:
+    """Token floor + type-token ratio (the quality.py repetition
+    signal, inlined on the already-tokenized rows: a page whose
+    distinct-token share falls below 25% is boilerplate/spam)."""
+    from ..functions.hashing import fnv64
+
+    keep = pc.greater_equal(batch["n_tokens"], min_tokens)
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat_h = fnv64(toks.values)
+    total = np.bincount(parents, minlength=batch.num_rows)
+    # distinct per row: sort (row, hash) pairs, count run starts
+    order = np.lexsort((flat_h, parents))
+    pr, hr = parents[order], flat_h[order]
+    new = np.ones(len(pr), bool)
+    if len(pr) > 1:
+        new[1:] = (pr[1:] != pr[:-1]) | (hr[1:] != hr[:-1])
+    distinct = np.bincount(parents[order][new], minlength=batch.num_rows)
+    ttr_ok = (total == 0) | (distinct * 4 >= total)  # TTR ≥ 0.25
+    keep = pc.and_(keep, pa.array(ttr_ok))
+    return batch.filter(keep)
+
+
+def _hash_parts(batch: pa.Table) -> pa.Table:
+    """(text, doc_num, part_index) → (h, key, n_tokens) dedup rows —
+    only these three ints ever shuffle."""
+    from ..functions.hashing import fnv64
+
+    h = fnv64(
+        batch["text"].combine_chunks()
+        if isinstance(batch["text"], pa.ChunkedArray)
+        else batch["text"]
+    )
+    key = pc.add(
+        pc.multiply(batch["doc_num"], pa.scalar(1_000_000, pa.int64())),
+        pc.cast(batch["part_index"], pa.int64()),
+    )
+    return pa.table(
+        {
+            "h": pa.array(h.astype(np.int64)),
+            "key": key,
+            "n_tokens": batch["n_tokens"],
+        }
+    )
+
+
+def dedup_parts(ds):
+    """Exact dedup: content hash → min (doc_num, part) wins. Equality
+    is 64-bit-hash equality (the dedup_exact convention — a 2^-64
+    collision would drop one distinct part; incremental.py shows the
+    text-verified variant when that risk is unacceptable)."""
+    return (
+        ds.map_batches(_hash_parts, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(
+            Min("key", alias_name="keep_key"), Min("n_tokens", alias_name="n_tokens")
+        )
+    )
+
+
+def pack_contexts(ds, ctx: int = 256):
+    """Context-window packing over the SHARED ordered prefix sum
+    (packing.py), keyed by keep_key; returns the (keep_key, n_tokens,
+    pack_id) manifest, materialized (it is unique-parts-sized — tiny
+    relative to the corpus) so sink + summary consumers don't re-run
+    the dedup/packing plan."""
+    from .packing import ordered_prefix_sum
+
+    packed = ordered_prefix_sum(
+        ds, "keep_key", "n_tokens", span=100_000_000, num_partitions=8
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "keep_key": b["keep_key"],
+                "n_tokens": b["n_tokens"],
+                "pack_id": pc.cast(
+                    pc.divide(b["start"], pa.scalar(ctx, pa.int64())), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return packed.materialize()
+
+
+def shard_sink(ds, out_dir: str | None = None, num_partitions: int = 8):
+    """Resumable hash-partitioned training-shard sink; returns the
+    input manifest unchanged (sink-as-stage for the registry path)."""
+    import tempfile
+
+    from ..io import write_partitioned
+
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="gotenberg_ray_shards_")
+    write_partitioned(ds, out_dir, key="pack_id", num_partitions=num_partitions)
+    return ds
+
+
 def training_data_pipeline(
     sf_dir: str,
     ctx: int = 256,
@@ -88,11 +196,8 @@ def training_data_pipeline(
     one-row summary (deterministic under the seeded crawl)."""
     import tempfile
 
-    import ray.data as rd
-
     import pyarrow.parquet as _pq
 
-    from ..functions.hashing import fnv64
     from ..io import write_partitioned
     from .flagship import crawl_convert
 
@@ -107,78 +212,11 @@ def training_data_pipeline(
 
     pages = crawl_convert(sf_dir)
     text_rows = pages.map_batches(_extract_text, batch_format="pyarrow")
-
-    # quality gate: token floor + type-token ratio (the quality.py
-    # repetition signal, inlined on the already-tokenized rows: a page
-    # whose distinct-token share falls below 25% is boilerplate/spam)
-    def gate(batch: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(batch["n_tokens"], min_tokens)
-        texts = batch["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        flat_h = fnv64(toks.values)
-        total = np.bincount(parents, minlength=batch.num_rows)
-        # distinct per row: sort (row, hash) pairs, count run starts
-        order = np.lexsort((flat_h, parents))
-        pr, hr = parents[order], flat_h[order]
-        new = np.ones(len(pr), bool)
-        if len(pr) > 1:
-            new[1:] = (pr[1:] != pr[:-1]) | (hr[1:] != hr[:-1])
-        distinct = np.bincount(parents[order][new], minlength=batch.num_rows)
-        ttr_ok = (total == 0) | (distinct * 4 >= total)  # TTR ≥ 0.25
-        keep = pc.and_(keep, pa.array(ttr_ok))
-        return batch.filter(keep)
-
-    gated = text_rows.map_batches(gate, batch_format="pyarrow")
-
-    # exact dedup: content hash → min (doc_num, part) wins; only
-    # (hash, key) pairs shuffle. Equality is 64-bit-hash equality (the
-    # dedup_exact convention — a 2^-64 collision would drop one
-    # distinct part; incremental.py shows the text-verified variant
-    # when that risk is unacceptable)
-    def hash_stage(batch: pa.Table) -> pa.Table:
-        h = fnv64(batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"])
-        key = pc.add(
-            pc.multiply(batch["doc_num"], pa.scalar(1_000_000, pa.int64())),
-            pc.cast(batch["part_index"], pa.int64()),
-        )
-        return pa.table(
-            {
-                "h": pa.array(h.astype(np.int64)),
-                "key": key,
-                "n_tokens": batch["n_tokens"],
-            }
-        )
-
-    winners = (
-        gated.map_batches(hash_stage, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("key", alias_name="keep_key"), Min("n_tokens", alias_name="n_tokens"))
+    gated = text_rows.map_batches(
+        quality_gate, batch_format="pyarrow", fn_kwargs={"min_tokens": min_tokens}
     )
-
-    # packing: the SHARED ordered prefix sum (packing.py) over keep_key
-    from .packing import ordered_prefix_sum
-
-    packed = ordered_prefix_sum(
-        winners, "keep_key", "n_tokens", span=100_000_000, num_partitions=8
-    ).map_batches(
-        lambda b: pa.table(
-            {
-                "keep_key": b["keep_key"],
-                "n_tokens": b["n_tokens"],
-                "pack_id": pc.cast(
-                    pc.divide(b["start"], pa.scalar(ctx, pa.int64())), pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    # the packed manifest is (unique parts × 3 ints) — tiny relative to
-    # the corpus; materialize once so the sink + three summary
-    # aggregates don't re-run the dedup/packing plan four times
-    packed = packed.materialize()
+    winners = dedup_parts(gated)
+    packed = pack_contexts(winners, ctx=ctx)
 
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="gotenberg_ray_shards_")

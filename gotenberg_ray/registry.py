@@ -238,6 +238,81 @@ def register_builtins() -> None:
             description="async webhook delivery w/ bounded retries (webhook.go:50-66)",
         )
     )
+
+    # the LLM training-data path (train.py) as registry stages — the
+    # extension surface proven on BOTH halves of the engine; the stage
+    # callables are the very functions training_data_pipeline chains
+    # directly, and tests/test_registry.py pins the compiled-from-
+    # registry composition equal to the direct pipeline's manifest
+    from .pipelines.train import (
+        _extract_text,
+        dedup_parts,
+        pack_contexts,
+        quality_gate,
+        shard_sink,
+    )
+
+    register(
+        StageSpec(
+            name="extract_text",
+            kind="batch",
+            fn=_extract_text,
+            schema_in=("status", "spans"),
+            description="converted pages → (doc_num, part_index, text, n_tokens)",
+        )
+    )
+    register(
+        StageSpec(
+            name="quality_gate",
+            kind="batch",
+            fn=quality_gate,
+            schema_in=("text", "n_tokens"),
+            config={"min_tokens": 5},
+            description="token floor + type-token-ratio boilerplate gate",
+        )
+    )
+    register(
+        StageSpec(
+            name="dedup_parts",
+            kind="dataset",
+            fn=dedup_parts,
+            description="exact content-hash dedup fold (only 3 ints shuffle)",
+        )
+    )
+    register(
+        StageSpec(
+            name="pack_contexts",
+            kind="dataset",
+            fn=pack_contexts,
+            config={"ctx": 256},
+            description="context-window packing via the ordered prefix sum",
+        )
+    )
+    register(
+        StageSpec(
+            name="shard_sink",
+            kind="dataset",
+            fn=shard_sink,
+            description="resumable hash-partitioned training-shard sink",
+        )
+    )
     # flag only AFTER the final registration: a failure mid-way must
     # not leave the registry permanently partial behind the guard
     _BUILTINS_DONE = True
+
+
+#: the canonical LLM training-data composition as a registry stage
+#: list — ``compile_pipeline(training_stage_list(sf_dir))`` yields the
+#: packed shard manifest (crawl → extract → gate → dedup → pack →
+#: shards), the same plan ``train.training_data_pipeline`` runs.
+def training_stage_list(
+    sf_dir: str, ctx: int = 256, min_tokens: int = 5, out_dir: str | None = None
+) -> list:
+    return [
+        ("crawl_convert", {"sf_dir": sf_dir}),
+        "extract_text",
+        ("quality_gate", {"min_tokens": min_tokens}),
+        "dedup_parts",
+        ("pack_contexts", {"ctx": ctx}),
+        ("shard_sink", {"out_dir": out_dir}),
+    ]
