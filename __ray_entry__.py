@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import relational3 as R3
     from gotenberg_ray.pipelines import relational4 as R4
+    from gotenberg_ray.pipelines import relational5 as R5
     from gotenberg_ray.pipelines import scoring as SC
     from gotenberg_ray.pipelines import setops as SO
     from gotenberg_ray.pipelines import skyline as SK
@@ -135,6 +136,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_full_outer": R4.nation_balance_full_outer,
         "nation_top_customers_agg": R4.nation_top_customers_agg,
         "orders_price_ntile": R4.orders_price_ntile,
+        # fifth relational wave (round 4): relational division (FOR
+        # ALL), packed argmin/argmax first-last aggregate, DISTINCT ON
+        # full-row top-1-per-key
+        "customers_all_priorities": R5.customers_all_priorities,
+        "customer_order_span": R5.customer_order_span,
+        "latest_event_per_user": R5.latest_event_per_user,
         # streaming-shaped event processing
         "events_daily_counts": R.events_daily_counts,
         "events_user_stats": R.events_user_stats,
@@ -299,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_event": SO.user_mode_event,
         # privacy scrub + Gopher-style repetition quality gate
         "pii_scan": Q.pii_scan,
+        "doc_phrase_mentions": Q.doc_phrase_mentions,
         "pii_redact": Q.pii_redact,
         "repetition_quality": Q.repetition_quality,
         # training-batch assembly (distributed ordered prefix sum)
@@ -400,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import relational2 as R2
     from gotenberg_ray.pipelines import relational3 as R3
     from gotenberg_ray.pipelines import relational4 as R4
+    from gotenberg_ray.pipelines import relational5 as R5
     from gotenberg_ray.pipelines import scoring as SC
     from gotenberg_ray.pipelines import setops as SO
     from gotenberg_ray.pipelines import skyline as SK
@@ -439,6 +448,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_balance_full_outer": R4.FULL_OUTER_SQL,
         "nation_top_customers_agg": R4.TOP_CUSTOMERS_AGG_SQL,
         "orders_price_ntile": R4.NTILE_SQL,
+        "customers_all_priorities": R5.DIVISION_SQL,
+        "customer_order_span": R5.ORDER_SPAN_SQL,
+        "latest_event_per_user": R5.LATEST_EVENT_SQL,
         "events_daily_counts": R.EVENTS_DAILY_SQL,
         "events_user_stats": R.EVENTS_USER_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
@@ -511,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_set_ops": SO.SET_OPS_SQL,
         "user_mode_event": SO.USER_MODE_SQL,
         "pii_scan": Q.PII_SCAN_SQL,
+        "doc_phrase_mentions": Q.PHRASE_SQL,
         "pii_redact": Q.PII_REDACT_SQL,
         "repetition_quality": Q.REPETITION_SQL,
         "pack_sequences": PK.PACK_SQL,

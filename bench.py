@@ -132,6 +132,18 @@ BENCH_QUERIES = [
     "orders_cume_dist",
     "order_price_median2p",
     "pagerank",
+    # round 4: vectorized window kernels, limbed wide folds, rebuilt
+    # multi-table LSH, and the fifth relational wave (division /
+    # packed argmin-argmax / DISTINCT ON / regex rollup)
+    "events_asof_attribution",
+    "events_rolling_peak",
+    "q22_idle_customers",
+    "nation_balance_full_outer",
+    "knn_lsh",
+    "customers_all_priorities",
+    "customer_order_span",
+    "latest_event_per_user",
+    "doc_phrase_mentions",
 ]
 
 

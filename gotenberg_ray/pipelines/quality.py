@@ -264,3 +264,68 @@ SELECT doc_id, n_words,
             THEN 1 ELSE 0 END AS BIGINT) AS pass_quality
 FROM agg WHERE n_words > 0 ORDER BY doc_id
 """
+
+
+# ----------------------------------------------- phrase-mention rollup
+
+# non-capturing groups: Python re.findall and DuckDB
+# len(regexp_extract_all(...)) must count MATCHES, not group captures
+PHRASE_RE = "(?:sort|merge) (?:table|part)"
+
+
+def doc_phrase_mentions(sf_dir: str) -> pd.DataFrame:
+    """Regex-extraction rollup per language: total phrase matches,
+    documents containing ≥1 match, and document totals — the
+    content-mining aggregation shape (mention counting / weak
+    labeling) over an opaque text column. Vectorized RE2 counting per
+    batch (``pc.count_substring_regex``, same kernel family as
+    pii_scan) folds to ≤|langs| partial rows per block before the one
+    tiny exchange."""
+    from ray.data.aggregate import Sum
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "")
+        n = pc.cast(pc.count_substring_regex(txt, PHRASE_RE), pa.int64())
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "n_mentions": n,
+                "n_docs": pc.cast(pc.greater(n, 0), pa.int64()),
+                "n_total": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [("n_mentions", "sum"), ("n_docs", "sum"), ("n_total", "sum")]
+        )
+        return g.rename_columns(["lang", "n_mentions", "n_docs", "n_total"])
+
+    df = (
+        read_table(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_mentions", alias_name="n_mentions"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_total", alias_name="n_total"),
+        )
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"lang": "object", "n_mentions": "int64",
+         "n_docs": "int64", "n_total": "int64"},
+    )
+    for c in ("n_mentions", "n_docs", "n_total"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+PHRASE_SQL = f"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '{PHRASE_RE}'))) AS BIGINT)
+           AS n_mentions,
+       CAST(sum(CASE WHEN regexp_matches(text, '{PHRASE_RE}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       count(*)::BIGINT AS n_total
+FROM documents GROUP BY lang ORDER BY lang
+"""
