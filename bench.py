@@ -147,6 +147,19 @@ BENCH_QUERIES = [
 ]
 
 
+def _git_sha() -> str | None:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=str(Path(__file__).resolve().parent),
+            timeout=5,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 — detail metadata only
+        return None
+
+
 def _init_ray(num_cpus: int):
     import ray
 
@@ -309,6 +322,7 @@ def run_default() -> dict:
         "num_cpus": NUM_CPUS,
         "crawl": crawl,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "git_sha": _git_sha(),
     }
     try:
         (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
