@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import train as TR
     from gotenberg_ray.pipelines import urls as U
     from gotenberg_ray.pipelines import windows as W
+    from gotenberg_ray.pipelines import windows2 as W2
 
     return {
         # relational operator set (filter/project/partial-agg/groupby/
@@ -157,6 +158,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed COUNT(DISTINCT): trailing-7-day active users via
         # dedup → bounded window expansion → dedup
         "rolling_distinct_users": W.rolling_distinct_users,
+        # sixth wave (round 4): window-FRAME semantics — trailing
+        # moving sum/avg over a densified series, per-key LAG gap
+        # stats, first-order cohort matrix, LAG over aggregated series
+        "orders_moving_avg": W2.orders_moving_avg,
+        "customer_order_gaps": W2.customer_order_gaps,
+        "first_order_cohort_revenue": W2.first_order_cohort_revenue,
+        "priority_yoy_delta": W2.priority_yoy_delta,
         # SCD2 point-in-time join (versioned-dimension validity
         # intervals resolved inside one keyed exchange)
         "orders_scd2_join": W.orders_scd2_join,
@@ -416,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import urls as U
     from gotenberg_ray.pipelines import windows as W
+    from gotenberg_ray.pipelines import windows2 as W2
 
     return {
         "q1_pricing_summary": R.Q1_SQL,
@@ -460,6 +469,10 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_peak": W.ROLLING_SQL,
         "events_gap_fill": W.GAP_FILL_SQL,
         "rolling_distinct_users": W.ROLLING_DISTINCT_SQL,
+        "orders_moving_avg": W2.MOVING_AVG_SQL,
+        "customer_order_gaps": W2.ORDER_GAPS_SQL,
+        "first_order_cohort_revenue": W2.COHORT_SQL,
+        "priority_yoy_delta": W2.YOY_SQL,
         "orders_scd2_join": W.SCD2_SQL,
         "user_active_time": W.ACTIVE_TIME_SQL,
         "user_retention": W.RETENTION_SQL,
