@@ -144,6 +144,12 @@ BENCH_QUERIES = [
     "customer_order_span",
     "latest_event_per_user",
     "doc_phrase_mentions",
+    # sixth window wave: densified moving frame, per-key LAG gap stats,
+    # first-order cohort matrix, LAG over an aggregated series
+    "orders_moving_avg",
+    "customer_order_gaps",
+    "first_order_cohort_revenue",
+    "priority_yoy_delta",
 ]
 
 
