@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import train as TR
     from gotenberg_ray.pipelines import urls as U
     from gotenberg_ray.pipelines import windows as W
+    from gotenberg_ray.pipelines import rollup as RU
     from gotenberg_ray.pipelines import windows2 as W2
 
     return {
@@ -165,6 +166,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_gaps": W2.customer_order_gaps,
         "first_order_cohort_revenue": W2.first_order_cohort_revenue,
         "priority_yoy_delta": W2.priority_yoy_delta,
+        # seventh wave (round 4): multi-level grouping + stateful
+        # series — ROLLUP/CUBE expanded from one fold to the finest
+        # grid, conditional-aggregation pivot, recursive integer EWMA,
+        # deterministic mode aggregate
+        "priority_year_rollup": RU.priority_year_rollup,
+        "returnflag_cube": RU.returnflag_cube,
+        "events_type_pivot": RU.events_type_pivot,
+        "orders_ewma": RU.orders_ewma,
+        "user_modal_event": RU.user_modal_event,
         # SCD2 point-in-time join (versioned-dimension validity
         # intervals resolved inside one keyed exchange)
         "orders_scd2_join": W.orders_scd2_join,
@@ -422,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import skyline as SK
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import tfidf as TFIDF
+    from gotenberg_ray.pipelines import rollup as RU
     from gotenberg_ray.pipelines import urls as U
     from gotenberg_ray.pipelines import windows as W
     from gotenberg_ray.pipelines import windows2 as W2
@@ -473,6 +484,11 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_gaps": W2.ORDER_GAPS_SQL,
         "first_order_cohort_revenue": W2.COHORT_SQL,
         "priority_yoy_delta": W2.YOY_SQL,
+        "priority_year_rollup": RU.ROLLUP_SQL,
+        "returnflag_cube": RU.CUBE_SQL,
+        "events_type_pivot": RU.PIVOT_SQL,
+        "orders_ewma": RU.EWMA_SQL,
+        "user_modal_event": RU.MODAL_SQL,
         "orders_scd2_join": W.SCD2_SQL,
         "user_active_time": W.ACTIVE_TIME_SQL,
         "user_retention": W.RETENTION_SQL,

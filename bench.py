@@ -150,6 +150,13 @@ BENCH_QUERIES = [
     "customer_order_gaps",
     "first_order_cohort_revenue",
     "priority_yoy_delta",
+    # seventh wave: ROLLUP/CUBE fold-once grids, pivot, recursive
+    # integer EWMA, deterministic mode aggregate
+    "priority_year_rollup",
+    "returnflag_cube",
+    "events_type_pivot",
+    "orders_ewma",
+    "user_modal_event",
 ]
 
 
