@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import urls as U
     from gotenberg_ray.pipelines import windows as W
     from gotenberg_ray.pipelines import rollup as RU
+    from gotenberg_ray.pipelines import semistruct as SS
     from gotenberg_ray.pipelines import windows2 as W2
 
     return {
@@ -175,6 +176,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": RU.events_type_pivot,
         "orders_ewma": RU.orders_ewma,
         "user_modal_event": RU.user_modal_event,
+        # eighth wave (round 4): semi-structured extraction +
+        # grouped order statistics — vectorized JSON field regex,
+        # value-histogram exact percentiles, ratio-to-report shares
+        "props_value_stats": SS.props_value_stats,
+        "priority_price_percentiles": SS.priority_price_percentiles,
+        "priority_revenue_share": SS.priority_revenue_share,
         # SCD2 point-in-time join (versioned-dimension validity
         # intervals resolved inside one keyed exchange)
         "orders_scd2_join": W.orders_scd2_join,
@@ -433,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import textops as T
     from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import rollup as RU
+    from gotenberg_ray.pipelines import semistruct as SS
     from gotenberg_ray.pipelines import urls as U
     from gotenberg_ray.pipelines import windows as W
     from gotenberg_ray.pipelines import windows2 as W2
@@ -489,6 +497,9 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": RU.PIVOT_SQL,
         "orders_ewma": RU.EWMA_SQL,
         "user_modal_event": RU.MODAL_SQL,
+        "props_value_stats": SS.PROPS_SQL,
+        "priority_price_percentiles": SS.PCT_SQL,
+        "priority_revenue_share": SS.SHARE_SQL,
         "orders_scd2_join": W.SCD2_SQL,
         "user_active_time": W.ACTIVE_TIME_SQL,
         "user_retention": W.RETENTION_SQL,

@@ -157,6 +157,11 @@ BENCH_QUERIES = [
     "events_type_pivot",
     "orders_ewma",
     "user_modal_event",
+    # eighth wave: vectorized JSON extraction, value-histogram exact
+    # grouped percentiles, ratio-to-report shares
+    "props_value_stats",
+    "priority_price_percentiles",
+    "priority_revenue_share",
 ]
 
 
