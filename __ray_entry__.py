@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import windows as W
     from gotenberg_ray.pipelines import rollup as RU
     from gotenberg_ray.pipelines import semistruct as SS
+    from gotenberg_ray.pipelines import temporalops as TO
     from gotenberg_ray.pipelines import windows2 as W2
 
     return {
@@ -182,6 +183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_value_stats": SS.props_value_stats,
         "priority_price_percentiles": SS.priority_price_percentiles,
         "priority_revenue_share": SS.priority_revenue_share,
+        # ninth wave (round 4): temporal-weighted aggregation and
+        # stream cleaning — LEAD-gap TWAP, running-total window,
+        # burst dedup (LAG-gap filter)
+        "user_value_twap": TO.user_value_twap,
+        "priority_running_revenue": TO.priority_running_revenue,
+        "events_dedup_burst": TO.events_dedup_burst,
         # SCD2 point-in-time join (versioned-dimension validity
         # intervals resolved inside one keyed exchange)
         "orders_scd2_join": W.orders_scd2_join,
@@ -441,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import rollup as RU
     from gotenberg_ray.pipelines import semistruct as SS
+    from gotenberg_ray.pipelines import temporalops as TO
     from gotenberg_ray.pipelines import urls as U
     from gotenberg_ray.pipelines import windows as W
     from gotenberg_ray.pipelines import windows2 as W2
@@ -500,6 +508,9 @@ def oracle_sql() -> dict[str, str]:
         "props_value_stats": SS.PROPS_SQL,
         "priority_price_percentiles": SS.PCT_SQL,
         "priority_revenue_share": SS.SHARE_SQL,
+        "user_value_twap": TO.TWAP_SQL,
+        "priority_running_revenue": TO.RUNNING_SQL,
+        "events_dedup_burst": TO.BURST_SQL,
         "orders_scd2_join": W.SCD2_SQL,
         "user_active_time": W.ACTIVE_TIME_SQL,
         "user_retention": W.RETENTION_SQL,

@@ -162,6 +162,10 @@ BENCH_QUERIES = [
     "props_value_stats",
     "priority_price_percentiles",
     "priority_revenue_share",
+    # ninth wave: LEAD-gap TWAP, running-total window, burst dedup
+    "user_value_twap",
+    "priority_running_revenue",
+    "events_dedup_burst",
 ]
 
 
