@@ -14,6 +14,7 @@ reports wall time, docs/s, result rows, and the driver's peak RSS
 
 Usage:
     python tools/streaming_check.py            # build + run all 4 configs
+    python tools/streaming_check.py --extra    # round-4 families (percentiles, TWAP)
     python tools/streaming_check.py --child dedup_exact /path/dir  # internal
 """
 
@@ -66,6 +67,43 @@ def build_scaled() -> str:
     return str(out)
 
 
+def build_scaled_table(table: str, id_cols: tuple[str, ...]) -> str:
+    """16 unions of a base table with the id columns lifted into
+    disjoint ranges per replica (keeps per-key structure inside each
+    replica; replicas never share keys)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(SCALED)
+    out.mkdir(parents=True, exist_ok=True)
+    marker = out / f"{table}.parquet"
+    if marker.exists():
+        return str(out)
+    t = pq.read_table(f"{BASE}/{table}.parquet")
+    parts = [t]
+    for i in range(1, COPIES):
+        p = t
+        for col in id_cols:
+            p = p.set_column(
+                p.column_names.index(col),
+                col,
+                pa.array(
+                    t[col].to_numpy(zero_copy_only=False) + i * ID_SHIFT
+                ),
+            )
+        parts.append(p)
+    pq.write_table(pa.concat_tables(parts), marker)
+    return str(out)
+
+
+# query -> (main table, id columns shifted per replica); documents is
+# handled by build_scaled (token retagging, not just id shifts)
+EXTRA_CONFIGS = {
+    "priority_price_percentiles": ("orders", ("o_orderkey", "o_custkey")),
+    "user_value_twap": ("events", ("event_id", "user_id")),
+}
+
+
 def run_child(query: str, sf_dir: str) -> None:
     import resource
 
@@ -80,12 +118,24 @@ def run_child(query: str, sf_dir: str) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    from gotenberg_ray.pipelines import textops as T
 
     import pyarrow.parquet as pq
 
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    fn = getattr(T, query)
+    table = EXTRA_CONFIGS.get(query, ("documents", ()))[0]
+    n_docs = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    if query in EXTRA_CONFIGS:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "entry", str(Path(__file__).resolve().parent.parent / "__ray_entry__.py")
+        )
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        fn = m.queries()[query]
+    else:
+        from gotenberg_ray.pipelines import textops as T
+
+        fn = getattr(T, query)
     t0 = time.time()
     res = fn(sf_dir)
     dt = time.time() - t0
@@ -111,8 +161,17 @@ def main() -> None:
         i = sys.argv.index("--child")
         run_child(sys.argv[i + 1], sys.argv[i + 2])
         return
-    scaled = build_scaled()
-    for query in ("dedup_exact", "dedup_minhash"):
+    if "--extra" in sys.argv:
+        # round-4 families: value-histogram percentiles (orders) and
+        # LEAD-gap TWAP (events)
+        queries = list(EXTRA_CONFIGS)
+        for q in queries:
+            build_scaled_table(*EXTRA_CONFIGS[q])
+        scaled = SCALED
+    else:
+        scaled = build_scaled()
+        queries = ["dedup_exact", "dedup_minhash"]
+    for query in queries:
         for d in (BASE, scaled):
             out = subprocess.run(
                 [sys.executable, __file__, "--child", query, d],
