@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "user_value_twap",
     "priority_running_revenue",
     "events_dedup_burst",
+    # exact column profiling (canonical-64 distinct pairs)
+    "orders_profile",
 ]
 
 
