@@ -189,9 +189,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_twap": TO.user_value_twap,
         "priority_running_revenue": TO.priority_running_revenue,
         "events_dedup_burst": TO.events_dedup_burst,
-        # exact column profiling (data-catalog operator): per-column
-        # row/null/DISTINCT counts via canonical-64 distinct pairs
-        "orders_profile": VA.orders_profile,
         # SCD2 point-in-time join (versioned-dimension validity
         # intervals resolved inside one keyed exchange)
         "orders_scd2_join": W.orders_scd2_join,
@@ -514,7 +511,6 @@ def oracle_sql() -> dict[str, str]:
         "user_value_twap": TO.TWAP_SQL,
         "priority_running_revenue": TO.RUNNING_SQL,
         "events_dedup_burst": TO.BURST_SQL,
-        "orders_profile": VA.PROFILE_SQL,
         "orders_scd2_join": W.SCD2_SQL,
         "user_active_time": W.ACTIVE_TIME_SQL,
         "user_retention": W.RETENTION_SQL,

@@ -166,7 +166,7 @@ BENCH_QUERIES = [
     "user_value_twap",
     "priority_running_revenue",
     "events_dedup_burst",
-    # exact column profiling (canonical-64 distinct pairs)
+    # ANALYZE-style exact column profile (one hash-keyed exchange)
     "orders_profile",
 ]
 

@@ -151,155 +151,3 @@ SELECT * FROM (
 ) ORDER BY check_name
 """
 
-
-# ----------------------------------------------------- column profiling
-
-# orders schema in profile order; each entry: (name, kind) where kind
-# picks the canonical 64-bit encoding for exact distinct counting
-PROFILE_COLS = (
-    ("o_custkey", "int"),
-    ("o_orderdate", "ts"),
-    ("o_orderkey", "int"),
-    ("o_orderpriority", "str"),
-    ("o_orderstatus", "str"),
-    ("o_totalprice", "f64"),
-)
-_PROFILE_P = 32
-
-
-def _col64(col: pa.ChunkedArray, kind: str) -> np.ndarray:
-    """Canonical int64 encoding whose distinct count equals the
-    column's distinct VALUE count: identity for ints/timestamps, IEEE
-    bit pattern for doubles (exact — the corpus has no NaN/-0.0
-    aliasing), FNV-1a for strings (collision odds ~n^2/2^64)."""
-    if kind == "str":
-        from ..functions.hashing import fnv64
-
-        return fnv64(col).view(np.int64)
-    if kind == "f64":
-        return col.to_numpy(zero_copy_only=False).view(np.int64)
-    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
-
-
-def orders_profile(sf_dir: str) -> pd.DataFrame:
-    """One-pass-per-fold column profile of ``orders``: exact row,
-    null, and DISTINCT counts for every column (the df.describe() /
-    data-catalog profiling operator).
-
-    Counts fold to a |columns|-row grid per batch. Exact distincts use
-    the canonical-64 encoding: each batch emits its LOCAL distinct
-    (col_id, v64) pairs, ONE hash-keyed exchange dedups globally, and
-    each bucket reports per-column partial distinct counts — only
-    distinct pairs shuffle, nothing row-sized reaches the driver."""
-    from .joins import partition_ids
-
-    names = [c for c, _ in PROFILE_COLS]
-
-    def count_partials(batch: pa.Table) -> pa.Table:
-        rows, nulls, ids = [], [], []
-        for i, (name, _) in enumerate(PROFILE_COLS):
-            ids.append(i)
-            rows.append(batch.num_rows)
-            nulls.append(batch.column(name).null_count)
-        return pa.table(
-            {
-                "col_id": pa.array(ids, pa.int64()),
-                "rows": pa.array(rows, pa.int64()),
-                "nulls": pa.array(nulls, pa.int64()),
-            }
-        )
-
-    counts = (
-        _read(sf_dir, "orders", names)
-        .map_batches(count_partials, batch_format="pyarrow")
-        .groupby("col_id")
-        .aggregate(Sum("rows", alias_name="n_rows"), Sum("nulls", alias_name="n_null"))
-        .to_pandas()
-    )
-    counts = ensure_columns(
-        counts, {"col_id": "int64", "n_rows": "int64", "n_null": "int64"}
-    )
-
-    def distinct_pairs(batch: pa.Table) -> pa.Table:
-        cids, vs = [], []
-        for i, (name, kind) in enumerate(PROFILE_COLS):
-            col = batch.column(name)
-            v = _col64(col.drop_null() if col.null_count else col, kind)
-            v = np.unique(v)  # batch-local dedup before the exchange
-            cids.append(np.full(len(v), i, dtype=np.int64))
-            vs.append(v)
-        t = pa.table(
-            {
-                "col_id": pa.array(np.concatenate(cids) if cids else [], pa.int64()),
-                "v": pa.array(np.concatenate(vs) if vs else [], pa.int64()),
-            }
-        )
-        return t.append_column("pid", partition_ids(t.column("v"), _PROFILE_P))
-
-    def per_bucket(part: pa.Table) -> pa.Table:
-        cid = part["col_id"].to_numpy(zero_copy_only=False)
-        v = part["v"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, cid))
-        c_s, v_s = cid[order], v[order]
-        fresh = np.r_[True, (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1])]
-        per_col = np.bincount(c_s[fresh], minlength=len(PROFILE_COLS))
-        return pa.table(
-            {
-                "col_id": pa.array(
-                    np.arange(len(PROFILE_COLS), dtype=np.int64)
-                ),
-                "nd": pa.array(per_col.astype(np.int64)),
-            }
-        )
-
-    distinct = (
-        _read(sf_dir, "orders", names)
-        .map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby("pid", num_partitions=_PROFILE_P)
-        .map_groups(
-            lambda t: per_bucket(t.drop_columns(["pid"])), batch_format="pyarrow"
-        )
-        .to_pandas()
-    )
-    distinct = ensure_columns(distinct, {"col_id": "int64", "nd": "int64"})
-    nd = distinct.groupby("col_id")["nd"].sum() if len(distinct) else pd.Series(dtype="int64")
-
-    out = pd.DataFrame({"col_name": names, "col_id": range(len(names))})
-    c = counts.set_index("col_id")
-    out["n_rows"] = out["col_id"].map(c["n_rows"]).fillna(0).astype("int64")
-    out["n_null"] = out["col_id"].map(c["n_null"]).fillna(0).astype("int64")
-    out["n_distinct"] = out["col_id"].map(nd).fillna(0).astype("int64")
-    return (
-        out[["col_name", "n_rows", "n_null", "n_distinct"]]
-        .sort_values("col_name")
-        .reset_index(drop=True)
-    )
-
-
-PROFILE_SQL = """
-SELECT * FROM (
-  SELECT 'o_custkey' AS col_name, count(*)::BIGINT AS n_rows,
-         (count(*) - count(o_custkey))::BIGINT AS n_null,
-         count(DISTINCT o_custkey)::BIGINT AS n_distinct FROM orders
-  UNION ALL
-  SELECT 'o_orderdate', count(*)::BIGINT,
-         (count(*) - count(o_orderdate))::BIGINT,
-         count(DISTINCT o_orderdate)::BIGINT FROM orders
-  UNION ALL
-  SELECT 'o_orderkey', count(*)::BIGINT,
-         (count(*) - count(o_orderkey))::BIGINT,
-         count(DISTINCT o_orderkey)::BIGINT FROM orders
-  UNION ALL
-  SELECT 'o_orderpriority', count(*)::BIGINT,
-         (count(*) - count(o_orderpriority))::BIGINT,
-         count(DISTINCT o_orderpriority)::BIGINT FROM orders
-  UNION ALL
-  SELECT 'o_orderstatus', count(*)::BIGINT,
-         (count(*) - count(o_orderstatus))::BIGINT,
-         count(DISTINCT o_orderstatus)::BIGINT FROM orders
-  UNION ALL
-  SELECT 'o_totalprice', count(*)::BIGINT,
-         (count(*) - count(o_totalprice))::BIGINT,
-         count(DISTINCT o_totalprice)::BIGINT FROM orders
-) ORDER BY col_name
-"""

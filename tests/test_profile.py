@@ -1,7 +1,9 @@
-"""Column-profiling contract tests: null accounting (the synthetic
-tables carry no nulls, so the null path needs explicit coverage),
-distinct-count exactness for every column kind (int / timestamp /
-string / double), and cross-block dedup of the distinct pairs."""
+"""Column-profiling contract tests for ``analytics.orders_profile``
+(previously pinned only by its oracle pair): null accounting (the
+synthetic tables carry no nulls, so the null path needs explicit
+coverage), distinct-count exactness for every column kind
+(int / timestamp / string / double), and cross-block dedup of the
+distinct pairs."""
 
 from __future__ import annotations
 
@@ -10,7 +12,16 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from gotenberg_ray.pipelines import validate as VA
+from gotenberg_ray.pipelines import analytics as AN
+
+PROFILE_COLS = (
+    "o_custkey",
+    "o_orderdate",
+    "o_orderkey",
+    "o_orderpriority",
+    "o_orderstatus",
+    "o_totalprice",
+)
 
 
 def _write(tmp_path, n, *, dup_every=3, null_every=None):
@@ -45,8 +56,8 @@ def _write(tmp_path, n, *, dup_every=3, null_every=None):
 
 def test_profile_exact_counts_all_kinds(ray_session, tmp_path):
     sf, t = _write(tmp_path, 60)
-    df = VA.orders_profile(sf).set_index("col_name")
-    for name, _ in VA.PROFILE_COLS:
+    df = AN.orders_profile(sf).set_index("col_name")
+    for name in PROFILE_COLS:
         col = t.column(name)
         assert df.loc[name, "n_rows"] == 60
         assert df.loc[name, "n_null"] == 0
@@ -56,7 +67,7 @@ def test_profile_exact_counts_all_kinds(ray_session, tmp_path):
 
 def test_profile_null_accounting(ray_session, tmp_path):
     sf, t = _write(tmp_path, 30, null_every=5)  # rows 0,5,10,... null
-    df = VA.orders_profile(sf).set_index("col_name")
+    df = AN.orders_profile(sf).set_index("col_name")
     assert df.loc["o_custkey", "n_null"] == 6
     exact = len(set(t.column("o_custkey").drop_null().to_pylist()))
     assert df.loc["o_custkey", "n_distinct"] == exact
