@@ -189,6 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_twap": TO.user_value_twap,
         "priority_running_revenue": TO.priority_running_revenue,
         "events_dedup_burst": TO.events_dedup_burst,
+        # self-join size / F2 frequency moment (AMS planning
+        # primitive): exact limbed fold + CMS inner-product estimate
+        "user_selfjoin_size": AN.user_selfjoin_size,
+        "selfjoin_size_cms": AN.selfjoin_size_cms,
         # SCD2 point-in-time join (versioned-dimension validity
         # intervals resolved inside one keyed exchange)
         "orders_scd2_join": W.orders_scd2_join,
@@ -511,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_twap": TO.TWAP_SQL,
         "priority_running_revenue": TO.RUNNING_SQL,
         "events_dedup_burst": TO.BURST_SQL,
+        "user_selfjoin_size": AN.SELFJOIN_SQL,
         "orders_scd2_join": W.SCD2_SQL,
         "user_active_time": W.ACTIVE_TIME_SQL,
         "user_retention": W.RETENTION_SQL,

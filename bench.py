@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "events_dedup_burst",
     # ANALYZE-style exact column profile (one hash-keyed exchange)
     "orders_profile",
+    # F2 / self-join size: limbed exact fold + CMS inner product
+    "user_selfjoin_size",
+    "selfjoin_size_cms",
 ]
 
 

@@ -1500,3 +1500,135 @@ SELECT o_orderpriority,
             AS BIGINT) AS p50_e2
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# ------------------------------------- self-join size / F2 moment
+
+
+def user_selfjoin_size(sf_dir: str) -> pd.DataFrame:
+    """EXACT self-join size of events on user_id — the second
+    frequency moment F2 = Σ_u f(u)² (Alon–Matias–Szegedy 1996), the
+    number a planner needs before sizing ``events ⋈ events`` and the
+    classic skew indicator (F2/N = average join fan-out).
+
+    Distributed: per-batch (user, n) count partials → ONE user-keyed
+    exchange → per-bucket combine + f² fold. Each f² fits int64
+    (f < 2³¹ per user), but Σf² outgrows int64 at corpus scale, so the
+    per-bucket partial carries Sum128 limbs (functions/limbs.py) and
+    the driver recombines exact Python ints over the P bucket rows."""
+    from ..functions.limbs import CARRY
+    from .joins import partition_ids
+
+    def local(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(u, return_counts=True)
+        t = pa.table(
+            {
+                "user_id": pa.array(uniq.astype(np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+        return t.append_column(
+            "pid", partition_ids(t.column("user_id"), JOIN_PARTITIONS)
+        )
+
+    def per_bucket(part: pa.Table) -> pa.Table:
+        u = part["user_id"].to_numpy(zero_copy_only=False)
+        n = part["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u_s, n_s = u[order], n[order]
+        heads = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        f = np.add.reduceat(n_s, heads)  # true per-user counts
+        sq = f.astype(np.int64) ** 2
+        return pa.table(
+            {
+                "n_events": pa.array([int(f.sum())], pa.int64()),
+                "n_users": pa.array([len(heads)], pa.int64()),
+                "f2_hi": pa.array([int((sq // CARRY).sum())], pa.int64()),
+                "f2_lo": pa.array([int((sq % CARRY).sum())], pa.int64()),
+                "max_f": pa.array([int(f.max())], pa.int64()),
+            }
+        )
+
+    df = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(
+            lambda t: per_bucket(t.drop_columns(["pid"])), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "n_events": pd.Series([0], dtype="int64"),
+                "n_users": pd.Series([0], dtype="int64"),
+                "selfjoin_size": pd.Series([0], dtype="int64"),
+                "max_f": pd.Series([0], dtype="int64"),
+            }
+        )
+    f2 = int(df["f2_hi"].astype(object).sum()) * CARRY + int(
+        df["f2_lo"].astype(object).sum()
+    )
+    return pd.DataFrame(
+        {
+            "n_events": pd.Series([int(df["n_events"].sum())], dtype="int64"),
+            "n_users": pd.Series([int(df["n_users"].sum())], dtype="int64"),
+            "selfjoin_size": pd.Series([f2], dtype="int64"),
+            "max_f": pd.Series([int(df["max_f"].max())], dtype="int64"),
+        }
+    )
+
+
+SELFJOIN_SQL = """
+WITH f AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1)
+SELECT coalesce(sum(n), 0)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_users,
+       coalesce(sum(n * n), 0)::BIGINT AS selfjoin_size,
+       coalesce(max(n), 0)::BIGINT AS max_f
+FROM f
+"""
+
+
+def selfjoin_size_cms(sf_dir: str) -> pd.DataFrame:
+    """Self-join size ESTIMATED from the Count-Min inner product
+    (min over rows of Σ_w table[i,w]²) next to the exact F2 — the
+    streaming estimator a planner uses when the key histogram is too
+    big to fold exactly. One-sided: estimate ≥ exact always; within
+    exact + ε·N² (ε = e/width) with high probability (pinned by
+    pytest on the fixed seeded hash family). Rows-only by design:
+    sketch estimates have no SQL twin."""
+    from ..state.cms import CountMin
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = CountMin()
+        sk.update(batch["user_id"])
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    parts = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    exact = int(user_selfjoin_size(sf_dir)["selfjoin_size"].iloc[0])
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "exact_f2": pd.Series([0], dtype="int64"),
+                "cms_estimate": pd.Series([0], dtype="int64"),
+                "bound": pd.Series([0], dtype="int64"),
+            }
+        )
+    sk = CountMin.from_bytes(parts["sk"].iloc[0])
+    for raw in parts["sk"].iloc[1:]:
+        sk.merge(CountMin.from_bytes(raw))
+    est = int(min(int((row.astype(object) ** 2).sum()) for row in sk.table))
+    bound = exact + int(math.e / sk.width * sk.n * sk.n)
+    return pd.DataFrame(
+        {
+            "exact_f2": pd.Series([exact], dtype="int64"),
+            "cms_estimate": pd.Series([est], dtype="int64"),
+            "bound": pd.Series([bound], dtype="int64"),
+        }
+    )
