@@ -170,18 +170,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_yoy_delta": W2.priority_yoy_delta,
         # seventh wave (round 4): multi-level grouping + stateful
         # series — ROLLUP/CUBE expanded from one fold to the finest
-        # grid, conditional-aggregation pivot, recursive integer EWMA,
-        # deterministic mode aggregate
+        # grid, conditional-aggregation pivot, recursive integer EWMA
         "priority_year_rollup": RU.priority_year_rollup,
         "returnflag_cube": RU.returnflag_cube,
         "events_type_pivot": RU.events_type_pivot,
         "orders_ewma": RU.orders_ewma,
-        "user_modal_event": RU.user_modal_event,
-        # eighth wave (round 4): semi-structured extraction +
-        # grouped order statistics — vectorized JSON field regex,
-        # value-histogram exact percentiles, ratio-to-report shares
-        "props_value_stats": SS.props_value_stats,
-        "priority_price_percentiles": SS.priority_price_percentiles,
+        # eighth wave (round 4): ratio-to-report window shares
         "priority_revenue_share": SS.priority_revenue_share,
         # ninth wave (round 4): temporal-weighted aggregation and
         # stream cleaning — LEAD-gap TWAP, running-total window,
@@ -508,9 +502,6 @@ def oracle_sql() -> dict[str, str]:
         "returnflag_cube": RU.CUBE_SQL,
         "events_type_pivot": RU.PIVOT_SQL,
         "orders_ewma": RU.EWMA_SQL,
-        "user_modal_event": RU.MODAL_SQL,
-        "props_value_stats": SS.PROPS_SQL,
-        "priority_price_percentiles": SS.PCT_SQL,
         "priority_revenue_share": SS.SHARE_SQL,
         "user_value_twap": TO.TWAP_SQL,
         "priority_running_revenue": TO.RUNNING_SQL,

@@ -151,16 +151,12 @@ BENCH_QUERIES = [
     "first_order_cohort_revenue",
     "priority_yoy_delta",
     # seventh wave: ROLLUP/CUBE fold-once grids, pivot, recursive
-    # integer EWMA, deterministic mode aggregate
+    # integer EWMA
     "priority_year_rollup",
     "returnflag_cube",
     "events_type_pivot",
     "orders_ewma",
-    "user_modal_event",
-    # eighth wave: vectorized JSON extraction, value-histogram exact
-    # grouped percentiles, ratio-to-report shares
-    "props_value_stats",
-    "priority_price_percentiles",
+    # eighth wave: ratio-to-report window shares
     "priority_revenue_share",
     # ninth wave: LEAD-gap TWAP, running-total window, burst dedup
     "user_value_twap",

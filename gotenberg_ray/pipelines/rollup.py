@@ -25,17 +25,13 @@ series operators, each with an exact DuckDB twin:
   calendar-bounded day series (same driver-size contract as
   windows2.orders_moving_avg), the revenue fold is distributed.
 
-- ``user_modal_event``: per-user modal event type (mode aggregate)
-  with a total order on ties (count DESC, type ASC). Batch-local
-  (user, type) count fold -> ONE user-keyed exchange -> per-bucket
-  lexsort + segment-head pick; no per-user Python calls.
-
 Scale contract (same as relational.py / windows2.py): pruned reads,
 per-batch partial folds before every exchange, exact integer money
 math; the only driver-side materializations are category- or
 calendar-bounded grids. Reference semantics: the reference's metrics
-rollups and per-route mode stats (pkg/gotenberg/prometheus.go) are
-the WHAT; the fold-once grid expansion is the Ray-native HOW.
+rollups (pkg/gotenberg/prometheus.go) are the WHAT; the fold-once
+grid expansion is the Ray-native HOW. (A modal-event draft was
+consolidated into the pre-existing ``setops.user_mode_event``.)
 """
 
 from __future__ import annotations
@@ -47,7 +43,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 from ..functions.frames import ensure_columns
-from .relational import JOIN_PARTITIONS, _read
+from .relational import _read
 from .windows import _fmt_days
 
 US = 1_000_000
@@ -371,91 +367,4 @@ e AS (
 SELECT strftime(DATE '1970-01-01' + d::INT, '%Y-%m-%d') AS day,
        revenue_e2, ewma_e2::BIGINT AS ewma_e2
 FROM e ORDER BY day
-"""
-
-
-# ------------------------------------------------------ mode aggregate
-
-
-def user_modal_event(sf_dir: str) -> pd.DataFrame:
-    """Per-user modal event type with a TOTAL tie order (count DESC,
-    then type ASC) so the answer is deterministic — unlike a bare SQL
-    ``mode()``. Batch-local (user, type) count fold -> one user-keyed
-    exchange -> per-bucket combine + segment-head pick, all
-    vectorized (the windows2.customer_order_gaps bucket pattern)."""
-
-    type_arr = pa.array(list(EVENT_TYPES))
-
-    def local(batch: pa.Table) -> pa.Table:
-        from .joins import partition_ids
-
-        users = batch["user_id"].to_numpy(zero_copy_only=False)
-        tcode = pc.index_in(batch["event_type"], type_arr).to_numpy(
-            zero_copy_only=False
-        )
-        kn = ~pd.isna(tcode)
-        users, tcode = users[kn], tcode[kn].astype(np.int64)
-        key = users * len(EVENT_TYPES) + tcode
-        uniq, counts = np.unique(key, return_counts=True)
-        t = pa.table(
-            {
-                "user_id": pa.array((uniq // len(EVENT_TYPES)).astype(np.int64)),
-                "tcode": pa.array((uniq % len(EVENT_TYPES)).astype(np.int64)),
-                "n": pa.array(counts.astype(np.int64)),
-            }
-        )
-        return t.append_column(
-            "pid", partition_ids(t.column("user_id"), JOIN_PARTITIONS)
-        )
-
-    def per_bucket(part: pa.Table) -> pa.Table:
-        users = part["user_id"].to_numpy(zero_copy_only=False)
-        tcode = part["tcode"].to_numpy(zero_copy_only=False)
-        n = part["n"].to_numpy(zero_copy_only=False)
-        # combine cross-batch partials for the same (user, type)
-        key = users * len(EVENT_TYPES) + tcode
-        uniq, inv = np.unique(key, return_inverse=True)
-        tot = np.bincount(inv, weights=n).astype(np.int64)
-        u = (uniq // len(EVENT_TYPES)).astype(np.int64)
-        t = (uniq % len(EVENT_TYPES)).astype(np.int64)
-        # order (user ASC, n DESC, type ASC); segment head = the mode
-        order = np.lexsort((t, -tot, u))
-        u_s, t_s, n_s = u[order], t[order], tot[order]
-        heads = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
-        return pa.table(
-            {
-                "user_id": pa.array(u_s[heads]),
-                "modal_type": pc.take(type_arr, pa.array(t_s[heads])),
-                "n_events": pa.array(n_s[heads]),
-            }
-        )
-
-    df = (
-        _read(sf_dir, "events", ["user_id", "event_type"])
-        .map_batches(local, batch_format="pyarrow")
-        .groupby("pid", num_partitions=JOIN_PARTITIONS)
-        .map_groups(
-            lambda t: per_bucket(t.drop_columns(["pid"])), batch_format="pyarrow"
-        )
-        .to_pandas()
-    )
-    df = ensure_columns(
-        df, {"user_id": "int64", "modal_type": "object", "n_events": "int64"}
-    )
-    for c in ("user_id", "n_events"):
-        df[c] = df[c].astype("int64")
-    return df.sort_values("user_id").reset_index(drop=True)
-
-
-MODAL_SQL = """
-WITH c AS (
-  SELECT user_id, event_type, count(*)::BIGINT AS n
-  FROM events GROUP BY 1, 2),
-r AS (
-  SELECT user_id, event_type, n,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY n DESC, event_type) AS rk
-  FROM c)
-SELECT user_id, event_type AS modal_type, n AS n_events
-FROM r WHERE rk = 1 ORDER BY user_id
 """

@@ -1,7 +1,7 @@
 """Seventh analytic wave: contract tests beyond the DuckDB twins —
 ROLLUP/CUBE expansion from the finest grid (including the empty-input
-grand-total contract), pivot column totals, the integer EWMA
-recurrence, and mode tie-breaking."""
+grand-total contract), pivot column totals, and the integer EWMA
+recurrence."""
 
 from __future__ import annotations
 
@@ -120,20 +120,6 @@ def test_ewma_matches_numpy_reference(ray_session, tmp_path):
         acc = (int(r) + 7 * acc) // 8
         exp.append(acc)
     assert list(df["ewma_e2"]) == exp
-
-
-def test_modal_event_tie_breaks_lexicographically(ray_session, tmp_path):
-    rows = [
-        (1, 0, "view"),
-        (1, 1, "click"),      # user 1: click=1, view=1 → tie → 'click'
-        (2, 0, "purchase"),
-        (2, 1, "purchase"),
-        (2, 2, "view"),       # user 2: purchase wins on count
-    ]
-    df = RU.user_modal_event(_write_events(tmp_path, rows))
-    got = df.set_index("user_id")["modal_type"].to_dict()
-    assert got == {1: "click", 2: "purchase"}
-    assert df.set_index("user_id")["n_events"].to_dict() == {1: 1, 2: 2}
 
 
 def test_cube_marginals_consistent(ray_session, tmp_path):
