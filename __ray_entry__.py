@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_burst": TO.events_dedup_burst,
         # self-join size / F2 frequency moment (AMS planning
         # primitive): exact limbed fold + CMS inner-product estimate
+        # k-core decomposition of the link graph (iterative peel;
+        # rows-only — peeling is not monotone, no recursive-CTE twin)
+        "kcore_nodes": GR.kcore_nodes,
         "user_selfjoin_size": AN.user_selfjoin_size,
         "selfjoin_size_cms": AN.selfjoin_size_cms,
         # SCD2 point-in-time join (versioned-dimension validity

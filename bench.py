@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     # F2 / self-join size: limbed exact fold + CMS inner product
     "user_selfjoin_size",
     "selfjoin_size_cms",
+    # k-core of the link graph (iterative peel, driver-gated)
+    "kcore_nodes",
 ]
 
 

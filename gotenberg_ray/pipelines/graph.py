@@ -1161,3 +1161,167 @@ SELECT chain.anc AS doc_id,
 FROM chain JOIN documents d ON d.doc_id = chain.node
 GROUP BY chain.anc ORDER BY doc_id
 """
+
+
+# ------------------------------------------------ k-core decomposition
+
+
+def _sym_dedup_np(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetrize and dedup an edge list (numpy): one lexsort over the
+    doubled list, boundary-diff unique."""
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+    return u[keep], v[keep]
+
+
+def _numpy_kcore(
+    src: np.ndarray, dst: np.ndarray, n_nodes: int, k: int
+) -> pd.DataFrame:
+    """Vectorized iterative peeling on the driver: each round one
+    bincount + one mask filter; rounds = peel depth."""
+    u, v = _sym_dedup_np(src, dst)
+    while True:
+        deg = np.bincount(u, minlength=n_nodes)
+        alive = deg >= k  # isolated / under-k nodes die this round
+        e_keep = alive[u] & alive[v]
+        if e_keep.all():
+            break
+        u, v = u[e_keep], v[e_keep]
+    deg = np.bincount(u, minlength=n_nodes)
+    ids = np.flatnonzero(deg >= k)
+    return pd.DataFrame(
+        {
+            "doc_id": ids.astype(np.int64),
+            "core_degree": deg[ids].astype(np.int64),
+        }
+    )
+
+
+def kcore_nodes(
+    sf_dir: str, k: int = 3, driver_max_edges: int = DRIVER_MAX_EDGES
+) -> pd.DataFrame:
+    """k-CORE of the (symmetrized) derived link graph: iteratively peel
+    every node with degree < k until the fixed point; survivors are the
+    densely-connected core (the classic spam-farm / community filter a
+    link-quality pipeline runs before trusting anchor signals —
+    reference link handling: pkg/modules/chromium/chromium.go URL
+    graph). Returns (doc_id, degree-within-core), doc_id-sorted.
+
+    Iterative and therefore rows-only (peeling is not monotone, so no
+    recursive-CTE twin); pinned by a slow-reference parity test plus
+    driver≡distributed equality, like pagerank / components.
+
+    Distributed rounds (above the ``DRIVER_MAX_EDGES`` gate): the
+    symmetrized edge list is deduped once behind ONE keyed exchange;
+    each round is groupby(src).count → filter survivors (nodes absent
+    from the degree table are isolated and die implicitly) → two
+    semi-joins shrink the edge list. Edges only ever shrink, the
+    survivor table is O(alive nodes), and the stop test is one tiny
+    count per round — nothing corpus-sized reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+    from .relational import JOIN_PARTITIONS
+
+    edges, n_nodes = _doc_link_edges(sf_dir)
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "core_degree": pd.Series([], dtype="int64"),
+        }
+    )
+    if n_nodes == 0:
+        return empty
+
+    if 3 * n_nodes <= driver_max_edges:
+        df = edges.to_pandas()
+        return _numpy_kcore(
+            df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64), n_nodes, k
+        )
+
+    # ---- distributed path: symmetrize + dedup behind one exchange
+    def both_dirs(b: pa.Table) -> pa.Table:
+        from .joins import partition_ids
+
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }
+        )
+        return t.append_column(
+            "pid", partition_ids(t.column("src"), JOIN_PARTITIONS)
+        )
+
+    def bucket_unique(g: pa.Table) -> pa.Table:
+        u = g["src"].to_numpy(zero_copy_only=False)
+        v = g["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        return pa.table({"src": pa.array(u[keep]), "dst": pa.array(v[keep])})
+
+    sym = (
+        edges.map_batches(both_dirs, batch_format="pyarrow")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(
+            lambda t: bucket_unique(t.drop_columns(["pid"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    n_alive = None
+    while True:
+        deg = (
+            sym.map_batches(
+                lambda b: b.select(["src"])
+                .group_by("src")
+                .aggregate([([], "count_all")]),
+                batch_format="pyarrow",
+            )
+            .groupby("src")
+            .aggregate(Sum("count_all", alias_name="deg"))
+        )
+        survivors = deg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["deg"], k)).select(["src"]),
+            batch_format="pyarrow",
+        ).materialize()
+        cnt = survivors.count()
+        if cnt == 0:
+            return empty
+        if cnt == n_alive:
+            break
+        n_alive = cnt
+        sym = hash_join(
+            sym, survivors, on="src", num_partitions=JOIN_PARTITIONS,
+            join_type="left semi",
+            left_schema=[("src", pa.int64()), ("dst", pa.int64())],
+            right_schema=[("src", pa.int64())],
+        )
+        sym = hash_join(
+            sym, survivors, on="dst", right_on="src",
+            num_partitions=JOIN_PARTITIONS, join_type="left semi",
+            left_schema=[("src", pa.int64()), ("dst", pa.int64())],
+            right_schema=[("src", pa.int64())],
+        ).materialize()
+
+    out = (
+        sym.map_batches(
+            lambda b: b.select(["src"]).group_by("src").aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+        )
+        .groupby("src")
+        .aggregate(Sum("count_all", alias_name="core_degree"))
+        .to_pandas()
+    )
+    out = ensure_columns(out, {"src": "int64", "core_degree": "int64"})
+    out = out[out["core_degree"] >= k].rename(columns={"src": "doc_id"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

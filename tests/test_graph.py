@@ -246,3 +246,56 @@ class TestHierarchyRollup:
         monkeypatch.setattr(G, "DRIVER_MAX_EDGES", 0)
         slow = G.hierarchy_rollup(sf_dir)
         pd.testing.assert_frame_equal(fast, slow)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKCore:
+    def _slow_reference(self, src, dst, n, k):
+        """Obvious per-round peeling over adjacency sets."""
+        adj = {i: set() for i in range(n)}
+        for a, b in zip(src.tolist(), dst.tolist()):
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        alive = set(range(n))
+        changed = True
+        while changed:
+            dead = {x for x in alive if len(adj[x] & alive) < k}
+            changed = bool(dead)
+            alive -= dead
+        rows = sorted(
+            (x, len(adj[x] & alive)) for x in alive
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "core_degree": pd.Series([r[1] for r in rows], dtype="int64"),
+            }
+        )
+
+    def test_matches_slow_reference(self, sf_dir):
+        from gotenberg_ray.pipelines.graph import _doc_link_edges
+
+        edges, n = _doc_link_edges(sf_dir)
+        df = edges.to_pandas()
+        for k in (2, 3, 5):
+            got = G.kcore_nodes(sf_dir, k=k)
+            exp = self._slow_reference(
+                df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64), n, k
+            )
+            pd.testing.assert_frame_equal(got, exp)
+
+    def test_driver_and_distributed_paths_identical(self, sf_dir):
+        fast = G.kcore_nodes(sf_dir, k=3)
+        dist = G.kcore_nodes(sf_dir, k=3, driver_max_edges=0)
+        pd.testing.assert_frame_equal(
+            fast.reset_index(drop=True), dist.reset_index(drop=True)
+        )
+
+    def test_core_invariants(self, sf_dir):
+        """Every survivor has core_degree >= k, and the (k+1)-core is a
+        subset of the k-core (nesting property)."""
+        k3 = G.kcore_nodes(sf_dir, k=3)
+        k4 = G.kcore_nodes(sf_dir, k=4)
+        assert (k3["core_degree"] >= 3).all()
+        assert set(k4["doc_id"]) <= set(k3["doc_id"])
