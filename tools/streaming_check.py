@@ -99,7 +99,7 @@ def build_scaled_table(table: str, id_cols: tuple[str, ...]) -> str:
 # query -> (main table, id columns shifted per replica); documents is
 # handled by build_scaled (token retagging, not just id shifts)
 EXTRA_CONFIGS = {
-    "priority_price_percentiles": ("orders", ("o_orderkey", "o_custkey")),
+    "order_price_quantiles": ("orders", ("o_orderkey", "o_custkey")),
     "user_value_twap": ("events", ("event_id", "user_id")),
 }
 
