@@ -161,6 +161,20 @@ class TestTriangleCount:
         assert int(a["n_triangles"][0]) == want
         assert want >= 0
 
+    def test_driver_and_distributed_paths_identical(self, sf_dir, monkeypatch):
+        fast = G.triangle_count(sf_dir)  # gate engaged (small corpus)
+        monkeypatch.setattr(G, "DRIVER_MAX_EDGES", 0)  # force joins
+        slow = G.triangle_count(sf_dir)
+        pd.testing.assert_frame_equal(fast, slow)
+
+    def test_wedge_budget_falls_through_to_distributed(self, sf_dir, monkeypatch):
+        monkeypatch.setattr(G, "_DRIVER_MAX_WEDGES", 0)
+        capped = G.triangle_count(sf_dir)
+        monkeypatch.undo()
+        assert int(capped["n_triangles"][0]) == int(
+            G.triangle_count(sf_dir)["n_triangles"][0]
+        )
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestReachableNodes:
