@@ -544,6 +544,7 @@ def auto_join(
     join_type: str = "inner",
     num_partitions: int = 32,
     broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+    **hash_join_kwargs,
 ) -> rd.Dataset:
     """Adaptive join-strategy selection — the planner decision every
     SQL engine makes, made explicit: materialize the right side, read
@@ -570,4 +571,5 @@ def auto_join(
         right_schema=right_schema,
         join_type=join_type,
         num_partitions=num_partitions,
+        **hash_join_kwargs,
     )

@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 
 from ray.data.aggregate import Sum
 
-from .joins import hash_join, partition_ids
+from .joins import auto_join, hash_join, partition_ids
 from ..functions.frames import ensure_columns
 from ..functions.limbs import (
     limb_ray_aggs,
@@ -233,10 +233,14 @@ def q9_product_profit(sf_dir: str, name_like: str = "red") -> pd.DataFrame:
     cost = p_retailprice × quantity), grouped by supplier nation ×
     order year.
 
-    Three bucketed shuffle joins; between every hop the stream is
+    Three ``auto_join`` hops; between every hop the stream is
     partially re-aggregated to its join key so each exchange moves
-    (keys × groups) rows, not lineitems. nation (25 rows) is the only
-    broadcast; the part slice (name LIKE) bloom-prunes the fact scan.
+    (keys × groups) rows, not lineitems. At bench scale all three
+    dimension sides (filtered part, supplier, orders key→year) fit the
+    broadcast gate, so the whole chain is map-side — ONE lineitem scan,
+    zero all-to-alls before the tiny terminal groupby; above the 64 MB
+    gate each hop flips to the bucketed ``hash_join`` (the part hop
+    keeps its bloom prune there) with the same fold semantics.
     amount_e4 = rev_e4 − retail_cents·qty·100 — exact integers end to
     end."""
 
@@ -274,7 +278,7 @@ def q9_product_profit(sf_dir: str, name_like: str = "red") -> pd.DataFrame:
         ["l_partkey", "l_suppkey", "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
     ).map_batches(li_prep, batch_format="pyarrow")
 
-    j1 = hash_join(
+    j1 = auto_join(
         li,
         part,
         on="p_partkey",
@@ -332,7 +336,7 @@ def q9_product_profit(sf_dir: str, name_like: str = "red") -> pd.DataFrame:
         batch_format="pyarrow",
     )
 
-    j2 = hash_join(
+    j2 = auto_join(
         j1.map_batches(amount_partial, batch_format="pyarrow"),
         supp,
         on="s_suppkey",
@@ -365,7 +369,7 @@ def q9_product_profit(sf_dir: str, name_like: str = "red") -> pd.DataFrame:
         batch_format="pyarrow",
     )
 
-    j3 = hash_join(
+    j3 = auto_join(
         j2.map_batches(j2_partial, batch_format="pyarrow"),
         orders,
         on="l_orderkey",
