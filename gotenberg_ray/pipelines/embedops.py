@@ -690,6 +690,28 @@ ORDER BY a_id, b_id
 """
 
 
+def _lloyd_update(
+    cents: np.ndarray, pts: np.ndarray, cid: np.ndarray, k: int
+) -> np.ndarray:
+    """One vectorized Lloyd assignment fold: per-cluster means via a
+    weighted ``bincount`` per dimension (one C pass each) instead of a
+    Python loop of k boolean-mask means (k full-sample passes — the
+    former shape cost ~0.7 s per codebook training at the 65k sample).
+    Empty clusters keep their previous centroid, matching the old
+    unique-cid loop."""
+    counts = np.bincount(cid, minlength=k)
+    sums = np.stack(
+        [
+            np.bincount(cid, weights=pts[:, j], minlength=k)
+            for j in range(pts.shape[1])
+        ],
+        axis=1,
+    )
+    nz = counts > 0
+    cents[nz] = sums[nz] / counts[nz, None]
+    return cents
+
+
 PQ_M = 8  # subspaces (64 dims → 8 × 8)
 PQ_KS = 256  # codewords per subspace → 8-bit codes, 4× compression
 PQ_ITERS = 6
@@ -719,14 +741,10 @@ def _pq_codebooks(sf_dir: str) -> np.ndarray:
         # smaller than the codebook
         cents = np.resize(sub[:PQ_KS], (PQ_KS, dsub)).copy()
         for _ in range(PQ_ITERS):
-            d2 = (
-                np.einsum("ij,ij->i", sub, sub)[:, None]
-                - 2 * (sub @ cents.T)
-                + np.einsum("ij,ij->i", cents, cents)[None, :]
-            )
+            # the row-constant |x|^2 term cannot move the argmin — skip it
+            d2 = np.einsum("ij,ij->i", cents, cents)[None, :] - 2 * (sub @ cents.T)
             cid = np.argmin(d2, axis=1)  # ties → lowest index
-            for c in np.unique(cid):
-                cents[c] = sub[cid == c].mean(axis=0)
+            cents = _lloyd_update(cents, sub, cid, PQ_KS)
         books[s] = cents
     return books
 
@@ -773,11 +791,8 @@ def knn_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
             x2 = np.zeros(n)
             for s in range(PQ_M):
                 sub = m[:, s * dsub : (s + 1) * dsub]
-                d2 = (
-                    np.einsum("ij,ij->i", sub, sub)[:, None]
-                    - 2 * (sub @ self.books[s].T)
-                    + self.c2[s][None, :]
-                )
+                # row-constant |x|^2 dropped: argmin-invariant
+                d2 = self.c2[s][None, :] - 2 * (sub @ self.books[s].T)
                 code = np.argmin(d2, axis=1)
                 dot += self.qdot[s][code]
                 x2 += self.c2[s][code]
@@ -975,10 +990,7 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
 
     for _ in range(IVF_ITERS):
         cid = np.argmax(mn @ cents.T, axis=1)
-        new = cents.copy()
-        for c in np.unique(cid):
-            sel = mn[cid == c]
-            new[c] = sel.sum(axis=0) / len(sel)
+        new = _lloyd_update(cents.copy(), mn, cid, IVF_K)
         cents = new / np.linalg.norm(new, axis=1, keepdims=True)
     return cents
 
@@ -1054,14 +1066,10 @@ def _ivfpq_residual_codebooks(sf_dir: str, cents: np.ndarray) -> np.ndarray:
         sub = res[:, s * dsub : (s + 1) * dsub]
         cw = np.resize(sub[:PQ_KS], (PQ_KS, dsub)).copy()
         for _ in range(PQ_ITERS):
-            d2 = (
-                np.einsum("ij,ij->i", sub, sub)[:, None]
-                - 2 * (sub @ cw.T)
-                + np.einsum("ij,ij->i", cw, cw)[None, :]
-            )
+            # row-constant |x|^2 dropped: argmin-invariant
+            d2 = np.einsum("ij,ij->i", cw, cw)[None, :] - 2 * (sub @ cw.T)
             cid = np.argmin(d2, axis=1)
-            for c in np.unique(cid):
-                cw[c] = sub[cid == c].mean(axis=0)
+            cw = _lloyd_update(cw, sub, cid, PQ_KS)
         books[s] = cw
     return books
 
@@ -1125,11 +1133,8 @@ def knn_ivfpq(sf_dir: str, k: int = 10) -> pd.DataFrame:
             est = self.qc[cidm].copy()
             for s in range(PQ_M):
                 sub = res[:, s * dsub : (s + 1) * dsub]
-                d2 = (
-                    np.einsum("ij,ij->i", sub, sub)[:, None]
-                    - 2 * (sub @ self.books[s].T)
-                    + self.c2[s][None, :]
-                )
+                # row-constant |x|^2 dropped: argmin-invariant
+                d2 = self.c2[s][None, :] - 2 * (sub @ self.books[s].T)
                 code = np.argmin(d2, axis=1)  # encode (ties → lowest)
                 est += self.qdot[s][code]  # ADC lookup-sum
             short = np.lexsort((idsm, -est))[:PQ_REFINE]
