@@ -15,6 +15,7 @@ reports wall time, docs/s, result rows, and the driver's peak RSS
 Usage:
     python tools/streaming_check.py            # build + run all 4 configs
     python tools/streaming_check.py --extra    # round-4 families (percentiles, TWAP)
+    python tools/streaming_check.py --joins    # multi-way join family (q9 at 16×)
     python tools/streaming_check.py --child dedup_exact /path/dir  # internal
 """
 
@@ -103,6 +104,25 @@ EXTRA_CONFIGS = {
     "user_value_twap": ("events", ("event_id", "user_id")),
 }
 
+# multi-table join family: every foreign key shifts by the SAME replica
+# offset so each replica is a self-contained TPC-H-shaped sub-universe
+# (join structure × 16, join selectivity unchanged). nation is shared
+# (s_nationkey unshifted) — the broadcast dimension stays tiny while the
+# fact and mid-size sides grow, which is exactly the auto_join posture
+# the check is evidencing.
+JOIN_CONFIGS = {
+    "q9_product_profit": {
+        "main": "lineitem",
+        "tables": {
+            "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+            "orders": ("o_orderkey", "o_custkey"),
+            "part": ("p_partkey",),
+            "supplier": ("s_suppkey",),
+        },
+        "copy": ("nation",),
+    },
+}
+
 
 def run_child(query: str, sf_dir: str) -> None:
     import resource
@@ -121,9 +141,12 @@ def run_child(query: str, sf_dir: str) -> None:
 
     import pyarrow.parquet as pq
 
-    table = EXTRA_CONFIGS.get(query, ("documents", ()))[0]
+    if query in JOIN_CONFIGS:
+        table = JOIN_CONFIGS[query]["main"]
+    else:
+        table = EXTRA_CONFIGS.get(query, ("documents", ()))[0]
     n_docs = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
-    if query in EXTRA_CONFIGS:
+    if query in EXTRA_CONFIGS or query in JOIN_CONFIGS:
         import importlib.util
 
         spec = importlib.util.spec_from_file_location(
@@ -161,7 +184,21 @@ def main() -> None:
         i = sys.argv.index("--child")
         run_child(sys.argv[i + 1], sys.argv[i + 2])
         return
-    if "--extra" in sys.argv:
+    if "--joins" in sys.argv:
+        # multi-way join family: q9 over a 16× fact+dimension universe
+        import shutil
+
+        queries = list(JOIN_CONFIGS)
+        for q in queries:
+            cfg = JOIN_CONFIGS[q]
+            for table, cols in cfg["tables"].items():
+                build_scaled_table(table, cols)
+            for table in cfg["copy"]:
+                dst = Path(SCALED) / f"{table}.parquet"
+                if not dst.exists():
+                    shutil.copy(f"{BASE}/{table}.parquet", dst)
+        scaled = SCALED
+    elif "--extra" in sys.argv:
         # round-4 families: value-histogram percentiles (orders) and
         # LEAD-gap TWAP (events)
         queries = list(EXTRA_CONFIGS)
