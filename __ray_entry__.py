@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": GR.kcore_nodes,
         "user_selfjoin_size": AN.user_selfjoin_size,
         "selfjoin_size_cms": AN.selfjoin_size_cms,
+        # per-user Gini–Simpson event-type diversity (exact basis points)
+        "user_event_diversity": AN.user_event_diversity,
         # SCD2 point-in-time join (versioned-dimension validity
         # intervals resolved inside one keyed exchange)
         "orders_scd2_join": W.orders_scd2_join,
@@ -510,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_running_revenue": TO.RUNNING_SQL,
         "events_dedup_burst": TO.BURST_SQL,
         "user_selfjoin_size": AN.SELFJOIN_SQL,
+        "user_event_diversity": AN.DIVERSITY_SQL,
         "orders_scd2_join": W.SCD2_SQL,
         "user_active_time": W.ACTIVE_TIME_SQL,
         "user_retention": W.RETENTION_SQL,

@@ -1591,6 +1591,98 @@ FROM f
 """
 
 
+def user_event_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-user Gini–Simpson diversity of event types in EXACT integer
+    basis points: ``div_bp = ⌊10⁴·(N² − Σ_t n_t²) / N²⌋`` where n_t is
+    the user's count of type t — the behavioral-diversity /
+    label-balance curation signal (0 = single-type user, approaching
+    10⁴·(1 − 1/T) as the mix evens out). Chosen over Shannon entropy
+    because it is purely RATIONAL: no transcendental ln means the
+    DuckDB twin matches bit-exactly under the repo's integer-result
+    discipline, with the same ranking power.
+
+    Distributed shape (the ``user_selfjoin_size`` pattern at per-user
+    grain): per-batch (user, type) count partials → ONE user-keyed
+    exchange → per-bucket combine + segmented Σn² fold; only (users)
+    rows leave the buckets. ``10⁴·N²`` stays under int64 to ~3·10⁷
+    events per user; beyond that the fold would carry Sum128 limbs
+    like ``user_selfjoin_size``."""
+    from .joins import partition_ids
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"user_id": batch["user_id"], "event_type": batch["event_type"]}
+        )
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["user_id", "event_type", "n"])
+        return g.append_column(
+            "pid", partition_ids(g.column("user_id"), JOIN_PARTITIONS)
+        )
+
+    _empty = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_types", pa.int64()),
+            ("div_bp", pa.int64()),
+        ]
+    )
+
+    def per_bucket(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _empty.empty_table()
+        g = part.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        u_s, n_s = u[order], cnt[order]
+        heads = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        total = np.add.reduceat(n_s, heads)
+        s2 = np.add.reduceat(n_s * n_s, heads)
+        n_types = np.diff(np.r_[heads, len(u_s)]).astype(np.int64)
+        div = (10_000 * (total * total - s2)) // (total * total)
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[heads]),
+                "n_events": pa.array(total),
+                "n_types": pa.array(n_types),
+                "div_bp": pa.array(div),
+            },
+            schema=_empty,
+        )
+
+    df = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(
+            lambda t: per_bucket(t.drop_columns(["pid"])), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"user_id": "int64", "n_events": "int64", "n_types": "int64",
+         "div_bp": "int64"},
+    )
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+DIVERSITY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+u AS (
+  SELECT user_id, sum(n)::BIGINT AS n_events, count(*)::BIGINT AS n_types,
+         sum(n * n)::BIGINT AS s2
+  FROM c GROUP BY 1)
+SELECT user_id, n_events, n_types,
+       CAST((10000 * (n_events * n_events - s2))
+            // (n_events * n_events) AS BIGINT) AS div_bp
+FROM u ORDER BY user_id
+"""
+
+
 def selfjoin_size_cms(sf_dir: str) -> pd.DataFrame:
     """Self-join size ESTIMATED from the Count-Min inner product
     (min over rows of Σ_w table[i,w]²) next to the exact F2 — the
