@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "selfjoin_size_cms",
     # k-core of the link graph (iterative peel, driver-gated)
     "kcore_nodes",
+    # per-user Gini–Simpson event-type diversity (exact basis points)
+    "user_event_diversity",
 ]
 
 

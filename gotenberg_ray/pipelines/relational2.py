@@ -127,12 +127,15 @@ def q7_nation_trade(
     (both directions) per order year — a 4-table multi-way join.
 
     Chain: lineitem ⋈ supplier(nation-filtered) ⋈ orders ⋈
-    customer(nation-filtered), all via the bucketed shuffle join, with
-    filters PUSHED DOWN to the supplier/customer scans (only the two
-    nations' rows enter any exchange) and per-key partial aggregation
-    between every hop so each join moves (keys × groups), not rows.
-    nation (25 rows) is the only broadcast."""
-    from .joins import hash_join
+    customer(nation-filtered) via three ``auto_join`` hops, with
+    filters PUSHED DOWN to the supplier/customer scans and per-key
+    partial aggregation between every hop. At bench scale all three
+    dimension sides fit the broadcast gate (the supplier hop then
+    prunes lineitem map-side to the two nations' rows); above 64 MB a
+    hop flips to the bucketed shuffle join with the same fold
+    semantics — safe here because every post-join stage re-aggregates
+    (no key-complete-partition assumption downstream)."""
+    from .joins import auto_join
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     name_of = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
@@ -181,7 +184,7 @@ def q7_nation_trade(
         sf_dir, "lineitem", ["l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(li_prep, batch_format="pyarrow")
 
-    j1 = hash_join(
+    j1 = auto_join(
         li,
         supp,
         on="l_suppkey",
@@ -212,7 +215,7 @@ def q7_nation_trade(
             }
         )
 
-    j2 = hash_join(
+    j2 = auto_join(
         j1.map_batches(j1_partial, batch_format="pyarrow"),
         orders.map_batches(orders_prep, batch_format="pyarrow"),
         on="l_orderkey",
@@ -236,7 +239,7 @@ def q7_nation_trade(
             {"rev_sum": "rev"},
         )
 
-    j3 = hash_join(
+    j3 = auto_join(
         j2.map_batches(j2_partial, batch_format="pyarrow"),
         cust,
         on="o_custkey",
