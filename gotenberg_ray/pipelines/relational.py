@@ -204,7 +204,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     distributed bloom of its custkeys prunes orders before the
     exchange — only candidate orders enter the all-to-all. Final
     top-10 is per-block local top-k merged on the driver."""
-    from .joins import hash_join
+    from .joins import auto_join, hash_join
 
     cutoff = pa.scalar(np.datetime64("1997-01-01", "us"), type=pa.timestamp("us"))
 
@@ -222,7 +222,10 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(orders_window, batch_format="pyarrow")
-    ord_b = hash_join(
+    # semi-join against the BUILDING slice: safe to broadcast (the
+    # downstream join re-keys by orderkey); above the gate the bloom
+    # semi-join pushdown engages in the bucketed fallback
+    ord_b = auto_join(
         orders, cust, on="o_custkey", right_on="c_custkey",
         num_partitions=JOIN_PARTITIONS,
         left_schema=[("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
