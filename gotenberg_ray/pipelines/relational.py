@@ -438,14 +438,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 
 def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
-    """lineitem(R)⋈orders⋈customer; nation is always broadcast.
-    Top-20 = per-block local top-k → driver merge, which REQUIRES
-    key-complete per-customer revenue — the orders hop is a plain
-    ``auto_join`` (its combine is re-aggregated downstream), and the
-    completion happens in ONE tiny c_custkey groupby over the
-    ≤|customers| partial rows before the customer-attribute join
-    (broadcast at bench scale, bucketed above the 64 MB gate)."""
-    from .joins import auto_join
+    """lineitem(R)⋈orders⋈customer via bucketed shuffle joins with the
+    per-key combine fused into each join's hash partitions; nation is
+    the only broadcast. Top-20 = per-block local top-k → driver merge."""
+    from .joins import hash_join
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     nat_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
@@ -461,7 +457,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
     ).map_batches(li_partial, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    j1 = auto_join(
+    j1 = hash_join(
         li, orders, on="o_orderkey", num_partitions=JOIN_PARTITIONS,
         left_agg=lambda t: _rename(
             t.group_by("o_orderkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
@@ -477,18 +473,14 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
-    # key-complete per-customer revenue: ONE groupby over the partial
-    # rows (≤ |customers|), then the attribute join
-    agg = (
-        j1.map_batches(cust_partial, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Sum("rev", alias_name="rev"))
-    )
-    j2 = auto_join(
-        agg,
+    j2 = hash_join(
+        j1.map_batches(cust_partial, batch_format="pyarrow"),
         cust,
         on="c_custkey",
         num_partitions=JOIN_PARTITIONS,
+        left_agg=lambda t: _rename(
+            t.group_by("c_custkey").aggregate([("rev", "sum")]), {"rev_sum": "rev"}
+        ),
         left_schema=[("c_custkey", pa.int64()), ("rev", pa.int64())],
         right_schema=[("c_custkey", pa.int64()), ("c_name", pa.string()),
                       ("c_nationkey", pa.int64())],
