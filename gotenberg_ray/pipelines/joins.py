@@ -543,7 +543,7 @@ def auto_join(
     right_schema=None,
     join_type: str = "inner",
     num_partitions: int = 32,
-    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+    broadcast_max_bytes: int | None = None,
     **hash_join_kwargs,
 ) -> rd.Dataset:
     """Adaptive join-strategy selection — the planner decision every
@@ -551,7 +551,17 @@ def auto_join(
     its ACTUAL size from block metadata, and pick map-side broadcast
     (small right: zero shuffles) or the bucketed two-sided
     ``hash_join`` (big right: both sides exchange once). The left side
-    is never materialized by the decision."""
+    is never materialized by the decision. ``broadcast_max_bytes``
+    defaults to the module's ``BROADCAST_MAX_BYTES`` read at CALL time
+    so tests can force the bucketed fallback by monkeypatching it.
+
+    Broadcast selection ignores ``hash_join_kwargs`` (combiners like
+    ``left_agg``/``joined_map`` and bloom pruning) — those are partial
+    -fold optimizations in the fallback; callers whose downstream
+    logic ASSUMES key-complete partitions must call ``hash_join``
+    directly."""
+    if broadcast_max_bytes is None:
+        broadcast_max_bytes = BROADCAST_MAX_BYTES
     right = right.materialize()
     size = right.size_bytes() or 0
     if size <= broadcast_max_bytes and join_type in (

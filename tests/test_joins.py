@@ -352,3 +352,23 @@ class TestNullIntKeys:
         sk.update(pa.array([1, 2, None, 1], pa.int64()))
         est = sk.query(np.array([1, 2], np.int64))
         assert est[0] >= 2 and est[1] >= 1  # never under
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_autojoin_broadcast_and_bucketed_paths_equal(sf_dir, monkeypatch):
+    """The q5/q7/q9 conversions ride auto_join's size gate; pin that
+    the broadcast plan (bench scale) and the bucketed hash_join
+    fallback (the 100 TB path, forced by zeroing the gate at call
+    time) produce identical frames."""
+    import pandas as pd
+
+    import gotenberg_ray.pipelines.joins as J
+    from gotenberg_ray.pipelines.relational import q5_nation_revenue
+    from gotenberg_ray.pipelines.relational2 import q7_nation_trade
+    from gotenberg_ray.pipelines.relational3 import q9_product_profit
+
+    queries = (q5_nation_revenue, q7_nation_trade, q9_product_profit)
+    fast = {q.__name__: q(sf_dir) for q in queries}
+    monkeypatch.setattr(J, "BROADCAST_MAX_BYTES", 0)
+    for q in queries:
+        pd.testing.assert_frame_equal(fast[q.__name__], q(sf_dir))
