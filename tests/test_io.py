@@ -430,3 +430,43 @@ class TestSinkOperationFuzz:
                 .reset_index(drop=True)
             )
             pd.testing.assert_frame_equal(got, want)
+
+
+class TestLanceSeam:
+    """The Lance adapter is gated, real code; without the wheel the
+    seam must (a) report unavailability, (b) read parquet untouched
+    even when a .lance directory sits next to it, and (c) refuse a
+    lance write loudly instead of silently landing parquet."""
+
+    def test_unavailable_in_this_container(self):
+        assert gio.lance_available() is False
+
+    def test_read_ignores_lance_dir_without_package(self, ray_session, tmp_path):
+        pq.write_table(
+            pa.table({"a": pa.array([1, 2, 3], pa.int64())}),
+            tmp_path / "t.parquet",
+        )
+        os.makedirs(tmp_path / "t.lance", exist_ok=True)
+        ds = gio.read_table(str(tmp_path), "t")
+        assert ds.count() == 3
+
+    def test_read_dispatches_to_lance_when_available(self, tmp_path, monkeypatch):
+        pq.write_table(
+            pa.table({"a": pa.array([1], pa.int64())}), tmp_path / "t.parquet"
+        )
+        os.makedirs(tmp_path / "t.lance", exist_ok=True)
+        calls = {}
+        monkeypatch.setattr(gio, "lance_available", lambda: True)
+        monkeypatch.setattr(
+            gio.rd, "read_lance",
+            lambda path, columns=None: calls.update(path=path, columns=columns),
+        )
+        gio.read_table(str(tmp_path), "t", columns=["a"])
+        assert calls["path"].endswith("t.lance") and calls["columns"] == ["a"]
+
+    def test_write_lance_without_package_is_loud(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        ds = rd.from_items([{"a": 1}])
+        with pytest.raises(ValueError, match="lance"):
+            gio.write_table(ds, str(tmp_path / "out"), format="lance")
