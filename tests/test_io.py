@@ -470,3 +470,46 @@ class TestLanceSeam:
         ds = rd.from_items([{"a": 1}])
         with pytest.raises(ValueError, match="lance"):
             gio.write_table(ds, str(tmp_path / "out"), format="lance")
+
+
+class TestIpcReader:
+    def _write_ipc(self, tmp_path, n_batches=5, rows=200):
+        import pyarrow.ipc as ipc
+
+        path = str(tmp_path / "docs.arrow")
+        schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        with ipc.new_file(path, schema) as w:
+            for b in range(n_batches):
+                ids = list(range(b * rows, (b + 1) * rows))
+                w.write_batch(
+                    pa.record_batch(
+                        [pa.array(ids, pa.int64()),
+                         pa.array([f"doc {i}" for i in ids])],
+                        schema=schema,
+                    )
+                )
+        return path, n_batches * rows
+
+    def test_roundtrip_and_pruning(self, ray_session, tmp_path):
+        path, total = self._write_ipc(tmp_path)
+        ds = gio.read_ipc(path)
+        assert ds.count() == total
+        pruned = gio.read_ipc(path, columns=["doc_id"])
+        assert pruned.schema().names == ["doc_id"]
+        got = sorted(pruned.to_pandas()["doc_id"].tolist())
+        assert got == list(range(total))
+
+    def test_parallelizes_over_record_batches(self, ray_session, tmp_path):
+        path, _ = self._write_ipc(tmp_path, n_batches=8)
+        ds = gio.read_ipc(path, num_blocks=4).materialize()
+        assert ds.num_blocks() > 1
+
+    def test_empty_file(self, ray_session, tmp_path):
+        import pyarrow.ipc as ipc
+
+        path = str(tmp_path / "empty.arrow")
+        schema = pa.schema([("a", pa.int64())])
+        with ipc.new_file(path, schema):
+            pass
+        ds = gio.read_ipc(path, columns=["a"])
+        assert ds.count() == 0 and ds.schema().names == ["a"]
