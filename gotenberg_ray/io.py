@@ -218,15 +218,15 @@ def read_ipc(
     prunes immediately after slicing each batch. Assumes the path is
     visible on every node (shared FS / object-store mount — the same
     contract every file-based reader here carries)."""
+    import pyarrow as pa
     import pyarrow.ipc as ipc
 
-    with pa_mod().memory_map(path) as mm:
-        n_batches = ipc.open_file(mm).num_record_batches
-    if n_batches == 0:
-        with pa_mod().memory_map(path) as mm:
-            schema = ipc.open_file(mm).schema
-        empty = schema.empty_table()
-        return rd.from_arrow(empty.select(columns) if columns else empty)
+    with pa.memory_map(path) as mm:
+        rf = ipc.open_file(mm)
+        n_batches = rf.num_record_batches
+        if n_batches == 0:
+            empty = rf.schema.empty_table()
+            return rd.from_arrow(empty.select(columns) if columns else empty)
     nb = min(n_batches, num_blocks or blocks_for(path))
 
     def load(batch):
@@ -243,12 +243,6 @@ def read_ipc(
     return rd.from_items(
         list(range(n_batches)), override_num_blocks=nb
     ).map_batches(load, batch_format="pyarrow")
-
-
-def pa_mod():
-    import pyarrow
-
-    return pyarrow
 
 
 def write_partitioned(
