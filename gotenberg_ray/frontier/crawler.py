@@ -195,6 +195,19 @@ class CrawlConfig:
     # it runs CONCURRENTLY with epoch k's fetch (the classic crawl
     # frontier-refresh pipeline). 1 = fully synchronous scheduling.
     link_latency_epochs: int = 2
+    # Ray-mode fetch pipeline depth: how many dispatched epochs may be
+    # awaiting collection at once. 1 (default, the historical behavior)
+    # overlaps one epoch's straggler tail under the next epoch; 2 also
+    # hides the near-empty politeness-starved epochs under their big
+    # neighbors. Correctness constraint: the pipelined shard step for
+    # epoch k+1 may only be issued once every link generation due by
+    # its horizon has been folded, which requires link_latency_epochs
+    # ≥ overlap_depth + 1 — run_crawl clamps the effective depth to
+    # that bound. Pure execution detail: the fetch ordering / seen-set
+    # are unchanged for a given (config, seed) because folds still
+    # happen in epoch order on the driver (pinned vs the sequential
+    # reference by tests/test_crawl.py).
+    overlap_depth: int = 1
     # False → workers return only a row-count log (seq column); the
     # driver skips per-epoch log sorting entirely (bench mode)
     detailed_logs: bool = True
@@ -1129,14 +1142,20 @@ def run_crawl(
     _setup_s = _time_mod.time() - _t_setup0
     popped = None  # ray: [(grant_ref, keys)] for epoch k; local: grant table
     step_refs = None  # in-flight pipelined step (ray only)
-    # in-flight FETCH epoch (ray only): collected only after the next
-    # epoch's chunks are dispatched, so one epoch's straggler tail hides
-    # under the next epoch's execution. Disabled for checkpointed runs —
-    # a snapshot must never race a dispatched-but-uncollected epoch.
-    inflight = None  # (fetch_refs, k_f, n_grants_f, t_pop_f, t_fetch_f)
+    # in-flight FETCH epochs (ray only): each is collected only after
+    # up to ``overlap_depth`` newer epochs' chunks are dispatched, so a
+    # straggler tail (and, at depth ≥ 2, an entire politeness-starved
+    # tiny epoch) hides under the neighbors' execution. Folds always
+    # happen in epoch order, so outputs are invariant to the depth.
+    # Disabled for checkpointed runs — a snapshot must never race a
+    # dispatched-but-uncollected epoch.
+    inflight: list[tuple] = []  # [(fetch_refs, k_f, n_grants_f, t_pop_f, t_fetch_f)]
     overlap_fetch = (
         mode == "ray" and not (checkpoint_dir and cfg.checkpoint_every)
     )
+    # the pipelined step for epoch k+1 may only be issued once every
+    # link generation due by its horizon is folded: L ≥ depth + 1
+    overlap_depth = max(1, min(int(cfg.overlap_depth), L - 1)) if L >= 2 else 1
 
     def _finish_epoch(source, k_f, n_grants_f, t_pop_f, t_fetch_f) -> None:
         """Collect one epoch's fetch results and fold them into logs,
@@ -1237,14 +1256,12 @@ def run_crawl(
         epochs_done += 1
 
     def _flush_inflight() -> None:
-        nonlocal inflight
-        if inflight is not None:
-            _finish_epoch(*inflight)
-            inflight = None
+        while inflight:
+            _finish_epoch(*inflight.pop(0))
 
-    while (epochs_done + (1 if inflight else 0)) < cfg.max_epochs and (
+    while (epochs_done + len(inflight)) < cfg.max_epochs and (
         cfg.max_fetches is None
-        or fetch_seq + (inflight[2] if inflight else 0) < cfg.max_fetches
+        or fetch_seq + sum(e[2] for e in inflight) < cfg.max_fetches
     ):
         horizon = (k + 1) * W - 1
         _t_pop = _time.time()
@@ -1276,14 +1293,22 @@ def run_crawl(
         _spans_before = getattr(runner, "spans_total", 0)
         if mode == "ray":
             fetch_refs = runner.dispatch(popped, k)
-            # the PREVIOUS epoch's stragglers now overlap this epoch's
-            # fetch; its links must land before the next step is issued
-            _flush_inflight()
+            # older in-flight epochs now overlap this epoch's fetch;
+            # fold down to depth−1 so the oldest one's links land
+            # before the next step is issued (L ≥ depth+1 guarantees
+            # every generation due by that step's horizon is folded)
+            while len(inflight) >= overlap_depth:
+                _finish_epoch(*inflight.pop(0))
             # issue epoch k+1's step while the fetch runs — exact exit
-            # prediction (fetch_seq grows by exactly n_grants) so a step
-            # never fires for an epoch the loop won't reach
-            will_continue = (epochs_done + 1 < cfg.max_epochs) and (
-                cfg.max_fetches is None or fetch_seq + n_grants < cfg.max_fetches
+            # prediction (fetch_seq grows by exactly the in-flight +
+            # current grants) so a step never fires for an epoch the
+            # loop won't reach
+            pending_grants = sum(e[2] for e in inflight) + n_grants
+            will_continue = (
+                epochs_done + len(inflight) + 1 < cfg.max_epochs
+            ) and (
+                cfg.max_fetches is None
+                or fetch_seq + pending_grants < cfg.max_fetches
             )
             # never pipeline into a checkpoint epoch: the snapshot at the
             # end of THIS epoch must not miss grants a concurrent step
@@ -1304,7 +1329,7 @@ def run_crawl(
                     shards.offer_specs(extra_specs, extra_ready)
                 step_refs = shards.step_refs(specs_d, ready_d, nh)
             if overlap_fetch:
-                inflight = (fetch_refs, k, n_grants, _t_pop, _t_fetch)
+                inflight.append((fetch_refs, k, n_grants, _t_pop, _t_fetch))
             else:
                 _finish_epoch(fetch_refs, k, n_grants, _t_pop, _t_fetch)
             k += 1
@@ -1324,7 +1349,7 @@ def run_crawl(
             # predicate above skips pipelining into a checkpoint epoch,
             # so the snapshot can't lose popped-but-unfetched grants;
             # fetch overlap is disabled for checkpointed runs entirely)
-            assert step_refs is None and inflight is None
+            assert step_refs is None and not inflight
             _deliver_all()  # undelivered links are frontier state
             ckpt.write(
                 checkpoint_dir,

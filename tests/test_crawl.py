@@ -335,3 +335,37 @@ def test_checkpoint_rewrite_is_atomic(small_world, tmp_path):
         e for e in os.listdir(d) if e.startswith(("_tmp-", "_old-"))
     ]
     assert leftovers == []
+
+
+def test_ray_depth2_overlap_matches_sequential_exactly(
+    ray_session, small_world, tmp_path
+):
+    """overlap_depth=2 (with the required link_latency_epochs=3) is a
+    pure execution detail: the ray pipeline must reproduce the
+    sequential reference's fetch ordering, counters and seen-set for
+    the same config bit-for-bit."""
+    import dataclasses
+
+    docs, frontier, robots, cfg = small_world
+    cfg3 = dataclasses.replace(cfg, link_latency_epochs=3, overlap_depth=2)
+    seq = run_crawl(frontier, docs, robots, cfg3, mode="local")
+    par = run_crawl(frontier, docs, robots, cfg3, mode="ray")
+    assert seq.fetch_log.equals(par.fetch_log)
+    assert seq.counters == par.counters
+    assert seq.fetch_seq == par.fetch_seq and seq.fetch_seq > 0
+
+
+def test_overlap_depth_is_clamped_by_link_latency(ray_session, small_world):
+    """depth > L−1 would let a step fire before its due link
+    generations are folded; run_crawl must clamp, not misbehave —
+    depth=5 at L=2 behaves exactly like the default depth=1."""
+    import dataclasses
+
+    docs, frontier, robots, cfg = small_world
+    base = run_crawl(frontier, docs, robots, cfg, mode="ray")
+    deep = run_crawl(
+        frontier, docs, robots,
+        dataclasses.replace(cfg, overlap_depth=5), mode="ray",
+    )
+    assert base.fetch_log.equals(deep.fetch_log)
+    assert base.counters == deep.counters
