@@ -513,3 +513,38 @@ class TestIpcReader:
             pass
         ds = gio.read_ipc(path, columns=["a"])
         assert ds.count() == 0 and ds.schema().names == ["a"]
+
+    def test_ipc_feeds_a_pipeline(self, ray_session, sf_dir, tmp_path):
+        """Source-format parity: the same transform over the same rows
+        must not care whether they arrived as parquet or Arrow IPC."""
+        import pyarrow.ipc as ipc
+
+        from gotenberg_ray.functions import textkit as T
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        path = str(tmp_path / "documents.arrow")
+        with ipc.new_file(path, t.schema) as w:
+            w.write_table(t, max_chunksize=512)
+
+        def tok(batch):
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": pa.array(
+                        T.token_counts(batch["text"].to_pylist())
+                    ),
+                }
+            )
+
+        def run(ds):
+            return (
+                ds.map_batches(tok, batch_format="pyarrow")
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(
+            run(gio.read_ipc(path, columns=["doc_id", "text"])),
+            run(gio.read_table(sf_dir, "documents", ["doc_id", "text"])),
+        )
