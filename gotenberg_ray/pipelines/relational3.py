@@ -1038,13 +1038,22 @@ def q21_waiting_suppliers(sf_dir: str, lag_days: int = 30, topk: int = 20) -> pd
             ("max_ship", pa.timestamp("us")),
         ],
         right_schema=[("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))],
-    ).groupby("s_suppkey").aggregate(Sum("numwait", alias_name="numwait"))
+    )
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    # the per-supplier numwait completion folds INSIDE the naming
+    # join's suppkey-hash partitions (left_agg) — a stand-alone
+    # groupby here would pay a whole extra all-to-all for rows the
+    # join is about to exchange by the same key anyway; local_top
+    # below relies on the fold's key-completeness per partition
     named = hash_join(
         blamed,
         supp,
         on="s_suppkey",
         num_partitions=JOIN_PARTITIONS,
+        left_agg=lambda t: _rename(
+            t.group_by("s_suppkey").aggregate([("numwait", "sum")]),
+            {"numwait_sum": "numwait"},
+        ),
         left_schema=[("s_suppkey", pa.int64()), ("numwait", pa.int64())],
         right_schema=[("s_suppkey", pa.int64()), ("s_name", pa.string())],
     )
