@@ -148,6 +148,20 @@ _FAST_EXTRACT_PAT = (
     r"(?P<path>/[A-Za-z0-9_\-/~,:@!$&'()*+;=]*)?$"
 )
 
+# tier-2 pattern: messy-but-regular raw URLs (mixed-case scheme/host,
+# explicit port, trailing fragment) — canonicalized entirely in Arrow
+# kernels (lower + default-port strip + fragment drop). Anything with
+# userinfo, query, percent-escapes, dot segments, IPv6 brackets or a
+# trailing host dot still takes the per-row RFC-3986 parser. Port has
+# no leading zero so the string compare against ":80"/":443" is exact.
+_TIER2_EXTRACT_PAT = (
+    r"^(?P<scheme>[Hh][Tt][Tt][Pp][Ss]?)://"
+    r"(?P<host>[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)"
+    r"(?P<port>:(?:0|[1-9][0-9]{0,4}))?"
+    r"(?P<path>/[A-Za-z0-9_\-/~,:@!$&'()*+;=]*)?"
+    r"(?:#.*)?$"
+)
+
 
 class _CanonCache:
     """Process-level memo for (raw url → canon, host, fnv64) — the
@@ -288,11 +302,44 @@ def canonicalize_batch(urls, use_cache: bool = True) -> tuple[pa.Array, pa.Array
         canon_list = canon_a.to_pylist()
         hosts_list = host_f.to_pylist()
         slow_idx = np.nonzero(~fast)[0]
-        raw = arr.take(pa.array(slow_idx)).to_pylist()
-        for i, u in zip(slow_idx, raw):
+        sub = arr.take(pa.array(slow_idx))
+        # tier 2: vectorized lower + default-port strip + fragment drop
+        ext2 = pc.extract_regex(sub, pattern=_TIER2_EXTRACT_PAT)
+        t2 = ext2.is_valid().to_numpy(zero_copy_only=False)
+        if t2.any():
+            sl = pc.utf8_lower(pc.fill_null(pc.struct_field(ext2, "scheme"), ""))
+            hl = pc.utf8_lower(pc.fill_null(pc.struct_field(ext2, "host"), ""))
+            port = pc.fill_null(pc.struct_field(ext2, "port"), "")
+            # a port above 65535 is dropped by urlsplit (ValueError →
+            # None) — too exotic for the kernel path, demote those rows
+            plen = pc.binary_length(port).to_numpy(zero_copy_only=False)
+            big = (plen == 6) & (
+                pc.greater(
+                    pc.utf8_slice_codeunits(port, 1), pa.scalar("65535")
+                )
+                .to_numpy(zero_copy_only=False)
+            )
+            t2 &= ~big
+            default = pc.if_else(
+                pc.equal(sl, "http"), pa.scalar(":80"), pa.scalar(":443")
+            )
+            port_out = pc.if_else(pc.equal(port, default), pa.scalar(""), port)
+            path2 = pc.fill_null(pc.struct_field(ext2, "path"), "")
+            path2 = pc.if_else(pc.equal(path2, ""), pa.scalar("/"), path2)
+            canon2 = pc.binary_join_element_wise(
+                sl, pa.scalar("://"), hl, port_out, path2, pa.scalar("")
+            )
+            c2 = canon2.to_pylist()
+            h2 = hl.to_pylist()
+            for j in np.nonzero(t2)[0]:
+                canon_list[slow_idx[j]] = c2[j]
+                hosts_list[slow_idx[j]] = h2[j]
+        rest = np.nonzero(~t2)[0]
+        raw = sub.take(pa.array(rest)).to_pylist()
+        for j, u in zip(rest, raw):
             c, h = canonicalize_url_host(u or "")
-            canon_list[i] = c
-            hosts_list[i] = h
+            canon_list[slow_idx[j]] = c
+            hosts_list[slow_idx[j]] = h
         canon_a = pa.array(canon_list, pa.string())
         host_f = pa.array(hosts_list, pa.string())
     if host_f.null_count:

@@ -327,45 +327,83 @@ class _Group:
         self._insert(row, pos, ids, np.full(len(pos), ROT))
 
     def flatten(self) -> None:
-        """Per page: [rotate markers][one merged TEXT][other spans]."""
-        new_src: list[np.ndarray] = []
-        new_kind: list[np.ndarray] = []
-        counts = np.zeros(len(self.offsets) - 1, dtype=np.int64)
-        for r in range(len(self.offsets) - 1):
-            a, b = int(self.offsets[r]), int(self.offsets[r + 1])
-            if a == b:
-                continue
-            kinds = self.kind[a:b]
-            srcs = self.src[a:b]
-            pb_local = np.nonzero(kinds == PB)[0]
-            seg_starts = np.r_[0, pb_local + 1]
-            seg_ends = np.r_[pb_local, b - a]
-            out_s, out_k = [], []
-            for pi in range(len(seg_starts)):
-                seg_k = kinds[seg_starts[pi] : seg_ends[pi]]
-                seg_s = srcs[seg_starts[pi] : seg_ends[pi]]
-                if pi:
-                    out_s.append(np.array([self._pb_id()], np.int64))
-                    out_k.append(np.array([PB], np.int8))
-                rot_m = seg_k == ROT
-                txt_m = seg_k == TEXT
-                oth_m = ~(rot_m | txt_m)
-                out_s.append(seg_s[rot_m])
-                out_k.append(seg_k[rot_m])
-                if txt_m.any():
-                    merged = " ".join(
-                        self.text_of(int(s)) for s in seg_s[txt_m]
-                    )
-                    out_s.append(np.array([self._new_span(TEXT, merged)], np.int64))
-                    out_k.append(np.array([TEXT], np.int8))
-                out_s.append(seg_s[oth_m])
-                out_k.append(seg_k[oth_m])
-            row_s = np.concatenate(out_s) if out_s else np.empty(0, np.int64)
-            new_src.append(row_s)
-            new_kind.append(np.concatenate(out_k) if out_k else np.empty(0, np.int8))
-            counts[r] = len(row_s)
-        self.src = np.concatenate(new_src) if new_src else np.empty(0, np.int64)
-        self.kind = np.concatenate(new_kind) if new_kind else np.empty(0, np.int8)
+        """Per page: [rotate markers][one merged TEXT][other spans].
+
+        Fully vectorized: one lexsort over (row, page-slot, class, pos)
+        reorders every page at once; page boundaries keep their
+        original slots (odd page-slot keys) so PBs land exactly
+        between pages; all per-page text merges run as ONE segmented
+        ``pc.binary_join``. Byte-equal to the per-row reference loop —
+        pinned by test_convert_vec's kernel-vs-row-path parity.
+        """
+        total = len(self.src)
+        if total == 0:
+            return
+        nrows = len(self.offsets) - 1
+        lens = self._row_lengths()
+        row = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        is_pb = self.kind == PB
+        # page index per span (PBs: their boundary rank within the row)
+        prefix = np.cumsum(is_pb) - is_pb  # PBs strictly before i, global
+        pb_per_row = np.bincount(row[is_pb], minlength=nrows)
+        pb_before_row = np.r_[0, np.cumsum(pb_per_row)[:-1]]
+        page = prefix - np.repeat(pb_before_row, lens)
+        # page-slot: content of page p at 2p, the PB opening page p+1 at
+        # 2p+1 — sorts each boundary between its neighboring pages
+        slot = np.where(is_pb, 2 * page + 1, 2 * page)
+        # within a page: rotate markers, then texts (merged), then rest
+        cls = np.where(
+            self.kind == ROT, 0, np.where(self.kind == TEXT, 1, 2)
+        )
+        order = np.lexsort((np.arange(total), cls, slot, row))
+        src_o = self.src[order]
+        kind_o = self.kind[order]
+        row_o = row[order]
+        slot_o = slot[order]
+        is_pb_o = is_pb[order]
+
+        if is_pb_o.any():
+            src_o[is_pb_o] = self._pb_id()
+
+        keep = np.ones(total, dtype=bool)
+        t_idx = np.nonzero((kind_o == TEXT) & ~is_pb_o)[0]
+        if len(t_idx):
+            # (row, page) text groups are adjacent among text spans
+            first = np.r_[
+                True,
+                (row_o[t_idx][1:] != row_o[t_idx][:-1])
+                | (slot_o[t_idx][1:] != slot_o[t_idx][:-1]),
+            ]
+            # one segmented join for every group's texts, in span order
+            n_base = len(self.base_text)
+            mapped = np.where(
+                src_o[t_idx] >= 0, src_o[t_idx], n_base + (-src_o[t_idx] - 1)
+            )
+            text_all = pa.concat_arrays(
+                [
+                    self.base_text.cast(pa.string()),
+                    pa.array(self.new_text, pa.string()),
+                ]
+            )
+            texts = pc.fill_null(text_all.take(pa.array(mapped)), "")
+            g_starts = np.nonzero(first)[0]
+            g_offsets = np.r_[g_starts, len(t_idx)].astype(np.int32)
+            merged = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(g_offsets), texts),
+                pa.scalar(" "),
+            ).to_pylist()
+            # bulk-register the merged spans (same ids _new_span would
+            # hand out one at a time)
+            sid0 = len(self.new_text)
+            self.new_kind.extend([TEXT] * len(merged))
+            self.new_text.extend(m or "" for m in merged)
+            self.new_media.extend([""] * len(merged))
+            src_o[t_idx[first]] = -(sid0 + np.arange(len(merged), dtype=np.int64)) - 1
+            keep[t_idx[~first]] = False
+
+        self.src = src_o[keep]
+        self.kind = kind_o[keep]
+        counts = np.bincount(row_o[keep], minlength=nrows)
         self.offsets = np.r_[0, np.cumsum(counts)]
 
     _pb_sid: int | None = None

@@ -120,3 +120,31 @@ def test_unsupported_options_fall_back():
     out = convert_batch(b)
     assert out.schema.equals(PAGES_OUT_SCHEMA)
     assert json.loads(out.column("encrypt_json")[0].as_py())["user_password"] == "s3cret"
+
+
+@pytest.mark.parametrize(
+    "opts_json",
+    [
+        '{"rotate_angle": 90, "rotate_pages": "", "flatten": true}',
+        '{"rotate_angle": 180, "rotate_pages": "1", "flatten": true}',
+        '{"split_mode": "intervals", "split_span": "2", "flatten": true}',
+        '{"header_template": "h <span class=\\"pageNumber\\"></span>", "flatten": true}',
+        '{"flatten": true}',
+    ],
+)
+def test_flatten_combos_match_row_path(opts_json):
+    """flatten over inputs that already carry ROT / overlay spans from
+    earlier kernels (rotate, header/footer, split) — the class-ordered
+    page reassembly must equal the row path span for span."""
+    rng = np.random.default_rng(hash(opts_json) % 2**32)
+    rows = [(f"doc-{i:03d}", random_spans(rng)) for i in range(60)]
+    rows[0] = ("doc-edge0", [])
+    rows[1] = ("doc-edge1", [make_span(KIND_PAGE_BREAK)])
+    rows[2] = (
+        "doc-edge2",
+        [make_span(KIND_PAGE_BREAK), make_span(KIND_PAGE_BREAK)],
+    )
+    batch = batch_for(rows, opts_json, "convert/url")
+    got = canon(convert_batch(batch))
+    exp = canon(CM._convert_rows_fallback(batch))
+    assert got == exp

@@ -369,3 +369,34 @@ def test_overlap_depth_is_clamped_by_link_latency(ray_session, small_world):
     )
     assert base.fetch_log.equals(deep.fetch_log)
     assert base.counters == deep.counters
+
+
+def test_synthetic_links_batch_matches_scalar_reference():
+    """The vectorized link generator must be byte-identical to the
+    scalar reference for arbitrary (hash, host) inputs — fetch
+    ordering, the seen-set and checkpoint bytes all derive from these
+    strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gotenberg_ray.stages.fetcher import (
+        synthetic_links,
+        synthetic_links_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    hosts = [f"h{int(x) % 37}.example.com" for x in hashes]
+    for universe, max_links in [(60_000, 3), (1000, 3), (17, 5), (1, 0)]:
+        counts, urls, lidx = synthetic_links_batch(
+            hashes, pa.array(hosts), universe, max_links
+        )
+        urls_py = urls.to_pylist()
+        pos = 0
+        for h, host, c in zip(hashes, hosts, counts):
+            ref = synthetic_links(int(h), host, universe, max_links)
+            assert len(ref) == c
+            assert urls_py[pos : pos + c] == ref
+            assert list(lidx[pos : pos + c]) == list(range(c))
+            pos += c
+        assert pos == len(urls_py)

@@ -159,3 +159,43 @@ class TestUrlHostCounts:
         pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
         # the twin variants really collapsed: fewer canonicals than raws
         assert (a["n_canon"] < a["n_urls"]).any()
+
+
+def test_batch_tier2_matches_scalar_on_messy_forms():
+    """The vectorized tier-2 canonicalization (mixed case, explicit
+    port, fragment) must agree byte-for-byte with the per-row RFC-3986
+    parser — frontier hashes and checkpoint bytes derive from it."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    schemes = ["http", "HTTP", "HtTp", "https", "HTTPS", "hTtPs"]
+    hosts = ["a.com", "A.Com", "WWW.Ex-1.ORG", "h7.example.com", "LOCAL"]
+    ports = ["", ":80", ":443", ":8080", ":0", ":65535", ":65536", ":99999"]
+    paths = ["", "/", "/page/7", "/A/b-c_d~", "/p;x=1,y@z"]
+    frags = ["", "#f", "#sec/9#x"]
+    urls = []
+    for _ in range(600):
+        urls.append(
+            schemes[rng.randint(len(schemes))]
+            + "://"
+            + hosts[rng.randint(len(hosts))]
+            + ports[rng.randint(len(ports))]
+            + paths[rng.randint(len(paths))]
+            + frags[rng.randint(len(frags))]
+        )
+    # plus the forms that must stay on the per-row parser
+    urls += [
+        "http://u:p@a.com/x",
+        "http://a.com/%7Euser",
+        "http://a.com/a/../b",
+        "http://[::1]:8080/x",
+        "http://a.com./x",
+        "http://a.com/x?q=1",
+        "file:///etc/passwd",
+        "",
+    ]
+    canon, host, _h = U.canonicalize_batch(urls, use_cache=False)
+    for u, c, h in zip(urls, canon.to_pylist(), host.to_pylist()):
+        ec, eh = U.canonicalize_url_host(u)
+        assert c == ec, (u, c, ec)
+        assert h == eh, (u, h, eh)
