@@ -207,23 +207,58 @@ class FrontierShard:
                 [(urlsplit(u).path or "/") for u in sub.column("url_canon").to_pylist()],
                 pa.string(),
             )
-        # robots gate per unique host (vectorized prefix rules)
+        # robots gate, grouped by DISTINCT RULESET rather than by host:
+        # RobotsCache dedups identical robots.txt bodies to shared rule
+        # objects, so the ~60 distinct rulesets behind thousands of hosts
+        # cost one argsort + one allowed_batch each — not a per-host
+        # O(hosts × rows) scan. Decisions are identical to the per-host
+        # loop (same rules object → same prefix match per path).
         enc = sub.column("host").combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False)
+        uhosts = enc.dictionary.to_pylist()
+        u = len(uhosts)
+        rules_for = self.robots.rules_for
+        rules_list = [rules_for(h) for h in uhosts]
+        gid_of_host = np.empty(u, dtype=np.int64)
+        gid_by_obj: dict[int, int] = {}
+        gr_rules: list = []
+        for ci, r in enumerate(rules_list):
+            g = gid_by_obj.get(id(r))
+            if g is None:
+                g = len(gr_rules)
+                gid_by_obj[id(r)] = g
+                gr_rules.append(r)
+            gid_of_host[ci] = g
         allowed = np.ones(m, dtype=bool)
-        for code, host in enumerate(enc.dictionary.to_pylist()):
-            rows = np.nonzero(codes == code)[0]
-            rules = self.robots.rules_for(host)
-            if rules._compiled:
-                ok = rules.allowed_batch(paths.take(pa.array(rows)))
-                allowed[rows] = ok
-                any_ok = bool(ok.any())
-            else:
-                any_ok = True
-            if any_ok and host not in self._delay_set:
-                self._delay_set.add(host)
-                if rules.crawl_delay is not None:
-                    self.buckets.set_delay(host, rules.crawl_delay)
+        if any(r._compiled for r in gr_rules):
+            gid_rows = gid_of_host[codes]
+            order = np.argsort(gid_rows, kind="stable")
+            sg = gid_rows[order]
+            starts = np.nonzero(np.r_[True, sg[1:] != sg[:-1]])[0]
+            ends = np.r_[starts[1:], m]
+            for a, b in zip(starts, ends):
+                r = gr_rules[int(sg[a])]
+                if r._compiled:
+                    rows = order[a:b]
+                    allowed[rows] = r.allowed_batch(paths.take(pa.array(rows)))
+        # crawl-delay bookkeeping: once per host, the first time a batch
+        # grants it at least one allowed row (hosts without compiled
+        # rules always have allowed rows here, so any_ok ≡ bincount > 0)
+        new_hosts = [
+            (ci, h) for ci, h in enumerate(uhosts) if h not in self._delay_set
+        ]
+        if new_hosts:
+            per_host_ok = (
+                np.bincount(codes[allowed], minlength=u) > 0
+                if not allowed.all()
+                else np.ones(u, dtype=bool)
+            )
+            for ci, host in new_hosts:
+                if per_host_ok[ci]:
+                    self._delay_set.add(host)
+                    cd = rules_list[ci].crawl_delay
+                    if cd is not None:
+                        self.buckets.set_delay(host, cd)
         self.counters["robots_denied"] += int(m - allowed.sum())
         if not allowed.any():
             return dict(self.counters)

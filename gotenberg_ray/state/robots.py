@@ -140,6 +140,15 @@ class RobotsCache:
         self._fetch = fetch_fn  # (host) -> robots.txt text or None
         self._agent = agent
         self._cache: dict[str, RobotsRules] = {}
+        # robots.txt bodies are massively duplicated across hosts (CDN
+        # defaults, hosting-provider templates), so identical texts share
+        # ONE parsed RobotsRules instance. Rules objects are read-only
+        # after construction, and the sharing is what lets the shard's
+        # admission gate group hosts by ruleset identity and run one
+        # vectorized allowed_batch per DISTINCT ruleset instead of one
+        # per host.
+        self._by_text: dict[str, RobotsRules] = {}
+        self._empty = RobotsRules([], None)
         self.fetches = 0
 
     def rules_for(self, host: str) -> RobotsRules:
@@ -147,7 +156,13 @@ class RobotsCache:
         if r is None:
             self.fetches += 1
             text = self._fetch(host)
-            r = parse_robots(text, self._agent) if text else RobotsRules([], None)
+            if text:
+                r = self._by_text.get(text)
+                if r is None:
+                    r = parse_robots(text, self._agent)
+                    self._by_text[text] = r
+            else:
+                r = self._empty
             self._cache[host] = r
         return r
 
