@@ -222,42 +222,78 @@ class _Group:
         order = np.lexsort((sub, pos, row))
         pos, row, sub, page = pos[order], row[order], sub[order], page[order]
         total = pages[row]
-        ids = np.empty(len(pos), dtype=np.int64)
         # distinct (which-template, page, total) triples are O(max pages
-        # per row) — render each once, reuse the string object
-        memo: dict[tuple[int, int, int], str] = {}
-        for j in range(len(pos)):
-            key = (int(sub[j]), int(page[j]), int(total[j]))
-            txt = memo.get(key)
-            if txt is None:
-                tpl = header_tpl if sub[j] == 0 else footer_tpl
-                txt = _render_template(tpl, key[1], key[2])
-                memo[key] = txt
-            ids[j] = self._new_span(TEXT, txt)
+        # per row) — render each ONCE as a shared new span and gather
+        # event ids from the unique inverse (same output text as giving
+        # every event its own span; materialize maps sid → text)
+        combo = (sub.astype(np.int64) << 42) | (page << 21) | total
+        uniq, inv = np.unique(combo, return_inverse=True)
+        sid0 = len(self.new_text)
+        for uv in uniq:
+            usub = int(uv >> 42)
+            upage = int((uv >> 21) & ((1 << 21) - 1))
+            utot = int(uv & ((1 << 21) - 1))
+            tpl = header_tpl if usub == 0 else footer_tpl
+            self._new_span(TEXT, _render_template(tpl, upage, utot))
+        ids = -(sid0 + inv.astype(np.int64)) - 1
         self._insert(row, pos, ids, np.full(len(pos), TEXT))
 
     def outline_bookmarks(self) -> list[str]:
-        """Per-row bookmarks JSON (title = first TEXT span per page)."""
+        """Per-row bookmarks JSON (title = first TEXT span per page).
+
+        Vectorized: page index per span via the PB prefix sum, first
+        TEXT span per (row, page) via one boundary diff, one Arrow take
+        for all titles — only the per-row json.dumps stays Python.
+        Byte-equal to the per-span reference loop (a page whose first
+        TEXT span holds the empty string titles "" — None-vs-empty is
+        preserved by the sentinel)."""
+        n_rows = len(self.offsets) - 1
+        total = len(self.src)
+        lens = self._row_lengths()
+        if total == 0:
+            return ["[]" if not l else json.dumps(
+                [{"title": "Page 1", "page": 1, "children": []}]
+            ) for l in lens]
+        row = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        is_pb = self.kind == PB
+        prefix = np.cumsum(is_pb) - is_pb  # PBs strictly before i, global
+        pb_per_row = np.bincount(row[is_pb], minlength=n_rows)
+        pb_before_row = np.r_[0, np.cumsum(pb_per_row)[:-1]]
+        page = prefix - pb_before_row[row]  # 0-based page per span
+        pages = pb_per_row + (lens > 0).astype(np.int64)
+        bm_base = np.r_[0, np.cumsum(pages)]
+        n_bm = int(bm_base[-1])
+        titles = np.full(n_bm, None, dtype=object)
+        t_idx = np.nonzero(self.kind == TEXT)[0]
+        if len(t_idx):
+            slot = bm_base[row[t_idx]] + page[t_idx]  # nondecreasing
+            first = np.r_[True, slot[1:] != slot[:-1]]
+            f_idx = t_idx[first]
+            n_base = len(self.base_text)
+            src_f = self.src[f_idx]
+            mapped = np.where(src_f >= 0, src_f, n_base + (-src_f - 1))
+            text_all = pa.concat_arrays(
+                [
+                    self.base_text.cast(pa.string()),
+                    pa.array(self.new_text, pa.string()),
+                ]
+            )
+            got = pc.fill_null(text_all.take(pa.array(mapped)), "").to_pylist()
+            titles[slot[first]] = got
         out = []
-        for r in range(len(self.offsets) - 1):
-            a, b = self.offsets[r], self.offsets[r + 1]
+        for r in range(n_rows):
+            a, b = bm_base[r], bm_base[r + 1]
             if a == b:
                 out.append("[]")
                 continue
-            kinds = self.kind[a:b]
-            bms = []
-            page_no, first_text = 1, None
-            for i in range(a, b):
-                kk = kinds[i - a]
-                if kk == PB:
-                    title = first_text if first_text is not None else f"Page {page_no}"
-                    bms.append({"title": title[:64], "page": page_no, "children": []})
-                    page_no += 1
-                    first_text = None
-                elif kk == TEXT and first_text is None:
-                    first_text = self.text_of(int(self.src[i]))
-            title = first_text if first_text is not None else f"Page {page_no}"
-            bms.append({"title": title[:64], "page": page_no, "children": []})
+            bms = [
+                {
+                    "title": (t if t is not None else f"Page {p + 1}")[:64],
+                    "page": p + 1,
+                    "children": [],
+                }
+                for p, t in enumerate(titles[a:b])
+            ]
             out.append(json.dumps(bms))
         return out
 
