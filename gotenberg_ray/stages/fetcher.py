@@ -178,6 +178,10 @@ class SimulatedFetcher:
         self.spans_col = spans_plus
         self.empty_idx = self.n_docs
         self.row_of = row_of
+        # doc-id lookup column for the vectorized pc.index_in probe
+        # (same mapping as row_of; the dict stays for scalar callers)
+        did = docs_table.column("doc_id")
+        self.doc_id_col = did.combine_chunks() if isinstance(did, pa.ChunkedArray) else did
         self.stats = stats  # dict of np arrays + origins sets
         self.link_universe = int(link_universe)
         self.max_links = int(max_links)
@@ -275,12 +279,16 @@ class SimulatedFetcher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         url_hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
-        hosts = batch.column("host").to_pylist()
-        doc_ids = batch.column("doc_id").to_pylist()
         statuses = synthetic_status(url_hashes)
 
-        idx = np.fromiter(
-            (self.row_of.get(d, -1) for d in doc_ids), dtype=np.int64, count=n
+        # doc lookup as one Arrow hash probe (≡ row_of.get per row)
+        did = batch.column("doc_id")
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        idx = (
+            pc.fill_null(pc.index_in(did, value_set=self.doc_id_col), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         found = idx >= 0
         # failure predicate wins before any render work
@@ -312,13 +320,20 @@ class SimulatedFetcher:
         origins_list = st["origins"]
 
         ok_idx = np.nonzero(ok)[0]
-        for i in ok_idx:
-            # host counts as an origin unless it already served an asset
-            if hosts[i] not in origins_list[idx[i]]:
-                n_orig[i] += 1
         host_arr = batch.column("host")
         if isinstance(host_arr, pa.ChunkedArray):
             host_arr = host_arr.combine_chunks()
+        # host counts as an origin unless it already served an asset;
+        # rows whose doc has NO asset origins (the common case) take the
+        # vectorized +1 — only origin-bearing rows pay a set probe
+        no_assets = ok & (n_orig == 0)
+        n_orig[no_assets] += 1
+        probe = np.nonzero(ok & (n_orig > 0) & ~no_assets)[0]
+        if len(probe):
+            probe_hosts = host_arr.take(pa.array(probe)).to_pylist()
+            for h, i in zip(probe_hosts, probe):
+                if h not in origins_list[idx[i]]:
+                    n_orig[i] += 1
         counts, urls_flat, lidx_flat = synthetic_links_batch(
             url_hashes[ok_idx],
             host_arr.take(pa.array(ok_idx)),

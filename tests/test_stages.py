@@ -354,3 +354,61 @@ class TestMediaResizeAndFrames:
             idx = list(r["frame_indices"])
             assert idx[0] == 0 and all(i < r["n_frames"] for i in idx)
             assert idx == sorted(idx)
+
+
+def test_fetch_metrics_match_per_row_reference():
+    """The fetcher's vectorized doc lookup + unique-origins accounting
+    must equal the scalar per-row definition: origins = the doc's
+    distinct asset hosts, plus the page host unless it already served
+    an asset; error rows report (req=1, failed=1, origins=1)."""
+    import numpy as np
+
+    from gotenberg_ray.corpus import make_documents
+    from gotenberg_ray.frontier.crawler import _options_for_hashes
+    from gotenberg_ray.functions.hashing import fnv64
+    from gotenberg_ray.stages.fetcher import SimulatedFetcher, synthetic_status
+
+    docs = make_documents(400, seed=7)
+    state = SimulatedFetcher.build_state(docs)
+    fetcher = SimulatedFetcher(state, link_universe=500, max_links=3)
+    stats, row_of = state[1], state[3]
+    origin_pool = sorted(set().union(*stats["origins"]) or {"assets.example.com"})
+    pool = origin_pool + ["h1.example.com", "h2.example.com"]
+    rng = np.random.default_rng(3)
+    n = 3000
+    hosts = [pool[i] for i in rng.integers(0, len(pool), n)]
+    doc_ids = [f"doc-{int(i):06d}" for i in rng.integers(0, 440, n)]  # some missing
+    urls = [f"https://{h}/x/{i}" for i, h in enumerate(hosts)]
+    uh = fnv64(pa.array(urls, pa.string()))
+    opts, routes = _options_for_hashes(uh)
+    batch = pa.table(
+        {
+            "seq": pa.array(np.arange(n, dtype=np.int64)),
+            "fetch_time": pa.array(np.zeros(n, np.int64)),
+            "priority": pa.array(np.zeros(n, np.int32)),
+            "url_hash": pa.array(uh),
+            "url_canon": pa.array(urls),
+            "host": pa.array(hosts),
+            "route": routes,
+            "doc_id": pa.array(doc_ids),
+            "options_json": opts,
+        }
+    )
+    out = fetcher(batch)
+    got = out.column("metrics").combine_chunks()
+    statuses = synthetic_status(uh)
+    for i in range(n):
+        ridx = row_of.get(doc_ids[i], -1)
+        bad = statuses[i] in set(fetcher._fail_set(opts[i].as_py()).tolist())
+        ok = ridx >= 0 and not bad
+        if ok:
+            exp = int(stats["origins_len"][ridx])
+            if hosts[i] not in stats["origins"][ridx]:
+                exp += 1
+            exp = min(exp, 64)
+        else:
+            exp = 1
+        assert got[i]["unique_origins"].as_py() == exp, i
+        assert got[i]["request_count"].as_py() == (
+            int(stats["req"][ridx]) if ok else 1
+        ), i
