@@ -188,13 +188,20 @@ class _Group:
         idx = np.nonzero(self.kind == TEXT)[0]
         if not len(idx):
             return
-        texts = self.base_text.take(pa.array(self.src[idx])).to_pylist()
+        # render each DISTINCT markdown body once per batch (documents
+        # repeat across a crawl epoch), register one shared span per
+        # distinct rendering, and gather span ids from the dictionary
+        # indices — same output text as a span per occurrence
+        enc = pc.fill_null(
+            self.base_text.take(pa.array(self.src[idx])), ""
+        ).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         start = len(self.new_text)
-        for t in texts:
+        for t in enc.dictionary.to_pylist():
             self.new_text.append(render_markdown_cached(t or ""))
             self.new_kind.append(TEXT)
             self.new_media.append("")
-        self.src[idx] = -(np.arange(start, start + len(idx), dtype=np.int64) + 1)
+        self.src[idx] = -(start + codes) - 1
         self._texts_cache = None
 
     def header_footer(self, header_tpl: str, footer_tpl: str) -> None:
