@@ -206,6 +206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-stream band join: ALL (click, purchase) pairs within
         # the hour band, counted via per-user prefix sums
         "click_purchase_pairs": W.click_purchase_pairs,
+        # global sweep-line: peak simultaneous active users (distributed
+        # segmented scan — time-bucketed deltas, driver carry combine)
+        "events_peak_concurrency": W.events_peak_concurrency,
         # trailing-window anomaly flag (integer cross-multiplication)
         "events_spike_days": W.events_spike_days,
         # LAG()-per-key at scale: global Markov transition matrix
@@ -518,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": W.RETENTION_SQL,
         "events_decayed_score": W.DECAYED_SQL,
         "click_purchase_pairs": W.PAIRS_SQL,
+        "events_peak_concurrency": W.PEAK_CONCURRENCY_SQL,
         "events_spike_days": W.SPIKE_SQL,
         "event_transitions": W.TRANSITIONS_SQL,
         "line_dedup": LN.LINE_DEDUP_SQL,

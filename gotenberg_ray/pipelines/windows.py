@@ -1283,3 +1283,114 @@ FROM lagged WHERE prev_type IS NOT NULL
 GROUP BY prev_type, event_type
 ORDER BY prev_type, event_type
 """
+
+
+# ------------------------------------------- global sweep-line peak
+
+CONCURRENCY_WINDOW_S = 300  # an event marks its user active for 5 min
+_SWEEP_BUCKETS = 64
+
+
+def events_peak_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Global sweep-line: the maximum number of simultaneously active
+    users over the whole log (an event opens a [ts, ts+300s) activity
+    interval; intervals are half-open, so one ending exactly when
+    another starts never overlaps it), plus the earliest instant the
+    peak is reached.
+
+    Distributed shape — a segmented scan, not a global sort: every
+    event emits (+1 at ts, −1 at ts+W) deltas; deltas route ONCE by
+    fixed-width time bucket (one explicit all-to-all of 2·N tiny
+    rows); each bucket independently sorts its deltas by (t, d) and
+    reports only (Σ deltas, max running prefix, first t at that max);
+    the driver combines B≤64 partials with one exclusive prefix sum —
+    the classic carry-propagation of a distributed scan. Peak and
+    argmin-t are exact and layout-independent.
+    """
+    win_us = np.int64(CONCURRENCY_WINDOW_S) * US
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        t = _ts_us(batch.column("ts"))
+        if not len(t):
+            return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(t.min())]), "hi": pa.array([int(t.max())])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "peak": pd.Series([0], dtype="int64"),
+            "at_ts": pd.Series([pd.NaT], dtype="datetime64[us]"),
+        }
+    )
+    if not len(mm):
+        return empty
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max()) + int(win_us)
+    width = max(1, (hi - lo) // _SWEEP_BUCKETS + 1)
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        t = _ts_us(batch.column("ts"))
+        ts_all = np.concatenate([t, t + win_us])
+        d = np.concatenate(
+            [np.ones(len(t), np.int8), np.full(len(t), -1, np.int8)]
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(((ts_all - lo) // width).astype(np.int32)),
+                "t": pa.array(ts_all),
+                "d": pa.array(d),
+            }
+        )
+
+    def per_bucket(part: pa.Table) -> pa.Table:
+        t = part["t"].to_numpy(zero_copy_only=False)
+        d = part["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, t))  # t asc, then -1 before +1 (half-open)
+        run = np.cumsum(d[order])
+        mi = int(np.argmax(run))
+        return pa.table(
+            {
+                "bucket": pa.array([int(part["bucket"][0].as_py())], pa.int32()),
+                "s_total": pa.array([int(run[-1])], pa.int64()),
+                "m_prefix": pa.array([int(run[mi])], pa.int64()),
+                "t_at_m": pa.array([int(t[order][mi])], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(deltas, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(parts):
+        return empty
+    parts = parts.sort_values("bucket").reset_index(drop=True)
+    s = parts["s_total"].to_numpy(dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(s)[:-1]))
+    cand = offsets + parts["m_prefix"].to_numpy(dtype=np.int64)
+    peak = int(cand.max())
+    first = int(np.argmax(cand == peak))  # earliest bucket = earliest t
+    at_us = int(parts["t_at_m"].iloc[first])
+    return pd.DataFrame(
+        {
+            "peak": pd.Series([peak], dtype="int64"),
+            "at_ts": pd.Series(
+                np.array([at_us], dtype="int64").view("datetime64[us]")
+            ),
+        }
+    )
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH deltas AS (
+  SELECT ts AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT ts + INTERVAL {CONCURRENCY_WINDOW_S} SECOND AS t, -1 AS d FROM events
+), s AS (
+  SELECT t, CAST(SUM(d) OVER (ORDER BY t, d) AS BIGINT) AS c FROM deltas
+), m AS (SELECT COALESCE(MAX(c), 0)::BIGINT AS peak FROM s)
+SELECT m.peak AS peak,
+       (SELECT MIN(t) FROM s WHERE s.c = m.peak) AS at_ts
+FROM m
+"""

@@ -160,3 +160,67 @@ def test_running_revenue_gapped_years(ray_session, tmp_path):
     assert list(urgent["running_revenue_e2"]) == [1000, 3000]
     high = df[df["o_orderpriority"] == "2-HIGH"]
     assert list(high["running_revenue_e2"]) == [500]
+
+
+# ------------------------------------------- global sweep-line peak
+
+
+def test_peak_concurrency_half_open_and_argmin(ray_session, tmp_path):
+    """An interval ending exactly when another starts never overlaps it
+    (half-open [ts, ts+300s)); at_ts is the EARLIEST instant the peak
+    count is reached."""
+    from gotenberg_ray.pipelines import windows as W
+
+    US = 1_000_000
+    W300 = 300 * US
+    rows = [
+        # two overlapping opens at t=0 and t=100s → count 2
+        (0, 1, 0, "click", 1.0),
+        (1, 2, 100 * US, "click", 1.0),
+        # opens exactly at the first interval's end — count stays 2
+        (2, 3, W300, "click", 1.0),
+        # later, three strictly overlapping opens → peak 3 at 1000s
+        (3, 4, 900 * US, "click", 1.0),
+        (4, 5, 950 * US, "click", 1.0),
+        (5, 6, 1000 * US, "click", 1.0),
+        # an even later pair that also reaches only 2
+        (6, 7, 5000 * US, "click", 1.0),
+        (7, 8, 5001 * US, "click", 1.0),
+    ]
+    df = W.events_peak_concurrency(_write_events(tmp_path, rows))
+    assert len(df) == 1
+    assert int(df["peak"].iloc[0]) == 3
+    assert df["at_ts"].iloc[0] == pd.Timestamp(1000 * US, unit="us")
+
+
+def test_peak_concurrency_bucket_layout_invariant(ray_session, tmp_path):
+    """The distributed carry combine gives the same (peak, at_ts) for
+    any bucket count — including B=1 (fully sequential reference)."""
+    from gotenberg_ray.pipelines import windows as W
+
+    US = 1_000_000
+    rng = np.random.default_rng(11)
+    ts = np.sort(rng.integers(0, 3_600 * US, 400))
+    rows = [(i, int(i % 17), int(t), "click", 1.0) for i, t in enumerate(ts)]
+    sf = _write_events(tmp_path, rows)
+    base = W.events_peak_concurrency(sf)
+    import gotenberg_ray.pipelines.windows as WM
+
+    orig = WM._SWEEP_BUCKETS
+    try:
+        for b in (1, 3, 256):
+            WM._SWEEP_BUCKETS = b
+            got = W.events_peak_concurrency(sf)
+            assert int(got["peak"].iloc[0]) == int(base["peak"].iloc[0]), b
+            assert got["at_ts"].iloc[0] == base["at_ts"].iloc[0], b
+    finally:
+        WM._SWEEP_BUCKETS = orig
+
+
+def test_peak_concurrency_empty(ray_session, tmp_path):
+    from gotenberg_ray.pipelines import windows as W
+
+    df = W.events_peak_concurrency(_write_events(tmp_path, []))
+    assert len(df) == 1
+    assert int(df["peak"].iloc[0]) == 0
+    assert pd.isna(df["at_ts"].iloc[0])
