@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-batch assembly (distributed ordered prefix sum)
         "pack_sequences": PK.pack_sequences,
         "chunk_documents": PK.chunk_documents,
+        # content-defined (Gear/FastCDC) chunk dedup — rows-only (rolling
+        # hash has no SQL twin); scalar-reference parity pinned in tests
+        "dedup_gear_chunks": PK.dedup_gear_chunks,
         "pack_shuffled": PK.pack_shuffled,
         # BPE tokenizer training: one distributed word-histogram
         # pass, merge loop on the histogram (rows-only - iterative)

@@ -346,3 +346,285 @@ SELECT doc_id, n_tokens, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
             AS BIGINT) // 512 AS pack_id
 FROM tok ORDER BY doc_id
 """
+
+
+# ------------------------------------- content-defined chunking dedup
+
+# FastCDC-style Gear parameters: boundary when the top GEAR_KBITS bits
+# of the rolling hash are zero → expected chunk length 2^GEAR_KBITS
+# bytes, bounded to [GEAR_MIN, GEAR_MAX]. Small values suit the short
+# synthetic docs; production corpora would use kbits≈13 (8 KiB chunks)
+# with the same kernels.
+GEAR_KBITS = 6
+GEAR_MIN = 32
+GEAR_MAX = 256
+_GEAR_WINDOW = 64  # h = 2h + G[b] mod 2^64 forgets bytes ≥64 back
+_CDC_P = 32  # hash buckets for the fold's keyed exchange
+
+# 256-entry random table, derived deterministically
+_GEAR_SALT = np.uint64(0x6C62272E07BB0142)
+
+
+def _gear_table() -> np.ndarray:
+    from ..functions.hashing import splitmix64
+
+    return splitmix64(np.arange(256, dtype=np.uint64) ^ _GEAR_SALT)
+
+
+_GEAR_G: np.ndarray | None = None
+
+# content hash: splitmix-finalized polynomial rolling hash mod 2^64
+# over chunk bytes (B odd → invertible; prefix trick makes every chunk
+# hash one gather + one multiply, no per-chunk loop)
+_POLY_B = np.uint64(0x100000001B3)  # FNV prime, odd
+
+
+def _modinv_pow2_64(a: int) -> int:
+    """Inverse of odd ``a`` mod 2^64 (Newton iteration)."""
+    x = a  # correct mod 2^3
+    for _ in range(5):
+        x = (x * (2 - a * x)) & 0xFFFFFFFFFFFFFFFF
+    return x
+
+
+_POLY_BINV = np.uint64(_modinv_pow2_64(int(_POLY_B)))
+
+
+def gear_cut_points(data: np.ndarray, doc_offsets: np.ndarray) -> list[np.ndarray]:
+    """Per-doc content-defined cut points over concatenated UTF-8 bytes.
+
+    ``data`` is the flat uint8 buffer, ``doc_offsets`` the int64 doc
+    boundaries (len = n_docs + 1). The Gear recurrence
+    ``h_i = 2·h_{i-1} + G[b_i] (mod 2^64)`` expands to
+    ``h_i = Σ_{s<64} G[b_{i-s}]·2^s`` because contributions shift out
+    of the 64-bit word exactly — so the hash of EVERY position comes
+    from 64 shifted vector adds (masked at doc starts, where the
+    window truncates), no per-byte loop. Only the min/max walk over
+    the sparse candidate list is per-doc Python (O(#chunks) total).
+
+    Returns a list of per-doc ABSOLUTE cut positions (excluding 0,
+    including the doc end).
+    """
+    global _GEAR_G
+    if _GEAR_G is None:
+        _GEAR_G = _gear_table()
+    G = _GEAR_G
+    n = len(data)
+    n_docs = len(doc_offsets) - 1
+    out: list[np.ndarray] = []
+    if n == 0:
+        return [np.empty(0, np.int64) for _ in range(n_docs)]
+    lens = np.diff(doc_offsets)
+    rel = np.arange(n, dtype=np.int64) - np.repeat(doc_offsets[:-1], lens)
+    g = G[data]
+    acc = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for s in range(_GEAR_WINDOW):
+            contrib = np.zeros(n, dtype=np.uint64)
+            if s == 0:
+                contrib = g.copy()
+            elif s < n:
+                contrib[s:] = g[:-s] << np.uint64(s)
+            contrib[rel < s] = np.uint64(0)  # window never crosses a doc
+            acc += contrib
+    is_cut = (acc >> np.uint64(64 - GEAR_KBITS)) == 0
+    for d in range(n_docs):
+        a, b = int(doc_offsets[d]), int(doc_offsets[d + 1])
+        dlen = b - a
+        if dlen == 0:
+            out.append(np.empty(0, np.int64))
+            continue
+        # candidate cut AFTER byte i → position i+1 (doc-relative)
+        cands = np.nonzero(is_cut[a:b])[0] + 1
+        cuts = []
+        last = 0
+        while last < dlen:
+            j = np.searchsorted(cands, last + GEAR_MIN)
+            if j < len(cands) and cands[j] - last <= GEAR_MAX:
+                nxt = int(cands[j])
+            else:
+                nxt = min(last + GEAR_MAX, dlen)
+            cuts.append(nxt)
+            last = nxt
+        out.append(np.asarray(cuts, dtype=np.int64) + a)
+    return out
+
+
+def _chunk_hashes(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Content hash per chunk: splitmix64 of the polynomial prefix
+    difference — ``H([s,e)) = (S[e−1] − S[s−1])·B^(e−1)`` with
+    ``S[i] = Σ b_j·B^(−j)`` — three cumulative passes over the flat
+    bytes, then one gather per chunk. Non-cryptographic; random
+    collisions ≈ n²/2^64 (documented contract, same class as the
+    engine's other 64-bit content keys)."""
+    from ..functions.hashing import splitmix64
+
+    n = len(data)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    with np.errstate(over="ignore"):
+        binv_pw = np.multiply.accumulate(
+            np.full(n, _POLY_BINV, dtype=np.uint64)
+        )
+        binv_pw = np.r_[np.uint64(1), binv_pw[:-1]]  # B^(-j), j from 0
+        S = np.cumsum(data.astype(np.uint64) * binv_pw)
+        pw = np.multiply.accumulate(np.full(n, _POLY_B, dtype=np.uint64))
+        pw = np.r_[np.uint64(1), pw[:-1]]  # B^j
+        Sprev = np.r_[np.uint64(0), S[:-1]]
+        h = (S[ends - 1] - Sprev[starts]) * pw[ends - 1]
+        # fold the length in so [s,e) and a zero-padded variant differ
+        return splitmix64(h ^ splitmix64((ends - starts).astype(np.uint64)))
+
+
+def dedup_gear_chunks(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunking dedup (FastCDC/Gear family): split every
+    document's UTF-8 bytes at content-derived boundaries, hash each
+    chunk, and report per-source duplication — how many chunk
+    occurrences (and bytes) appear ≥2 times CORPUS-WIDE. Unlike
+    fixed-stride ``chunk_documents``, an insertion only reshuffles the
+    chunks around the edit, so shared passages dedup across documents.
+
+    Distributed shape: workers chunk + hash + pre-aggregate
+    (hash, source) partials per batch; partials route ONCE by
+    ``hash % P`` (bucketed keyed exchange, never per-hash groups);
+    each bucket resolves global per-hash counts with one segmented
+    pass and emits per-source partials; a terminal tiny groupby(source)
+    folds ≤#sources×P rows. Rows-only by design (rolling hashes have
+    no SQL twin); pinned by a scalar-reference parity test, chunk
+    reconstruction/size invariants, and layout-invariance tests.
+    """
+    import pyarrow.compute as _pc
+
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = _pc.fill_null(texts, "")
+        binv = texts.cast(pa.binary())
+        n_rows = len(binv)
+        if n_rows == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "source": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "bytes": pa.array([], pa.int64()),
+                }
+            )
+        bufs = binv.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            binv.offset : binv.offset + n_rows + 1
+        ].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else np.empty(0, np.uint8)
+        base = offs[0]
+        data = data[base : offs[-1]]
+        offs = offs - base
+        cut_lists = gear_cut_points(data, offs)
+        n_chunks = np.array([len(c) for c in cut_lists], dtype=np.int64)
+        if int(n_chunks.sum()) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "source": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "bytes": pa.array([], pa.int64()),
+                }
+            )
+        ends = np.concatenate([c for c in cut_lists if len(c)])
+        doc_of = np.repeat(np.arange(n_rows, dtype=np.int64), n_chunks)
+        starts = np.where(
+            np.r_[True, doc_of[1:] != doc_of[:-1]],
+            offs[doc_of],
+            np.r_[np.int64(0), ends[:-1]],
+        )
+        h = _chunk_hashes(data, starts, ends)
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table(
+            {
+                "h": pa.array(h),
+                "source": _pc.fill_null(src, "").take(pa.array(doc_of)),
+                "len": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+        # per-batch combiner: (h, source) partials
+        g = t.group_by(["h", "source"]).aggregate(
+            [("len", "count"), ("len", "sum")]
+        )
+        return pa.table(
+            {
+                "h": g["h"],
+                "source": g["source"],
+                "n": g["len_count"].cast(pa.int64()),
+                "bytes": g["len_sum"].cast(pa.int64()),
+            }
+        )
+
+    def with_pid(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pid", pa.array((h % np.uint64(_CDC_P)).astype(np.int32))
+        )
+
+    def fold(part: pa.Table) -> pa.Table:
+        h = part["h"].to_numpy(zero_copy_only=False)
+        n = part["n"].to_numpy(zero_copy_only=False)
+        byts = part["bytes"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        seg = np.r_[True, hs[1:] != hs[:-1]]
+        seg_id = np.cumsum(seg) - 1
+        tot = np.zeros(int(seg_id[-1]) + 1 if len(seg_id) else 0, dtype=np.int64)
+        np.add.at(tot, seg_id, n[order])
+        dup = tot[seg_id] > 1  # occurrence is duplicated corpus-wide
+        t = pa.table(
+            {
+                "source": part["source"].take(pa.array(order)),
+                "n_chunks": pa.array(n[order]),
+                "dup_chunks": pa.array(np.where(dup, n[order], 0)),
+                "total_bytes": pa.array(byts[order]),
+                "dup_bytes": pa.array(np.where(dup, byts[order], 0)),
+            }
+        )
+        g = t.group_by("source").aggregate(
+            [
+                ("n_chunks", "sum"),
+                ("dup_chunks", "sum"),
+                ("total_bytes", "sum"),
+                ("dup_bytes", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["source", "n_chunks", "dup_chunks", "total_bytes", "dup_bytes"]
+        )
+
+    df = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .map_batches(with_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("dup_chunks", alias_name="dup_chunks"),
+            Sum("total_bytes", alias_name="total_bytes"),
+            Sum("dup_bytes", alias_name="dup_bytes"),
+        )
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {
+            "source": "object",
+            "n_chunks": "int64",
+            "dup_chunks": "int64",
+            "total_bytes": "int64",
+            "dup_bytes": "int64",
+        },
+    )
+    for c in ("n_chunks", "dup_chunks", "total_bytes", "dup_bytes"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
