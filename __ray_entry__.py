@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import semistruct as SS
     from gotenberg_ray.pipelines import temporalops as TO
     from gotenberg_ray.pipelines import windows2 as W2
+    from gotenberg_ray.pipelines import drift as DF
 
     return {
         # relational operator set (filter/project/partial-agg/groupby/
@@ -269,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": T.doc_stats_by_lang,
         "doc_token_counts": T.doc_token_counts,
         "doc_quality": T.doc_quality,
+        "source_tv_distance": DF.source_tv_distance,
+        "source_vocab_jaccard": DF.source_vocab_jaccard,
         "dedup_exact": T.dedup_exact,
         "dedup_minhash": T.dedup_minhash,
         "dedup_simhash": T.dedup_simhash,
@@ -461,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import urls as U
     from gotenberg_ray.pipelines import windows as W
     from gotenberg_ray.pipelines import windows2 as W2
+    from gotenberg_ray.pipelines import drift as DF
 
     return {
         "q1_pricing_summary": R.Q1_SQL,
@@ -556,6 +560,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_lang": T.DOC_STATS_SQL,
         "doc_token_counts": T.DOC_TOKENS_SQL,
         "doc_quality": T.DOC_QUALITY_SQL,
+        "source_tv_distance": DF.TV_SQL,
+        "source_vocab_jaccard": DF.JACCARD_SQL,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_clusters": T.CLUSTERS_SQL,
