@@ -171,6 +171,12 @@ BENCH_QUERIES = [
     "kcore_nodes",
     # per-user Gini–Simpson event-type diversity (exact basis points)
     "user_event_diversity",
+    # continuation additions: content-defined-chunk dedup, global
+    # sweep-line peak concurrency, corpus-drift TV distance (the vocab
+    # Jaccard shares its histogram chain — one bench entry suffices)
+    "dedup_gear_chunks",
+    "events_peak_concurrency",
+    "source_tv_distance",
 ]
 
 
