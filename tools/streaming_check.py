@@ -124,6 +124,13 @@ JOIN_CONFIGS = {
 }
 
 
+# corpus-drift family: runs on the token-retagged 16× documents corpus
+# (each replica's vocabulary is disjoint — 16× the histogram/vocab AND
+# 16× the token mass, the adversarial direction for a vocab-keyed
+# exchange)
+DRIFT_QUERIES = ("source_tv_distance", "source_vocab_jaccard")
+
+
 def run_child(query: str, sf_dir: str) -> None:
     import resource
 
@@ -146,7 +153,7 @@ def run_child(query: str, sf_dir: str) -> None:
     else:
         table = EXTRA_CONFIGS.get(query, ("documents", ()))[0]
     n_docs = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
-    if query in EXTRA_CONFIGS or query in JOIN_CONFIGS:
+    if query in EXTRA_CONFIGS or query in JOIN_CONFIGS or query in DRIFT_QUERIES:
         import importlib.util
 
         spec = importlib.util.spec_from_file_location(
@@ -205,6 +212,10 @@ def main() -> None:
         for q in queries:
             build_scaled_table(*EXTRA_CONFIGS[q])
         scaled = SCALED
+    elif "--drift" in sys.argv:
+        # corpus-drift family over the retagged 16× documents corpus
+        scaled = build_scaled()
+        queries = list(DRIFT_QUERIES)
     else:
         scaled = build_scaled()
         queries = ["dedup_exact", "dedup_minhash"]
