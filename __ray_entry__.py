@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": T.dedup_minhash,
         "dedup_simhash": T.dedup_simhash,
         "dedup_ngram_jaccard": T.dedup_ngram_jaccard,
+        "dedup_ngram_containment": T.dedup_ngram_containment,
         "dedup_clusters": T.dedup_clusters,
         # per-cluster canonical pick: keep the LONGEST member (the
         # curation rule), not the lowest id
@@ -564,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_jaccard": DF.JACCARD_SQL,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
+        "dedup_ngram_containment": T.NGRAM_CONTAINMENT_SQL,
         "dedup_clusters": T.CLUSTERS_SQL,
         "dedup_canonical": T.CANONICAL_SQL,
         "triangle_count": GR.TRIANGLES_SQL,

@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "dedup_gear_chunks",
     "events_peak_concurrency",
     "source_tv_distance",
+    # asymmetric near-dup: exact max-containment (subset/quote) pairs
+    "dedup_ngram_containment",
 ]
 
 

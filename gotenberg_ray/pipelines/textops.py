@@ -417,8 +417,14 @@ def _verify_jaccard_kernel(
     ga: pa.ListArray,
     gb: pa.ListArray,
     threshold: float,
+    denom: str = "union",
+    out_col: str = "jaccard",
 ) -> pa.Table:
-    """Shared exact-Jaccard verify over aligned gram-list columns.
+    """Shared exact set-overlap verify over aligned gram-list columns:
+    ``denom="union"`` scores Jaccard ``|∩|/|∪|``; ``denom="min"``
+    scores max-containment ``|∩|/min(|A|,|B|)`` (the subset/quote
+    detector — a short document fully contained in a long one scores
+    1.0 where Jaccard stays near |short|/|long|).
 
     Both sides are sorted-UNIQUE sets, so ``|A∩B|`` per pair is a
     C-level ``np.searchsorted(A, B)`` membership count over two tiny
@@ -434,7 +440,7 @@ def _verify_jaccard_kernel(
             {
                 "a_id": pa.array([], pa.int64()),
                 "b_id": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                out_col: pa.array([], pa.float64()),
             }
         )
     # KERNEL INVARIANT: both list arrays must be contiguous and rebased
@@ -467,15 +473,25 @@ def _verify_jaccard_kernel(
         pos = searchsorted(A, B)
         pos[pos == len(A)] = 0
         inter[i] = count_nonzero(A[pos] == B)
-    union = na + nb - inter
+    den = na + nb - inter if denom == "union" else np.minimum(na, nb)
     with np.errstate(divide="ignore", invalid="ignore"):
-        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)  # J(∅,∅)=1
+        jac = np.where(den > 0, inter / np.maximum(den, 1), 1.0)  # score(∅,∅)=1
     m = jac >= threshold
     return pa.table(
         {
             "a_id": pa.array(np.asarray(a_ids)[m].astype(np.int64)),
             "b_id": pa.array(np.asarray(b_ids)[m].astype(np.int64)),
-            "jaccard": pa.array(np.round(jac[m], 4)),
+            out_col: pa.array(np.round(jac[m], 4)),
+        }
+    )
+
+
+def _empty_pairs(out_col: str = "jaccard") -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "a_id": pd.Series([], dtype="int64"),
+            "b_id": pd.Series([], dtype="int64"),
+            out_col: pd.Series([], dtype="float64"),
         }
     )
 
@@ -483,6 +499,7 @@ def _verify_jaccard_kernel(
 def _verify_pairs_small(
     cands: rd.Dataset, sf_dir: str, threshold: float,
     grams: rd.Dataset | None = None,
+    denom: str = "union", out_col: str = "jaccard",
 ) -> pd.DataFrame:
     import pyarrow.compute as pc
 
@@ -529,7 +546,9 @@ def _verify_pairs_small(
         gid, glist = _ray.get(g_ref)  # zero-copy plasma read
         ga = glist.take(pa.array(np.searchsorted(gid, a_ids)))
         gb = glist.take(pa.array(np.searchsorted(gid, b_ids)))
-        return _verify_jaccard_kernel(a_ids, b_ids, ga, gb, thr)
+        return _verify_jaccard_kernel(
+            a_ids, b_ids, ga, gb, thr, denom=denom, out_col=out_col
+        )
 
     # the pair-set kernel is the cost — slice the (sorted, unique)
     # pair list across one task per ~16k pairs so verification uses
@@ -542,13 +561,14 @@ def _verify_pairs_small(
     out = pa.concat_tables(_ray.get(refs))
     df = out.to_pandas()
     if df.empty:
-        return pd.DataFrame(_EMPTY_PAIRS)
+        return _empty_pairs(out_col)
     return df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
 def _verify_pairs_distributed(
     cands: rd.Dataset, sf_dir: str, threshold: float,
     grams: rd.Dataset | None = None,
+    denom: str = "union", out_col: str = "jaccard",
 ) -> pd.DataFrame:
     """Exact word-3-gram Jaccard verification of candidate (a_id, b_id)
     pairs WITHOUT materializing the documents table anywhere.
@@ -565,7 +585,7 @@ def _verify_pairs_distributed(
     cands = cands.materialize()  # small (candidate pairs), reused twice
     n_pairs = cands.count()
     if n_pairs == 0:
-        return pd.DataFrame(_EMPTY_PAIRS)
+        return _empty_pairs(out_col)
     if n_pairs <= _SMALL_PAIRS:
         # adaptive fast path: the candidate list is driver-small, so the
         # two-sided shuffle join (3 all-to-all barriers) costs more in
@@ -574,7 +594,9 @@ def _verify_pairs_distributed(
         # (no shuffle; the filtered table is O(candidate ids), not
         # O(corpus)), and verify in one plasma-local task. Above the
         # threshold the join path below takes over unchanged.
-        return _verify_pairs_small(cands, sf_dir, threshold, grams=grams)
+        return _verify_pairs_small(
+            cands, sf_dir, threshold, grams=grams, denom=denom, out_col=out_col
+        )
     uniq = _distinct_pairs(cands)
     # one shingle pass over the corpus, reused by both join sides
     if grams is None:
@@ -609,11 +631,13 @@ def _verify_pairs_distributed(
             ga = ga.combine_chunks()
         if isinstance(gb, pa.ChunkedArray):
             gb = gb.combine_chunks()
-        return _verify_jaccard_kernel(a_ids, b_ids, ga, gb, threshold)
+        return _verify_jaccard_kernel(
+            a_ids, b_ids, ga, gb, threshold, denom=denom, out_col=out_col
+        )
 
     df = withB.map_batches(verify, batch_format="pyarrow").to_pandas()
     if df.empty:
-        return pd.DataFrame(_EMPTY_PAIRS)
+        return _empty_pairs(out_col)
     return df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
@@ -829,6 +853,189 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
         _PAIR_CACHE.pop(next(iter(_PAIR_CACHE)))
     _PAIR_CACHE[key] = df.copy()
     return df
+
+
+def _bucket_probe_index_pairs(
+    buckets: rd.Dataset, num_partitions: int = 16
+) -> rd.Dataset:
+    """(bucket, doc_id, sz, is_probe) rows → unordered candidate
+    (a_id, b_id) pairs where a probe row met an index row of size
+    ≥ its own in the same bucket — the asymmetric (probe-prefix ×
+    full-index) pairing containment joins need. One hash-partitioned
+    shuffle on the bucket key, vectorized run detection per partition,
+    per-run numpy cross product with the length filter."""
+    from .joins import partition_ids
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pid", partition_ids(batch["bucket"], num_partitions)
+        )
+
+    def pairs_in_partition(part: pa.Table) -> pa.Table:
+        part = part.select(["bucket", "doc_id", "sz", "is_probe"]).sort_by(
+            [("bucket", "ascending")]
+        )
+        b = part["bucket"].to_numpy(zero_copy_only=False)
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        sz = part["sz"].to_numpy(zero_copy_only=False)
+        probe = part["is_probe"].to_numpy(zero_copy_only=False).astype(bool)
+        starts = (
+            np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+            if len(b)
+            else np.array([], dtype=np.int64)
+        )
+        ends = np.r_[starts[1:], len(b)] if len(starts) else np.array([], dtype=np.int64)
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            pr = probe[s:e]
+            p_ids, p_sz = ids[s:e][pr], sz[s:e][pr]
+            i_ids, i_sz = ids[s:e][~pr], sz[s:e][~pr]
+            if not len(p_ids) or not len(i_ids):
+                continue
+            np_, ni = len(p_ids), len(i_ids)
+            pi = np.repeat(np.arange(np_), ni)
+            ii = np.tile(np.arange(ni), np_)
+            keep = (i_sz[ii] >= p_sz[pi]) & (p_ids[pi] != i_ids[ii])
+            if not keep.any():
+                continue
+            pa_, ib = p_ids[pi[keep]], i_ids[ii[keep]]
+            a_out.append(np.minimum(pa_, ib))
+            b_out.append(np.maximum(pa_, ib))
+        if not a_out:
+            return pa.table(
+                {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(a_out).astype(np.int64)),
+                "b_id": pa.array(np.concatenate(b_out).astype(np.int64)),
+            }
+        )
+
+    return (
+        buckets.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("_pid", num_partitions=num_partitions)
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
+    )
+
+
+def dedup_ngram_containment(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """EXACT n-gram max-containment pairs ≥ threshold:
+    ``C(a,b) = |∩| / min(|grams a|, |grams b|)`` — the subset/quote
+    detector. A 50-gram document embedded verbatim in a 5000-gram one
+    scores C=1.0 while its Jaccard is ~0.01, so this is the near-dup
+    family's answer to wholesale quoting and page-in-page mirrors
+    (empty-gram docs are excluded: C is undefined at min=0).
+
+    Candidate generation is the asymmetric prefix lemma: if
+    ``|∩| ≥ ⌈t·|B|⌉`` (B the smaller side), the first
+    ``|B| − ⌈t·|B|⌉ + 1`` smallest grams of B must contain an
+    intersection gram — which the LARGER side can post anywhere in its
+    set. So every doc posts its Jaccard-style PREFIX as probe rows and
+    its FULL gram set as index rows; a candidate is any (probe, index)
+    bucket collision with ``index_sz ≥ probe_sz``. No qualifying pair
+    is missed (pigeonhole over the smaller side's sorted set); the
+    full-index side is the same vocabulary-scale postings table the
+    verify join already ships. Verification reuses the sorted-merge
+    kernel with the min denominator. Production growth note: hot-gram
+    postings bound the cross product per bucket; at web scale the
+    standard cap is a posting-length limit with the capped grams
+    falling back to the minhash band path.
+    """
+
+    def probe_index_stage(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(doc_ids)
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.uint64()),
+                "doc_id": pa.array([], pa.int64()),
+                "sz": pa.array([], pa.int64()),
+                "is_probe": pa.array([], pa.bool_()),
+            }
+        )
+        if n == 0:
+            return empty
+        vals, offs = _gram_values(batch, fill_empty=0)
+        lens = np.diff(offs)
+        # empty-gram docs are excluded from both roles (C undefined at
+        # min=0); _gram_values pads them with a sentinel (lens==1), so
+        # true emptiness comes from the raw list offsets
+        larr = batch["grams"]
+        if isinstance(larr, pa.ChunkedArray):
+            larr = larr.combine_chunks()
+        true_lens = np.diff(larr.offsets.to_numpy(zero_copy_only=False))
+        nz = true_lens > 0
+        if not nz.any():
+            return empty
+        # probe rows: per-doc prefix of length |x| − ⌈t|x|⌉ + 1
+        k = np.where(nz, lens - np.ceil(threshold * lens).astype(np.int64) + 1, 0)
+        row_of = np.repeat(np.arange(n), k)
+        within = np.arange(k.sum()) - np.repeat(np.cumsum(k) - k, k)
+        flat_idx = offs[:-1][row_of] + within
+        # index rows: the full gram set of every non-empty doc
+        i_k = np.where(nz, lens, 0)
+        i_row = np.repeat(np.arange(n), i_k)
+        i_within = np.arange(i_k.sum()) - np.repeat(np.cumsum(i_k) - i_k, i_k)
+        i_flat = offs[:-1][i_row] + i_within
+        return pa.table(
+            {
+                "bucket": pa.array(np.r_[vals[flat_idx], vals[i_flat]]),
+                "doc_id": pa.array(
+                    np.r_[doc_ids[row_of], doc_ids[i_row]].astype(np.int64)
+                ),
+                "sz": pa.array(np.r_[lens[row_of], lens[i_row]].astype(np.int64)),
+                "is_probe": pa.array(
+                    np.r_[
+                        np.ones(len(flat_idx), dtype=bool),
+                        np.zeros(len(i_flat), dtype=bool),
+                    ]
+                ),
+            }
+        )
+
+    grams = _gram_sets(sf_dir).materialize()
+    cands = _bucket_probe_index_pairs(
+        grams.map_batches(probe_index_stage, batch_format="pyarrow")
+    )
+    return _verify_pairs_distributed(
+        cands, sf_dir, threshold, grams=grams, denom="min", out_col="containment"
+    )
+
+
+NGRAM_CONTAINMENT_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(toks) = 0 THEN []::VARCHAR[]
+      WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+      ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          FOR i IN generate_series(1, len(toks) - 2)])
+    END AS grams
+  FROM w
+),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS i
+  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(grams)::BIGINT AS sz FROM g WHERE len(grams) > 0),
+pairs AS (
+  SELECT a_id, b_id, i / least(sa.sz, sb.sz)::DOUBLE AS c
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.a_id
+  JOIN sizes sb ON sb.doc_id = inter.b_id
+)
+SELECT a_id, b_id, round(c, 4) AS containment
+FROM pairs WHERE c >= 0.6
+ORDER BY a_id, b_id
+"""
 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:

@@ -301,3 +301,70 @@ class TestDedupCanonical:
                 ["n_chars", "doc_id"], ascending=[False, True]
             ).iloc[0]
             assert row["canonical_id"] == best["doc_id"]
+
+
+# ------------------------------ n-gram max-containment (subset/quote)
+
+
+def brute_containment(sf_dir, threshold):
+    pdf = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas().sort_values("doc_id")
+    ids = pdf["doc_id"].to_numpy()
+    grams = [T.word_ngrams(t, 3) for t in pdf["text"]]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if not grams[i] or not grams[j]:
+                continue  # C undefined at min=0 — excluded by contract
+            c = len(grams[i] & grams[j]) / min(len(grams[i]), len(grams[j]))
+            if c >= threshold:
+                rows.append((int(ids[i]), int(ids[j]), round(c, 4)))
+    return (
+        pd.DataFrame(rows, columns=["a_id", "b_id", "containment"])
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_ngram_containment_is_exact(ray_session, corpus_dir):
+    got = X.dedup_ngram_containment(corpus_dir, threshold=0.6)
+    exp = brute_containment(corpus_dir, 0.6)
+    pd.testing.assert_frame_equal(got, exp)
+    # empty docs never pair (min size 0 → excluded)
+    assert not ((got["a_id"] == 201) | (got["b_id"] == 202)).any()
+
+
+def test_ngram_containment_catches_subset_jaccard_misses(ray_session, tmp_path):
+    # a short doc quoted verbatim inside a much longer one: C = 1.0
+    # while J ≈ |short|/|long| ≪ threshold
+    short = " ".join(f"q{i}" for i in range(8))
+    long = short + " " + " ".join(f"z{i}" for i in range(200))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([short, long], pa.string()),
+                "lang": pa.array(["en", "en"]),
+                "n_chars": pa.array([len(short), len(long)], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    cont = X.dedup_ngram_containment(str(d), threshold=0.9)
+    assert len(cont) == 1 and cont.loc[0, "containment"] == 1.0
+    jac = X.dedup_ngram_jaccard(str(d), threshold=0.3)
+    assert len(jac) == 0  # Jaccard is blind to the quote
+
+
+def test_ngram_containment_sql_twin_matches_brute_force(corpus_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{corpus_dir}/documents.parquet')"
+    )
+    got = con.execute(X.NGRAM_CONTAINMENT_SQL).df()
+    exp = brute_containment(corpus_dir, 0.6)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
