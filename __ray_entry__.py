@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bottomk": SA.sample_bottomk,
         "sample_stratified": SA.sample_stratified,
         "mix_domains": SA.mix_domains,
+        "mix_token_budget": SA.mix_token_budget,
         "sample_weighted": SA.sample_weighted,
         # leakage-guarded group-aware train/val/test split (assignment
         # hashes the source, so near-dups of one site can't straddle
@@ -607,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_bottomk": SA.SAMPLE_BOTTOMK_SQL,
         "sample_stratified": SA.SAMPLE_STRATIFIED_SQL,
         "mix_domains": SA.MIX_DOMAINS_SQL,
+        "mix_token_budget": SA.MIX_TOKEN_BUDGET_SQL,
         "sample_weighted": SA.SAMPLE_WEIGHTED_SQL,
         "split_by_group": SA.SPLIT_BY_GROUP_SQL,
         "knn_topk": E.KNN_SQL,

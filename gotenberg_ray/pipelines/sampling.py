@@ -217,6 +217,153 @@ ORDER BY d.doc_id
 """
 
 
+# ------------------------------------- token-budget domain mixing
+
+_TOKBUD_NB = 32  # priority-range buckets per source (order-preserving)
+
+
+def mix_token_budget(sf_dir: str) -> pd.DataFrame:
+    """Token-budget domain mixing: each source contributes documents in
+    deterministic hash order until its TOKEN budget is filled — the
+    budgeted variant of ``mix_domains`` (row-count thinning) and the
+    shape pretraining mixes are actually specified in (token shares,
+    not document shares). Budget ``B_s = w_s · (total_tokens // 4) //
+    Σw`` with the same ``w_s = 1 + (source idx mod 4)`` weights; a doc
+    is kept iff the summed tokens of the docs BEFORE it (hash order,
+    doc_id tie-break) are < B_s — greedy prefix, so the budget may
+    overshoot by at most one document, identically in both engines.
+
+    Distributed ordered prefix sum, never a per-source global sort:
+    (1) one tokenize pass emits (doc_id, source, n_tok, pri) with an
+    order-preserving priority-range bucket ``pb = pri·NB // 2³²``;
+    (2) per-(source, pb) token sums fold to ≤ sources·NB rows — the
+    driver computes exact exclusive bucket offsets with Python ints;
+    (3) one keyed exchange on (source, pb), each group does a local
+    argsort + cumsum and keeps rows where offset + local_before < B_s.
+    The ``pack_sequences`` prefix-sum pattern applied to selection."""
+    import pyarrow.compute as pc
+
+    def tok_stage(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.greater(
+            pc.utf8_length(toks.values), 0
+        ).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        n_tok = np.bincount(parents[keep], minlength=n).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pri = _mix(ids)
+        pb = ((pri * np.uint64(_TOKBUD_NB)) >> np.uint64(32)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "source": batch["source"],
+                "n_tok": pa.array(n_tok),
+                "pri": pa.array(pri),
+                "pb": pa.array(pb),
+            }
+        )
+
+    rows = (
+        read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+        .map_batches(tok_stage, batch_format="pyarrow")
+        .materialize()
+    )
+    spec = {"doc_id": "int64", "source": "object", "n_tok": "int64"}
+    # pass 1: per-(source, bucket) token sums → exact driver offsets
+    from ray.data.aggregate import Sum
+
+    bt = (
+        rows.groupby(["source", "pb"])
+        .aggregate(Sum("n_tok", alias_name="toks"))
+        .to_pandas()
+    )
+    bt = ensure_columns(bt, {"source": "object", "pb": "int32", "toks": "int64"})
+    if bt.empty:
+        return ensure_columns(pd.DataFrame(), spec)
+    per_src = bt.groupby("source")["toks"].sum()
+    total = int(per_src.sum())
+    weights = {s: 1 + int(s[3:]) % 4 for s in per_src.index}
+    sum_w = sum(weights.values())
+    budget = {s: weights[s] * (total // 4) // sum_w for s in per_src.index}
+    bt = bt.sort_values(["source", "pb"])
+    bt["before"] = (
+        bt.groupby("source")["toks"].cumsum() - bt["toks"]
+    )  # exclusive bucket offsets
+    offset = {
+        (s, int(b)): int(v)
+        for s, b, v in zip(bt["source"], bt["pb"], bt["before"])
+    }
+
+    def select(part: pa.Table) -> pa.Table:
+        src = part["source"][0].as_py()
+        pb = int(part["pb"][0].as_py())
+        off = offset[(src, pb)]
+        bud = budget[src]
+        if off >= bud:  # whole bucket past the budget
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "n_tok": pa.array([], pa.int64()),
+                }
+            )
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        pri = part["pri"].to_numpy(zero_copy_only=False)
+        ntk = part["n_tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, pri))
+        before = off + np.cumsum(ntk[order]) - ntk[order]
+        kept = order[before < bud]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[kept].astype(np.int64)),
+                "source": pa.array(part["source"].take(pa.array(kept))),
+                "n_tok": pa.array(ntk[kept].astype(np.int64)),
+            }
+        )
+
+    df = (
+        rows.groupby(["source", "pb"])
+        .map_groups(select, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df = ensure_columns(df, spec)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_tok"] = df["n_tok"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+MIX_TOKEN_BUDGET_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')), 0)::BIGINT AS n_tok
+  FROM documents),
+tot AS (SELECT source, sum(n_tok)::HUGEINT AS toks FROM d GROUP BY 1),
+g AS (SELECT sum(toks) AS total FROM tot),
+wt AS (SELECT source, (1 + CAST(substr(source, 4) AS BIGINT) % 4)::HUGEINT AS w
+       FROM tot),
+sw AS (SELECT sum(w) AS sum_w FROM wt),
+b AS (SELECT wt.source,
+             (wt.w * ((SELECT total FROM g) // 4) // (SELECT sum_w FROM sw))
+               AS budget
+      FROM wt),
+r AS (SELECT d.*,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY d.source
+               ORDER BY (doc_id * {_KNUTH}) % {_M32}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM d)
+SELECT r.doc_id, r.source, r.n_tok
+FROM r JOIN b ON b.source = r.source
+WHERE r.before < b.budget
+ORDER BY r.doc_id
+"""
+
+
 def sample_weighted(sf_dir: str, k: int = 100) -> pd.DataFrame:
     """Weighted bottom-k sample: priority ``mix(doc_id) // weight``
     (integer A-ES-style exponential-race approximation — heavier rows

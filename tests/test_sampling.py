@@ -169,3 +169,50 @@ class TestDsir:
 
     def test_deterministic(self, sf_dir):
         pd.testing.assert_frame_equal(SA.dsir_select(sf_dir), SA.dsir_select(sf_dir))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMixTokenBudget:
+    def test_matches_oracle(self, sf_dir):
+        import duckdb
+
+        got = SA.mix_token_budget(sf_dir)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        want = con.sql(SA.MIX_TOKEN_BUDGET_SQL).df()
+        want["doc_id"] = want["doc_id"].astype("int64")
+        want["n_tok"] = want["n_tok"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_budget_respected_with_one_doc_overshoot(self, sf_dir):
+        got = SA.mix_token_budget(sf_dir)
+        # recompute budgets exactly as the operator defines them
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        ).to_pandas()
+        docs["n_tok"] = [
+            len([t for t in (s or "").split() if t]) for s in docs["text"]
+        ]
+        per_src = docs.groupby("source")["n_tok"].sum()
+        total = int(per_src.sum())
+        w = {s: 1 + int(s[3:]) % 4 for s in per_src.index}
+        sum_w = sum(w.values())
+        kept = got.groupby("source")["n_tok"].sum()
+        max_tok = docs.groupby("source")["n_tok"].max()
+        for s, kept_toks in kept.items():
+            budget = w[s] * (total // 4) // sum_w
+            # greedy prefix: ≥ budget only by the final doc's overshoot
+            assert kept_toks < budget + int(max_tok[s]) + 1
+            # and the budget is actually used (not under-filled while
+            # unkept docs remain)
+            if kept_toks < budget:
+                assert len(got[got["source"] == s]) == int(
+                    (docs["source"] == s).sum()
+                )
+
+    def test_deterministic(self, sf_dir):
+        a = SA.mix_token_budget(sf_dir)
+        b = SA.mix_token_budget(sf_dir)
+        pd.testing.assert_frame_equal(a, b)
