@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import windows as W
     from gotenberg_ray.pipelines import rollup as RU
     from gotenberg_ray.pipelines import semistruct as SS
+    from gotenberg_ray.pipelines import holistic as HO
     from gotenberg_ray.pipelines import temporalops as TO
     from gotenberg_ray.pipelines import windows2 as W2
     from gotenberg_ray.pipelines import drift as DF
@@ -184,6 +185,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_twap": TO.user_value_twap,
         "priority_running_revenue": TO.priority_running_revenue,
         "events_dedup_burst": TO.events_dedup_burst,
+        "session_concurrency": TO.session_concurrency,
+        "segment_first_names": HO.segment_first_names,
+        "part_price_slope": HO.part_price_slope,
+        "orders_rolling_median": HO.orders_rolling_median,
+        "lineitem_measure_unpivot": HO.lineitem_measure_unpivot,
         # self-join size / F2 frequency moment (AMS planning
         # primitive): exact limbed fold + CMS inner-product estimate
         # k-core decomposition of the link graph (iterative peel;
@@ -462,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import rollup as RU
     from gotenberg_ray.pipelines import semistruct as SS
+    from gotenberg_ray.pipelines import holistic as HO
     from gotenberg_ray.pipelines import temporalops as TO
     from gotenberg_ray.pipelines import urls as U
     from gotenberg_ray.pipelines import windows as W
@@ -523,6 +530,11 @@ def oracle_sql() -> dict[str, str]:
         "user_value_twap": TO.TWAP_SQL,
         "priority_running_revenue": TO.RUNNING_SQL,
         "events_dedup_burst": TO.BURST_SQL,
+        "session_concurrency": TO.SESSION_CONCURRENCY_SQL,
+        "segment_first_names": HO.SEGMENT_FIRST_NAMES_SQL,
+        "part_price_slope": HO.PART_PRICE_SLOPE_SQL,
+        "orders_rolling_median": HO.ROLLING_MEDIAN_SQL,
+        "lineitem_measure_unpivot": HO.UNPIVOT_SQL,
         "user_selfjoin_size": AN.SELFJOIN_SQL,
         "user_event_diversity": AN.DIVERSITY_SQL,
         "orders_scd2_join": W.SCD2_SQL,

@@ -179,6 +179,14 @@ BENCH_QUERIES = [
     "source_tv_distance",
     # asymmetric near-dup: exact max-containment (subset/quote) pairs
     "dedup_ngram_containment",
+    # tenth wave: holistic aggregates — bounded-k ordered string_agg,
+    # exact grouped OLS, rolling exact median, UNPIVOT, and the
+    # interval-overlap count via distributed global ranks
+    "segment_first_names",
+    "part_price_slope",
+    "orders_rolling_median",
+    "lineitem_measure_unpivot",
+    "session_concurrency",
 ]
 
 

@@ -294,3 +294,281 @@ SELECT event_id, user_id, event_type
 FROM g WHERE gap_us IS NULL OR gap_us > 300000000
 ORDER BY event_id
 """
+
+
+# ----------------------------------------- global session concurrency
+
+SESSION_GAP_US = 1800 * 1_000_000  # same session gap as events_sessionize
+DAY_US = 86_400 * 1_000_000
+_DAY_SHIFT = 38  # in-day offsets < 2^37 us — composite (day << 38 | off) fits int64
+
+
+def session_concurrency(sf_dir: str) -> pd.DataFrame:
+    """For every session (a user's ≤30-min-gap event run, active until
+    last_ts + 30 min): how many OTHER sessions — any user — were open
+    at the same time; reported as the exact histogram
+    (n_overlap → n_sessions).
+
+    The identity ``overlap_i = |{starts ≤ end_i}| − |{ends < start_i}|
+    − 1`` turns the interval self-join into two GLOBAL RANK lookups,
+    computed distributed in three keyed exchanges, none of which
+    carries more than a handful of ints per session:
+
+    1. user-keyed sessionize (the events_sessionize bucket kernel,
+       emitting (user, seq, start_us, end_us) interval rows);
+    2. day-keyed rank exchange: each session posts its boundary POINTS
+       (start, end) and its two rank QUERIES to the day they fall in;
+       each day-bucket answers queries with one composite
+       ``searchsorted`` (day ≪ 38 | in-day offset), plus the global
+       day-prefix offsets the driver folded from a (day, starts, ends)
+       histogram (calendar-bounded, shipped in the task closure);
+    3. session-keyed sum of the two signed rank contributions, folded
+       straight into the per-batch histogram partials.
+
+    The full interval set is never co-located and no pair is ever
+    enumerated — the twin's IEJoin materializes ~2M matches at sf0.1;
+    this plan moves O(sessions) rows."""
+    from .joins import partition_ids
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pid", partition_ids(batch["user_id"], JOIN_PARTITIONS)
+        )
+
+    def sessionize_bucket(part: pa.Table) -> pa.Table:
+        t = part.select(["user_id", "ts", "event_id"]).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        n = len(users)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "seq": pa.array([], pa.int64()),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        starts = new_user | np.r_[True, (ts_us[1:] - ts_us[:-1]) > SESSION_GAP_US]
+        b = np.flatnonzero(starts)
+        ends_idx = np.r_[b[1:] - 1, n - 1]
+        sid = np.cumsum(starts) - 1  # global per-bucket session index
+        # per-user seq: session index minus the user's first session index
+        # (users arrive sorted, so first-occurrence order == np.unique order)
+        user_first_sid = sid[np.flatnonzero(new_user)]
+        u_of_sess = users[b]
+        uniq_u, inv_u = np.unique(u_of_sess, return_inverse=True)
+        seq = sid[b] - user_first_sid[inv_u]
+        return pa.table(
+            {
+                "user_id": pa.array(u_of_sess.astype(np.int64)),
+                "seq": pa.array(seq.astype(np.int64)),
+                "start_us": pa.array(ts_us[b].astype(np.int64)),
+                "end_us": pa.array((ts_us[ends_idx] + SESSION_GAP_US).astype(np.int64)),
+            }
+        )
+
+    sessions = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(sessionize_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # ---- day histogram → global prefix offsets (calendar-bounded)
+    def day_hist(batch: pa.Table) -> pa.Table:
+        s_day = batch["start_us"].to_numpy(zero_copy_only=False) // DAY_US
+        e_day = batch["end_us"].to_numpy(zero_copy_only=False) // DAY_US
+        days = np.union1d(s_day, e_day)
+        return pa.table(
+            {
+                "day": pa.array(days.astype(np.int64)),
+                "s_cnt": pa.array(
+                    np.searchsorted(np.sort(s_day), days, "right")
+                    - np.searchsorted(np.sort(s_day), days, "left")
+                ),
+                "e_cnt": pa.array(
+                    np.searchsorted(np.sort(e_day), days, "right")
+                    - np.searchsorted(np.sort(e_day), days, "left")
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    hist = (
+        sessions.map_batches(day_hist, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(_Sum("s_cnt", alias_name="s"), _Sum("e_cnt", alias_name="e"))
+        .to_pandas()
+    )
+    hist = ensure_columns(hist, {"day": "int64", "s": "int64", "e": "int64"})
+    if hist.empty:
+        return pd.DataFrame(
+            {
+                "n_overlap": pd.Series([], dtype="int64"),
+                "n_sessions": pd.Series([], dtype="int64"),
+            }
+        )
+    hist = hist.sort_values("day").reset_index(drop=True)
+    # calendar-bounded arrays shipped in the rank-stage closure; every
+    # day in a query row exists in the histogram by construction, so a
+    # plain searchsorted gather (no membership test) maps day -> offset
+    days_sorted = hist["day"].to_numpy().astype(np.int64)
+    starts_excl = np.r_[0, np.cumsum(hist["s"].to_numpy())[:-1]].astype(np.int64)
+    ends_excl = np.r_[0, np.cumsum(hist["e"].to_numpy())[:-1]].astype(np.int64)
+
+    # ---- day-keyed rank exchange (points + queries, one table); the
+    # bucket key is day % P (NOT per-day groups): the composite
+    # searchsorted below bounds every lookup to its own day, so a
+    # bucket may hold many days and the exchange runs P vectorized
+    # kernels, not |calendar| Python invocations
+    def emit_rank_rows(batch: pa.Table) -> pa.Table:
+        s = batch["start_us"].to_numpy(zero_copy_only=False)
+        e = batch["end_us"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        q = batch["seq"].to_numpy(zero_copy_only=False)
+        n = len(s)
+        day = np.concatenate([s // DAY_US, e // DAY_US, e // DAY_US, s // DAY_US])
+        val = np.concatenate([s, e, e, s])
+        kind = np.repeat(np.array([0, 1, 2, 3], np.int8), n)
+        return pa.table(
+            {
+                "pid": pa.array((day % JOIN_PARTITIONS).astype(np.int32)),
+                "day": pa.array(day.astype(np.int64)),
+                "kind": pa.array(kind),
+                "val": pa.array(val.astype(np.int64)),
+                "user_id": pa.array(np.tile(u, 4).astype(np.int64)),
+                "seq": pa.array(np.tile(q, 4).astype(np.int64)),
+            }
+        )
+
+    def rank_bucket(part: pa.Table) -> pa.Table:
+        day = part["day"].to_numpy(zero_copy_only=False)
+        val = part["val"].to_numpy(zero_copy_only=False)
+        kind = part["kind"].to_numpy(zero_copy_only=False)
+        comp = (day << _DAY_SHIFT) | (val - day * DAY_US)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "seq": pa.array([], pa.int64()),
+                "contrib": pa.array([], pa.int64()),
+            }
+        )
+        if len(day) == 0:
+            return empty
+        starts_c = np.sort(comp[kind == 0])
+        ends_c = np.sort(comp[kind == 1])
+        out_u, out_q, out_c = [], [], []
+        qe = kind == 2  # query: #starts ≤ end_i (within-day + global prefix)
+        if qe.any():
+            d = day[qe]
+            plus = (
+                np.searchsorted(starts_c, comp[qe], "right")
+                - np.searchsorted(starts_c, d << _DAY_SHIFT, "left")
+                + starts_excl[np.searchsorted(days_sorted, d)]
+            )
+            out_u.append(part["user_id"].to_numpy(zero_copy_only=False)[qe])
+            out_q.append(part["seq"].to_numpy(zero_copy_only=False)[qe])
+            out_c.append(plus)
+        qs = kind == 3  # query: #ends < start_i
+        if qs.any():
+            d = day[qs]
+            minus = (
+                np.searchsorted(ends_c, comp[qs], "left")
+                - np.searchsorted(ends_c, d << _DAY_SHIFT, "left")
+                + ends_excl[np.searchsorted(days_sorted, d)]
+            )
+            out_u.append(part["user_id"].to_numpy(zero_copy_only=False)[qs])
+            out_q.append(part["seq"].to_numpy(zero_copy_only=False)[qs])
+            out_c.append(-minus)
+        if not out_u:
+            return empty
+        u_all = np.concatenate(out_u).astype(np.int64)
+        return pa.table(
+            {
+                # both of a session's contributions share its user_id, so
+                # a user-keyed bucket co-locates the pair for the sum
+                "spid": partition_ids(pa.array(u_all), JOIN_PARTITIONS),
+                "user_id": pa.array(u_all),
+                "seq": pa.array(np.concatenate(out_q).astype(np.int64)),
+                "contrib": pa.array(np.concatenate(out_c).astype(np.int64)),
+            }
+        )
+
+    def sum_and_hist(part: pa.Table) -> pa.Table:
+        """Per user-bucket: pair each session's two signed rank
+        contributions (one lexsort + reduceat), fold straight into the
+        bucket's (n_overlap → count) histogram partial."""
+        u = part["user_id"].to_numpy(zero_copy_only=False)
+        q = part["seq"].to_numpy(zero_copy_only=False)
+        c = part["contrib"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "n_overlap": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((q, u))
+        u_s, q_s, c_s = u[order], q[order], c[order]
+        starts = np.flatnonzero(
+            np.r_[True, (u_s[1:] != u_s[:-1]) | (q_s[1:] != q_s[:-1])]
+        )
+        ov = np.add.reduceat(c_s, starts) - 1
+        uniq, cnt = np.unique(ov, return_counts=True)
+        return pa.table(
+            {
+                "n_overlap": pa.array(uniq.astype(np.int64)),
+                "n_sessions": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    df = (
+        sessions.map_batches(emit_rank_rows, batch_format="pyarrow")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(
+            lambda t: rank_bucket(t.drop_columns(["pid"])), batch_format="pyarrow"
+        )
+        .groupby("spid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(
+            lambda t: sum_and_hist(t.drop_columns(["spid"])), batch_format="pyarrow"
+        )
+        .groupby("n_overlap")
+        .aggregate(_Sum("n_sessions", alias_name="n_sessions"))
+        .to_pandas()
+    )
+    df = ensure_columns(df, {"n_overlap": "int64", "n_sessions": "int64"})
+    for c in ("n_overlap", "n_sessions"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("n_overlap").reset_index(drop=True)
+
+
+SESSION_CONCURRENCY_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, t, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM tagged),
+sess AS (
+  SELECT user_id, sid, min(t) AS start_us, max(t) + 1800000000 AS end_us
+  FROM numbered GROUP BY 1, 2),
+cnt AS (
+  SELECT a.user_id, a.sid,
+         (SELECT count(*) FROM sess b
+          WHERE b.start_us <= a.end_us AND b.end_us >= a.start_us) - 1
+           AS n_overlap
+  FROM sess a)
+SELECT n_overlap::BIGINT AS n_overlap, count(*)::BIGINT AS n_sessions
+FROM cnt GROUP BY 1 ORDER BY 1
+"""
