@@ -102,7 +102,15 @@ def build_scaled_table(table: str, id_cols: tuple[str, ...]) -> str:
 EXTRA_CONFIGS = {
     "order_price_quantiles": ("orders", ("o_orderkey", "o_custkey")),
     "user_value_twap": ("events", ("event_id", "user_id")),
+    # --holistic: 16× disjoint users over the SAME calendar → global
+    # session concurrency itself grows 16× (the adversarial direction
+    # for the day-bucketed rank exchange); 16× members per (nation,
+    # segment) group exercises the bounded-k ordered-concat fold
+    "session_concurrency": ("events", ("event_id", "user_id")),
+    "segment_first_names": ("customer", ("c_custkey",)),
 }
+
+HOLISTIC_QUERIES = ("session_concurrency", "segment_first_names")
 
 # multi-table join family: every foreign key shifts by the SAME replica
 # offset so each replica is a self-contained TPC-H-shaped sub-universe
@@ -208,7 +216,13 @@ def main() -> None:
     elif "--extra" in sys.argv:
         # round-4 families: value-histogram percentiles (orders) and
         # LEAD-gap TWAP (events)
-        queries = list(EXTRA_CONFIGS)
+        queries = [q for q in EXTRA_CONFIGS if q not in HOLISTIC_QUERIES]
+        for q in queries:
+            build_scaled_table(*EXTRA_CONFIGS[q])
+        scaled = SCALED
+    elif "--holistic" in sys.argv:
+        # tenth wave: interval-overlap global ranks + bounded-k concat
+        queries = list(HOLISTIC_QUERIES)
         for q in queries:
             build_scaled_table(*EXTRA_CONFIGS[q])
         scaled = SCALED
