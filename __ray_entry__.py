@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RFC-3986 canonicalization under the oracle gate (messy-URL
         # corpus whose canonical set is arithmetically predictable)
         "url_host_counts": U.url_host_counts,
+        "link_indegree_topk": U.link_indegree_topk,
         # deterministic distributed sampling
         "sample_bernoulli": SA.sample_bernoulli,
         "sample_bottomk": SA.sample_bottomk,

@@ -187,6 +187,10 @@ BENCH_QUERIES = [
     "orders_rolling_median",
     "lineitem_measure_unpivot",
     "session_concurrency",
+    # crawl-adjacent: inbound-link aggregation over the deterministic
+    # link universe; token-budget domain mixing
+    "link_indegree_topk",
+    "mix_token_budget",
 ]
 
 
