@@ -143,7 +143,16 @@ def link_indegree_topk(sf_dir: str, k: int = LINK_TOPK) -> pd.DataFrame:
     from ..io import table_rows
     from ..stages.fetcher import synthetic_links_batch
 
-    n_docs = max(1, table_rows(sf_dir, "documents"))
+    n_docs = table_rows(sf_dir, "documents")
+    if n_docs == 0:  # empty corpus → no source pages, typed empty result
+        return pd.DataFrame(
+            {
+                "target": pd.Series([], dtype="object"),
+                "in_degree": pd.Series([], dtype="int64"),
+                "n_src_hosts": pd.Series([], dtype="int64"),
+                "first_hosts": pd.Series([], dtype="object"),
+            }
+        )
     n_urls = 40 * n_docs
     n_hosts = max(20, n_urls // 500)
     universe = max(100, n_urls // 2)

@@ -16,6 +16,7 @@ Usage:
     python tools/streaming_check.py            # build + run all 4 configs
     python tools/streaming_check.py --extra    # round-4 families (percentiles, TWAP)
     python tools/streaming_check.py --joins    # multi-way join family (q9 at 16×)
+    python tools/streaming_check.py --holistic # tenth wave (overlap ranks, bounded-k)
     python tools/streaming_check.py --child dedup_exact /path/dir  # internal
 """
 
