@@ -400,3 +400,49 @@ def test_synthetic_links_batch_matches_scalar_reference():
             assert list(lidx[pos : pos + c]) == list(range(c))
             pos += c
         assert pos == len(urls_py)
+
+
+def test_ray_mode_resume_is_bit_identical(ray_session, small_world, tmp_path):
+    """North rule, directly in ray mode: a killed `ray job submit` run
+    resumes bit-identically from its per-partition checkpoints — the
+    interrupted-then-resumed RAY run must converge to the same final
+    checkpoint digest, counters, and post-resume fetch log as an
+    uninterrupted RAY run (the local-mode twin of this test plus the
+    ray≡local parity test already imply it; this pins it without the
+    transitive step)."""
+    import dataclasses
+
+    import pandas as pd
+
+    docs, frontier, robots, cfg = small_world
+    full_dir = str(tmp_path / "full")
+    res_full = run_crawl(
+        frontier, docs, robots, cfg, mode="ray", checkpoint_dir=full_dir
+    )
+
+    cfg_a = dataclasses.replace(cfg, max_epochs=7)
+    part_dir = str(tmp_path / "part")
+    run_crawl(frontier, docs, robots, cfg_a, mode="ray", checkpoint_dir=part_dir)
+    res_b = run_crawl(
+        frontier,
+        docs,
+        robots,
+        cfg,
+        mode="ray",
+        checkpoint_dir=part_dir,
+        resume=True,
+    )
+
+    d_full = ckpt.latest_epoch_dir(full_dir)
+    d_part = ckpt.latest_epoch_dir(part_dir)
+    assert ckpt.checkpoint_digest(d_full) == ckpt.checkpoint_digest(d_part)
+    assert res_full.counters == res_b.counters
+    assert res_full.fetch_seq == res_b.fetch_seq
+    full_log = res_full.fetch_log.to_pandas()
+    tail = full_log[
+        full_log["fetch_seq"] >= res_b.fetch_log.column("fetch_seq")[0].as_py()
+    ]
+    pd.testing.assert_frame_equal(
+        tail.reset_index(drop=True),
+        res_b.fetch_log.to_pandas().reset_index(drop=True),
+    )
