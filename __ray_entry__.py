@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_slope": HO.part_price_slope,
         "orders_rolling_median": HO.orders_rolling_median,
         "lineitem_measure_unpivot": HO.lineitem_measure_unpivot,
+        "customer_bag_ops": HO.customer_bag_ops,
+        "orders_price_histogram": HO.orders_price_histogram,
+        "orders_isolated": HO.orders_isolated,
         # self-join size / F2 frequency moment (AMS planning
         # primitive): exact limbed fold + CMS inner-product estimate
         # k-core decomposition of the link graph (iterative peel;
@@ -536,6 +539,9 @@ def oracle_sql() -> dict[str, str]:
         "part_price_slope": HO.PART_PRICE_SLOPE_SQL,
         "orders_rolling_median": HO.ROLLING_MEDIAN_SQL,
         "lineitem_measure_unpivot": HO.UNPIVOT_SQL,
+        "customer_bag_ops": HO.BAG_OPS_SQL,
+        "orders_price_histogram": HO.PRICE_HISTOGRAM_SQL,
+        "orders_isolated": HO.ISOLATED_SQL,
         "user_selfjoin_size": AN.SELFJOIN_SQL,
         "user_event_diversity": AN.DIVERSITY_SQL,
         "orders_scd2_join": W.SCD2_SQL,

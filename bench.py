@@ -191,6 +191,11 @@ BENCH_QUERIES = [
     # link universe; token-budget domain mixing
     "link_indegree_topk",
     "mix_token_budget",
+    # eleventh wave: bag-semantics set ops, two-pass equi-width
+    # histogram, LAG+LEAD isolation gap test
+    "customer_bag_ops",
+    "orders_price_histogram",
+    "orders_isolated",
 ]
 
 

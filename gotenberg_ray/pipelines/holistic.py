@@ -35,12 +35,25 @@ twin:
   per flag per batch), so the exchange carries the folded grid, not
   3× the row count.
 
+Eleventh-wave additions in the same module:
+
+- ``customer_bag_ops``: INTERSECT ALL / EXCEPT ALL / UNION ALL with
+  BAG semantics (multiplicities) — per-batch (key, na, nb) partial
+  counts, one keyed combine, three batch-partial statistics.
+- ``orders_price_histogram``: equi-width histogram — the two-pass
+  dependent-statistic shape (exact global [min, max] broadcasts into
+  a pure-integer bin map the twin evaluates identically).
+- ``orders_isolated``: LAG-AND-LEAD double gap test (orders with no
+  same-customer neighbor within ±7 days) — one custkey-keyed
+  exchange, seam-masked diffs, tie-insensitive by construction.
+
 Scale contract (same as relational.py): pruned reads, per-batch
 partial folds before every exchange, exact integer money math; the
 only driver-side materializations are calendar- or category-bounded
 series. Reference parity: these are relational capabilities
-(string_agg, regr_slope, windowed median, UNPIVOT) the reference's
-API consumers get from SQL engines; re-expressed Ray-Data-first.
+(string_agg, regr_slope, windowed median, UNPIVOT, bag set ops,
+histograms) the reference's API consumers get from SQL engines;
+re-expressed Ray-Data-first.
 """
 
 from __future__ import annotations
@@ -52,7 +65,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 from ..functions.frames import ensure_columns
-from .relational import _read
+from .relational import JOIN_PARTITIONS, _read
 from .windows import _fmt_days
 
 K_NAMES = 3  # bounded-k contract for the ordered concat
@@ -441,4 +454,236 @@ SELECT l_returnflag, 'discount_e4',
        sum(CAST(round(l_discount*10000) AS BIGINT))::BIGINT, count(*)::BIGINT
 FROM lineitem GROUP BY 1
 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------ bag-semantics set ops
+
+BAG_A = "1-URGENT"
+BAG_B = "2-HIGH"
+
+
+def customer_bag_ops(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT ALL / EXCEPT ALL / UNION ALL — BAG semantics (with
+    multiplicities; customer_set_ops is the set-semantics sibling)
+    between the multisets of custkeys with URGENT vs HIGH orders.
+    One pass: per-batch (custkey, na, nb) partial counts, one keyed
+    combine, then the three statistics fold as batch partials —
+    Σ min(na,nb), Σ max(na−nb,0), Σ max(nb−na,0), Σ(na+nb)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"]
+        keep = pc.or_(pc.equal(pr, BAG_A), pc.equal(pr, BAG_B))
+        batch = batch.filter(keep)
+        na = pc.cast(pc.equal(batch["o_orderpriority"], BAG_A), pa.int64())
+        nb = pc.cast(pc.equal(batch["o_orderpriority"], BAG_B), pa.int64())
+        return (
+            pa.table({"o_custkey": batch["o_custkey"], "na": na, "nb": nb})
+            .group_by("o_custkey")
+            .aggregate([("na", "sum"), ("nb", "sum")])
+            .rename_columns(["o_custkey", "na", "nb"])
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "na" not in batch.column_names:
+            na = nb = np.array([], np.int64)
+        else:
+            na = batch["na"].to_numpy(zero_copy_only=False)
+            nb = batch["nb"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "isect": pa.array([int(np.minimum(na, nb).sum())], pa.int64()),
+                "ex_a": pa.array([int(np.maximum(na - nb, 0).sum())], pa.int64()),
+                "ex_b": pa.array([int(np.maximum(nb - na, 0).sum())], pa.int64()),
+                "uni": pa.array([int((na + nb).sum())], pa.int64()),
+            }
+        )
+
+    row = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+        .map_batches(fold, batch_format="pyarrow")
+        .aggregate(Sum("isect"), Sum("ex_a"), Sum("ex_b"), Sum("uni"))
+    )
+
+    def g(k):
+        return int(row[f"sum({k})"] or 0) if row else 0
+
+    return pd.DataFrame(
+        {
+            "op": ["except_all_a", "except_all_b", "intersect_all", "union_all"],
+            "n_rows": [g("ex_a"), g("ex_b"), g("isect"), g("uni")],
+        }
+    ).astype({"op": "object", "n_rows": "int64"})
+
+
+BAG_OPS_SQL = f"""
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '{BAG_A}'),
+b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '{BAG_B}')
+SELECT 'except_all_a' AS op,
+       (SELECT count(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))::BIGINT
+         AS n_rows
+UNION ALL SELECT 'except_all_b',
+       (SELECT count(*) FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a))::BIGINT
+UNION ALL SELECT 'intersect_all',
+       (SELECT count(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))::BIGINT
+UNION ALL SELECT 'union_all',
+       (SELECT count(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b))::BIGINT
+ORDER BY op
+"""
+
+
+# ------------------------------------------- equi-width histogram
+
+HIST_BINS = 20
+
+
+def orders_price_histogram(sf_dir: str) -> pd.DataFrame:
+    """Equi-width histogram of order price cents — the TWO-PASS
+    dependent-statistic shape (orders_price_mad's family): pass 1
+    folds the exact global [min, max]; its two ints broadcast into
+    pass 2's bin map ``min(B−1, (x−lo)·B // (hi−lo+1))`` (pure integer
+    — the twin evaluates the identical expression on HUGEINT)."""
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    def mm(batch: pa.Table) -> pa.Table:
+        e2 = _cents(batch["o_totalprice"])
+        if len(e2) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        return pa.table(
+            {"lo": pa.array([int(e2.min())]), "hi": pa.array([int(e2.max())])}
+        )
+
+    bounds = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(mm, batch_format="pyarrow")
+        .aggregate(_Min("lo"), _Max("hi"))
+    )
+    if not bounds or bounds.get("min(lo)") is None:
+        return pd.DataFrame(
+            {"bin": pd.Series([], dtype="int64"), "n_orders": pd.Series([], dtype="int64")}
+        )
+    lo, hi = int(bounds["min(lo)"]), int(bounds["max(hi)"])
+    den = hi - lo + 1
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        e2 = _cents(batch["o_totalprice"])
+        b = np.minimum(HIST_BINS - 1, (e2 - lo) * HIST_BINS // den)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(uniq.astype(np.int64)), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    df = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    df = ensure_columns(df, {"bin": "int64", "n_orders": "int64"})
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("bin").reset_index(drop=True)
+
+
+PRICE_HISTOGRAM_SQL = f"""
+WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS e2 FROM orders),
+mm AS (SELECT min(e2) AS lo, max(e2) AS hi FROM c)
+SELECT CAST(least({HIST_BINS - 1}, ((e2 - lo) * {HIST_BINS}) // (hi - lo + 1))
+            AS BIGINT) AS bin,
+       count(*)::BIGINT AS n_orders
+FROM c, mm GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------- isolated-order gap test
+
+ISOLATION_DAYS = 7
+
+
+def orders_isolated(sf_dir: str) -> pd.DataFrame:
+    """Orders with NO other order by the same customer within ±7 days
+    (the LAG-AND-LEAD double gap test; same-day pairs kill each other
+    with a zero gap regardless of tie order, so the predicate is
+    tie-insensitive). One custkey-keyed exchange, per-bucket lexsort +
+    seam-masked diffs; counts folded per priority."""
+    from .joins import partition_ids
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c": batch["o_custkey"],
+                "day": pc.cast(batch["o_orderdate"], pa.int64()),
+                "prio": batch["o_orderpriority"],
+            }
+        )
+        return t.append_column("pid", partition_ids(t["c"], JOIN_PARTITIONS))
+
+    def per_bucket(part: pa.Table) -> pa.Table:
+        c = part["c"].to_numpy(zero_copy_only=False)
+        if len(c) == 0:
+            return pa.table(
+                {
+                    "priority": pa.array([], pa.string()),
+                    "n_isolated": pa.array([], pa.int64()),
+                }
+            )
+        day = part["day"].to_numpy(zero_copy_only=False) // (86_400 * 1_000_000)
+        order = np.lexsort((day, c))
+        c_s, d_s = c[order], day[order]
+        big = np.int64(1 << 40)  # boundary sentinel ≫ any real gap
+        pgap = np.r_[big, np.diff(d_s)]
+        pgap[np.r_[True, c_s[1:] != c_s[:-1]]] = big
+        ngap = np.r_[np.diff(d_s), big]
+        ngap[np.r_[c_s[1:] != c_s[:-1], True]] = big
+        iso = (pgap > ISOLATION_DAYS) & (ngap > ISOLATION_DAYS)
+        prio = part["prio"].combine_chunks().take(pa.array(order[iso]))
+        enc = pc.dictionary_encode(prio)
+        inv = enc.indices.to_numpy(zero_copy_only=False)
+        cats = enc.dictionary
+        return pa.table(
+            {
+                "priority": cats,
+                "n_isolated": pa.array(
+                    np.bincount(inv, minlength=len(cats)).astype(np.int64)
+                ),
+            }
+        )
+
+    df = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(
+            lambda t: per_bucket(t.drop_columns(["pid"])), batch_format="pyarrow"
+        )
+        .groupby("priority")
+        .aggregate(Sum("n_isolated", alias_name="n_isolated"))
+        .to_pandas()
+    )
+    df = ensure_columns(df, {"priority": "object", "n_isolated": "int64"})
+    df["n_isolated"] = df["n_isolated"].astype("int64")
+    return df.sort_values("priority").reset_index(drop=True)
+
+
+ISOLATED_SQL = f"""
+WITH d AS (
+  SELECT o_custkey, o_orderpriority,
+         datediff('day', TIMESTAMP '1970-01-01', o_orderdate)::BIGINT AS day
+  FROM orders),
+g AS (
+  SELECT o_orderpriority,
+         day - lag(day) OVER w AS pgap,
+         lead(day) OVER w - day AS ngap
+  FROM d WINDOW w AS (PARTITION BY o_custkey ORDER BY day))
+SELECT o_orderpriority AS priority, count(*)::BIGINT AS n_isolated
+FROM g
+WHERE (pgap IS NULL OR pgap > {ISOLATION_DAYS})
+  AND (ngap IS NULL OR ngap > {ISOLATION_DAYS})
+GROUP BY 1 ORDER BY 1
 """

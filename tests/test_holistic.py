@@ -7,7 +7,6 @@ quadratic interval-overlap reference."""
 
 from __future__ import annotations
 
-from fractions import Fraction
 
 import numpy as np
 import pandas as pd
@@ -314,3 +313,71 @@ def test_session_concurrency_cross_day_windows(ray_session, tmp_path):
     df = TO.session_concurrency(_write_events(tmp_path, rows))
     got = dict(zip(df["n_overlap"].tolist(), df["n_sessions"].tolist()))
     assert got == dict(sorted(_concurrency_reference(rows).items()))
+
+
+# ------------------------------------------------ eleventh-wave trio
+
+
+def _write_orders_prio(tmp_path, rows):
+    """rows: list of (custkey, day_num, totalprice, priority)."""
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+            "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_orderdate": pa.array(
+                [pd.Timestamp("1970-01-01") + pd.Timedelta(days=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array([float(r[2]) for r in rows]),
+            "o_orderpriority": pa.array([r[3] for r in rows]),
+        }
+    )
+    pq.write_table(t, tmp_path / "orders.parquet")
+    return str(tmp_path)
+
+
+def test_bag_ops_multiplicities(ray_session, tmp_path):
+    U, H = "1-URGENT", "2-HIGH"
+    rows = (
+        [(1, 0, 1.0, U)] * 3 + [(1, 0, 1.0, H)] * 1   # cust 1: 3a, 1b
+        + [(2, 0, 1.0, H)] * 2                          # cust 2: 0a, 2b
+        + [(3, 0, 1.0, U)] * 2 + [(3, 0, 1.0, H)] * 2   # cust 3: 2a, 2b
+        + [(4, 0, 1.0, "5-LOW")]                        # neither side
+    )
+    rows = [(c, d + i, p, pr) for i, (c, d, p, pr) in enumerate(rows)]
+    df = HO.customer_bag_ops(_write_orders_prio(tmp_path, rows))
+    got = dict(zip(df["op"], df["n_rows"]))
+    # min/max per key: isect = 1+0+2 = 3; a−b = 2+0+0 = 2; b−a = 0+2+0
+    assert got == {
+        "except_all_a": 2,
+        "except_all_b": 2,
+        "intersect_all": 3,
+        "union_all": 10,
+    }
+
+
+def test_histogram_single_value_and_edges(ray_session, tmp_path):
+    # all prices equal → den = 1, every row lands in bin 0
+    rows = [(i, 5.00) for i in range(10)]
+    df = HO.orders_price_histogram(_write_orders(tmp_path, rows))
+    assert df["bin"].tolist() == [0] and int(df["n_orders"].iloc[0]) == 10
+
+
+def test_histogram_uniform_spread(ray_session, tmp_path):
+    # prices 0.01 .. 2.00 in cents 1..200 → den = 200, bin = (e2−1)*20//200
+    rows = [(i, (i + 1) / 100.0) for i in range(200)]
+    df = HO.orders_price_histogram(_write_orders(tmp_path, rows))
+    assert df["bin"].tolist() == list(range(20))
+    assert df["n_orders"].tolist() == [10] * 20
+
+
+def test_isolated_same_day_pair_kills_both(ray_session, tmp_path):
+    P = "1-URGENT"
+    rows = [
+        (1, 10, 1.0, P), (1, 10, 1.0, P),    # same-day pair → neither isolated
+        (1, 40, 1.0, P),                     # isolated (gap 30 both ways)
+        (2, 0, 1.0, P), (2, 7, 1.0, P),      # 7-day gap = NOT > 7 → neither
+        (3, 100, 1.0, P),                    # singleton → isolated
+    ]
+    df = HO.orders_isolated(_write_orders_prio(tmp_path, rows))
+    assert dict(zip(df["priority"], df["n_isolated"])) == {P: 2}
