@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-stage retrieval: cosine recall -> actor-pool reranker
         # (deterministic fake model; rows-only)
         "rerank_topk": E.rerank_topk,
+        "mmr_diverse_topk": E.mmr_diverse_topk,
         # end-to-end crawl→curate→pack→shard composition (rows-only —
         # the seeded crawl is not SQL-expressible; determinism-tested)
         "training_data_pipeline": TR.training_data_pipeline,

@@ -196,6 +196,9 @@ BENCH_QUERIES = [
     "customer_bag_ops",
     "orders_price_histogram",
     "orders_isolated",
+    # diversity-aware two-stage retrieval (greedy MMR on the recall
+    # shortlist)
+    "mmr_diverse_topk",
 ]
 
 

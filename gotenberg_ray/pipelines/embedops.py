@@ -1425,3 +1425,108 @@ FROM documents JOIN embeddings ON doc_id = vec_id
 GROUP BY lang, label
 ORDER BY lang, label
 """
+
+
+# -------------------------------------------- MMR diversity selection
+
+MMR_LAMBDA_E2 = 70  # λ = 0.70 in integer hundredths
+
+
+def mmr_diverse_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance diverse top-k: the retrieval op that
+    trades relevance against redundancy —
+
+        pick argmax over remaining candidates of
+        λ·sim(q, x) − (1−λ)·max_{s ∈ selected} sim(x, s)
+
+    Two-stage like ``rerank_topk``: the distributed cosine recall
+    bounds the candidate set to k0, then the inherently-sequential
+    greedy runs on that shortlist (k·k0 dot products — O(k0) model
+    cost, never O(corpus)). Scores are integer e6 with (score, vec_id)
+    tie-break, so the selection is deterministic and pinned against a
+    plain-python reference in pytest. Rows-only (iterative greedy is
+    not SQL-expressible)."""
+    q = _query_vector(sf_dir)
+    empty = pd.DataFrame(
+        {
+            "rank": pd.Series([], dtype="int64"),
+            "vec_id": pd.Series([], dtype="int64"),
+            "mmr_score_e6": pd.Series([], dtype="int64"),
+        }
+    )
+    if q is None:
+        return empty
+    qn = q / np.linalg.norm(q)
+    refs = ray.put(qn)
+
+    class Recall:
+        def __init__(self):
+            self.q = ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mask = ids != QUERY_VEC_ID
+            sims = mn[mask] @ self.q
+            top = np.argsort(-sims, kind="stable")[:k0]
+            keep = np.flatnonzero(mask)[top]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[keep].astype(np.int64)),
+                    "sim": pa.array(sims[top]),
+                    "embedding": batch.column("embedding").take(pa.array(keep)),
+                }
+            )
+
+    cands = (
+        _emb(sf_dir)
+        .map_batches(_task_stage(Recall), batch_format="pyarrow")
+        .to_pandas()
+    )
+    cands = ensure_columns(
+        cands, {"vec_id": "int64", "sim": "float64", "embedding": "object"}
+    )
+    cands = cands.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k0)
+    if cands.empty:
+        return empty
+    ids = cands["vec_id"].to_numpy().astype(np.int64)
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in cands["embedding"]])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rel_e6 = np.round((mn @ qn) * 1e6).astype(np.int64)
+    picked = mmr_greedy(ids, mn, rel_e6, k, MMR_LAMBDA_E2)
+    out = pd.DataFrame(picked, columns=["vec_id", "mmr_score_e6"])
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    for c in ("rank", "vec_id", "mmr_score_e6"):
+        out[c] = out[c].astype("int64")
+    return out[["rank", "vec_id", "mmr_score_e6"]]
+
+
+def mmr_greedy(
+    ids: np.ndarray,
+    unit_rows: np.ndarray,
+    rel_e6: np.ndarray,
+    k: int,
+    lambda_e2: int,
+) -> list[tuple[int, int]]:
+    """Greedy MMR over a (small) candidate shortlist — vectorized over
+    candidates per step; ties break toward the smaller vec_id via the
+    (−score, vec_id) key. Shared by the pipeline and its pytest
+    reference so the integer scoring is defined in exactly one place."""
+    n = len(ids)
+    picked: list[tuple[int, int]] = []
+    max_sim_e6 = np.zeros(n, dtype=np.int64)  # max sim to selected set
+    active = np.ones(n, dtype=bool)
+    for step in range(min(k, n)):
+        if step == 0:
+            score = rel_e6 * lambda_e2  # empty selected set: pure relevance
+        else:
+            score = rel_e6 * lambda_e2 - max_sim_e6 * (100 - lambda_e2)
+        score = np.where(active, score, np.int64(-(1 << 62)))
+        # deterministic argmax with vec_id tie-break
+        best = np.lexsort((ids, -score))[0]
+        picked.append((int(ids[best]), int(score[best])))
+        active[best] = False
+        sim_new = np.round((unit_rows @ unit_rows[best]) * 1e6).astype(np.int64)
+        max_sim_e6 = np.maximum(max_sim_e6, sim_new)
+    return picked
