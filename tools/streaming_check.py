@@ -17,6 +17,7 @@ Usage:
     python tools/streaming_check.py --extra    # round-4 families (percentiles, TWAP)
     python tools/streaming_check.py --joins    # multi-way join family (q9 at 16×)
     python tools/streaming_check.py --holistic # tenth wave (overlap ranks, bounded-k)
+    python tools/streaming_check.py --ann      # ANN family (brute recall, IVF-PQ)
     python tools/streaming_check.py --child dedup_exact /path/dir  # internal
 """
 
@@ -113,6 +114,11 @@ EXTRA_CONFIGS = {
 
 HOLISTIC_QUERIES = ("session_concurrency", "segment_first_names")
 
+# --ann: 16 vec_id-shifted replicas of the embedding store (the query
+# row vec_id=0 stays unique to replica 0) — 16× the recall/scan mass
+# for the brute-force and IVF-PQ paths, constant result size
+ANN_QUERIES = ("knn_topk", "knn_ivfpq")
+
 # multi-table join family: every foreign key shifts by the SAME replica
 # offset so each replica is a self-contained TPC-H-shaped sub-universe
 # (join structure × 16, join selectivity unchanged). nation is shared
@@ -160,9 +166,18 @@ def run_child(query: str, sf_dir: str) -> None:
     if query in JOIN_CONFIGS:
         table = JOIN_CONFIGS[query]["main"]
     else:
-        table = EXTRA_CONFIGS.get(query, ("documents", ()))[0]
+        table = (
+            "embeddings"
+            if query in ANN_QUERIES
+            else EXTRA_CONFIGS.get(query, ("documents", ()))[0]
+        )
     n_docs = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
-    if query in EXTRA_CONFIGS or query in JOIN_CONFIGS or query in DRIFT_QUERIES:
+    if (
+        query in EXTRA_CONFIGS
+        or query in JOIN_CONFIGS
+        or query in DRIFT_QUERIES
+        or query in ANN_QUERIES
+    ):
         import importlib.util
 
         spec = importlib.util.spec_from_file_location(
@@ -226,6 +241,10 @@ def main() -> None:
         queries = list(HOLISTIC_QUERIES)
         for q in queries:
             build_scaled_table(*EXTRA_CONFIGS[q])
+        scaled = SCALED
+    elif "--ann" in sys.argv:
+        queries = list(ANN_QUERIES)
+        build_scaled_table("embeddings", ("vec_id",))
         scaled = SCALED
     elif "--drift" in sys.argv:
         # corpus-drift family over the retagged 16× documents corpus
