@@ -467,10 +467,13 @@ def customer_bag_ops(sf_dir: str) -> pd.DataFrame:
     """INTERSECT ALL / EXCEPT ALL / UNION ALL — BAG semantics (with
     multiplicities; customer_set_ops is the set-semantics sibling)
     between the multisets of custkeys with URGENT vs HIGH orders.
-    One pass: per-batch (custkey, na, nb) partial counts, one keyed
-    combine, then the three statistics fold as batch partials —
-    Σ min(na,nb), Σ max(na−nb,0), Σ max(nb−na,0), Σ(na+nb)."""
-    from ray.data.aggregate import Sum as _Sum
+    One pass: per-batch (custkey, na, nb) partial counts, one
+    custkey-BUCKET exchange (the named-Aggregate hash groupby measured
+    ~10× the bucket exchange's cost on this host at 26k partial rows —
+    the session_concurrency lesson applies to aggregates too), then
+    the three statistics fold per bucket — Σ min(na,nb),
+    Σ max(na−nb,0), Σ max(nb−na,0), Σ(na+nb)."""
+    from .joins import partition_ids
 
     def tag(batch: pa.Table) -> pa.Table:
         pr = batch["o_orderpriority"]
@@ -478,19 +481,25 @@ def customer_bag_ops(sf_dir: str) -> pd.DataFrame:
         batch = batch.filter(keep)
         na = pc.cast(pc.equal(batch["o_orderpriority"], BAG_A), pa.int64())
         nb = pc.cast(pc.equal(batch["o_orderpriority"], BAG_B), pa.int64())
-        return (
+        t = (
             pa.table({"o_custkey": batch["o_custkey"], "na": na, "nb": nb})
             .group_by("o_custkey")
             .aggregate([("na", "sum"), ("nb", "sum")])
             .rename_columns(["o_custkey", "na", "nb"])
         )
+        return t.append_column("pid", partition_ids(t["o_custkey"], JOIN_PARTITIONS))
 
-    def fold(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "na" not in batch.column_names:
+    def fold_bucket(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "na" not in part.column_names:
             na = nb = np.array([], np.int64)
         else:
-            na = batch["na"].to_numpy(zero_copy_only=False)
-            nb = batch["nb"].to_numpy(zero_copy_only=False)
+            g = (
+                part.select(["o_custkey", "na", "nb"])
+                .group_by("o_custkey")
+                .aggregate([("na", "sum"), ("nb", "sum")])
+            )
+            na = g["na_sum"].to_numpy(zero_copy_only=False)
+            nb = g["nb_sum"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "isect": pa.array([int(np.minimum(na, nb).sum())], pa.int64()),
@@ -500,17 +509,21 @@ def customer_bag_ops(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    row = (
+    stats = (
         _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
         .map_batches(tag, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
-        .map_batches(fold, batch_format="pyarrow")
-        .aggregate(Sum("isect"), Sum("ex_a"), Sum("ex_b"), Sum("uni"))
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(
+            lambda t: fold_bucket(t.drop_columns(["pid"])), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    stats = ensure_columns(
+        stats, {"isect": "int64", "ex_a": "int64", "ex_b": "int64", "uni": "int64"}
     )
 
     def g(k):
-        return int(row[f"sum({k})"] or 0) if row else 0
+        return int(stats[k].sum()) if len(stats) else 0
 
     return pd.DataFrame(
         {
