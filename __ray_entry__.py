@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_bag_ops": HO.customer_bag_ops,
         "orders_price_histogram": HO.orders_price_histogram,
         "orders_isolated": HO.orders_isolated,
+        "lineitem_weighted_median": HO.lineitem_weighted_median,
         # self-join size / F2 frequency moment (AMS planning
         # primitive): exact limbed fold + CMS inner-product estimate
         # k-core decomposition of the link graph (iterative peel;
@@ -543,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_bag_ops": HO.BAG_OPS_SQL,
         "orders_price_histogram": HO.PRICE_HISTOGRAM_SQL,
         "orders_isolated": HO.ISOLATED_SQL,
+        "lineitem_weighted_median": HO.WEIGHTED_MEDIAN_SQL,
         "user_selfjoin_size": AN.SELFJOIN_SQL,
         "user_event_diversity": AN.DIVERSITY_SQL,
         "orders_scd2_join": W.SCD2_SQL,

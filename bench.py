@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "customer_bag_ops",
     "orders_price_histogram",
     "orders_isolated",
+    "lineitem_weighted_median",
     # diversity-aware two-stage retrieval (greedy MMR on the recall
     # shortlist)
     "mmr_diverse_topk",

@@ -700,3 +700,84 @@ WHERE (pgap IS NULL OR pgap > {ISOLATION_DAYS})
   AND (ngap IS NULL OR ngap > {ISOLATION_DAYS})
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ------------------------------------------- grouped weighted median
+
+
+def lineitem_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Quantity-WEIGHTED median of extendedprice per returnflag — the
+    weighted order statistic (discrete: smallest value whose cumulative
+    weight reaches ⌈W/2⌉). Same value-histogram posture as
+    orders_cume_dist, but the histogram carries WEIGHT sums, so the
+    shuffle stays value-cardinality-bounded and the selection is one
+    cumsum-searchsorted per category-bounded group."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "returnflag": batch["l_returnflag"],
+                "price_e2": pa.array(_cents(batch["l_extendedprice"])),
+                "w": pc.cast(
+                    pc.round(batch["l_quantity"], round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
+        return (
+            t.group_by(["returnflag", "price_e2"])
+            .aggregate([("w", "sum")])
+            .rename_columns(["returnflag", "price_e2", "w"])
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("price_e2", as_index=False)["w"].sum().sort_values("price_e2")
+        cw = f["w"].to_numpy().cumsum()
+        tw = int(cw[-1]) if len(cw) else 0
+        if tw == 0:
+            return pd.DataFrame(
+                {"returnflag": pd.Series([], dtype="object"),
+                 "wmedian_e2": pd.Series([], dtype="int64"),
+                 "total_weight": pd.Series([], dtype="int64")}
+            )
+        pos = int(np.searchsorted(cw, (tw + 1) // 2, side="left"))
+        return pd.DataFrame(
+            {
+                "returnflag": [g["returnflag"].iloc[0]],
+                "wmedian_e2": [int(f["price_e2"].to_numpy()[pos])],
+                "total_weight": [tw],
+            }
+        )
+
+    df = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("returnflag")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df, {"returnflag": "object", "wmedian_e2": "int64", "total_weight": "int64"}
+    )
+    for c in ("wmedian_e2", "total_weight"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("returnflag").reset_index(drop=True)
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH v AS (
+  SELECT l_returnflag AS returnflag,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS price_e2,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem),
+g AS (SELECT returnflag, price_e2, sum(w)::BIGINT AS w
+      FROM v GROUP BY 1, 2),
+c AS (SELECT returnflag, price_e2,
+             sum(w) OVER (PARTITION BY returnflag ORDER BY price_e2
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY returnflag) AS tw
+      FROM g)
+SELECT returnflag, min(price_e2)::BIGINT AS wmedian_e2,
+       max(tw)::BIGINT AS total_weight
+FROM c WHERE cw >= (tw + 1) // 2 GROUP BY 1 ORDER BY 1
+"""

@@ -381,3 +381,27 @@ def test_isolated_same_day_pair_kills_both(ray_session, tmp_path):
     ]
     df = HO.orders_isolated(_write_orders_prio(tmp_path, rows))
     assert dict(zip(df["priority"], df["n_isolated"])) == {P: 2}
+
+
+def test_weighted_median_selection(ray_session, tmp_path):
+    # flag A: values 1.00(w2), 2.00(w3), 5.00(w5) → W=10, target 5 →
+    # cum 2,5,10 → first ≥5 is 2.00; flag R: single value
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_partkey": pa.array([1] * 4, pa.int64()),
+            "l_suppkey": pa.array([1] * 4, pa.int64()),
+            "l_linenumber": pa.array([1] * 4, pa.int32()),
+            "l_quantity": pa.array([2.0, 3.0, 5.0, 7.0]),
+            "l_extendedprice": pa.array([1.00, 2.00, 5.00, 9.00]),
+            "l_discount": pa.array([0.0] * 4),
+            "l_tax": pa.array([0.0] * 4),
+            "l_returnflag": pa.array(["A", "A", "A", "R"]),
+            "l_linestatus": pa.array(["O"] * 4),
+            "l_shipdate": pa.array([pd.Timestamp("1995-01-01")] * 4, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    df = HO.lineitem_weighted_median(str(tmp_path))
+    got = {r.returnflag: (int(r.wmedian_e2), int(r.total_weight)) for r in df.itertuples(index=False)}
+    assert got == {"A": (200, 10), "R": (900, 7)}
