@@ -181,25 +181,46 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def distinct_users_daily(sf_dir: str) -> pd.DataFrame:
-    """Exact COUNT(DISTINCT user_id) per day: batch-local dedup → one
-    global (day,user) groupby (the dedup shuffle) → per-batch partial
-    counts folded per day."""
+    """Exact COUNT(DISTINCT user_id) per day: batch-local dedup → ONE
+    (day,user)-hash BUCKET exchange (a named Aggregate over the
+    data-scale pair key measured ~6× slower — the ARCHITECTURE
+    named-aggregate cardinality rule) → per-bucket Arrow dedup +
+    per-day partial counts → one tiny day-keyed combine."""
+    from .joins import partition_ids
+    from .relational import JOIN_PARTITIONS
 
     def local_pairs(batch: pa.Table) -> pa.Table:
         day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"), format="%Y-%m-%d")
         t = pa.table({"day": day, "user_id": batch["user_id"]})
-        return t.group_by(["day", "user_id"]).aggregate([])
+        t = t.group_by(["day", "user_id"]).aggregate([])
+        # bucket by user alone: a (day,user) pair lands wholly in one
+        # bucket, and the day dimension stays spread across buckets
+        return t.append_column(
+            "pid", partition_ids(t["user_id"], JOIN_PARTITIONS)
+        )
 
-    def count_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["day"]).aggregate([("user_id", "count")])
+    def bucket_counts(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "day" not in part.column_names:
+            return pa.table(
+                {"day": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        g = (
+            part.select(["day", "user_id"])
+            .group_by(["day", "user_id"])
+            .aggregate([])  # global dedup within the pair's home bucket
+            .group_by("day")
+            .aggregate([("user_id", "count")])
+        )
         return g.rename_columns(["day", "n"])
 
     df = (
         _read(sf_dir, "events", ["ts", "user_id"])
         .map_batches(local_pairs, batch_format="pyarrow")
-        .groupby(["day", "user_id"])
-        .aggregate(Count(alias_name="_c"))  # global dedup of pairs
-        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
+        .map_groups(
+            lambda t: bucket_counts(t.drop_columns(["pid"])),
+            batch_format="pyarrow",
+        )
         .groupby("day")
         .aggregate(Sum("n", alias_name="n_users"))
         .to_pandas()
