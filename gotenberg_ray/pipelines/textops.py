@@ -182,17 +182,35 @@ def _content_hash_stage(batch: pa.Table, num_partitions: int = 0) -> pa.Table:
     return pa.table(cols)
 
 
-def dedup_exact(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup: content hash per batch → hash-partitioned groupby →
-    keep the min doc_id per group. At corpus scale the string column
-    never shuffles — only (hash, doc_id) pairs do."""
-    from ray.data.aggregate import Min
+def dedup_exact(sf_dir: str, num_partitions: int = 32) -> pd.DataFrame:
+    """Exact dedup: content hash per batch → hash-BUCKET exchange →
+    per-bucket min doc_id per hash (a hash group lives wholly in its
+    bucket). At corpus scale the string column never shuffles — only
+    (hash, doc_id, pid) rows do; the bucket exchange replaces a named
+    Min aggregate over the corpus-scale hash key (ARCHITECTURE
+    named-aggregate cardinality rule)."""
+
+    def keep_min(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "h" not in part.column_names:
+            return pa.table({"keep_id": pa.array([], pa.int64())})
+        g = (
+            part.select(["h", "doc_id"])
+            .group_by("h")
+            .aggregate([("doc_id", "min")])
+        )
+        return pa.table({"keep_id": g["doc_id_min"]})
 
     df = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(_content_hash_stage, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="keep_id"))
+        .map_batches(
+            _content_hash_stage,
+            batch_format="pyarrow",
+            fn_kwargs={"num_partitions": num_partitions},
+        )
+        .groupby("_pid", num_partitions=num_partitions)
+        .map_groups(
+            lambda t: keep_min(t.drop_columns(["_pid"])), batch_format="pyarrow"
+        )
         .to_pandas()
     )
     df = ensure_columns(df, {"keep_id": "int64"})
@@ -1471,12 +1489,36 @@ def vocab_top_df(sf_dir: str, k: int = 100) -> pd.DataFrame:
         ).sort_values(["n_docs", "term"], ascending=[False, True])
         return pa.Table.from_pandas(df.head(k), preserve_index=False)
 
+    def bucket_topk(part: pa.Table) -> pa.Table:
+        # per-bucket combine (term lives wholly in its hash bucket) +
+        # local top-k — the named Aggregate over the vocabulary-scale
+        # term key paid Ray's sort-aggregate tax (ARCHITECTURE rule)
+        if part.num_rows == 0 or "term" not in part.column_names:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "n_docs": pa.array([], pa.int64())}
+            )
+        g = (
+            part.select(["term", "n"])
+            .group_by("term")
+            .aggregate([("n", "sum")])
+            .rename_columns(["term", "n_docs"])
+        )
+        return local_topk(g)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import fnv64
+
+        pid = (fnv64(batch["term"]) % np.uint64(32)).astype(np.int32)
+        return batch.append_column("pid", pa.array(pid))
+
     df = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n", alias_name="n_docs"))
-        .map_batches(local_topk, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("pid", num_partitions=32)
+        .map_groups(
+            lambda t: bucket_topk(t.drop_columns(["pid"])), batch_format="pyarrow"
+        )
         .to_pandas()
     )
     df = ensure_columns(df, {"term": "object", "n_docs": "int64"})
