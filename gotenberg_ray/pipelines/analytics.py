@@ -182,7 +182,9 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 def distinct_users_daily(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT user_id) per day: batch-local dedup → ONE
-    (day,user)-hash BUCKET exchange (a named Aggregate over the
+    user-hash BUCKET exchange — every (day,user) pair lands wholly in
+    its user's bucket while the day dimension stays spread (a named
+    Aggregate over the
     data-scale pair key measured ~6× slower — the ARCHITECTURE
     named-aggregate cardinality rule) → per-bucket Arrow dedup +
     per-day partial counts → one tiny day-keyed combine."""

@@ -1451,7 +1451,7 @@ def mmr_diverse_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
         {
             "rank": pd.Series([], dtype="int64"),
             "vec_id": pd.Series([], dtype="int64"),
-            "mmr_score_e6": pd.Series([], dtype="int64"),
+            "mmr_score_e8": pd.Series([], dtype="int64"),
         }
     )
     if q is None:
@@ -1495,11 +1495,11 @@ def mmr_diverse_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     rel_e6 = np.round((mn @ qn) * 1e6).astype(np.int64)
     picked = mmr_greedy(ids, mn, rel_e6, k, MMR_LAMBDA_E2)
-    out = pd.DataFrame(picked, columns=["vec_id", "mmr_score_e6"])
+    out = pd.DataFrame(picked, columns=["vec_id", "mmr_score_e8"])
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-    for c in ("rank", "vec_id", "mmr_score_e6"):
+    for c in ("rank", "vec_id", "mmr_score_e8"):
         out[c] = out[c].astype("int64")
-    return out[["rank", "vec_id", "mmr_score_e6"]]
+    return out[["rank", "vec_id", "mmr_score_e8"]]
 
 
 def mmr_greedy(
@@ -1511,17 +1511,17 @@ def mmr_greedy(
 ) -> list[tuple[int, int]]:
     """Greedy MMR over a (small) candidate shortlist — vectorized over
     candidates per step; ties break toward the smaller vec_id via the
-    (−score, vec_id) key. Shared by the pipeline and its pytest
+    (−score, vec_id) key. Scores are in e8 units
+    (e6 similarity × integer-hundredths λ), hence the column name
+    ``mmr_score_e8``. Shared by the pipeline and its pytest
     reference so the integer scoring is defined in exactly one place."""
     n = len(ids)
     picked: list[tuple[int, int]] = []
     max_sim_e6 = np.zeros(n, dtype=np.int64)  # max sim to selected set
     active = np.ones(n, dtype=bool)
     for step in range(min(k, n)):
-        if step == 0:
-            score = rel_e6 * lambda_e2  # empty selected set: pure relevance
-        else:
-            score = rel_e6 * lambda_e2 - max_sim_e6 * (100 - lambda_e2)
+        # at step 0 max_sim_e6 is all zeros, so this is pure relevance
+        score = rel_e6 * lambda_e2 - max_sim_e6 * (100 - lambda_e2)
         score = np.where(active, score, np.int64(-(1 << 62)))
         # deterministic argmax with vec_id tie-break
         best = np.lexsort((ids, -score))[0]

@@ -65,6 +65,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 from ..functions.frames import ensure_columns
+from ..functions.segments import bincount_i64
 from .relational import JOIN_PARTITIONS, _read
 from .windows import _fmt_days
 
@@ -218,14 +219,10 @@ def part_price_slope(sf_dir: str) -> pd.DataFrame:
             {
                 "p_type": pa.array(types, pa.string()),
                 "n": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
-                "sx": pa.array(np.bincount(inv, weights=x, minlength=k).astype(np.int64)),
-                "sy": pa.array(np.bincount(inv, weights=y, minlength=k).astype(np.int64)),
-                "sxy": pa.array(
-                    np.bincount(inv, weights=x * y, minlength=k).astype(np.int64)
-                ),
-                "sxx": pa.array(
-                    np.bincount(inv, weights=x * x, minlength=k).astype(np.int64)
-                ),
+                "sx": pa.array(bincount_i64(inv, x, minlength=k)),
+                "sy": pa.array(bincount_i64(inv, y, minlength=k)),
+                "sxy": pa.array(bincount_i64(inv, x * y, minlength=k)),
+                "sxx": pa.array(bincount_i64(inv, x * x, minlength=k)),
             }
         )
 
@@ -306,7 +303,7 @@ def orders_rolling_median(sf_dir: str) -> pd.DataFrame:
         return pa.table(
             {
                 "day": pa.array(uniq),
-                "cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+                "cents": pa.array(bincount_i64(inv, cents)),
             }
         )
 
@@ -410,10 +407,7 @@ def lineitem_measure_unpivot(sf_dir: str) -> pd.DataFrame:
             .astype(np.int64)
         )
         counts = np.bincount(inv, minlength=k).astype(np.int64)
-        sums = [
-            np.bincount(inv, weights=w, minlength=k).astype(np.int64)
-            for w in (qty, price, disc)
-        ]
+        sums = [bincount_i64(inv, w, minlength=k) for w in (qty, price, disc)]
         return pa.table(
             {
                 "returnflag": pa.array(flags * 3, pa.string()),

@@ -43,6 +43,7 @@ from ..functions.limbs import (
     renorm_limbs,
     split_limbs,
 )
+from ..functions.segments import bincount_i64
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
@@ -791,7 +792,7 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
         gap = np.r_[True, (ts_us[1:] - ts_us[:-1]) > gap_s * 1_000_000]
         starts = new_user | gap
         uniq, inv = np.unique(users, return_inverse=True)
-        counts = np.bincount(inv, weights=starts).astype(np.int64)
+        counts = bincount_i64(inv, starts.astype(np.int64))
         return pa.table(
             {"user_id": pa.array(uniq.astype(np.int64)),
              "n_sessions": pa.array(counts)}

@@ -43,6 +43,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 from ..functions.frames import ensure_columns
+from ..functions.segments import bincount_i64
 from .relational import _read
 from .windows import _fmt_days
 
@@ -304,7 +305,7 @@ def orders_ewma(sf_dir: str) -> pd.DataFrame:
         return pa.table(
             {
                 "day": pa.array(uniq),
-                "cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+                "cents": pa.array(bincount_i64(inv, cents)),
             }
         )
 

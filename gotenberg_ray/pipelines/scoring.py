@@ -35,6 +35,7 @@ import ray
 from ray.data.aggregate import Sum
 
 from ..functions.frames import ensure_columns
+from ..functions.segments import bincount_i64
 
 SCALE = 1_000_000
 
@@ -105,9 +106,7 @@ def _train_bigram(sf_dir: str):
     order = np.argsort(keys)
     pair_keys = keys[order]
     pair_counts = pairs["c"].to_numpy()[order].astype(np.int64)
-    uni_counts = np.bincount(a_id, weights=pairs["c"].to_numpy(), minlength=v).astype(
-        np.int64
-    )
+    uni_counts = bincount_i64(a_id, pairs["c"].to_numpy(), minlength=v)
     return vocab, uni_counts, pair_keys, pair_counts
 
 

@@ -1506,16 +1506,22 @@ def vocab_top_df(sf_dir: str, k: int = 100) -> pd.DataFrame:
         return local_topk(g)
 
     def tag(batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import fnv64
+        # shared pid convention (joins.partition_ids), same as every
+        # other bucket exchange — not a hand-rolled copy of the hash
+        from .joins import partition_ids
+        from .relational import JOIN_PARTITIONS
 
-        pid = (fnv64(batch["term"]) % np.uint64(32)).astype(np.int32)
-        return batch.append_column("pid", pa.array(pid))
+        return batch.append_column(
+            "pid", partition_ids(batch["term"], JOIN_PARTITIONS)
+        )
+
+    from .relational import JOIN_PARTITIONS
 
     df = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial_counts, batch_format="pyarrow")
         .map_batches(tag, batch_format="pyarrow")
-        .groupby("pid", num_partitions=32)
+        .groupby("pid", num_partitions=JOIN_PARTITIONS)
         .map_groups(
             lambda t: bucket_topk(t.drop_columns(["pid"])), batch_format="pyarrow"
         )

@@ -45,6 +45,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 from ..functions.frames import ensure_columns
+from ..functions.segments import bincount_i64
 from .relational import JOIN_PARTITIONS, _read
 from .windows import _fmt_days
 
@@ -85,7 +86,7 @@ def orders_moving_avg(sf_dir: str) -> pd.DataFrame:
         return pa.table(
             {
                 "day": pa.array(uniq),
-                "cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+                "cents": pa.array(bincount_i64(inv, cents)),
             }
         )
 
@@ -292,9 +293,7 @@ def first_order_cohort_revenue(sf_dir: str) -> pd.DataFrame:
             {
                 "o_custkey": pa.array(c_s[starts]),
                 "yr": pa.array(y_s[starts]),
-                "cents": pa.array(
-                    np.bincount(seg, weights=cents[order]).astype(np.int64)
-                ),
+                "cents": pa.array(bincount_i64(seg, cents[order])),
                 "n": pa.array(
                     np.diff(np.r_[starts, len(c_s)]).astype(np.int64)
                 ),
@@ -321,12 +320,8 @@ def first_order_cohort_revenue(sf_dir: str) -> pd.DataFrame:
             {
                 "cohort_year": pa.array((uniq // 10_000).astype(np.int64)),
                 "order_year": pa.array((uniq % 10_000).astype(np.int64)),
-                "cents": pa.array(
-                    np.bincount(inv, weights=cents[order]).astype(np.int64)
-                ),
-                "n": pa.array(
-                    np.bincount(inv, weights=n[order]).astype(np.int64)
-                ),
+                "cents": pa.array(bincount_i64(inv, cents[order])),
+                "n": pa.array(bincount_i64(inv, n[order])),
             }
         )
 

@@ -89,7 +89,7 @@ def test_mmr_matches_loop_reference(ray_session, tmp_path):
     sf = _write_embeddings(tmp_path, vecs)
     got = E.mmr_diverse_topk(sf, k=8, k0=20)
     exp = _mmr_reference(vecs, k=8, k0=20)
-    assert list(zip(got["vec_id"], got["mmr_score_e6"])) == exp
+    assert list(zip(got["vec_id"], got["mmr_score_e8"])) == exp
 
 
 def test_mmr_suppresses_near_duplicate(ray_session, tmp_path):

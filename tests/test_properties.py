@@ -345,3 +345,28 @@ def test_q22_threshold_rewrite_equals_cross_multiplication(bals, extra):
     thr = tot // cnt + 1
     for b in bals:
         assert (b >= thr) == (b * cnt > tot)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(1 << 56), max_value=1 << 56),
+        min_size=0,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_bincount_i64_exact_at_adversarial_magnitudes(vals, nbuckets):
+    """bincount_i64 must equal exact Python integer grouped sums even
+    where float64 bincount loses low-order bits (round-4 review: the
+    'exact int64 partials' contract previously rode an unasserted
+    2**53 assumption)."""
+    from gotenberg_ray.functions.segments import bincount_i64
+
+    w = np.array(vals, dtype=np.int64)
+    idx = (np.arange(len(w)) % nbuckets).astype(np.int64)
+    got = bincount_i64(idx, w, minlength=nbuckets)
+    exp = [0] * nbuckets
+    for i, v in zip(idx, vals):
+        exp[int(i)] += int(v)
+    # per-group sums here always fit int64 (|v| ≤ 2**56, ≤200 rows)
+    assert got.tolist() == exp
