@@ -258,9 +258,9 @@ class _Group:
         total = len(self.src)
         lens = self._row_lengths()
         if total == 0:
-            return ["[]" if not l else json.dumps(
-                [{"title": "Page 1", "page": 1, "children": []}]
-            ) for l in lens]
+            # zero spans overall ⇒ every row's span count is zero too
+            # (lens and total are prefix sums over the same spans)
+            return ["[]"] * len(lens)
         row = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
         is_pb = self.kind == PB
         prefix = np.cumsum(is_pb) - is_pb  # PBs strictly before i, global

@@ -555,16 +555,20 @@ def auto_join(
     defaults to the module's ``BROADCAST_MAX_BYTES`` read at CALL time
     so tests can force the bucketed fallback by monkeypatching it.
 
-    Broadcast selection ignores ``hash_join_kwargs`` (combiners like
-    ``left_agg``/``joined_map`` and bloom pruning) — those are partial
-    -fold optimizations in the fallback; callers whose downstream
-    logic ASSUMES key-complete partitions must call ``hash_join``
-    directly."""
+    Output-shaping kwargs (``left_agg``/``right_agg``/``joined_map``)
+    pin the plan to the bucketed path: they change the result schema
+    or row set, so letting runtime data size pick the branch would
+    make the output shape data-dependent (round-4 review finding —
+    a caller tested at broadcast size would break only at production
+    size). Pure-optimization kwargs (``bloom_prune_left``,
+    ``hot_keys``/``salt``) are safely dropped when broadcasting —
+    a broadcast join has no shuffle to prune or salt."""
     if broadcast_max_bytes is None:
         broadcast_max_bytes = BROADCAST_MAX_BYTES
+    shaping = {"left_agg", "right_agg", "joined_map"} & set(hash_join_kwargs)
     right = right.materialize()
     size = right.size_bytes() or 0
-    if size <= broadcast_max_bytes and join_type in (
+    if not shaping and size <= broadcast_max_bytes and join_type in (
         "inner", "left outer", "left semi", "left anti",
     ):
         return broadcast_join(

@@ -417,16 +417,24 @@ def gear_cut_points(data: np.ndarray, doc_offsets: np.ndarray) -> list[np.ndarra
     lens = np.diff(doc_offsets)
     rel = np.arange(n, dtype=np.int64) - np.repeat(doc_offsets[:-1], lens)
     g = G[data]
-    acc = np.zeros(n, dtype=np.uint64)
+    # positions within WINDOW bytes of their doc start, sorted by rel:
+    # pos_sorted[:counts[s]] is exactly {p : rel[p] < s} for any s, so
+    # the per-step doc-boundary mask is a sparse gather, not an
+    # O(n) boolean pass (round-4 review: the zeros+copy+mask version
+    # made ~4 full-buffer passes per step; this makes 1 + O(#heads))
+    head = np.flatnonzero(rel < _GEAR_WINDOW)
+    order = np.argsort(rel[head], kind="stable")
+    pos_sorted = head[order]
+    counts = np.searchsorted(rel[head][order], np.arange(_GEAR_WINDOW + 1))
+    acc = g.copy()  # s = 0 term; rel < 0 is impossible, no mask
     with np.errstate(over="ignore"):
-        for s in range(_GEAR_WINDOW):
-            contrib = np.zeros(n, dtype=np.uint64)
-            if s == 0:
-                contrib = g.copy()
-            elif s < n:
-                contrib[s:] = g[:-s] << np.uint64(s)
-            contrib[rel < s] = np.uint64(0)  # window never crosses a doc
-            acc += contrib
+        for s in range(1, min(_GEAR_WINDOW, n)):
+            su = np.uint64(s)
+            acc[s:] += g[:-s] << su
+            # undo the adds that crossed a doc start (rel < s, p >= s)
+            bad = pos_sorted[: counts[s]]
+            bad = bad[bad >= s]
+            acc[bad] -= g[bad - s] << su
     is_cut = (acc >> np.uint64(64 - GEAR_KBITS)) == 0
     for d in range(n_docs):
         a, b = int(doc_offsets[d]), int(doc_offsets[d + 1])

@@ -225,13 +225,6 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 """
 
 
-_EMPTY_PAIRS = {
-    "a_id": pd.Series([], dtype="int64"),
-    "b_id": pd.Series([], dtype="int64"),
-    "jaccard": pd.Series([], dtype="float64"),
-}
-
-
 # Brute-force twin of dedup_ngram_jaccard: grams are the same
 # space-joined word 3-grams (whitespace split, empties dropped; <3
 # tokens → one all-tokens shingle; empty text → none, with J(∅,∅)=1),
@@ -493,7 +486,11 @@ def _verify_jaccard_kernel(
         inter[i] = count_nonzero(A[pos] == B)
     den = na + nb - inter if denom == "union" else np.minimum(na, nb)
     with np.errstate(divide="ignore", invalid="ignore"):
-        jac = np.where(den > 0, inter / np.maximum(den, 1), 1.0)  # score(∅,∅)=1
+        # den == 0 ⇒ union: both sets empty, J(∅,∅)=1 by convention;
+        # min: at least one set empty — containment is undefined there,
+        # score 0 (exclude) rather than a silent 1.0 (round-4 review)
+        zero_den = 1.0 if denom == "union" else 0.0
+        jac = np.where(den > 0, inter / np.maximum(den, 1), zero_den)
     m = jac >= threshold
     return pa.table(
         {

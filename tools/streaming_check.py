@@ -18,6 +18,7 @@ Usage:
     python tools/streaming_check.py --joins    # multi-way join family (q9 at 16×)
     python tools/streaming_check.py --holistic # tenth wave (overlap ranks, bounded-k)
     python tools/streaming_check.py --ann      # ANN family (brute recall, IVF-PQ)
+    python tools/streaming_check.py --drift    # corpus-drift family (TV, vocab Jaccard)
     python tools/streaming_check.py --child dedup_exact /path/dir  # internal
 """
 
