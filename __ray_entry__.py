@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import admission as A
     from gotenberg_ray.pipelines import analytics as AN
     from gotenberg_ray.pipelines import analytics2 as A2
+    from gotenberg_ray.pipelines import classifier as QC
     from gotenberg_ray.pipelines import cluster as CL
     from gotenberg_ray.pipelines import dimred as DR
     from gotenberg_ray.pipelines import layout as LY
@@ -405,6 +406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR importance resampling (hashed-ngram log-ratio scoring,
         # two streaming scans; histogram cells are all that shuffle)
         "dsir_select": SA.dsir_select,
+        # fastText-style quality classifier: integer-exact distributed
+        # IRLS over hashed uni+bigram counts, exact tie-averaged AUC
+        "quality_classifier": QC.quality_classifier,
         # similarity search
         "knn_topk": E.knn_topk,
         # batched multi-query top-k: one corpus pass, one matmul per
