@@ -299,3 +299,52 @@ def quality_classifier(sf_dir: str) -> pd.DataFrame:
         metrics.append((f"mean_score_bp:{r['lang']}", int(r["s"]) // int(r["c"])))
     out = pd.DataFrame(metrics, columns=["metric", "value"])
     return out.astype({"metric": "object", "value": "int64"}).reset_index(drop=True)
+
+
+def score_texts(ds, weights, column: str = "text"):
+    """Annotate any text dataset with the classifier score
+    (``score_bp`` int64 column): one stateless vectorized pass under
+    the broadcast weight vector — the serve half of the fastText
+    curation pattern, reusable over crawl pages as well as the
+    documents table."""
+    w = np.asarray(weights, dtype=np.float64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        X = featurize_batch(batch[column], batch.num_rows)
+        score = np.round(_sigmoid(_eta(X, w)) * 10_000).astype(np.int64)
+        return batch.append_column("score_bp", pa.array(score))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def classifier_gate(
+    ds,
+    sf_dir: str | None = None,
+    weights=None,
+    min_score_bp: int = 2500,
+    column: str = "text",
+    keep_score: bool = False,
+):
+    """Registry stage: filter a text dataset to rows the quality
+    classifier scores ≥ ``min_score_bp``. Train-on-seed / apply-to-
+    crawl: ``weights`` (pre-trained) wins; otherwise the model trains
+    on ``sf_dir``'s labeled documents table first (the supervision
+    source), then gates the flowing dataset. Output schema equals the
+    input schema (score column dropped unless ``keep_score``), so the
+    stage slots anywhere in the training composition."""
+    if weights is None:
+        if sf_dir is None:
+            raise ValueError("classifier_gate needs weights or sf_dir")
+        feats = _features_ds(sf_dir)
+        weights = (
+            train_weights(feats) if feats.count() else np.zeros(D, dtype=np.float64)
+        )
+    scored = score_texts(ds, weights, column)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = batch.filter(pc.greater_equal(batch["score_bp"], pa.scalar(min_score_bp)))
+        return out if keep_score else out.drop_columns(["score_bp"])
+
+    return scored.map_batches(keep, batch_format="pyarrow")

@@ -296,6 +296,21 @@ def register_builtins() -> None:
             description="resumable hash-partitioned training-shard sink",
         )
     )
+    from .pipelines.classifier import classifier_gate
+
+    register(
+        StageSpec(
+            name="classifier_gate",
+            kind="dataset",
+            fn=classifier_gate,
+            config={"min_score_bp": 2500},
+            description=(
+                "fastText-style quality gate: train on the labeled seed "
+                "corpus (sf_dir), score the flowing text, keep rows "
+                "scoring ≥ min_score_bp (classifier.py)"
+            ),
+        )
+    )
     # flag only AFTER the final registration: a failure mid-way must
     # not leave the registry permanently partial behind the guard
     _BUILTINS_DONE = True
@@ -306,13 +321,26 @@ def register_builtins() -> None:
 #: packed shard manifest (crawl → extract → gate → dedup → pack →
 #: shards), the same plan ``train.training_data_pipeline`` runs.
 def training_stage_list(
-    sf_dir: str, ctx: int = 256, min_tokens: int = 5, out_dir: str | None = None
+    sf_dir: str,
+    ctx: int = 256,
+    min_tokens: int = 5,
+    out_dir: str | None = None,
+    classifier_min_bp: int | None = None,
 ) -> list:
-    return [
+    stages: list = [
         ("crawl_convert", {"sf_dir": sf_dir}),
         "extract_text",
         ("quality_gate", {"min_tokens": min_tokens}),
+    ]
+    if classifier_min_bp is not None:
+        # model-based curation between the cheap heuristic gate and the
+        # dedup fold: train on the seed corpus, gate the crawl text
+        stages.append(
+            ("classifier_gate", {"sf_dir": sf_dir, "min_score_bp": classifier_min_bp})
+        )
+    stages += [
         "dedup_parts",
         ("pack_contexts", {"ctx": ctx}),
         ("shard_sink", {"out_dir": out_dir}),
     ]
+    return stages

@@ -144,3 +144,75 @@ def test_quality_classifier_empty_corpus(tmp_path):
     )
     out = C.quality_classifier(str(d)).set_index("metric")["value"]
     assert out["n_docs"] == 0 and out["auc_e6"] == -1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_classifier_gate_filters_by_score(sf_dir):
+    """Gate == score + driver filter; schema preserved; threshold 0
+    keeps everything."""
+    from gotenberg_ray.io import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    w = C.train_weights(C._features_ds(sf_dir))
+
+    scored = C.score_texts(read_table(sf_dir, "documents", ["doc_id", "text", "lang"]), w).to_pandas()
+    for thresh in (0, 3000, 10_001):
+        got = C.classifier_gate(ds, weights=w, min_score_bp=thresh).to_pandas()
+        want = scored[scored["score_bp"] >= thresh].drop(columns=["score_bp"])
+        if len(want) == 0:
+            # Ray's empty to_pandas() loses column labels — length is
+            # the contract here (an all-filtered gate is legitimate)
+            assert len(got) == 0
+            continue
+        assert sorted(got.columns) == sorted(want.columns)
+        pd.testing.assert_frame_equal(
+            got.sort_values("doc_id").reset_index(drop=True),
+            want.sort_values("doc_id").reset_index(drop=True),
+        )
+    assert len(C.classifier_gate(ds, weights=w, min_score_bp=0).to_pandas()) == 500
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_classifier_gate_from_registry(sf_dir):
+    """The registry-compiled stage equals the direct call (extension
+    surface proven on the model-based curation stage)."""
+    from gotenberg_ray import registry
+    from gotenberg_ray.io import read_table
+
+    registry.register_builtins()
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    compiled = registry.compile_pipeline(
+        [("classifier_gate", {"sf_dir": sf_dir, "min_score_bp": 3000})], source_ds=ds
+    ).to_pandas()
+    direct = C.classifier_gate(ds, sf_dir=sf_dir, min_score_bp=3000).to_pandas()
+    pd.testing.assert_frame_equal(
+        compiled.sort_values("doc_id").reset_index(drop=True),
+        direct.sort_values("doc_id").reset_index(drop=True),
+    )
+    assert 0 < len(direct) < 500  # the gate actually separates
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_training_stage_list_with_classifier_gate(tmp_path):
+    """The composition accepts the model gate: threshold 0 reproduces
+    the ungated manifest; a real threshold packs ≤ as many tokens."""
+    from gotenberg_ray import registry
+    from gotenberg_ray.registry import training_stage_list
+
+    sf = "/root/testdata/sf0.001"
+    registry.register_builtins()
+    base = registry.compile_pipeline(
+        training_stage_list(sf, out_dir=str(tmp_path / "a"))
+    ).to_pandas()
+    gated0 = registry.compile_pipeline(
+        training_stage_list(sf, out_dir=str(tmp_path / "b"), classifier_min_bp=0)
+    ).to_pandas()
+    cols = ["keep_key", "n_tokens", "pack_id"]
+    pd.testing.assert_frame_equal(
+        base[cols].sort_values(cols).reset_index(drop=True),
+        gated0[cols].sort_values(cols).reset_index(drop=True),
+    )
+    gated = registry.compile_pipeline(
+        training_stage_list(sf, out_dir=str(tmp_path / "c"), classifier_min_bp=4000)
+    ).to_pandas()
+    assert gated["n_tokens"].sum() <= base["n_tokens"].sum()
