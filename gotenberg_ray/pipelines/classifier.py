@@ -101,17 +101,22 @@ def featurize_batch(texts: pa.Array | pa.ChunkedArray, n_rows: int) -> np.ndarra
     ``1 + U + splitmix64(h_a ^ splitmix64(h_b)) % B``. Counts capped
     at COUNT_CAP; column 0 is the intercept (=1)."""
     h, parents = _flat_tokens(texts)
-    X = np.zeros((n_rows, D), dtype=np.int64)
+    if not len(h):
+        X = np.zeros((n_rows, D), dtype=np.int64)
+        X[:, 0] = 1
+        return X
+    # one bincount over flattened (row, bucket) cells — same counts as
+    # per-cell scatters, vectorized
+    ub = (h % np.uint64(U_BUCKETS)).astype(np.int64) + 1
+    cells = [parents * D + ub]
+    adj = parents[:-1] == parents[1:]
+    if adj.any():
+        bh = splitmix64(h[:-1] ^ splitmix64(h[1:]))
+        bb = (bh % np.uint64(B_BUCKETS)).astype(np.int64) + 1 + U_BUCKETS
+        cells.append(parents[:-1][adj] * D + bb[adj])
+    X = np.bincount(np.concatenate(cells), minlength=n_rows * D).reshape(n_rows, D)
+    np.minimum(X, COUNT_CAP, out=X)
     X[:, 0] = 1
-    if len(h):
-        ub = (h % np.uint64(U_BUCKETS)).astype(np.int64) + 1
-        np.add.at(X, (parents, ub), 1)
-        adj = parents[:-1] == parents[1:]
-        if adj.any():
-            bh = splitmix64(h[:-1] ^ splitmix64(h[1:]))
-            bb = (bh % np.uint64(B_BUCKETS)).astype(np.int64) + 1 + U_BUCKETS
-            np.add.at(X, (parents[:-1][adj], bb[adj]), 1)
-        np.minimum(X[:, 1:], COUNT_CAP, out=X[:, 1:])
     return X
 
 

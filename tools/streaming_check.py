@@ -111,9 +111,21 @@ EXTRA_CONFIGS = {
     # segment) group exercises the bounded-k ordered-concat fold
     "session_concurrency": ("events", ("event_id", "user_id")),
     "segment_first_names": ("customer", ("c_custkey",)),
+    # --windows: 16× disjoint users over the same calendar — the
+    # adversarial direction for the user-bucketed segmented passes
+    # (per-bucket group count grows 16×, window width per user fixed)
+    "events_asof_attribution": ("events", ("event_id", "user_id")),
+    "events_rolling_peak": ("events", ("event_id", "user_id")),
 }
 
 HOLISTIC_QUERIES = ("session_concurrency", "segment_first_names")
+
+WINDOW_QUERIES = ("events_asof_attribution", "events_rolling_peak")
+
+# --classifier: the retagged 16× documents corpus (disjoint replica
+# vocabularies hash into the SAME fixed feature buckets — 16× the
+# featurize/Newton-partial mass, constant model/driver state)
+CLASSIFIER_QUERIES = ("quality_classifier",)
 
 # --ann: 16 vec_id-shifted replicas of the embedding store (the query
 # row vec_id=0 stays unique to replica 0) — 16× the recall/scan mass
@@ -178,6 +190,7 @@ def run_child(query: str, sf_dir: str) -> None:
         or query in JOIN_CONFIGS
         or query in DRIFT_QUERIES
         or query in ANN_QUERIES
+        or query in CLASSIFIER_QUERIES
     ):
         import importlib.util
 
@@ -247,6 +260,14 @@ def main() -> None:
         queries = list(ANN_QUERIES)
         build_scaled_table("embeddings", ("vec_id",))
         scaled = SCALED
+    elif "--windows" in sys.argv:
+        queries = list(WINDOW_QUERIES)
+        for q in queries:
+            build_scaled_table(*EXTRA_CONFIGS[q])
+        scaled = SCALED
+    elif "--classifier" in sys.argv:
+        scaled = build_scaled()
+        queries = list(CLASSIFIER_QUERIES)
     elif "--drift" in sys.argv:
         # corpus-drift family over the retagged 16× documents corpus
         scaled = build_scaled()
