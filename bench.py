@@ -200,6 +200,9 @@ BENCH_QUERIES = [
     # diversity-aware two-stage retrieval (greedy MMR on the recall
     # shortlist)
     "mmr_diverse_topk",
+    # twelfth wave: integer-exact IRLS quality classifier (featurize
+    # once, 8 Newton scans over the materialized feature table)
+    "quality_classifier",
 ]
 
 

@@ -216,3 +216,39 @@ def test_training_stage_list_with_classifier_gate(tmp_path):
         training_stage_list(sf, out_dir=str(tmp_path / "c"), classifier_min_bp=4000)
     ).to_pandas()
     assert gated["n_tokens"].sum() <= base["n_tokens"].sum()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("L", "N", "P", "Zs", "Cc"), max_codepoint=0x2FFF
+            ),
+            max_size=60,
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_featurize_batch_matches_scalar_spec(texts):
+    """featurize_batch ≡ the scalar per-doc spec on adversarial
+    unicode (exotic whitespace, control chars, empty rows) — the same
+    tokenization-parity contract the simhash/shingle kernels carry."""
+    import pyarrow as pa
+
+    got = C.featurize_batch(pa.array(texts, pa.string()), len(texts))
+    want = np.zeros((len(texts), C.D), dtype=np.int64)
+    want[:, 0] = 1
+    for i, t in enumerate(texts):
+        hs = [fnv64_one(w) for w in (t or "").split()]
+        for h in hs:
+            want[i, 1 + h % C.U_BUCKETS] += 1
+        for a, b in zip(hs, hs[1:]):
+            want[i, 1 + C.U_BUCKETS + splitmix64(a ^ splitmix64(b)) % C.B_BUCKETS] += 1
+    want[:, 1:] = np.minimum(want[:, 1:], C.COUNT_CAP)
+    np.testing.assert_array_equal(got, want)
