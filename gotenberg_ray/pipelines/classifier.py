@@ -47,9 +47,11 @@ materialized ~(D+1)-byte/doc feature table (≈1.3 TB at 10^10 docs —
 object-store-spillable). Partial magnitude ≤ 2^14·63²·n, so int64
 holds corpus sums to ~2^34 docs; beyond that the two-limb Sum128
 pattern (functions/limbs.py) applies. Rows-only by nature (iterative
-model fit); reference parity: the scoring/filter role mirrors the
-reference's quality-gate stages (pkg/modules/api/ctx.go routes that
-gate uploads), re-expressed as a trainable corpus-level operator.
+model fit); reference parity: the scoring/filter role generalizes the
+reference's per-request validation gates (pkg/modules/api/context.go,
+formdata.go — fixed-rule accept/reject per document) into a trainable
+corpus-level curation operator, the form a training-data pipeline
+needs.
 """
 
 from __future__ import annotations
