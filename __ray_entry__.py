@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact substring-duplication score (distinct 20-char windows
         # shared with any other doc; one hash-keyed exchange)
         "duplicate_span_stats": T.duplicate_span_stats,
+        # the CUT action to the span score: remove cross-doc duplicated
+        # windows, exact per-doc (n_chars, n_kept, cut_frac) summary
+        "dedup_substring_cut": T.dedup_substring_cut,
         # iterative dataflow (power iteration; rows-only — not SQL)
         "pagerank": GR.pagerank,
         # wedge-enumeration + semi-join closure (oracle-checked -
@@ -602,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": INC.DEDUP_INCREMENTAL_SQL,
         "events_daily_incremental": INC.EVENTS_DAILY_INCREMENTAL_SQL,
         "duplicate_span_stats": T.DUP_SPANS_SQL,
+        "dedup_substring_cut": T.DEDUP_SUBSTRING_CUT_SQL,
         "contamination_check": T.CONTAMINATION_SQL,
         "curation_pipeline": T.CURATION_SQL,
         "vocab_top_df": T.VOCAB_DF_SQL,

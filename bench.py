@@ -201,8 +201,10 @@ BENCH_QUERIES = [
     # shortlist)
     "mmr_diverse_topk",
     # twelfth wave: integer-exact IRLS quality classifier (featurize
-    # once, 8 Newton scans over the materialized feature table)
+    # once, 8 Newton scans over the materialized feature table) and
+    # the substring-dedup CUT action (Lee et al. span removal)
     "quality_classifier",
+    "dedup_substring_cut",
 ]
 
 

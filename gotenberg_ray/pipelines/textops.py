@@ -1719,6 +1719,37 @@ FROM t ORDER BY doc_id
 # ----------------------------------- exact substring duplication score
 
 
+def _char_window_hasher(window: int):
+    """Rolling character-window hasher factory: u64 polynomial (FNV
+    prime powers) + splitmix finalizer over a utf-32 codepoint view.
+    Windows are hashed in bounded chunks — ``sliding_window_view`` is a
+    view, but the ×u64 product materializes window×8 bytes per char; a
+    chunk cap keeps the temporaries ~tens of MB however long one
+    document is (the 100 TB contract), at identical output."""
+    from ..functions.hashing import splitmix64 as _sm
+
+    # u64-wraparound powers of an odd multiplier (FNV prime)
+    pows = np.power(
+        np.uint64(0x100000001B3),
+        np.arange(window - 1, -1, -1, dtype=np.uint64),
+        dtype=np.uint64,
+    )
+    chunk = 1 << 18
+
+    def _window_hashes(u: np.ndarray) -> np.ndarray:
+        n_win = len(u) - window + 1
+        parts = []
+        for s in range(0, n_win, chunk):
+            e = min(s + chunk, n_win)
+            w = np.lib.stride_tricks.sliding_window_view(
+                u[s : e + window - 1], window
+            ).astype(np.uint64)
+            parts.append(_sm((w * pows).sum(axis=1, dtype=np.uint64)))
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    return _window_hashes
+
+
 def duplicate_span_stats(sf_dir: str, window: int = 20) -> pd.DataFrame:
     """Exact substring-duplication scoring — the per-document signal
     behind substring-level dedup (Lee et al., "Deduplicating Training
@@ -1745,32 +1776,8 @@ def duplicate_span_stats(sf_dir: str, window: int = 20) -> pd.DataFrame:
     The DuckDB twin compares raw substrings, so a hash collision
     would surface as a mismatch — 64-bit + finalizer keeps that
     probability ≈ n²/2⁶⁵ (≈10⁻⁶ at 10M shingles)."""
-    from ..functions.hashing import splitmix64 as _sm
-
     P = 32
-    # u64-wraparound powers of an odd multiplier (FNV prime)
-    pows = np.power(
-        np.uint64(0x100000001B3),
-        np.arange(window - 1, -1, -1, dtype=np.uint64),
-        dtype=np.uint64,
-    )
-
-    # windows hashed in bounded chunks: sliding_window_view is a view,
-    # but the ×u64 product materializes window×8 bytes per char — a
-    # chunk cap keeps the temporaries ~tens of MB however long one
-    # document is (the 100 TB contract), at identical output
-    chunk = 1 << 18
-
-    def _window_hashes(u: np.ndarray) -> np.ndarray:
-        n_win = len(u) - window + 1
-        parts = []
-        for s in range(0, n_win, chunk):
-            e = min(s + chunk, n_win)
-            w = np.lib.stride_tricks.sliding_window_view(
-                u[s : e + window - 1], window
-            ).astype(np.uint64)
-            parts.append(_sm((w * pows).sum(axis=1, dtype=np.uint64)))
-        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+    _window_hashes = _char_window_hasher(window)
 
     def shingle_pairs(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -1871,5 +1878,255 @@ SELECT doc_id,
        CAST(n_dup AS BIGINT) AS n_dup,
        CAST(n_dup * 10000 // n_shingles AS BIGINT) AS dup_frac_e4
 FROM per
+ORDER BY doc_id
+"""
+
+
+def _dup_window_lists(sf_dir: str, window: int, P: int = 32):
+    """(doc_id, sorted uint64 list of the doc's cross-doc-duplicated
+    window hashes) — the shared discovery half of the substring-cut
+    family: hash-pid exchange keeps only shingles spanning ≥ 2 docs,
+    then a doc-pid exchange folds survivors into one list per doc."""
+    whash = _char_window_hasher(window)
+
+
+    def shingle_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hs: list[np.ndarray] = []
+        ds_: list[np.ndarray] = []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            u = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+            if len(u) < window:
+                continue
+            hu = np.unique(whash(u))
+            hs.append(hu)
+            ds_.append(np.full(len(hu), ids[i], np.int64))
+        if not hs:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pid": pa.array([], pa.int32()),
+                }
+            )
+        h = np.concatenate(hs)
+        return pa.table(
+            {
+                "h": pa.array(h),
+                "doc_id": pa.array(np.concatenate(ds_)),
+                "pid": pa.array((h % np.uint64(P)).astype(np.int32)),
+            }
+        )
+
+    def dup_survivors(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, d = h[order], d[order]
+        starts = np.r_[True, h[1:] != h[:-1]]
+        grp = np.cumsum(starts) - 1
+        docs_per = np.bincount(grp)
+        keep = docs_per[grp] > 1
+        return pa.table({"doc_id": pa.array(d[keep]), "h": pa.array(h[keep])})
+
+    def fold_lists(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, d))
+        d, h = d[order], h[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        offs = np.r_[starts, len(d)].astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "dup_hs": pa.ListArray.from_arrays(pa.array(offs), pa.array(h)),
+            }
+        )
+
+    def add_doc_pid(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "dpid", pa.array((d % P).astype(np.int32))
+        )
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(shingle_pairs, batch_format="pyarrow")
+        .groupby("pid", num_partitions=P)
+        .map_groups(dup_survivors, batch_format="pyarrow")
+        .map_batches(add_doc_pid, batch_format="pyarrow")
+        .groupby("dpid", num_partitions=P)
+        .map_groups(fold_lists, batch_format="pyarrow")
+    )
+
+
+def dedup_substring_cut(sf_dir: str, window: int = 20) -> pd.DataFrame:
+    """Exact substring dedup — the CUT action to ``duplicate_span_
+    stats``'s score (Lee et al., ACL 2022): remove every character
+    covered by a ``window``-char substring that also occurs in at
+    least one OTHER document, and report per-doc (n_chars, n_kept,
+    cut_frac_e4). The cleaned text itself is produced by
+    :func:`substring_cut_texts` (composition form); this query returns
+    the exact integer summary, which carries a full DuckDB twin
+    (positions → duplicated-substring coverage via a LATERAL range
+    expansion — the twin compares raw substrings, so a 64-bit hash
+    collision would surface as a mismatch, as in DUP_SPANS_SQL).
+
+    Distributed shape (two keyed exchanges + one bucketed join):
+    1. per-doc DISTINCT window hashes route by hash-pid; each bucket
+       keeps only (doc_id, h) rows whose hash spans ≥ 2 docs — the
+       duplicated survivors, a small fraction of the shingle mass;
+    2. survivors route by doc-pid and fold into ONE sorted uint64
+       list per doc;
+    3. ``hash_join(docs, dup_lists, on=doc_id, left outer)`` with the
+       cut kernel as ``joined_map``: re-hash the doc's windows in
+       order, mark members (searchsorted against the doc's sorted dup
+       list), mark coverage with a ±1 diff array, count survivors.
+       Nothing corpus-sized leaves the partitions; the driver sees
+       only the per-doc 4-int summary."""
+    from .joins import hash_join
+
+    P = 32
+    whash = _char_window_hasher(window)
+    dup_lists = _dup_window_lists(sf_dir, window, P)
+
+    def cut(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        col = t["dup_hs"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = col.to_pylist()
+        n_chars = np.empty(len(ids), np.int64)
+        n_kept = np.empty(len(ids), np.int64)
+        for i, txt in enumerate(texts):
+            u = np.frombuffer((txt or "").encode("utf-32-le"), dtype=np.uint32)
+            n = len(u)
+            n_chars[i] = n
+            dl = lists[i]
+            if not dl or n < window:
+                n_kept[i] = n
+                continue
+            dup = np.asarray(dl, dtype=np.uint64)  # sorted by fold_lists
+            wh = whash(u)
+            idx = np.searchsorted(dup, wh)
+            idx[idx == len(dup)] = 0
+            marked = np.flatnonzero(dup[idx] == wh)
+            if not len(marked):
+                n_kept[i] = n
+                continue
+            diff = np.zeros(n + 1, np.int32)
+            np.add.at(diff, marked, 1)
+            np.add.at(diff, marked + window, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            n_kept[i] = n - int(covered.sum())
+        frac = np.zeros(len(ids), np.int64)
+        nz = n_chars > 0
+        frac[nz] = (n_chars[nz] - n_kept[nz]) * 10_000 // n_chars[nz]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_chars": pa.array(n_chars),
+                "n_kept": pa.array(n_kept),
+                "cut_frac_e4": pa.array(frac),
+            }
+        )
+
+    df = hash_join(
+        _docs(sf_dir, ["doc_id", "text"]),
+        dup_lists,
+        on="doc_id",
+        join_type="left outer",
+        num_partitions=P,
+        left_schema=[("doc_id", pa.int64()), ("text", pa.string())],
+        right_schema=[("doc_id", pa.int64()), ("dup_hs", pa.list_(pa.uint64()))],
+        joined_map=cut,
+    ).to_pandas()
+    df = ensure_columns(
+        df,
+        {"doc_id": "int64", "n_chars": "int64", "n_kept": "int64", "cut_frac_e4": "int64"},
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+
+def substring_cut_texts(sf_dir: str, window: int = 20):
+    """Composition form of :func:`dedup_substring_cut`: the cleaned
+    corpus itself as a streaming Dataset of (doc_id, text) with every
+    cross-doc-duplicated ``window``-char span removed — what a
+    training-data pipeline actually feeds downstream (the stats query
+    above is the oracle-checkable summary of THIS transform; pytest
+    pins the two consistent). Same plan; the cut kernel emits the
+    surviving codepoints instead of counting them."""
+    from .joins import hash_join
+
+    P = 32
+    whash = _char_window_hasher(window)
+    dup_lists = _dup_window_lists(sf_dir, window, P)
+
+    def cut(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        col = t["dup_hs"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = col.to_pylist()
+        out = []
+        for i, txt in enumerate(texts):
+            u = np.frombuffer((txt or "").encode("utf-32-le"), dtype=np.uint32)
+            n = len(u)
+            dl = lists[i]
+            if not dl or n < window:
+                out.append(txt or "")
+                continue
+            dup = np.asarray(dl, dtype=np.uint64)
+            wh = whash(u)
+            idx = np.searchsorted(dup, wh)
+            idx[idx == len(dup)] = 0
+            marked = np.flatnonzero(dup[idx] == wh)
+            if not len(marked):
+                out.append(txt or "")
+                continue
+            diff = np.zeros(n + 1, np.int32)
+            np.add.at(diff, marked, 1)
+            np.add.at(diff, marked + window, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            out.append(u[~covered].tobytes().decode("utf-32-le"))
+        return pa.table({"doc_id": pa.array(ids), "text": pa.array(out, pa.string())})
+
+    return hash_join(
+        _docs(sf_dir, ["doc_id", "text"]),
+        dup_lists,
+        on="doc_id",
+        join_type="left outer",
+        num_partitions=P,
+        left_schema=[("doc_id", pa.int64()), ("text", pa.string())],
+        right_schema=[("doc_id", pa.int64()), ("dup_hs", pa.list_(pa.uint64()))],
+        joined_map=cut,
+    )
+
+
+DEDUP_SUBSTRING_CUT_SQL = """
+WITH pos AS (
+  SELECT doc_id, i, substr(text, i, 20) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text) - 20 + 2)) AS i)
+),
+d AS (
+  SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos) GROUP BY s
+  HAVING count(*) > 1
+),
+cov AS (
+  SELECT DISTINCT p.doc_id, c.c
+  FROM pos p, LATERAL (SELECT unnest(range(p.i, p.i + 20)) AS c) c
+  WHERE p.s IN (SELECT s FROM d)
+),
+k AS (SELECT doc_id, count(*) AS n_cut FROM cov GROUP BY doc_id)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - COALESCE(n_cut, 0) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+                 ELSE COALESCE(n_cut, 0) * 10000 // length(text) END AS BIGINT)
+         AS cut_frac_e4
+FROM documents LEFT JOIN k USING (doc_id)
 ORDER BY doc_id
 """

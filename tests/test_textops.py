@@ -368,3 +368,85 @@ def test_ngram_containment_sql_twin_matches_brute_force(corpus_dir):
     got = con.execute(X.NGRAM_CONTAINMENT_SQL).df()
     exp = brute_containment(corpus_dir, 0.6)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestSubstringCut:
+    @staticmethod
+    def _reference_clean(docs: pd.DataFrame, window: int = 20) -> pd.DataFrame:
+        """Independent driver reimplementation: duplicated windows by
+        RAW substring comparison (no hashes), coverage by plain loops."""
+        from collections import Counter
+
+        per_doc: dict[int, set[str]] = {}
+        for _, r in docs.iterrows():
+            t = r["text"] or ""
+            per_doc[r["doc_id"]] = {
+                t[i : i + window] for i in range(len(t) - window + 1)
+            }
+        counts = Counter(s for ss in per_doc.values() for s in ss)
+        dup = {s for s, c in counts.items() if c > 1}
+        out = []
+        for _, r in docs.iterrows():
+            t = r["text"] or ""
+            covered = [False] * len(t)
+            for i in range(len(t) - window + 1):
+                if t[i : i + window] in dup:
+                    for j in range(i, i + window):
+                        covered[j] = True
+            out.append(
+                (r["doc_id"], "".join(ch for ch, c in zip(t, covered) if not c))
+            )
+        return pd.DataFrame(out, columns=["doc_id", "text"])
+
+    def test_clean_texts_match_reference(self, ray_session, sf_dir):
+        from gotenberg_ray.pipelines.textops import substring_cut_texts
+
+        got = (
+            substring_cut_texts(sf_dir)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        want = self._reference_clean(docs).sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_stats_consistent_with_texts(self, ray_session, sf_dir):
+        from gotenberg_ray.pipelines.textops import (
+            dedup_substring_cut,
+            substring_cut_texts,
+        )
+
+        stats = dedup_substring_cut(sf_dir).set_index("doc_id").sort_index()
+        texts = substring_cut_texts(sf_dir).to_pandas().set_index("doc_id").sort_index()
+        assert (stats["n_kept"] == texts["text"].str.len().astype("int64")).all()
+        assert (stats["cut_frac_e4"] >= 0).all()
+        assert (stats["n_kept"] <= stats["n_chars"]).all()
+
+    def test_planted_cut(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from gotenberg_ray.pipelines.textops import dedup_substring_cut
+
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "prefix one " + shared,
+                        "prefix two " + shared,
+                        "zq xv jk wp bn md ch lt rs gf yh ui eo az",  # unique
+                    ]
+                ),
+            }
+        )
+        d = tmp_path / "planted"
+        d.mkdir()
+        pq.write_table(docs, d / "documents.parquet")
+        out = dedup_substring_cut(str(d)).set_index("doc_id")
+        # the shared suffix is cut from both carriers; doc 3 untouched
+        assert out.loc[1, "n_kept"] < out.loc[1, "n_chars"]
+        assert out.loc[2, "n_kept"] < out.loc[2, "n_chars"]
+        assert out.loc[3, "n_kept"] == out.loc[3, "n_chars"]
+        assert out.loc[1, "cut_frac_e4"] > 5_000  # most of doc 1 is the shared span
