@@ -367,6 +367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_quality": Q.repetition_quality,
         # training-batch assembly (distributed ordered prefix sum)
         "pack_sequences": PK.pack_sequences,
+        # dual-budget multimodal packing: tokens AND media slots ride
+        # one ordered-prefix-sum exchange; pack = composite floor pair
+        "pack_interleaved": PK.pack_interleaved,
         "chunk_documents": PK.chunk_documents,
         # content-defined (Gear/FastCDC) chunk dedup — rows-only (rolling
         # hash has no SQL twin); scalar-reference parity pinned in tests
@@ -626,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": Q.PII_REDACT_SQL,
         "repetition_quality": Q.REPETITION_SQL,
         "pack_sequences": PK.PACK_SQL,
+        "pack_interleaved": PK.PACK_INTERLEAVED_SQL,
         "chunk_documents": PK.CHUNK_SQL,
         "pack_shuffled": PK.PACK_SHUFFLED_SQL,
         "bpe_top_pairs": TFIDF.BPE_PAIRS_SQL,

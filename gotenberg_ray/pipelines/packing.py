@@ -55,6 +55,68 @@ def _token_counts(batch: pa.Table) -> np.ndarray:
     return total
 
 
+def ordered_prefix_sum_multi(
+    ds,
+    key: str,
+    values: list[str],
+    span: int,
+    num_partitions: int = 16,
+):
+    """Order-preserving EXCLUSIVE prefix sums of SEVERAL value columns
+    in one pass (same two-phase plan as :func:`ordered_prefix_sum` —
+    range buckets, per-bucket totals to the driver, per-bucket close):
+    returns (key, *values, start_<v> for each v). One exchange however
+    many budgets ride the same global order (the dual-budget
+    interleaved packing needs tokens AND media slots)."""
+
+    def add_rid(batch: pa.Table) -> pa.Table:
+        rid = pc.cast(
+            pc.divide(batch[key], pa.scalar(span, pa.int64())), pa.int64()
+        )
+        return batch.select([key, *values]).append_column(_RID, rid)
+
+    with_rid = ds.map_batches(add_rid, batch_format="pyarrow")
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([_RID, *values])
+            .group_by(_RID)
+            .aggregate([(v, "sum") for v in values])
+        )
+
+    totals = (
+        with_rid.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby(_RID)
+        .aggregate(*[Sum(f"{v}_sum", alias_name=f"tot_{v}") for v in values])
+        .to_pandas()
+    )
+    totals = ensure_columns(
+        totals, {_RID: "int64", **{f"tot_{v}": "int64" for v in values}}
+    ).sort_values(_RID)
+    base: dict[int, list[int]] = {}
+    run = [0] * len(values)
+    for _, row in totals.iterrows():
+        base[int(row[_RID])] = list(run)
+        for j, v in enumerate(values):
+            run[j] += int(row[f"tot_{v}"])
+
+    def close_bucket(part: pa.Table) -> pa.Table:
+        part = part.sort_by([(key, "ascending")])
+        rid = int(part[_RID][0].as_py())
+        cols = {key: part[key]}
+        for j, v in enumerate(values):
+            arr = part[v].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[v] = pa.array(arr)
+            cols[f"start_{v}"] = pa.array(
+                base[rid][j] + np.concatenate(([0], np.cumsum(arr)[:-1]))
+            )
+        return pa.table(cols)
+
+    return with_rid.groupby(_RID, num_partitions=num_partitions).map_groups(
+        close_bucket, batch_format="pyarrow"
+    )
+
+
 def ordered_prefix_sum(
     ds,
     key: str,
@@ -176,6 +238,97 @@ SELECT doc_id, n_tokens,
        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             AS BIGINT) // 512 AS pack_id
+FROM tok ORDER BY doc_id
+"""
+
+
+
+def pack_interleaved(
+    sf_dir: str,
+    ctx_tokens: int = 512,
+    ctx_media: int = 8,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Dual-budget INTERLEAVED sequence packing — the multimodal
+    training-prep constraint (Flamingo/LLaVA-style): a pack holds at
+    most ``ctx_tokens`` text tokens AND ``ctx_media`` media slots, in
+    global doc order. Per-doc media-slot counts derive
+    deterministically from doc_id (``knuth32(doc_id) % 4`` — the
+    sampling.py mix convention; a production corpus supplies its real
+    span counts). ONE keyed exchange: both budgets ride the same
+    :func:`ordered_prefix_sum_multi`; the pack assignment is the
+    composite floor pair (start_tokens // ctx_tokens,
+    start_media // ctx_media) — within any (pack_t, pack_m) cell both
+    exclusive-prefix spans are < their budgets by construction, the
+    same chunk-split semantics as :func:`pack_sequences`."""
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idv = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+        n_media = ((idv * np.uint64(2654435761)) % np.uint64(1 << 32)) % np.uint64(4)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_tokens": pa.array(_token_counts(batch)),
+                "n_media": pa.array(n_media.astype(np.int64)),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        featurize, batch_format="pyarrow"
+    )
+    max_id = read_table(sf_dir, "documents", columns=["doc_id"]).max("doc_id") or 0
+    span = max(1, (int(max_id) + num_buckets) // num_buckets)
+
+    df = (
+        ordered_prefix_sum_multi(
+            docs, "doc_id", ["n_tokens", "n_media"], span,
+            num_partitions=min(num_buckets, 16),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_tokens": b["n_tokens"],
+                    "n_media": b["n_media"],
+                    "pack_t": pc.cast(
+                        pc.divide(b["start_n_tokens"], pa.scalar(ctx_tokens, pa.int64())),
+                        pa.int64(),
+                    ),
+                    "pack_m": pc.cast(
+                        pc.divide(b["start_n_media"], pa.scalar(ctx_media, pa.int64())),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    df = ensure_columns(
+        df,
+        {"doc_id": "int64", "n_tokens": "int64", "n_media": "int64",
+         "pack_t": "int64", "pack_m": "int64"},
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+PACK_INTERLEAVED_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens,
+         CAST((doc_id * 2654435761) % 4294967296 % 4 AS BIGINT) AS n_media
+  FROM documents)
+SELECT doc_id, n_tokens, n_media,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) // 512 AS pack_t,
+       CAST(coalesce(sum(n_media) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) // 8 AS pack_m
 FROM tok ORDER BY doc_id
 """
 

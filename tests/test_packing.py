@@ -206,3 +206,62 @@ def test_dedup_gear_chunks_duplication_accounting(ray_session, tmp_path):
     # the duplicated doc guarantees s1 has duplicated bytes
     s1 = df[df["source"] == "s1"].iloc[0]
     assert int(s1["dup_bytes"]) >= 2 * len(dup.encode()) - PK.GEAR_MAX
+
+
+class TestPackInterleaved:
+    def test_budgets_hold_within_packs(self, ray_session, sf_dir):
+        from gotenberg_ray.pipelines.packing import pack_interleaved
+
+        df = pack_interleaved(sf_dir, ctx_tokens=512, ctx_media=8)
+        assert len(df) > 0
+        # chunk-split semantics: within a (pack_t, pack_m) cell, the
+        # exclusive-prefix token span < ctx_tokens and media span <
+        # ctx_media — equivalently, total minus the last member's own
+        # count stays under the budget
+        for (_, _), g in df.groupby(["pack_t", "pack_m"]):
+            assert g["n_tokens"].sum() - g["n_tokens"].iloc[-1] < 512
+            assert g["n_media"].sum() - g["n_media"].iloc[-1] < 8
+        # both budget dimensions actually bind on this corpus
+        assert df["pack_t"].nunique() > 1
+        assert df["pack_m"].nunique() > 1
+
+    def test_matches_single_budget_when_media_unbounded(self, ray_session, sf_dir):
+        from gotenberg_ray.pipelines.packing import pack_interleaved, pack_sequences
+
+        inter = pack_interleaved(sf_dir, ctx_tokens=512, ctx_media=1 << 40)
+        single = pack_sequences(sf_dir, ctx=512)
+        assert (inter["pack_m"] == 0).all()
+        pd.testing.assert_series_equal(
+            inter["pack_t"], single["pack_id"], check_names=False
+        )
+
+    def test_prefix_sum_multi_matches_pandas(self, ray_session, sf_dir):
+        from gotenberg_ray.io import read_table
+        from gotenberg_ray.pipelines.packing import ordered_prefix_sum_multi
+
+        import pyarrow.compute as pc
+
+        def feats(b):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "a": pc.cast(pc.add(pc.multiply(b["doc_id"], 3), 1), pa.int64()),
+                    "b": pc.cast(pc.bit_wise_and(b["doc_id"], 7), pa.int64()),
+                }
+            )
+
+        ds = read_table(sf_dir, "documents", ["doc_id"]).map_batches(
+            feats, batch_format="pyarrow"
+        )
+        got = (
+            ordered_prefix_sum_multi(ds, "doc_id", ["a", "b"], span=37)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ref = got[["doc_id", "a", "b"]].sort_values("doc_id").reset_index(drop=True)
+        assert (got["start_a"] == ref["a"].cumsum().shift(fill_value=0)).all()
+        assert (got["start_b"] == ref["b"].cumsum().shift(fill_value=0)).all()
