@@ -228,8 +228,8 @@ def pack_sequences(sf_dir: str, ctx: int = 512, num_buckets: int = 32) -> pd.Dat
 PACK_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
-         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
-                              t -> t <> '')) AS BIGINT) AS n_tokens
+         CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')), 0) AS BIGINT) AS n_tokens
   FROM documents)
 SELECT doc_id, n_tokens,
        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -318,8 +318,8 @@ def pack_interleaved(
 PACK_INTERLEAVED_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
-         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
-                              t -> t <> '')) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')), 0) AS BIGINT) AS n_tokens,
          CAST((doc_id * 2654435761) % 4294967296 % 4 AS BIGINT) AS n_media
   FROM documents)
 SELECT doc_id, n_tokens, n_media,

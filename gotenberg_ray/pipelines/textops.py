@@ -1745,6 +1745,8 @@ def _char_window_hasher(window: int):
                 u[s : e + window - 1], window
             ).astype(np.uint64)
             parts.append(_sm((w * pows).sum(axis=1, dtype=np.uint64)))
+        if not parts:  # fewer codepoints than one window — no hashes
+            return np.empty(0, np.uint64)
         return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
     return _window_hashes
@@ -1935,11 +1937,14 @@ def _dup_window_lists(sf_dir: str, window: int, P: int = 32):
         order = np.lexsort((h, d))
         d, h = d[order], h[order]
         starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-        offs = np.r_[starts, len(d)].astype(np.int32)
+        # int64 offsets (large_list): a doc-pid bucket of a dup-heavy
+        # 100 TB corpus can exceed 2^31 survivor rows — int32 offsets
+        # would wrap silently and mis-slice which spans get cut
+        offs = np.r_[starts, len(d)].astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(d[starts]),
-                "dup_hs": pa.ListArray.from_arrays(pa.array(offs), pa.array(h)),
+                "dup_hs": pa.LargeListArray.from_arrays(pa.array(offs), pa.array(h)),
             }
         )
 
@@ -2038,7 +2043,7 @@ def dedup_substring_cut(sf_dir: str, window: int = 20) -> pd.DataFrame:
         join_type="left outer",
         num_partitions=P,
         left_schema=[("doc_id", pa.int64()), ("text", pa.string())],
-        right_schema=[("doc_id", pa.int64()), ("dup_hs", pa.list_(pa.uint64()))],
+        right_schema=[("doc_id", pa.int64()), ("dup_hs", pa.large_list(pa.uint64()))],
         joined_map=cut,
     ).to_pandas()
     df = ensure_columns(
@@ -2100,7 +2105,7 @@ def substring_cut_texts(sf_dir: str, window: int = 20):
         join_type="left outer",
         num_partitions=P,
         left_schema=[("doc_id", pa.int64()), ("text", pa.string())],
-        right_schema=[("doc_id", pa.int64()), ("dup_hs", pa.list_(pa.uint64()))],
+        right_schema=[("doc_id", pa.int64()), ("dup_hs", pa.large_list(pa.uint64()))],
         joined_map=cut,
     )
 
@@ -2122,9 +2127,9 @@ cov AS (
 ),
 k AS (SELECT doc_id, count(*) AS n_cut FROM cov GROUP BY doc_id)
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(length(text) - COALESCE(n_cut, 0) AS BIGINT) AS n_kept,
-       CAST(CASE WHEN length(text) = 0 THEN 0
+       CAST(COALESCE(length(text), 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(length(text), 0) - COALESCE(n_cut, 0) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN COALESCE(length(text), 0) = 0 THEN 0
                  ELSE COALESCE(n_cut, 0) * 10000 // length(text) END AS BIGINT)
          AS cut_frac_e4
 FROM documents LEFT JOIN k USING (doc_id)
