@@ -420,6 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batched multi-query top-k: one corpus pass, one matmul per
         # batch scores the whole broadcast query matrix
         "knn_multi": E.knn_multi,
+        # ColBERT-style late interaction: per-(group, term) MAX partials
+        # merge exactly across blocks; score = fixed-order sum of maxes
+        "maxsim_topk": E.maxsim_topk,
         # hybrid (metadata-filtered) vector search: predicate applies
         # before the per-batch matmul, local top-k after
         "knn_filtered": E.knn_filtered,
@@ -646,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted": SA.SAMPLE_WEIGHTED_SQL,
         "split_by_group": SA.SPLIT_BY_GROUP_SQL,
         "knn_topk": E.KNN_SQL,
+        "maxsim_topk": E.MAXSIM_SQL,
         "knn_multi": E.KNN_MULTI_SQL,
         "embedding_label_stats": E.LABEL_STATS_SQL,
         "doc_embedding_stats": E.DOC_EMB_SQL,

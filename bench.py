@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     # the substring-dedup CUT action (Lee et al. span removal)
     "quality_classifier",
     "dedup_substring_cut",
+    "maxsim_topk",
 ]
 
 

@@ -1530,3 +1530,127 @@ def mmr_greedy(
         sim_new = np.round((unit_rows @ unit_rows[best]) * 1e6).astype(np.int64)
         max_sim_e6 = np.maximum(max_sim_e6, sim_new)
     return picked
+
+
+GROUP_SIZE = 4  # vectors per multi-vector "document" (vec_id // 4)
+
+
+def maxsim_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval (Khattab & Zaharia,
+    SIGIR 2020, public): documents are multi-vector (here the
+    vec_id // 4 grouping of the store — a production corpus supplies
+    its real per-doc vector sets), queries are multi-vector (the
+    MULTI_QUERY_IDS batch), and the score is
+
+        maxsim(G) = Σ_q  max_{v ∈ G} cos(q, v)
+
+    Distributed shape — the key property is that per-(group, term) MAX
+    is mergeable across blocks (unlike a sum, partial maxes fold
+    exactly whatever the block layout, even when a group's vectors
+    straddle blocks):
+    1. broadcast the normalized Q×d query matrix once;
+    2. each batch scores its vectors in one (n×d)@(d×Q) BLAS call and
+       folds batch-local (gid, per-term max) partials;
+    3. one gid-keyed groupby merges partials with element-wise max,
+       sums the Q maxes in fixed term order, keeps a local top-k;
+    4. the driver merges ≤ k·blocks candidates (score desc, gid asc).
+
+    The SQL twin hashes only (rank, gid) — the knn-family convention
+    for float-scored rankings."""
+    ids_set = list(MULTI_QUERY_IDS)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ids_set)],
+    )
+    if t.num_rows < len(ids_set):
+        return pd.DataFrame(
+            {"rank": pd.Series([], dtype="int64"), "gid": pd.Series([], dtype="int64")}
+        )
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    Q = np.stack(
+        [np.asarray(t.column("embedding")[int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put(Q)
+    nq = len(ids_set)
+    corpus_min = max(ids_set) + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids >= corpus_min
+        if not keep.any():
+            return pa.table(
+                {
+                    "gid": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        m = _batch_matrix(batch)[keep]
+        ids = ids[keep]
+        sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ qm.T  # n × Q
+        gid = ids // GROUP_SIZE
+        order = np.argsort(gid, kind="stable")
+        gid, sims = gid[order], sims[order]
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        mx = np.maximum.reduceat(sims, starts, axis=0)
+        return pa.table(
+            {
+                "gid": pa.array(gid[starts]),
+                "mx": pa.array(list(map(list, mx)), pa.list_(pa.float64())),
+            }
+        )
+
+    def merge_topk(part: pa.Table) -> pa.Table:
+        g = part["gid"].to_numpy(zero_copy_only=False)
+        col = part["mx"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(len(g), nq)
+        order = np.argsort(g, kind="stable")
+        g, mat = g[order], mat[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        folded = np.maximum.reduceat(mat, starts, axis=0)
+        gids = g[starts]
+        # fixed term order: ascending query id (columns already sorted)
+        score = folded[:, 0].copy()
+        for j in range(1, nq):
+            score += folded[:, j]
+        top = np.lexsort((gids, -score))[:k]
+        return pa.table({"gid": pa.array(gids[top]), "score": pa.array(score[top])})
+
+    cands = (
+        _emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("gid", num_partitions=8)
+        .map_groups(merge_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cands = ensure_columns(cands, {"gid": "int64", "score": "float64"})
+    cands = (
+        cands.sort_values(["score", "gid"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(cands) + 1, dtype=np.int64),
+            "gid": cands["gid"].astype("int64"),
+        }
+    )
+
+
+MAXSIM_SQL = f"""
+WITH s AS (
+  SELECT c.vec_id // {GROUP_SIZE} AS gid, q.vec_id AS qid,
+         max(list_cosine_similarity(c.embedding, q.embedding)) AS mx
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id IN {tuple(MULTI_QUERY_IDS)}
+    AND c.vec_id > {max(MULTI_QUERY_IDS)}
+  GROUP BY gid, qid
+),
+t AS (SELECT gid, sum(mx) AS score FROM s GROUP BY gid)
+SELECT row_number() OVER (ORDER BY score DESC, gid) AS rank, gid
+FROM t ORDER BY rank LIMIT 10
+"""

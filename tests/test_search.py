@@ -4,6 +4,7 @@ evidence, idempotent rebuild, and SQL parity at sf0.001."""
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -43,3 +44,45 @@ class TestBucketedTotals:
         for c in want.columns:
             want[c] = want[c].astype("int64")
         pd.testing.assert_frame_equal(a.reset_index(drop=True), want)
+
+
+class TestMaxSim:
+    def test_matches_bruteforce_reference(self, ray_session, sf_dir):
+        """Exact maxsim vs a whole-matrix numpy reference."""
+        import pyarrow.parquet as pq
+
+        from gotenberg_ray.pipelines import embedops as E
+
+        got = E.maxsim_topk(sf_dir)
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        qmask = np.isin(ids, list(E.MULTI_QUERY_IDS))
+        Q = M[qmask][np.argsort(ids[qmask])]
+        cmask = ids > max(E.MULTI_QUERY_IDS)
+        sims = M[cmask] @ Q.T
+        gid = ids[cmask] // E.GROUP_SIZE
+        order = np.argsort(gid, kind="stable")
+        gid, sims = gid[order], sims[order]
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        score = np.maximum.reduceat(sims, starts, axis=0).sum(axis=1)
+        gids = gid[starts]
+        top = np.lexsort((gids, -score))[:10]
+        assert got["gid"].tolist() == gids[top].tolist()
+        assert got["rank"].tolist() == list(range(1, len(top) + 1))
+
+    def test_partial_max_layout_invariance(self, ray_session, sf_dir, tmp_path):
+        """Groups straddling tiny row groups fold to the same ranking
+        (per-term max partials merge exactly)."""
+        import pyarrow.parquet as pq
+
+        from gotenberg_ray.pipelines import embedops as E
+
+        d = tmp_path / "relayout"
+        d.mkdir()
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        pq.write_table(t, d / "embeddings.parquet", row_group_size=7)
+        a = E.maxsim_topk(sf_dir)
+        b = E.maxsim_topk(str(d))
+        pd.testing.assert_frame_equal(a, b)
