@@ -423,6 +423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ColBERT-style late interaction: per-(group, term) MAX partials
         # merge exactly across blocks; score = fixed-order sum of maxes
         "maxsim_topk": E.maxsim_topk,
+        # contrastive pair mining: per-query top-k nearest with a
+        # DIFFERENT label (mask at the scan, local top-k, driver merge)
+        "hard_negative_mining": E.hard_negative_mining,
         # hybrid (metadata-filtered) vector search: predicate applies
         # before the per-batch matmul, local top-k after
         "knn_filtered": E.knn_filtered,
@@ -650,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
         "split_by_group": SA.SPLIT_BY_GROUP_SQL,
         "knn_topk": E.KNN_SQL,
         "maxsim_topk": E.MAXSIM_SQL,
+        "hard_negative_mining": E.HARD_NEGATIVE_SQL,
         "knn_multi": E.KNN_MULTI_SQL,
         "embedding_label_stats": E.LABEL_STATS_SQL,
         "doc_embedding_stats": E.DOC_EMB_SQL,

@@ -1654,3 +1654,114 @@ t AS (SELECT gid, sum(mx) AS score FROM s GROUP BY gid)
 SELECT row_number() OVER (ORDER BY score DESC, gid) AS rank, gid
 FROM t ORDER BY rank LIMIT 10
 """
+
+
+def hard_negative_mining(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Contrastive-training pair mining: for each query vector, the
+    top-``k`` most-similar corpus vectors whose LABEL DIFFERS from the
+    query's — the hard negatives a contrastive/metric-learning recipe
+    needs (most informative wrong answers). One corpus pass: the
+    (query matrix, query labels) broadcast once; each batch masks
+    same-label rows per query BEFORE its local top-k (label filter at
+    the scan, the knn_filtered posture), emits ≤ Q·k candidates; the
+    driver merge is per-query. Twin hashes (query_id, rank, vec_id) —
+    the knn-family float-ranking convention."""
+    ids_set = list(MULTI_QUERY_IDS)
+
+    def grab_queries(batch: pa.Table) -> pa.Table:
+        keep = np.isin(
+            batch.column("vec_id").to_numpy(zero_copy_only=False), ids_set
+        )
+        return batch.filter(pa.array(keep))
+
+    qt = (
+        _emb(sf_dir)
+        .select_columns(["vec_id", "embedding", "label"])
+        .map_batches(grab_queries, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(qt) == 0:
+        return pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64")}
+        )
+    qt = qt.sort_values("vec_id").reset_index(drop=True)
+    qids = qt["vec_id"].to_numpy().astype(np.int64)
+    qlabels = qt["label"].to_numpy().astype(np.int64)
+    qmat = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    state = ray.put((qids, qlabels, qmat.T))
+
+    class HardNeg:
+        def __init__(self):
+            self.qids, self.qlabels, self.qT = ray.get(state)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = ~np.isin(ids, self.qids)
+            if not keep.any():
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "sim": pa.array([], pa.float64())}
+                )
+            m, ids, labels = m[keep], ids[keep], labels[keep]
+            sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ self.qT
+            # same-label rows are not negatives: mask below any real sim
+            sims[labels[:, None] == self.qlabels[None, :]] = -2.0
+            kk = min(k, sims.shape[0])
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+            q_rep = np.repeat(self.qids, kk)
+            rows = part.T.ravel()
+            cols = np.repeat(np.arange(len(self.qids)), kk)
+            sv = sims[rows, cols]
+            real = sv > -1.5  # drop masked fillers (all-same-label blocks)
+            return pa.table(
+                {
+                    "query_id": pa.array(q_rep[real]),
+                    "vec_id": pa.array(ids[rows[real]].astype(np.int64)),
+                    "sim": pa.array(sv[real]),
+                }
+            )
+
+    cands = (
+        _emb(sf_dir)
+        .map_batches(_task_stage(HardNeg), batch_format="pyarrow")
+        .to_pandas()
+    )
+    cands = ensure_columns(
+        cands, {"query_id": "int64", "vec_id": "int64", "sim": "float64"}
+    )
+    out = (
+        cands.sort_values(["query_id", "sim", "vec_id"],
+                          ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "vec_id"]].astype("int64")
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+  FROM embeddings WHERE vec_id IN {tuple(MULTI_QUERY_IDS)}
+),
+s AS (
+  SELECT q.qid AS query_id, c.vec_id,
+         list_cosine_similarity(c.embedding, q.qe) AS sim
+  FROM embeddings c, q
+  WHERE c.vec_id NOT IN {tuple(MULTI_QUERY_IDS)} AND c.label != q.qlabel
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM s)
+SELECT query_id, rank, vec_id FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""

@@ -86,3 +86,31 @@ class TestMaxSim:
         a = E.maxsim_topk(sf_dir)
         b = E.maxsim_topk(str(d))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestHardNegatives:
+    def test_no_same_label_and_matches_bruteforce(self, ray_session, sf_dir):
+        import pyarrow.parquet as pq
+
+        from gotenberg_ray.pipelines import embedops as E
+
+        got = E.hard_negative_mining(sf_dir)
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+        )
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        M = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        lab = dict(zip(ids.tolist(), labels.tolist()))
+        for qid in E.MULTI_QUERY_IDS:
+            qrow = np.flatnonzero(ids == qid)[0]
+            mask = (~np.isin(ids, list(E.MULTI_QUERY_IDS))) & (labels != labels[qrow])
+            sims = M[mask] @ M[qrow]
+            cand_ids = ids[mask]
+            order = np.lexsort((cand_ids, -sims))[:10]
+            want = cand_ids[order].tolist()
+            g = got[got["query_id"] == qid]
+            assert g["vec_id"].tolist() == want
+            # every mined negative has a different label than the query
+            assert all(lab[v] != labels[qrow] for v in g["vec_id"])
