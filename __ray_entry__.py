@@ -63,6 +63,43 @@ def _media_features(sf_dir: str):
     )
 
 
+def _media_pipeline(sf_dir: str):
+    """Full multimodal chain over the synthetic media corpus: decode →
+    resize (aspect-fit geometry) → frame-sample (stride budget) as
+    three actor/task-pool map_batches stages, folded to a per-type
+    summary. Rows-only (stages are pinned individually in
+    tests/test_stages.py; the chain is pinned deterministic here)."""
+    import ray.data as rd
+
+    from gotenberg_ray.stages.media import (
+        FrameSampler,
+        MediaFeatureExtractor,
+        MediaResizer,
+        synth_media_table,
+    )
+
+    ds = (
+        rd.from_arrow(synth_media_table(500, seed=42))
+        .map_batches(
+            MediaFeatureExtractor, batch_format="pyarrow", batch_size=128, concurrency=2
+        )
+        .map_batches(MediaResizer, batch_format="pyarrow", batch_size=128, concurrency=2)
+        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=128, concurrency=2)
+    )
+    df = ds.to_pandas()
+    g = df.groupby("media_type", sort=True)
+    out = g.agg(
+        n=("media_ref", "size"),
+        n_resized=("resized", "sum"),
+        total_frames_sampled=("n_sampled", "sum"),
+        max_out_width=("out_width", "max"),
+        max_out_height=("out_height", "max"),
+    ).reset_index()
+    for c in ("n", "n_resized", "total_frames_sampled", "max_out_width", "max_out_height"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import admission as A
     from gotenberg_ray.pipelines import analytics as AN
@@ -392,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "screenshot_page_counts": T.screenshot_page_counts,
         # multimodal plumbing (decode stubbed, stage real; rows-only)
         "media_features": _media_features,
+        # composed multimodal chain: decode -> resize -> frame-sample
+        "media_pipeline": _media_pipeline,
         # sub-resource admission (pause-filter decision algebra)
         "subresource_admission": A.subresource_admission,
         # RFC-3986 canonicalization under the oracle gate (messy-URL

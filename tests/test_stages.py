@@ -412,3 +412,29 @@ def test_fetch_metrics_match_per_row_reference():
         assert got[i]["request_count"].as_py() == (
             int(stats["req"][ridx]) if ok else 1
         ), i
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_pipeline_composed_chain():
+    """The composed decode→resize→frame-sample queries() entry is
+    deterministic and its summary is consistent with the stage
+    contracts (all three media kinds present; geometry within the box;
+    video frame budget respected)."""
+    import importlib.util
+
+    import pandas as pd
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", Path(__file__).resolve().parent.parent / "__ray_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    fn = m.queries()["media_pipeline"]
+    a = fn("unused")
+    b = fn("unused")
+    pd.testing.assert_frame_equal(a, b)
+    assert sorted(a["media_type"]) == ["audio", "image", "video"]
+    assert (a["max_out_width"] <= 512).all() and (a["max_out_height"] <= 512).all()
+    vid = a.set_index("media_type").loc["video"]
+    assert 0 < vid["total_frames_sampled"] <= vid["n"] * 8
