@@ -384,6 +384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_range_sort": LY.orders_range_sort,
         # inverted-index build + pruned lookup (lexical retrieval)
         "search_topk": SE.search_topk,
+        # Okapi BM25 (idf + length norm) over the dl-carrying index;
+        # probed-bucket df aggregate, doc-keyed float combine
+        "search_bm25": SE.search_bm25,
         # distributed PCA (exact integer moments → driver eigenbasis →
         # broadcast projection; rows-only — eigen has no SQL twin)
         "embedding_pca": DR.embedding_pca,
@@ -665,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_customer_totals": LY.BUCKETED_SQL,
         "orders_range_sort": LY.RANGE_SORT_SQL,
         "search_topk": SE.SEARCH_SQL,
+        "search_bm25": SE.SEARCH_BM25_SQL,
         "doc_lm_score": SC.LM_SCORE_SQL,
         "skyline_parts": SK.SKYLINE_SQL,
         "customer_set_ops": SO.SET_OPS_SQL,

@@ -168,3 +168,218 @@ r AS (
 SELECT rank, doc_id, total_tf, n_terms FROM r
 WHERE rank <= {TOP_K} ORDER BY rank
 """
+
+
+# ---- BM25 serving over a dl-carrying index -------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _explode_tf_dl(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, tf, dl) rows — ``_explode_tf`` plus the doc's
+    token length denormalized onto every posting (the standard BM25
+    index layout: length normalization needs dl AT THE POSTING, not a
+    second corpus-sized join at query time)."""
+    import pyarrow.compute as pc
+
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = toks.values
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    dl = np.bincount(parents[keep], minlength=batch.num_rows).astype(np.int64)
+    import pandas as _pd
+
+    df = _pd.DataFrame(
+        {"doc_id": ids[parents[keep]], "term": flat.filter(pa.array(keep)),
+         "dl": dl[parents[keep]]}
+    )
+    c = df.groupby(["doc_id", "term"], sort=False).agg(
+        tf=("dl", "size"), dl=("dl", "first")
+    ).reset_index()
+    return pa.table(
+        {
+            "doc_id": pa.array(c["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(c["term"], pa.string()),
+            "tf": pa.array(c["tf"].to_numpy(), pa.int64()),
+            "dl": pa.array(c["dl"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def _bm25_index_path(sf_dir: str) -> str:
+    from ..io import scratch_layout_path
+
+    return scratch_layout_path("bm25index", sf_dir, "documents")
+
+
+def build_bm25_index(sf_dir: str) -> str:
+    """dl-carrying term-partitioned postings (idempotent sink)."""
+    path = _bm25_index_path(sf_dir)
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _explode_tf_dl, batch_format="pyarrow"
+    )
+    write_partitioned(ds, path, key="term", num_partitions=INDEX_P)
+    return path
+
+
+def search_bm25(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
+    """Okapi BM25 top-k for the fixed query — the idf + length-norm
+    upgrade of ``search_topk``, still reading ONLY the query terms'
+    index buckets. Because the index is term-partitioned, each probed
+    bucket computes its terms' df LOCALLY (local == global by
+    construction — no df exchange), scores its postings, and only
+    per-doc float contributions move through the doc-keyed combine.
+    Corpus stats (N from the parquet footer; avgdl from one token-count
+    aggregate) are two scalars. The twin hashes (rank, doc_id) — the
+    float-ranking convention (ln/÷ bit-parity is not assumed; ordering
+    is)."""
+    import ray.data as rd
+
+    from ..io import table_rows
+    from .packing import _token_counts
+
+    n_docs = table_rows(sf_dir, "documents")
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"rank": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64")}
+        )
+    total_tokens = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda b: pa.table({"n": pa.array(_token_counts(b))}),
+            batch_format="pyarrow",
+        )
+        .sum("n")
+        or 0
+    )
+    avgdl = max(total_tokens / n_docs, 1e-9)
+
+    path = build_bm25_index(sf_dir)
+    files = [
+        os.path.join(path, f"bucket-{b}", "part.parquet")
+        for b in _query_buckets(QUERY_TERMS)
+        if os.path.exists(os.path.join(path, f"bucket-{b}", "part.parquet"))
+    ]
+    if not files:
+        return pd.DataFrame(
+            {"rank": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64")}
+        )
+    terms = list(QUERY_TERMS)
+
+    # pass 1 over the probed buckets (postings are query-bounded): df
+    # per query term. Folded as per-batch partial counts so the result
+    # is exact however Ray blocks the bucket files.
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = batch["term"].to_pandas().to_numpy()
+        keep = np.isin(t, terms)
+        uniq, counts = np.unique(t[keep], return_counts=True)
+        return pa.table(
+            {"term": pa.array(uniq.astype(object), pa.string()),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    df_rows = (
+        rd.read_parquet(files)
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(_Sum("n", alias_name="df"))
+        .to_pandas()
+    )
+    df_map = dict(zip(df_rows.get("term", []), df_rows.get("df", [])))
+    idf_map = {
+        t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+        for t, d in df_map.items()
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = batch["term"].to_pandas().to_numpy()
+        keep = np.isin(t, terms)
+        if not keep.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "contrib": pa.array([], pa.float64())}
+            )
+        t = t[keep]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        tf = batch["tf"].to_numpy(zero_copy_only=False)[keep].astype(np.float64)
+        dl = batch["dl"].to_numpy(zero_copy_only=False)[keep].astype(np.float64)
+        idf = np.asarray([idf_map[x] for x in t], dtype=np.float64)
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        contrib = idf * tf * (BM25_K1 + 1.0) / denom
+        return pa.table({"doc_id": pa.array(ids), "contrib": pa.array(contrib)})
+
+    def fold_top(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        c = part["contrib"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, c = ids[order], c[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        totals = np.add.reduceat(c, starts)
+        gids = ids[starts]
+        top = np.lexsort((gids, -totals))[:k]
+        return pa.table(
+            {"doc_id": pa.array(gids[top]), "score": pa.array(totals[top])}
+        )
+
+    # one file per posting bucket: score tasks see whole posting lists
+    cands = (
+        rd.read_parquet(files)
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id", num_partitions=8)
+        .map_groups(fold_top, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cands = ensure_columns(cands, {"doc_id": "int64", "score": "float64"})
+    cands = (
+        cands.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(cands) + 1, dtype=np.int64),
+            "doc_id": cands["doc_id"].astype("int64"),
+        }
+    )
+
+
+SEARCH_BM25_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM w GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM w)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM w WHERE term IN {QUERY_TERMS!r}
+  GROUP BY doc_id, term),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM w WHERE term IN {QUERY_TERMS!r}
+  GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({BM25_K1} + 1.0)
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id
+FROM s ORDER BY rank LIMIT {TOP_K}
+"""

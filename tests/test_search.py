@@ -114,3 +114,59 @@ class TestHardNegatives:
             assert g["vec_id"].tolist() == want
             # every mined negative has a different label than the query
             assert all(lab[v] != labels[qrow] for v in g["vec_id"])
+
+
+class TestBM25:
+    def test_matches_whole_corpus_reference(self, ray_session, sf_dir):
+        """Distributed BM25 ranking == a straight pandas/numpy BM25
+        over the whole corpus (raw tokenization, no index)."""
+        from gotenberg_ray.pipelines import search as S
+
+        got = S.search_bm25(sf_dir)
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        toks = docs["text"].fillna("").str.split()
+        dl = toks.str.len().to_numpy()
+        n = len(docs)
+        avgdl = dl.sum() / n
+        scores = {}
+        for term in S.QUERY_TERMS:
+            tf = toks.apply(lambda ws: ws.count(term)).to_numpy()
+            df = int((tf > 0).sum())
+            idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            m = tf > 0
+            contrib = idf * tf[m] * (S.BM25_K1 + 1.0) / (
+                tf[m] + S.BM25_K1 * (1.0 - S.BM25_B + S.BM25_B * dl[m] / avgdl)
+            )
+            for d, c in zip(docs["doc_id"].to_numpy()[m], contrib):
+                scores[d] = scores.get(d, 0.0) + c
+        ids = np.array(list(scores))
+        sc = np.array([scores[i] for i in ids])
+        top = np.lexsort((ids, -sc))[:10]
+        assert got["doc_id"].tolist() == ids[top].tolist()
+
+    def test_idf_downweights_common_terms(self, ray_session, tmp_path):
+        """A term in every doc contributes ~nothing: ranking follows the
+        rare term, not the ubiquitous one."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gotenberg_ray.pipelines import search as S
+
+        d = tmp_path / "bm"
+        d.mkdir()
+        rows = []
+        for i in range(40):
+            text = "join " * 3  # ubiquitous term
+            if i == 7:
+                text += "hash hash hash hash "  # rare, heavy in doc 7
+            if i == 11:
+                text += "hash "
+            rows.append((i, text + f"filler{i} " * 5))
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "text": pa.array([r[1] for r in rows], pa.string())}),
+            d / "documents.parquet",
+        )
+        out = S.search_bm25(str(d))
+        assert out["doc_id"].iloc[0] == 7
+        assert out["doc_id"].iloc[1] == 11
