@@ -132,6 +132,12 @@ CLASSIFIER_QUERIES = ("quality_classifier",)
 # for the brute-force and IVF-PQ paths, constant result size
 ANN_QUERIES = ("knn_topk", "knn_ivfpq")
 
+# --retrieval: maxsim over the 16× vec-shifted store (16× groups to
+# max-fold) and BM25 over the retagged 16× documents corpus (16× the
+# index-build mass; the query terms live only in replica 0, so the
+# PROBED buckets stay query-bounded — the index-side pruning posture)
+RETRIEVAL_QUERIES = ("maxsim_topk", "search_bm25")
+
 # multi-table join family: every foreign key shifts by the SAME replica
 # offset so each replica is a self-contained TPC-H-shaped sub-universe
 # (join structure × 16, join selectivity unchanged). nation is shared
@@ -181,7 +187,7 @@ def run_child(query: str, sf_dir: str) -> None:
     else:
         table = (
             "embeddings"
-            if query in ANN_QUERIES
+            if query in ANN_QUERIES or query == "maxsim_topk"
             else EXTRA_CONFIGS.get(query, ("documents", ()))[0]
         )
     n_docs = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
@@ -191,6 +197,7 @@ def run_child(query: str, sf_dir: str) -> None:
         or query in DRIFT_QUERIES
         or query in ANN_QUERIES
         or query in CLASSIFIER_QUERIES
+        or query in RETRIEVAL_QUERIES
     ):
         import importlib.util
 
@@ -259,6 +266,11 @@ def main() -> None:
     elif "--ann" in sys.argv:
         queries = list(ANN_QUERIES)
         build_scaled_table("embeddings", ("vec_id",))
+        scaled = SCALED
+    elif "--retrieval" in sys.argv:
+        build_scaled()                      # retagged 16x documents (bm25)
+        build_scaled_table("embeddings", ("vec_id",))  # 16x vectors (maxsim)
+        queries = list(RETRIEVAL_QUERIES)
         scaled = SCALED
     elif "--windows" in sys.argv:
         queries = list(WINDOW_QUERIES)
