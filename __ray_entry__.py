@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import tfidf as TFIDF
     from gotenberg_ray.pipelines import train as TR
     from gotenberg_ray.pipelines import urls as U
+    from gotenberg_ray.pipelines import weaklabel as WL
     from gotenberg_ray.pipelines import windows as W
     from gotenberg_ray.pipelines import rollup as RU
     from gotenberg_ray.pipelines import semistruct as SS
@@ -457,6 +458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fastText-style quality classifier: integer-exact distributed
         # IRLS over hashed uni+bigram counts, exact tie-averaged AUC
         "quality_classifier": QC.quality_classifier,
+        # Snorkel-style LF diagnostics: coverage / overlap / conflict
+        # per labeling function — 13 ints per block are all that move
+        "lf_diagnostics": WL.lf_diagnostics,
         # similarity search
         "knn_topk": E.knn_topk,
         # batched multi-query top-k: one corpus pass, one matmul per
@@ -535,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
     from gotenberg_ray.pipelines import holistic as HO
     from gotenberg_ray.pipelines import temporalops as TO
     from gotenberg_ray.pipelines import urls as U
+    from gotenberg_ray.pipelines import weaklabel as WL
     from gotenberg_ray.pipelines import windows as W
     from gotenberg_ray.pipelines import windows2 as W2
     from gotenberg_ray.pipelines import drift as DF
@@ -669,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_range_sort": LY.RANGE_SORT_SQL,
         "search_topk": SE.SEARCH_SQL,
         "search_bm25": SE.SEARCH_BM25_SQL,
+        "lf_diagnostics": WL.LF_DIAGNOSTICS_SQL,
         "doc_lm_score": SC.LM_SCORE_SQL,
         "skyline_parts": SK.SKYLINE_SQL,
         "customer_set_ops": SO.SET_OPS_SQL,
