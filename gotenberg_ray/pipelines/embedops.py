@@ -1563,7 +1563,10 @@ def maxsim_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "in", ids_set)],
     )
-    if t.num_rows < len(ids_set):
+    if t.num_rows == 0:
+        # no query vectors at all → empty ranking; PARTIAL query sets
+        # rank over whichever vectors are present (the twin's IN-list
+        # matches however many rows exist — the knn_multi convention)
         return pd.DataFrame(
             {"rank": pd.Series([], dtype="int64"), "gid": pd.Series([], dtype="int64")}
         )
@@ -1573,7 +1576,7 @@ def maxsim_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     q_ref = ray.put(Q)
-    nq = len(ids_set)
+    nq = t.num_rows
     corpus_min = max(ids_set) + 1
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1713,7 +1716,12 @@ def hard_negative_mining(sf_dir: str, k: int = 10) -> pd.DataFrame:
             # same-label rows are not negatives: mask below any real sim
             sims[labels[:, None] == self.qlabels[None, :]] = -2.0
             kk = min(k, sims.shape[0])
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+            # deterministic local top-k: ties at the boundary keep the
+            # SMALLEST vec_ids, matching the twin's (sim DESC, vec_id)
+            # row_number — argpartition would keep an arbitrary subset
+            part = np.empty((kk, sims.shape[1]), dtype=np.int64)
+            for j in range(sims.shape[1]):
+                part[:, j] = np.lexsort((ids, -sims[:, j]))[:kk]
             q_rep = np.repeat(self.qids, kk)
             rows = part.T.ravel()
             cols = np.repeat(np.arange(len(self.qids)), kk)

@@ -417,7 +417,17 @@ def _gram_sets(sf_dir: str, ngram: int = 3) -> rd.Dataset:
     re-tokenizes a text). Materialized once per (corpus, n) per
     session: every family member starts from this pass, and the
     benched trio otherwise re-tokenizes the corpus 3-4 times."""
-    key = _pair_cache_key(sf_dir, float(ngram))  # threshold slot carries n
+    # key includes the Ray job id: a materialized Dataset's blocks die
+    # with their cluster, so a shutdown/init cycle in a long-lived host
+    # process must recompute rather than serve a dead handle (unlike
+    # _PAIR_CACHE, whose pandas payload is restart-safe)
+    try:
+        import ray as _ray
+
+        job = _ray.get_runtime_context().get_job_id()
+    except Exception:  # noqa: BLE001 — not initialized yet
+        job = None
+    key = (*_pair_cache_key(sf_dir, float(ngram)), job)  # threshold slot carries n
     hit = _GRAM_CACHE.get(key)
     if hit is not None:
         return hit
