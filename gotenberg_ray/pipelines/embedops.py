@@ -87,6 +87,15 @@ def _batch_matrix(batch: pa.Table) -> np.ndarray:
     return flat.reshape(batch.num_rows, -1)
 
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize with a zero-norm guard: an all-zero embedding row
+    gets similarity 0 everywhere (norm floored at a tiny positive), so
+    it ranks last deterministically instead of propagating NaN into
+    the lexsorts (NaN never compares — placement would be arbitrary).
+    Same floor convention as the semdedup path (``1e-30``)."""
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
 def _empty_rank_frame() -> pd.DataFrame:
     # empty embedding store → the ranking queries return zero rows
     return pd.DataFrame(
@@ -1574,7 +1583,7 @@ def maxsim_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     Q = np.stack(
         [np.asarray(t.column("embedding")[int(i)].as_py(), dtype=np.float64) for i in order]
     )
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = _unit_rows(Q)
     q_ref = ray.put(Q)
     nq = t.num_rows
     corpus_min = max(ids_set) + 1
@@ -1592,7 +1601,7 @@ def maxsim_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
             )
         m = _batch_matrix(batch)[keep]
         ids = ids[keep]
-        sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ qm.T  # n × Q
+        sims = _unit_rows(m) @ qm.T  # n × Q
         gid = ids // GROUP_SIZE
         order = np.argsort(gid, kind="stable")
         gid, sims = gid[order], sims[order]
@@ -1693,7 +1702,7 @@ def hard_negative_mining(sf_dir: str, k: int = 10) -> pd.DataFrame:
     qids = qt["vec_id"].to_numpy().astype(np.int64)
     qlabels = qt["label"].to_numpy().astype(np.int64)
     qmat = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = _unit_rows(qmat)
     state = ray.put((qids, qlabels, qmat.T))
 
     class HardNeg:
@@ -1712,7 +1721,7 @@ def hard_negative_mining(sf_dir: str, k: int = 10) -> pd.DataFrame:
                      "sim": pa.array([], pa.float64())}
                 )
             m, ids, labels = m[keep], ids[keep], labels[keep]
-            sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ self.qT
+            sims = _unit_rows(m) @ self.qT
             # same-label rows are not negatives: mask below any real sim
             sims[labels[:, None] == self.qlabels[None, :]] = -2.0
             kk = min(k, sims.shape[0])

@@ -210,7 +210,15 @@ def _doc_link_edges(sf_dir: str):
     is SKEWED (quadratic residues collect multiple preimages): some
     docs are hubs, some get no links, exactly the shape PageRank
     exists for. Fully reproducible from the ids alone; self-loops
-    dropped."""
+    dropped.
+
+    Range bound (documented, like the packing twins' HUGEINT note):
+    the int64 product ``doc_id·2654435761`` is exact only for
+    doc_id < 2⁶³/2654435761 ≈ 3.47·10⁹; beyond that the engine's
+    int64 wrap and the twin's exact BIGINT product diverge (and DuckDB
+    would overflow). The derived demo graph is defined on doc_ids
+    within that bound; a 10¹⁰-node graph would switch both sides to
+    an explicit mod-2⁶⁴ hash (as the packing family does)."""
     import pyarrow.compute as pc
 
     from ..io import read_table

@@ -320,7 +320,8 @@ WITH tok AS (
   SELECT doc_id,
          CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\s+'),
                               t -> t <> '')), 0) AS BIGINT) AS n_tokens,
-         CAST((doc_id * 2654435761) % 4294967296 % 4 AS BIGINT) AS n_media
+         CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 4
+              AS BIGINT) AS n_media
   FROM documents)
 SELECT doc_id, n_tokens, n_media,
        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -486,7 +487,7 @@ def pack_shuffled(sf_dir: str, ctx: int = 512, num_buckets: int = 32) -> pd.Data
 PACK_SHUFFLED_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
-         (doc_id * 2654435761) % 4294967296 AS shuffle_pos,
+         (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS shuffle_pos,
          CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
                               t -> t <> '')) AS BIGINT) AS n_tokens
   FROM documents)

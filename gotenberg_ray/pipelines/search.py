@@ -218,13 +218,52 @@ def _bm25_index_path(sf_dir: str) -> str:
 
 
 def build_bm25_index(sf_dir: str) -> str:
-    """dl-carrying term-partitioned postings (idempotent sink)."""
+    """dl-carrying term-partitioned postings (idempotent sink), plus a
+    ``_STATS.json`` holding the two corpus scalars BM25 needs at query
+    time (``n_docs``, ``total_tokens`` → avgdl). Persisting them HERE
+    keeps the serving posture honest: a lookup reads only the query
+    terms' probed buckets + one tiny stats file — never the corpus.
+    The stats write is atomic (tmp + rename) and keyed to the same
+    corpus-identity directory as the postings, so a regenerated corpus
+    invalidates both together; a resume run that finds the stats file
+    missing (killed between sink and stats) recomputes just the
+    aggregate, not the complete buckets."""
+    import json
+
+    from ..io import table_rows
+
     path = _bm25_index_path(sf_dir)
     ds = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _explode_tf_dl, batch_format="pyarrow"
     )
     write_partitioned(ds, path, key="term", num_partitions=INDEX_P)
+    stats_path = os.path.join(path, "_STATS.json")
+    if not os.path.exists(stats_path):
+        from .packing import _token_counts
+
+        n_docs = table_rows(sf_dir, "documents")
+        total_tokens = (
+            read_table(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(
+                lambda b: pa.table({"n": pa.array(_token_counts(b))}),
+                batch_format="pyarrow",
+            )
+            .sum("n")
+            or 0
+        ) if n_docs else 0
+        tmp = stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_docs": int(n_docs), "total_tokens": int(total_tokens)}, f)
+        os.replace(tmp, stats_path)
     return path
+
+
+def _bm25_stats(path: str) -> tuple[int, int]:
+    import json
+
+    with open(os.path.join(path, "_STATS.json")) as f:
+        s = json.load(f)
+    return int(s["n_docs"]), int(s["total_tokens"])
 
 
 def search_bm25(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
@@ -234,33 +273,21 @@ def search_bm25(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
     bucket computes its terms' df LOCALLY (local == global by
     construction — no df exchange), scores its postings, and only
     per-doc float contributions move through the doc-keyed combine.
-    Corpus stats (N from the parquet footer; avgdl from one token-count
-    aggregate) are two scalars. The twin hashes (rank, doc_id) — the
-    float-ranking convention (ln/÷ bit-parity is not assumed; ordering
-    is)."""
+    Corpus stats (n_docs, total_tokens → avgdl) come from the index's
+    ``_STATS.json``, persisted at build time — a query touches ONLY
+    probed buckets + that stats file, never the corpus. The twin
+    hashes (rank, doc_id) — the float-ranking convention (ln/÷
+    bit-parity is not assumed; ordering is)."""
     import ray.data as rd
 
-    from ..io import table_rows
-    from .packing import _token_counts
-
-    n_docs = table_rows(sf_dir, "documents")
+    path = build_bm25_index(sf_dir)
+    n_docs, total_tokens = _bm25_stats(path)
     if n_docs == 0:
         return pd.DataFrame(
             {"rank": pd.Series([], dtype="int64"),
              "doc_id": pd.Series([], dtype="int64")}
         )
-    total_tokens = (
-        read_table(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(
-            lambda b: pa.table({"n": pa.array(_token_counts(b))}),
-            batch_format="pyarrow",
-        )
-        .sum("n")
-        or 0
-    )
     avgdl = max(total_tokens / n_docs, 1e-9)
-
-    path = build_bm25_index(sf_dir)
     files = [
         os.path.join(path, f"bucket-{b}", "part.parquet")
         for b in _query_buckets(QUERY_TERMS)
@@ -300,12 +327,17 @@ def search_bm25(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
         for t, d in df_map.items()
     }
 
+    # fixed query-term codes so the per-doc fold can order
+    # contributions by CONTENT (doc_id, term) — see fold_top
+    tcode_map = {t: i for i, t in enumerate(sorted(terms))}
+
     def score(batch: pa.Table) -> pa.Table:
         t = batch["term"].to_pandas().to_numpy()
         keep = np.isin(t, terms)
         if not keep.any():
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
+                 "tcode": pa.array([], pa.int64()),
                  "contrib": pa.array([], pa.float64())}
             )
         t = t[keep]
@@ -313,14 +345,24 @@ def search_bm25(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
         tf = batch["tf"].to_numpy(zero_copy_only=False)[keep].astype(np.float64)
         dl = batch["dl"].to_numpy(zero_copy_only=False)[keep].astype(np.float64)
         idf = np.asarray([idf_map[x] for x in t], dtype=np.float64)
+        tcode = np.asarray([tcode_map[x] for x in t], dtype=np.int64)
         denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
         contrib = idf * tf * (BM25_K1 + 1.0) / denom
-        return pa.table({"doc_id": pa.array(ids), "contrib": pa.array(contrib)})
+        return pa.table(
+            {"doc_id": pa.array(ids), "tcode": pa.array(tcode),
+             "contrib": pa.array(contrib)}
+        )
 
     def fold_top(part: pa.Table) -> pa.Table:
         ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        tc = part["tcode"].to_numpy(zero_copy_only=False)
         c = part["contrib"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
+        # (doc_id, term) sort → each doc's float fold happens in a
+        # content-determined order, whatever block layout the shuffle
+        # delivered — layout-invariant ranking (the same contract the
+        # maxsim exact-max partials give for free; a sum of floats
+        # needs the explicit order)
+        order = np.lexsort((tc, ids))
         ids, c = ids[order], c[order]
         starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
         totals = np.add.reduceat(c, starts)

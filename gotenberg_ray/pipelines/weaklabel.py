@@ -39,7 +39,15 @@ LFS = ("lf_len", "lf_digit", "lf_ttr", "lf_the")
 
 
 def _votes(batch: pa.Table) -> np.ndarray:
-    """(n × 4) int8 vote matrix for one batch, all C-kernel work."""
+    """(n × 4) int8 vote matrix for one batch, all C-kernel work.
+
+    ``lf_ttr`` counts distinct tokens per doc by 64-bit FNV hash while
+    the DuckDB twin uses exact ``list_distinct``: a within-doc token
+    hash collision would undercount ``n_dist`` and could flip the vote
+    near the 1/2 or 1/4 TTR thresholds. With d distinct tokens per doc
+    the collision probability is ≈ d²/2⁶⁵ (< 10⁻¹² even at d = 10⁵) —
+    the same accepted-risk convention ``duplicate_span_stats``
+    documents for its u64 rolling shingle hash."""
     import pyarrow.compute as pc
 
     texts = batch["text"]
