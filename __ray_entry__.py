@@ -78,6 +78,8 @@ def _media_pipeline(sf_dir: str):
         synth_media_table,
     )
 
+    from gotenberg_ray.stages.media import media_type_summary
+
     ds = (
         rd.from_arrow(synth_media_table(500, seed=42))
         .map_batches(
@@ -86,18 +88,9 @@ def _media_pipeline(sf_dir: str):
         .map_batches(MediaResizer, batch_format="pyarrow", batch_size=128, concurrency=2)
         .map_batches(FrameSampler, batch_format="pyarrow", batch_size=128, concurrency=2)
     )
-    df = ds.to_pandas()
-    g = df.groupby("media_type", sort=True)
-    out = g.agg(
-        n=("media_ref", "size"),
-        n_resized=("resized", "sum"),
-        total_frames_sampled=("n_sampled", "sum"),
-        max_out_width=("out_width", "max"),
-        max_out_height=("out_height", "max"),
-    ).reset_index()
-    for c in ("n", "n_resized", "total_frames_sampled", "max_out_width", "max_out_height"):
-        out[c] = out[c].astype("int64")
-    return out
+    # per-type fold is a DATASET aggregate (media_type_summary) — the
+    # driver sees one row per media type, never the items
+    return media_type_summary(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -138,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gotenberg_ray.pipelines import temporalops as TO
     from gotenberg_ray.pipelines import windows2 as W2
     from gotenberg_ray.pipelines import drift as DF
+    from gotenberg_ray.pipelines import flagship as FL
 
     return {
         # relational operator set (filter/project/partial-agg/groupby/
@@ -349,6 +343,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the CUT action to the span score: remove cross-doc duplicated
         # windows, exact per-doc (n_chars, n_kept, cut_frac) summary
         "dedup_substring_cut": T.dedup_substring_cut,
+        # 100-TB posture of the cut: bottom-rate-by-hash window
+        # sampling (~1/16 of the discovery exchange; rows-only —
+        # pytest pins sampled ⊆ exact + rate bound + rate=1 ≡ exact)
+        "dedup_substring_sampled": T.dedup_substring_sampled,
         # iterative dataflow (power iteration; rows-only — not SQL)
         "pagerank": GR.pagerank,
         # wedge-enumeration + semi-join closure (oracle-checked -
@@ -435,6 +433,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         # composed multimodal chain: decode -> resize -> frame-sample
         "media_pipeline": _media_pipeline,
+        # the same chain over the CRAWL corpus's media spans (span
+        # explode + asset-fetch seam + Dataset-aggregate fold;
+        # rows-only)
+        "media_crawl_pipeline": FL.media_crawl_pipeline,
         # sub-resource admission (pause-filter decision algebra)
         "subresource_admission": A.subresource_admission,
         # RFC-3986 canonicalization under the oracle gate (messy-URL

@@ -49,6 +49,14 @@ CRAWL_DOCS = 8_000
 CRAWL_HOSTS = 2_400
 CRAWL_MAX_FETCHES = int(os.environ.get("GRAFT_BENCH_FETCHES", 2_500_000))
 
+# Round 5 (VERDICT r4 next #1): the bench covers the ENTIRE queries()
+# surface — every entry registered in __ray_entry__.py is timed, so new
+# operators are benched the day they land. The list below is the
+# LEGACY hand-curated subset kept only for cross-round comparability of
+# BENCH_DETAIL history (BENCH_r01–r04 used it); bench_queries() now
+# derives its list from queries().keys() minus BENCH_EXCLUDE.
+BENCH_EXCLUDE: set[str] = set()  # seam: nothing excluded today
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
@@ -324,9 +332,25 @@ def bench_queries(sf_dir: str) -> dict:
     # their documented contract (shared pair graph per session).
     from gotenberg_ray.pipelines.textops import clear_pair_cache
 
-    cache_owners = {"dedup_ngram_jaccard"}
+    # memo owners: cleared before EACH of their samples so they time
+    # the engine, not a dict hit. duplicate_span_stats owns the
+    # substring discovery chain (_DUPWIN_CACHE) — dedup_substring_cut
+    # then legitimately measures its warm cut join (the documented
+    # session contract, VERDICT r4 next #4); dedup_substring_sampled
+    # owns its own h_max-keyed entry. NOTE clear_pair_cache clears ALL
+    # session memos, so owners must precede their consumers in
+    # queries() insertion order (they do; asserted below).
+    cache_owners = {
+        "dedup_ngram_jaccard",
+        "duplicate_span_stats",
+        "dedup_substring_sampled",
+    }
+    names = [n for n in qs if n not in BENCH_EXCLUDE]
+    assert names.index("duplicate_span_stats") < names.index(
+        "dedup_substring_cut"
+    ), "substring memo owner must run before its warm consumer"
     out, samples = {}, {}
-    for name in BENCH_QUERIES:
+    for name in names:
         best = None
         samples[name] = []
         for _attempt in range(2):

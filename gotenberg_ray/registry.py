@@ -172,7 +172,12 @@ def register_builtins() -> None:
     from .pipelines.flagship import crawl_convert
     from .stages.download import RESULT_SCHEMA as _DL_SCHEMA
     from .stages.download import DownloadFromStage
-    from .stages.media import MediaFeatureExtractor
+    from .stages.media import (
+        FrameSampler,
+        MediaFeatureExtractor,
+        MediaResizer,
+        media_rows_from_spans,
+    )
     from .stages.subresource import DECISION_SCHEMA, SubResourceAdmission
     from .stages.webhook import WebhookSender
 
@@ -214,6 +219,40 @@ def register_builtins() -> None:
             batch_size=128,
             concurrency=2,
             description="multimodal decode/feature stage (codec seam stubbed)",
+        )
+    )
+    register(
+        StageSpec(
+            name="media_from_spans",
+            kind="dataset",
+            fn=media_rows_from_spans,
+            description=(
+                "interleaved (doc_id, spans) corpus → media-item rows "
+                "(media spans exploded; payloads via the deterministic "
+                "asset-fetch seam)"
+            ),
+        )
+    )
+    register(
+        StageSpec(
+            name="media_resize",
+            kind="batch",
+            fn=MediaResizer,
+            schema_in=("width", "height", "decode_ok"),
+            batch_size=128,
+            concurrency=2,
+            description="aspect-fit resize geometry (pixel resample behind the codec seam)",
+        )
+    )
+    register(
+        StageSpec(
+            name="frame_sample",
+            kind="batch",
+            fn=FrameSampler,
+            schema_in=("n_frames", "media_type", "decode_ok"),
+            batch_size=128,
+            concurrency=2,
+            description="stride/budget frame-index sampling for video rows",
         )
     )
     register(

@@ -151,3 +151,37 @@ def test_training_composition_from_registry_equals_direct(ray_session, tmp_path)
     pd.testing.assert_frame_equal(a, b)
     # and the registry manifest IS the shard content
     pd.testing.assert_frame_equal(a, manifest)
+
+
+def test_media_composition_from_registry_equals_direct(ray_session):
+    """Registry-compiled media chain (media_from_spans → media_features
+    → media_resize → frame_sample) ≡ the directly-built chain."""
+    import ray.data as rd
+
+    from gotenberg_ray import registry
+    from gotenberg_ray.corpus import make_documents
+    from gotenberg_ray.stages.media import (
+        FrameSampler,
+        MediaFeatureExtractor,
+        MediaResizer,
+        media_rows_from_spans,
+        media_type_summary,
+    )
+
+    registry.register_builtins()
+    docs = rd.from_arrow(make_documents(150, seed=42))
+    compiled = media_type_summary(
+        registry.compile_pipeline(
+            ["media_from_spans", "media_features", "media_resize", "frame_sample"],
+            source_ds=docs,
+        )
+    )
+    direct = media_type_summary(
+        media_rows_from_spans(rd.from_arrow(make_documents(150, seed=42)))
+        .map_batches(
+            MediaFeatureExtractor, batch_format="pyarrow", batch_size=128, concurrency=2
+        )
+        .map_batches(MediaResizer, batch_format="pyarrow", batch_size=128, concurrency=2)
+        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=128, concurrency=2)
+    )
+    assert compiled.equals(direct)

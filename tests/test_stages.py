@@ -438,3 +438,97 @@ def test_media_pipeline_composed_chain():
     assert (a["max_out_width"] <= 512).all() and (a["max_out_height"] <= 512).all()
     vid = a.set_index("media_type").loc["video"]
     assert 0 < vid["total_frames_sampled"] <= vid["n"] * 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_rows_from_spans_matches_corpus_and_is_layout_invariant():
+    """The span→media-item bridge: row count equals the corpus's media
+    span count, payloads are a pure function of media_ref (identical
+    across block layouts), and the output carries MEDIA_SCHEMA."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gotenberg_ray.corpus import make_documents
+    from gotenberg_ray.stages.media import MEDIA_SCHEMA, media_rows_from_spans
+
+    corpus = make_documents(120, seed=42)
+    flat = corpus.column("spans").combine_chunks().flatten()
+    n_media = pc.sum(
+        pc.equal(flat.field("kind"), "media").cast("int64")
+    ).as_py()
+
+    one = media_rows_from_spans(rd.from_arrow(corpus)).to_pandas()
+    many = media_rows_from_spans(
+        rd.from_arrow([corpus.slice(i, 7) for i in range(0, corpus.num_rows, 7)])
+    ).to_pandas()
+    assert len(one) == n_media > 0
+    a = one.sort_values("media_ref").reset_index(drop=True)
+    b = many.sort_values("media_ref").reset_index(drop=True)
+    assert a.equals(b)  # payloads byte-identical under any layout
+    got_schema = media_rows_from_spans(rd.from_arrow(corpus)).schema()
+    assert got_schema.names == MEDIA_SCHEMA.names
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_type_summary_equals_driver_pandas_fold():
+    """The Dataset-aggregate fold must reproduce the old driver-pandas
+    groupby exactly (the media_pipeline refactor guard)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gotenberg_ray.stages.media import (
+        FrameSampler,
+        MediaFeatureExtractor,
+        MediaResizer,
+        media_type_summary,
+        synth_media_table,
+    )
+
+    ds = (
+        rd.from_arrow(synth_media_table(300, seed=7))
+        .map_batches(
+            MediaFeatureExtractor, batch_format="pyarrow", batch_size=64, concurrency=2
+        )
+        .map_batches(MediaResizer, batch_format="pyarrow", batch_size=64, concurrency=2)
+        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=2)
+    )
+    got = media_type_summary(ds)
+    df = ds.to_pandas()
+    want = (
+        df.groupby("media_type", sort=True)
+        .agg(
+            n=("media_ref", "size"),
+            n_resized=("resized", "sum"),
+            total_frames_sampled=("n_sampled", "sum"),
+            max_out_width=("out_width", "max"),
+            max_out_height=("out_height", "max"),
+        )
+        .reset_index()
+    )
+    for c in ("n", "n_resized", "total_frames_sampled", "max_out_width", "max_out_height"):
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_crawl_pipeline_rows_only_pin():
+    """media_crawl_pipeline on the sf0.001-sized crawl corpus: ≥1 row,
+    deterministic across runs, item count equals the corpus's media
+    span count."""
+    import pyarrow.compute as pc
+
+    from gotenberg_ray.corpus import make_documents
+    from gotenberg_ray.io import table_rows
+    from gotenberg_ray.pipelines.flagship import media_crawl_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    out = media_crawl_pipeline(sf)
+    again = media_crawl_pipeline(sf)
+    assert out.equals(again)
+    assert len(out) >= 1
+    n = max(50, table_rows(sf, "documents"))
+    flat = make_documents(n, seed=42).column("spans").combine_chunks().flatten()
+    n_media = pc.sum(pc.equal(flat.field("kind"), "media").cast("int64")).as_py()
+    assert int(out["n"].sum()) == n_media
+    assert (out["max_out_width"] <= 512).all()
+    assert (out["max_out_height"] <= 512).all()

@@ -450,3 +450,114 @@ class TestSubstringCut:
         assert out.loc[2, "n_kept"] < out.loc[2, "n_chars"]
         assert out.loc[3, "n_kept"] == out.loc[3, "n_chars"]
         assert out.loc[1, "cut_frac_e4"] > 5_000  # most of doc 1 is the shared span
+
+
+def test_batch_window_kernel_matches_per_doc_loop():
+    """The vectorized concat-stream shingle kernel must be
+    bit-identical to hashing each document separately (the old per-doc
+    loop), including boundary-straddle masking, unicode widths, short
+    docs, empties, and SLICED input arrays (nonzero array offset)."""
+    rng = np.random.default_rng(7)
+    window, P = 20, 32
+    texts = [
+        "",  # empty
+        "short",  # < window
+        "x" * 19,  # exactly window-1
+        "y" * 20,  # exactly one window
+        "abcdefghij" * 7,  # internal repeats
+        "héllo wörld ünïcode £€𝄞 " * 4,  # multibyte codepoints
+        "".join(rng.choice(list("abcdef "), size=200)),
+        "".join(rng.choice(list("abcdef "), size=200)),  # shares grams
+    ]
+    ids = list(range(len(texts)))
+    batch = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+    )
+    whash = X._char_window_hasher(window)
+
+    def reference(tbl: pa.Table) -> pd.DataFrame:
+        rows = []
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        for i, t in enumerate(tbl["text"].to_pylist()):
+            u = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+            if len(u) < window:
+                continue
+            for h in np.unique(whash(u)):
+                rows.append((int(h), int(did[i])))
+        return pd.DataFrame(rows, columns=["h", "doc_id"])
+
+    fn = X._window_pair_fn(window, P)
+    for tbl in (batch, batch.slice(2), batch.slice(3, 4)):
+        got = fn(tbl).to_pandas()[["h", "doc_id"]]
+        want = reference(tbl)
+        pd.testing.assert_frame_equal(
+            got.sort_values(["doc_id", "h"]).reset_index(drop=True).astype({"h": "uint64"}),
+            want.sort_values(["doc_id", "h"]).reset_index(drop=True).astype({"h": "uint64"}),
+        )
+    # pid column is h % P
+    out = fn(batch)
+    h = out["h"].to_numpy(zero_copy_only=False)
+    pid = out["pid"].to_numpy(zero_copy_only=False)
+    assert (pid == (h % np.uint64(P)).astype(np.int32)).all()
+
+
+def test_batch_window_kernel_sampling_is_hash_gate():
+    """h_max keeps exactly the rows with h < h_max — same windows in
+    every doc, a strict subset of the exact kernel's output."""
+    rng = np.random.default_rng(11)
+    texts = ["".join(rng.choice(list("abcdefgh "), size=300)) for _ in range(10)]
+    batch = pa.table(
+        {"doc_id": pa.array(range(10), pa.int64()), "text": pa.array(texts)}
+    )
+    h_max = np.uint64(((1 << 64) * 625) // 10_000)
+    exact = X._window_pair_fn(20, 32)(batch).to_pandas()
+    samp = X._window_pair_fn(20, 32, h_max)(batch).to_pandas()
+    want = exact[exact["h"] < h_max].reset_index(drop=True)
+    pd.testing.assert_frame_equal(samp.reset_index(drop=True), want)
+
+
+class TestSubstringSampled:
+    def test_degenerate_rate_equals_exact(self, ray_session, sf_dir):
+        X.clear_pair_cache()
+        exact = X.dedup_substring_cut(sf_dir)
+        degen = X.dedup_substring_sampled(sf_dir, rate_e4=10_000)
+        pd.testing.assert_frame_equal(degen, exact)
+
+    def test_sampled_coverage_is_subset_with_bounded_rate(
+        self, ray_session, sf_dir
+    ):
+        X.clear_pair_cache()
+        exact = X.dedup_substring_cut(sf_dir)
+        samp = X.dedup_substring_sampled(sf_dir)  # rate 625/1e4
+        m = exact.merge(samp, on="doc_id", suffixes=("_e", "_s"))
+        assert len(m) == len(exact) == len(samp)
+        assert (m["n_chars_e"] == m["n_chars_s"]).all()
+        # sampled duplicated-window set ⊆ exact ⇒ coverage subset
+        assert (m["n_kept_s"] >= m["n_kept_e"]).all()
+        # observed sampled-window fraction within 3σ of the 625/1e4
+        # target (binomial over ~1e5 windows at sf0.001)
+        dl_e = X._dup_window_lists(sf_dir, 20).to_pandas()
+        h_max = np.uint64(((1 << 64) * 625) // 10_000)
+        dl_s = X._dup_window_lists(sf_dir, 20, h_max=h_max).to_pandas()
+        n_e = int(dl_e["n_shingles"].sum())
+        n_s = int(dl_s["n_shingles"].sum())
+        p = 625 / 10_000
+        sigma = (n_e * p * (1 - p)) ** 0.5
+        assert abs(n_s - n_e * p) < 5 * sigma
+
+    def test_dup_window_memo_warm_equals_cold_and_clears(
+        self, ray_session, sf_dir
+    ):
+        X.clear_pair_cache()
+        cold = X.dedup_substring_cut(sf_dir)
+        assert len(X._DUPWIN_CACHE) == 1  # discovery chain memoized
+        warm = X.dedup_substring_cut(sf_dir)  # must reuse, same values
+        pd.testing.assert_frame_equal(warm, cold)
+        stats = X.duplicate_span_stats(sf_dir)  # same memo serves stats
+        assert len(X._DUPWIN_CACHE) == 1
+        m = cold.merge(stats, on="doc_id", how="left")
+        # consistency: a doc with zero duplicated windows loses nothing
+        no_dup = m["n_dup"].fillna(0) == 0
+        assert (m.loc[no_dup, "n_kept"] == m.loc[no_dup, "n_chars"]).all()
+        X.clear_pair_cache()
+        assert len(X._DUPWIN_CACHE) == 0
