@@ -2164,6 +2164,67 @@ def dedup_substring_sampled(
     return _substring_cut_summary(sf_dir, window, h_max)
 
 
+def _cut_coverage(
+    t: pa.Table, window: int, whash
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized duplicated-span coverage for ONE joined partition of
+    (doc_id, text, dup_hs): returns ``(ids, doc_off, u, covered)``
+    where ``u`` is the partition's concatenated utf-32 codepoints and
+    ``covered`` marks every codepoint lying under a window whose hash
+    appears in its doc's duplicated-hash list. One batch hash pass
+    (boundary straddles masked) + one (doc, h, dup-first) lexsorted
+    membership merge + one global ±1 diff/cumsum — the last per-doc
+    Python loop on the substring-cut path is gone (VERDICT r4 next #6;
+    parity pinned by the existing raw-substring reference tests)."""
+    import pyarrow.compute as pc
+
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    n_rows = len(ids)
+    u, doc_off = _batch_codepoints(t["text"])
+    covered = np.zeros(len(u), bool)
+    col = t["dup_hs"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dh = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    if len(u) < window or len(dh) == 0:
+        return ids, doc_off, u, covered
+    dlen = (
+        pc.fill_null(pc.list_value_length(col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ddoc = np.repeat(np.arange(n_rows, dtype=np.int64), dlen)
+    h_all = whash(u)
+    n_win = len(h_all)
+    starts = np.arange(n_win, dtype=np.int64)
+    char_doc = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(doc_off))
+    wdoc = char_doc[:n_win]
+    valid = starts + window <= doc_off[wdoc + 1]
+    wh, wdoc_v, wstart = h_all[valid], wdoc[valid], starts[valid]
+    # membership merge: sort all (doc, h) rows with dup rows FIRST
+    # inside each equal-key run; a window is duplicated iff its run
+    # begins with a dup row
+    doc_all = np.concatenate([ddoc, wdoc_v])
+    h_cat = np.concatenate([dh, wh])
+    is_win = np.r_[np.zeros(len(dh), np.int8), np.ones(len(wh), np.int8)]
+    src = np.r_[np.zeros(len(dh), np.int64), wstart]
+    order = np.lexsort((is_win, h_cat, doc_all))
+    doc_s, h_s, w_s, src_s = doc_all[order], h_cat[order], is_win[order], src[order]
+    run_start = np.r_[True, (doc_s[1:] != doc_s[:-1]) | (h_s[1:] != h_s[:-1])]
+    run_id = np.cumsum(run_start) - 1
+    first_is_dup = w_s[np.flatnonzero(run_start)] == 0
+    member = (w_s == 1) & first_is_dup[run_id]
+    marked = src_s[member]
+    if len(marked):
+        # windows never straddle docs (valid mask), so one global ±1
+        # diff over the concatenated codepoints is per-doc exact
+        diff = np.zeros(len(u) + 1, np.int32)
+        np.add.at(diff, marked, 1)
+        np.add.at(diff, marked + window, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+    return ids, doc_off, u, covered
+
+
 def _substring_cut_summary(
     sf_dir: str, window: int, h_max: "np.uint64 | None"
 ) -> pd.DataFrame:
@@ -2176,35 +2237,16 @@ def _substring_cut_summary(
     )
 
     def cut(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
-        col = t["dup_hs"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lists = col.to_pylist()
-        n_chars = np.empty(len(ids), np.int64)
-        n_kept = np.empty(len(ids), np.int64)
-        for i, txt in enumerate(texts):
-            u = np.frombuffer((txt or "").encode("utf-32-le"), dtype=np.uint32)
-            n = len(u)
-            n_chars[i] = n
-            dl = lists[i]
-            if not dl or n < window:
-                n_kept[i] = n
-                continue
-            dup = np.asarray(dl, dtype=np.uint64)  # sorted by fold_lists
-            wh = whash(u)
-            idx = np.searchsorted(dup, wh)
-            idx[idx == len(dup)] = 0
-            marked = np.flatnonzero(dup[idx] == wh)
-            if not len(marked):
-                n_kept[i] = n
-                continue
-            diff = np.zeros(n + 1, np.int32)
-            np.add.at(diff, marked, 1)
-            np.add.at(diff, marked + window, -1)
-            covered = np.cumsum(diff[:-1]) > 0
-            n_kept[i] = n - int(covered.sum())
+        ids, doc_off, u, covered = _cut_coverage(t, window, whash)
+        n_chars = np.diff(doc_off)
+        if covered.any():
+            char_doc = np.repeat(np.arange(len(ids), dtype=np.int64), n_chars)
+            cut_counts = np.bincount(char_doc[covered], minlength=len(ids)).astype(
+                np.int64
+            )
+        else:
+            cut_counts = np.zeros(len(ids), np.int64)
+        n_kept = n_chars - cut_counts
         frac = np.zeros(len(ids), np.int64)
         nz = n_chars > 0
         frac[nz] = (n_chars[nz] - n_kept[nz]) * 10_000 // n_chars[nz]
@@ -2252,34 +2294,45 @@ def substring_cut_texts(sf_dir: str, window: int = 20):
     )
 
     def cut(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
-        col = t["dup_hs"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lists = col.to_pylist()
-        out = []
-        for i, txt in enumerate(texts):
-            u = np.frombuffer((txt or "").encode("utf-32-le"), dtype=np.uint32)
-            n = len(u)
-            dl = lists[i]
-            if not dl or n < window:
-                out.append(txt or "")
-                continue
-            dup = np.asarray(dl, dtype=np.uint64)
-            wh = whash(u)
-            idx = np.searchsorted(dup, wh)
-            idx[idx == len(dup)] = 0
-            marked = np.flatnonzero(dup[idx] == wh)
-            if not len(marked):
-                out.append(txt or "")
-                continue
-            diff = np.zeros(n + 1, np.int32)
-            np.add.at(diff, marked, 1)
-            np.add.at(diff, marked + window, -1)
-            covered = np.cumsum(diff[:-1]) > 0
-            out.append(u[~covered].tobytes().decode("utf-32-le"))
-        return pa.table({"doc_id": pa.array(ids), "text": pa.array(out, pa.string())})
+        ids, doc_off, u, covered = _cut_coverage(t, window, whash)
+        n_rows = len(ids)
+        keep = ~covered
+        u_kept = u[keep]
+        if len(u):
+            char_doc = np.repeat(
+                np.arange(n_rows, dtype=np.int64), np.diff(doc_off)
+            )
+            kept_doc = char_doc[keep]
+        else:
+            kept_doc = np.empty(0, np.int64)
+        # rebuild the string column WITHOUT per-doc Python strings: one
+        # utf-32→str→utf-8 round trip for the whole partition, per-doc
+        # byte offsets from the vectorized utf-8 width of each kept
+        # codepoint (1/2/3/4 bytes)
+        widths = np.ones(len(u_kept), np.int64)
+        widths[u_kept >= 0x80] = 2
+        widths[u_kept >= 0x800] = 3
+        widths[u_kept >= 0x10000] = 4
+        byte_counts = (
+            np.bincount(kept_doc, weights=widths, minlength=n_rows).astype(np.int64)
+            if len(u_kept)
+            else np.zeros(n_rows, np.int64)
+        )
+        boffs = np.zeros(n_rows + 1, np.int64)
+        np.cumsum(byte_counts, out=boffs[1:])
+        data = u_kept.tobytes().decode("utf-32-le").encode("utf-8")
+        if boffs[-1] > (1 << 31) - 1:  # keep one schema across partitions
+            raise RuntimeError(
+                "substring_cut_texts: >2 GB of text in one join partition; "
+                "raise num_partitions so partitions stay under the string-"
+                "offset limit (the 100 TB deployment scales P with corpus)"
+            )
+        text_arr = pa.Array.from_buffers(
+            pa.string(),
+            n_rows,
+            [None, pa.py_buffer(boffs.astype(np.int32).tobytes()), pa.py_buffer(data)],
+        )
+        return pa.table({"doc_id": pa.array(ids), "text": text_arr})
 
     return hash_join(
         _docs(sf_dir, ["doc_id", "text"]),

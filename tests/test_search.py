@@ -170,3 +170,79 @@ class TestBM25:
         out = S.search_bm25(str(d))
         assert out["doc_id"].iloc[0] == 7
         assert out["doc_id"].iloc[1] == 11
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIndexKillResume:
+    """The retrieval index is a resumable artifact (VERDICT r4 next
+    #7): a killed build resumes at bucket granularity, complete buckets
+    are never rewritten, the persisted corpus stats survive, and the
+    ranking is unchanged after healing."""
+
+    def _mtimes(self, path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("bucket-"):
+                f = os.path.join(path, d, "part.parquet")
+                if os.path.exists(f):
+                    out[d] = os.stat(f).st_mtime_ns
+        return out
+
+    def test_bm25_index_build_resumes_after_kill(self, sf_dir, tmp_path):
+        import shutil
+
+        # private corpus copy so scratch identity is test-local
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        shutil.copy(f"{sf_dir}/documents.parquet", corpus / "documents.parquet")
+        sf = str(corpus)
+
+        baseline = SE.search_bm25(sf)  # full build + probe
+        path = SE._bm25_index_path(sf)
+        before = self._mtimes(path)
+        assert len(before) > 1
+        stats_before = open(os.path.join(path, "_STATS.json")).read()
+
+        # simulate a mid-build kill: two buckets torn (marker gone,
+        # data gone), stats file lost with them
+        killed = sorted(before)[:2]
+        for d in killed:
+            shutil.rmtree(os.path.join(path, d))
+        os.unlink(os.path.join(path, "_STATS.json"))
+
+        healed = SE.search_bm25(sf)  # resume: rebuild ONLY the holes
+        pd.testing.assert_frame_equal(healed, baseline)
+        after = self._mtimes(path)
+        assert set(after) == set(before)
+        for d in before:
+            if d in killed:
+                assert after[d] > before[d], "killed bucket must rebuild"
+            else:
+                assert after[d] == before[d], "complete bucket must not rewrite"
+        assert open(os.path.join(path, "_STATS.json")).read() == stats_before
+
+    def test_probe_reads_only_probed_buckets(self, sf_dir):
+        # query terms hash to a strict subset of the bucket space, and
+        # the probe path enumerates exactly those bucket files
+        bs = SE._query_buckets(SE.QUERY_TERMS)
+        assert 0 < len(bs) <= len(SE.QUERY_TERMS) < SE.INDEX_P
+        path = SE.build_bm25_index(sf_dir)
+        probed = [
+            os.path.join(path, f"bucket-{b}", "part.parquet") for b in bs
+        ]
+        all_buckets = [
+            d for d in os.listdir(path) if d.startswith("bucket-")
+        ]
+        assert len(probed) < len(all_buckets)
+
+    def test_stats_file_matches_corpus(self, sf_dir):
+        import json
+
+        import pyarrow.parquet as pq
+
+        path = SE.build_bm25_index(sf_dir)
+        with open(os.path.join(path, "_STATS.json")) as f:
+            stats = json.load(f)
+        n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        assert stats["n_docs"] == n
+        assert stats["total_tokens"] > 0

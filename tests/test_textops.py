@@ -561,3 +561,43 @@ class TestSubstringSampled:
         assert (m.loc[no_dup, "n_kept"] == m.loc[no_dup, "n_chars"]).all()
         X.clear_pair_cache()
         assert len(X._DUPWIN_CACHE) == 0
+
+
+def test_substring_cut_texts_unicode_roundtrip(ray_session, tmp_path):
+    """The vectorized utf-32→utf-8 string rebuild must round-trip
+    multibyte codepoints exactly, and cut shared spans regardless of
+    character width."""
+    import pyarrow.parquet as pq
+
+    shared = "καλημέρα κόσμε 世界 𝄞𝄞 — duplicated tail here!!"
+    assert len(shared) >= 20
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "préfixe Ω un " + shared,
+                    "präfix 𝒳 zwei " + shared,
+                    "ünique ütterly distinct zeile ohne doppel",
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "uni"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    X.clear_pair_cache()
+    out = (
+        X.substring_cut_texts(str(d))
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    stats = X.dedup_substring_cut(str(d)).set_index("doc_id")
+    # text lengths agree with the integer summary (chars, not bytes)
+    for i in (1, 2, 3):
+        assert len(out.loc[i]) == stats.loc[i, "n_kept"]
+    # untouched doc round-trips byte-identically
+    assert out.loc[3] == "ünique ütterly distinct zeile ohne doppel"
+    # the shared multibyte tail was cut from both carriers
+    assert shared not in out.loc[1] and shared not in out.loc[2]
+    assert out.loc[1].startswith("préfixe Ω")

@@ -138,6 +138,13 @@ ANN_QUERIES = ("knn_topk", "knn_ivfpq")
 # PROBED buckets stay query-bounded — the index-side pruning posture)
 RETRIEVAL_QUERIES = ("maxsim_topk", "search_bm25")
 
+# --substring: the sampled substring-dedup 100-TB posture over the
+# retagged 16× documents corpus (replica token prefixes break
+# cross-replica 20-char windows, so per-replica duplicate structure is
+# preserved while the discovery exchange grows ~16× in sampled window
+# mass — the flat-driver-RSS direction for the hash-pid fold)
+SUBSTRING_QUERIES = ("dedup_substring_sampled",)
+
 # multi-table join family: every foreign key shifts by the SAME replica
 # offset so each replica is a self-contained TPC-H-shaped sub-universe
 # (join structure × 16, join selectivity unchanged). nation is shared
@@ -280,6 +287,9 @@ def main() -> None:
     elif "--classifier" in sys.argv:
         scaled = build_scaled()
         queries = list(CLASSIFIER_QUERIES)
+    elif "--substring" in sys.argv:
+        scaled = build_scaled()
+        queries = list(SUBSTRING_QUERIES)
     elif "--drift" in sys.argv:
         # corpus-drift family over the retagged 16× documents corpus
         scaled = build_scaled()
