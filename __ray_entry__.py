@@ -508,6 +508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end-to-end crawl→curate→pack→shard composition (rows-only —
         # the seeded crawl is not SQL-expressible; determinism-tested)
         "training_data_pipeline": TR.training_data_pipeline,
+        # interleaved variant: the crawl's REAL media-span counts ride
+        # the dual token+media budget pack (rows-only; deterministic)
+        "training_interleaved_pipeline": TR.training_interleaved_pipeline,
     }
 
 

@@ -74,6 +74,45 @@ def crawl_convert(
     return rd.read_parquet(pages_dir)
 
 
+def crawl_convert_media(
+    sf_dir: str,
+    n_frontier: int = 400,
+    n_hosts: int = 20,
+    seed: int = 42,
+    pages_dir: str | None = None,
+    **cfg_overrides,
+):
+    """:func:`crawl_convert` over the MEDIA-CARRYING interleaved span
+    corpus (``corpus.make_documents`` — media spans on ~40% of pages,
+    input_hint shape) sized to the sf documents table, instead of the
+    text-only re-paged ``spanify_documents`` corpus. The converted
+    pages keep their media spans, which is what the interleaved
+    training composition (``train.training_interleaved_pipeline``)
+    packs real media budgets from."""
+    import ray.data as rd
+
+    from ..corpus import make_documents
+    from ..io import table_rows
+
+    n = max(50, table_rows(sf_dir, "documents"))
+    docs = make_documents(n, seed=seed)
+    frontier = make_frontier(n_frontier, n_docs=docs.num_rows, seed=seed)
+    robots = make_robots(host_pool(n_hosts), seed=seed)
+    cfg = CrawlConfig(
+        n_partitions=4,
+        epoch_width=8,
+        max_epochs=30,
+        link_universe=600,
+        fetch_concurrency=2,
+        fetch_num_cpus=0.5,
+        **cfg_overrides,
+    )
+    if pages_dir is None:
+        pages_dir = tempfile.mkdtemp(prefix="gotenberg_ray_mpages_")
+    run_crawl(frontier, docs, robots, cfg, mode="ray", pages_dir=pages_dir)
+    return rd.read_parquet(pages_dir)
+
+
 def media_crawl_pipeline(sf_dir: str):
     """Multimodal chain over the CRAWL corpus's media spans (VERDICT r4
     next #5): the deterministic interleaved span corpus (input_hint

@@ -335,6 +335,50 @@ def register_builtins() -> None:
             description="resumable hash-partitioned training-shard sink",
         )
     )
+    # interleaved text+media variant (train.py): the same composition
+    # with REAL media counts from the crawl's media spans riding the
+    # dual-budget pack — the graft cell's interleaved payload axis
+    from .pipelines.flagship import crawl_convert_media
+    from .pipelines.train import (
+        _extract_text_media,
+        dedup_parts_media,
+        pack_contexts_interleaved,
+    )
+
+    register(
+        StageSpec(
+            name="crawl_convert_media",
+            kind="source",
+            fn=crawl_convert_media,
+            description="frontier crawl of the media-carrying span corpus",
+        )
+    )
+    register(
+        StageSpec(
+            name="extract_text_media",
+            kind="batch",
+            fn=_extract_text_media,
+            schema_in=("status", "spans"),
+            description="pages → (doc_num, part_index, text, n_tokens, n_media)",
+        )
+    )
+    register(
+        StageSpec(
+            name="dedup_parts_media",
+            kind="dataset",
+            fn=dedup_parts_media,
+            description="content-hash dedup fold carrying the media budget",
+        )
+    )
+    register(
+        StageSpec(
+            name="pack_interleaved_contexts",
+            kind="dataset",
+            fn=pack_contexts_interleaved,
+            config={"ctx_tokens": 256, "ctx_media": 8},
+            description="dual token+media budget packing on real span counts",
+        )
+    )
     from .pipelines.classifier import classifier_gate
 
     register(
@@ -383,3 +427,26 @@ def training_stage_list(
         ("shard_sink", {"out_dir": out_dir}),
     ]
     return stages
+
+
+#: the interleaved text+media composition as a registry stage list —
+#: ``compile_pipeline(training_interleaved_stage_list(sf_dir))`` yields
+#: the dual-budget pack manifest (crawl w/ media spans → extract
+#: text+media → gate → dedup (budget rides) → interleaved pack →
+#: shards); pinned equal to ``train.training_interleaved_pipeline``'s
+#: manifest in tests/test_registry.py
+def training_interleaved_stage_list(
+    sf_dir: str,
+    ctx_tokens: int = 256,
+    ctx_media: int = 8,
+    min_tokens: int = 5,
+    out_dir: str | None = None,
+) -> list:
+    return [
+        ("crawl_convert_media", {"sf_dir": sf_dir}),
+        "extract_text_media",
+        ("quality_gate", {"min_tokens": min_tokens}),
+        "dedup_parts_media",
+        ("pack_interleaved_contexts", {"ctx_tokens": ctx_tokens, "ctx_media": ctx_media}),
+        ("shard_sink", {"out_dir": out_dir, "key": "cell"}),
+    ]

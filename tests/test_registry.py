@@ -185,3 +185,28 @@ def test_media_composition_from_registry_equals_direct(ray_session):
         .map_batches(FrameSampler, batch_format="pyarrow", batch_size=128, concurrency=2)
     )
     assert compiled.equals(direct)
+
+
+def test_interleaved_composition_from_registry_equals_direct(ray_session, tmp_path):
+    """The interleaved text+media composition compiled FROM the
+    registry equals the direct train.training_interleaved_pipeline —
+    same dual-budget manifest mass, same distinct cells."""
+    from gotenberg_ray.pipelines import train as TR
+    from gotenberg_ray.registry import training_interleaved_stage_list
+
+    sf = "/root/testdata/sf0.001"
+    registry.register_builtins()
+
+    reg_out = str(tmp_path / "reg_ishards")
+    compiled = compile_pipeline(training_interleaved_stage_list(sf, out_dir=reg_out))
+    cols = ["keep_key", "n_tokens", "n_media", "pack_t", "pack_m", "cell"]
+    manifest = (
+        compiled.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    )
+
+    direct_out = str(tmp_path / "direct_ishards")
+    summary = TR.training_interleaved_pipeline(sf, out_dir=direct_out)
+    assert int(summary["n_unique_parts"][0]) == len(manifest)
+    assert int(summary["total_tokens"][0]) == int(manifest["n_tokens"].sum())
+    assert int(summary["total_media"][0]) == int(manifest["n_media"].sum())
+    assert int(summary["n_pack_cells"][0]) == manifest["cell"].nunique()
