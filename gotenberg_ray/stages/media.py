@@ -91,6 +91,61 @@ class MediaFeatureExtractor:
         self.min_payload = min_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend.mode == "real":  # pragma: no cover — codec seam
+            return self._call_rowwise(batch)
+        # fake mode vectorized: same values as DecodeBackend.decode per
+        # row (splitmix wraparound is identical scalar vs array —
+        # pinned by the determinism test), one fnv64 + 19 array
+        # splitmix calls per batch instead of per-row Python
+        n = batch.num_rows
+        payloads = batch.column("payload").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        ok = np.array(
+            [p is not None and len(p) >= self.min_payload for p in payloads]
+        )
+        h = fnv64([(p or b"")[:64].hex() for p in payloads]).astype(np.uint64)
+        width = (splitmix64(h ^ np.uint64(0x1)) % np.uint64(1920)).astype(np.int64) + 16
+        height = (splitmix64(h ^ np.uint64(0x2)) % np.uint64(1080)).astype(np.int64) + 16
+        is_img = np.array([t == "image" for t in types])
+        n_frames = np.where(
+            is_img,
+            1,
+            (splitmix64(h ^ np.uint64(0x3)) % np.uint64(300)).astype(np.int64) + 1,
+        )
+        feats = np.empty((n, FEATURE_DIM), dtype=np.float32)
+        for i in range(FEATURE_DIM):
+            feats[:, i] = (
+                (splitmix64(h ^ np.uint64(0x10 + i)) % np.uint64(10_000)).astype(
+                    np.float64
+                )
+                / 10_000.0
+            )
+        feats[~ok] = 0.0
+        refs_col = batch.column("media_ref")
+        types_col = batch.column("media_type")
+        if isinstance(refs_col, pa.ChunkedArray):
+            refs_col = refs_col.combine_chunks()
+        if isinstance(types_col, pa.ChunkedArray):
+            types_col = types_col.combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                refs_col,
+                types_col,
+                pa.array(np.where(ok, width, 0).astype(np.int32)),
+                pa.array(np.where(ok, height, 0).astype(np.int32)),
+                pa.array(np.where(ok, n_frames, 0).astype(np.int32)),
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.ravel()), FEATURE_DIM
+                ),
+                pa.array(ok),
+                pa.array(np.where(ok, "", "payload too small")),
+            ],
+            schema=FEATURES_SCHEMA,
+        )
+
+    def _call_rowwise(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
+        """Row-wise path for real codec backends (per-item decode is
+        inherent there); identical output contract."""
         refs = batch.column("media_ref").to_pylist()
         payloads = batch.column("payload").to_pylist()
         types = batch.column("media_type").to_pylist()
@@ -374,20 +429,38 @@ class FrameSampler:
         self.backend = DecodeBackend(mode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_frames = batch.column("n_frames").to_numpy(zero_copy_only=False)
-        types = batch.column("media_type").to_pylist()
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        nf = (
+            batch.column("n_frames")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         ok = batch.column("decode_ok").to_numpy(zero_copy_only=False)
-        out = []
-        for nf, t, good in zip(n_frames, types, ok):
-            if not good or nf <= 0:
-                out.append([])
-            elif t != "video":
-                out.append([0])
-            else:
-                idx = list(range(0, int(nf), self.stride))[: self.max_frames]
-                out.append(idx or [0])
-        counts = pa.array([len(x) for x in out], pa.int32())
-        return (
-            batch.append_column("frame_indices", pa.array(out, pa.list_(pa.int32())))
-            .append_column("n_sampled", counts)
+        is_vid = pc.equal(batch.column("media_type"), "video").to_numpy(
+            zero_copy_only=False
+        )
+        # vectorized index selection: per-row sample counts, then one
+        # ragged (row, within) expansion — the same values as the old
+        # per-row range() loop (pinned by the stage tests)
+        good = ok & (nf > 0)
+        counts = np.zeros(n, np.int64)
+        counts[good & ~is_vid] = 1
+        vid = good & is_vid
+        counts[vid] = np.minimum(
+            (nf[vid] + self.stride - 1) // self.stride, self.max_frames
+        )
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            offs[:-1], counts
+        )
+        vals = np.where(is_vid[row_of], within * self.stride, 0).astype(np.int32)
+        arr = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32)), pa.array(vals, pa.int32())
+        )
+        return batch.append_column("frame_indices", arr).append_column(
+            "n_sampled", pa.array(counts.astype(np.int32), pa.int32())
         )
