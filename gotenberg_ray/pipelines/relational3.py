@@ -445,18 +445,38 @@ def q11_important_parts(sf_dir: str) -> pd.DataFrame:
     (already #parts-sized) result — the per-part dataset is
     materialized once because three consumers read it, and it is
     #parts-sized, never lineitem-sized."""
+    P = 16
+
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({"p_partkey": b["l_partkey"], "value_e4": _rev_e4(b)})
-        return _rename(
+        g = _rename(
             t.group_by("p_partkey").aggregate([("value_e4", "sum")]),
             {"value_e4_sum": "value_e4"},
+        )
+        pk = g["p_partkey"].to_numpy(zero_copy_only=False)
+        return g.append_column("_pid", pa.array((pk % P).astype(np.int32)))
+
+    def fold_parts(g: pa.Table) -> pa.Table:
+        # key-pid bucket fold in numpy (a part's partials all land
+        # here) — cheaper than the generic sort-based groupby over the
+        # #parts-per-block partial stream
+        pk = g["p_partkey"].to_numpy(zero_copy_only=False)
+        v = g["value_e4"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk, v = pk[order], v[order]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk[starts]),
+                "value_e4": pa.array(np.add.reduceat(v, starts)),
+            }
         )
 
     per_part = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("p_partkey")
-        .aggregate(Sum("value_e4", alias_name="value_e4"))
+        .groupby("_pid", num_partitions=P)
+        .map_groups(fold_parts, batch_format="pyarrow")
         .materialize()
     )
     total = per_part.sum("value_e4") or 0

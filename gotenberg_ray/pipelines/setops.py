@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Sum
 
 from ..functions.frames import ensure_columns
 
@@ -36,72 +36,67 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_table(sf_dir, table, columns)
 
 
-def _or_partial(b: pa.Table) -> pa.Table:
-    """Batch-local bit fold after the global (key, bit) dedup; total
-    on schema-less empty blocks."""
-    if b.num_rows == 0 or "o_custkey" not in b.column_names:
-        return pa.table(
-            {"o_custkey": pa.array([], pa.int64()),
-             "bits": pa.array([], pa.int64())}
-        )
-    return (
-        pa.table({"o_custkey": b["o_custkey"], "bits": b["bits"]})
-        .group_by("o_custkey")
-        .aggregate([("bits", "sum")])
-        .rename_columns(["o_custkey", "bits"])
-    )
-
-
 def customer_set_ops(sf_dir: str) -> pd.DataFrame:
     """Cardinalities of A∩B, A∖B, B∖A, A∪B where A = customers with
     an URGENT order and B = customers with a HIGH order."""
 
-    def tag(batch: pa.Table) -> pa.Table:
-        pr = batch["o_orderpriority"]
-        in_a = pc.equal(pr, SIDE_A_PRIORITY)
-        in_b = pc.equal(pr, SIDE_B_PRIORITY)
-        keep = pc.or_(in_a, in_b)
-        batch = batch.filter(keep)
-        bits = pc.add(
-            pc.cast(pc.equal(batch["o_orderpriority"], SIDE_A_PRIORITY), pa.int64()),
-            pc.multiply(
-                pc.cast(
-                    pc.equal(batch["o_orderpriority"], SIDE_B_PRIORITY), pa.int64()
-                ),
-                pa.scalar(2, pa.int64()),
-            ),
-        )
-        t = pa.table({"o_custkey": batch["o_custkey"], "bits": bits})
-        # batch-local OR-combine per key (max works: bits ∈ {1,2} pre-
-        # combine, and max(1,2)=3 is NOT or(1,2) — so keep both via sum
-        # of distinct bits: dedupe (key,bit) first, then sum ≡ OR)
-        g = t.group_by(["o_custkey", "bits"]).aggregate([])
-        return g
+    P = 16
 
-    def classify(batch: pa.Table) -> pa.Table:
-        # per-batch partial counts — the key set never reaches the
-        # driver, only a 3-counter row per block
-        if batch.num_rows == 0 or "bits" not in batch.column_names:
-            bits = np.array([], np.int64)
-        else:
-            bits = batch["bits"].to_numpy(zero_copy_only=False)
+    def tag(batch: pa.Table) -> pa.Table:
+        """Batch-local (key, bit) dedup in numpy + key-pid routing —
+        one row per batch-distinct (customer, side) pair enters the
+        single exchange (round-5 rewrite: the former plan paid two
+        multi-key sort exchanges over the pair stream)."""
+        pr = batch["o_orderpriority"]
+        keep = pc.or_(
+            pc.equal(pr, SIDE_A_PRIORITY), pc.equal(pr, SIDE_B_PRIORITY)
+        )
+        batch = batch.filter(keep)
+        bits = np.where(
+            pc.equal(batch["o_orderpriority"], SIDE_A_PRIORITY).to_numpy(
+                zero_copy_only=False
+            ),
+            np.int64(1),
+            np.int64(2),
+        )
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bits, keys))
+        k, b = keys[order], bits[order]
+        first = np.r_[True, (k[1:] != k[:-1]) | (b[1:] != b[:-1])]
+        k, b = k[first], b[first]
         return pa.table(
             {
-                "only_a": pa.array([int((bits == 1).sum())], pa.int64()),
-                "only_b": pa.array([int((bits == 2).sum())], pa.int64()),
-                "both": pa.array([int((bits == 3).sum())], pa.int64()),
+                "o_custkey": pa.array(k),
+                "bits": pa.array(b),
+                "_pid": pa.array((k % P).astype(np.int32)),
+            }
+        )
+
+    def bucket_classify(g: pa.Table) -> pa.Table:
+        """A key's rows all land in its bucket, so the OR-fold and the
+        3-way classification are exact locally: dedup (key, bit) runs,
+        sum distinct bits per key (≡ OR for bits ∈ {1,2}), count."""
+        keys = g["o_custkey"].to_numpy(zero_copy_only=False)
+        bits = g["bits"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bits, keys))
+        k, b = keys[order], bits[order]
+        first = np.r_[True, (k[1:] != k[:-1]) | (b[1:] != b[:-1])]
+        k, b = k[first], b[first]
+        key_starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        orbits = np.add.reduceat(b, key_starts)
+        return pa.table(
+            {
+                "only_a": pa.array([int((orbits == 1).sum())], pa.int64()),
+                "only_b": pa.array([int((orbits == 2).sum())], pa.int64()),
+                "both": pa.array([int((orbits == 3).sum())], pa.int64()),
             }
         )
 
     row = (
         _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
         .map_batches(tag, batch_format="pyarrow")
-        .groupby(["o_custkey", "bits"])
-        .aggregate(Max("bits", alias_name="_b"))  # global (key,bit) dedup
-        .map_batches(_or_partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("bits", alias_name="bits"))
-        .map_batches(classify, batch_format="pyarrow")
+        .groupby("_pid", num_partitions=P)
+        .map_groups(bucket_classify, batch_format="pyarrow")
         .aggregate(Sum("only_a"), Sum("only_b"), Sum("both"))
     )
     only_a = int(row["sum(only_a)"] or 0) if row else 0

@@ -472,18 +472,21 @@ def rolling_distinct_users(sf_dir: str) -> pd.DataFrame:
     which no single groupby expresses because a user must count once
     per WINDOW it falls in, not once globally.
 
-    Distributed shape (two dedup exchanges, both pair-sized):
-    1. batch-local (day, user) dedup → global (day, user) groupby —
-       the exact-distinct pattern of ``distinct_users_daily``;
-    2. each surviving pair EXPANDS to the ≤7 cover days it influences
-       (vectorized repeat — the standard window-as-join unrolling for
-       small fixed windows), then (cover_day, user) dedups again and
-       a per-day partial count folds.
+    Distributed shape (ONE user-keyed exchange — round-5 rewrite; the
+    former plan paid two multi-key sort exchanges over the pair
+    stream):
+    1. batch-local (day, user) dedup (numpy lexsort run-unique), rows
+       route by user-pid;
+    2. inside each user bucket the fold is exact without any further
+       exchange (a user's rows are all present): dedup (user, day),
+       expand to the ≤7 cover days, dedup (user, cover) again, and
+       emit per-day PARTIAL counts — one row per (bucket, day);
+    3. a calendar-sized day groupby sums partials; driver densifies.
 
-    The exchange volume is ≤ 7× the distinct-pair count — independent
-    of raw event volume; at 100 TB the window factor, not the corpus,
-    prices the op. Days with no active window users still appear
-    (zero rows from the calendar-sized driver densify)."""
+    The exchange moves one row per batch-distinct (day, user) pair —
+    independent of raw event volume; at 100 TB the window factor, not
+    the corpus, prices the op. Days with no active window users still
+    appear (zero rows from the calendar-sized driver densify)."""
     bounds = _event_day_bounds(sf_dir)
     if bounds is None:
         return pd.DataFrame(
@@ -493,47 +496,51 @@ def rolling_distinct_users(sf_dir: str) -> pd.DataFrame:
             }
         )
     d0, d1 = bounds
+    P = 16
 
     def local_pairs(batch: pa.Table) -> pa.Table:
-        t = pa.table(
+        days = _day_nums(batch["ts"])
+        users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((days, users))
+        du, uu = days[order], users[order]
+        keep = np.r_[True, (du[1:] != du[:-1]) | (uu[1:] != uu[:-1])]
+        du, uu = du[keep], uu[keep]
+        return pa.table(
             {
-                "day": pa.array(_day_nums(batch["ts"])),
-                "user_id": batch["user_id"],
+                "day": pa.array(du),
+                "user_id": pa.array(uu),
+                "_pid": pa.array((uu % P).astype(np.int32)),
             }
         )
-        return t.group_by(["day", "user_id"]).aggregate([])
 
-    def expand(batch: pa.Table) -> pa.Table:
-        days = batch["day"].to_numpy(zero_copy_only=False)
-        users = batch["user_id"].to_numpy(zero_copy_only=False)
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        days = g["day"].to_numpy(zero_copy_only=False)
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((days, users))
+        du, uu = days[order], users[order]
+        keep = np.r_[True, (du[1:] != du[:-1]) | (uu[1:] != uu[:-1])]
+        du, uu = du[keep], uu[keep]
         cover = (
-            np.repeat(days, TRAIL_DAYS)
-            + np.tile(np.arange(TRAIL_DAYS, dtype=np.int64), len(days))
+            np.repeat(du, TRAIL_DAYS)
+            + np.tile(np.arange(TRAIL_DAYS, dtype=np.int64), len(du))
         )
-        keep = cover <= d1
-        t = pa.table(
-            {
-                "day": pa.array(cover[keep]),
-                "user_id": pa.array(np.repeat(users, TRAIL_DAYS)[keep]),
-            }
+        cu = np.repeat(uu, TRAIL_DAYS)
+        m = cover <= d1
+        cover, cu = cover[m], cu[m]
+        order2 = np.lexsort((cover, cu))
+        cover, cu = cover[order2], cu[order2]
+        keep2 = np.r_[True, (cover[1:] != cover[:-1]) | (cu[1:] != cu[:-1])]
+        cover = cover[keep2]
+        udays, counts = np.unique(cover, return_counts=True)
+        return pa.table(
+            {"day": pa.array(udays), "n": pa.array(counts.astype(np.int64))}
         )
-        return t.group_by(["day", "user_id"]).aggregate([])
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["day"]).aggregate([("user_id", "count")])
-        return g.rename_columns(["day", "n"])
-
-    from ray.data.aggregate import Count
 
     df = (
         _read(sf_dir, "events", ["ts", "user_id"])
         .map_batches(local_pairs, batch_format="pyarrow")
-        .groupby(["day", "user_id"])
-        .aggregate(Count(alias_name="_c"))
-        .map_batches(expand, batch_format="pyarrow")
-        .groupby(["day", "user_id"])
-        .aggregate(Count(alias_name="_c"))
-        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("_pid", num_partitions=P)
+        .map_groups(bucket_fold, batch_format="pyarrow")
         .groupby("day")
         .aggregate(Sum("n", alias_name="n_users_7d"))
         .to_pandas()
