@@ -334,20 +334,26 @@ def bench_queries(sf_dir: str) -> dict:
     # the engine — reset the memo before EACH of their samples. The
     # trio consumers (dedup_canonical) keep the session cache, which is
     # their documented contract (shared pair graph per session).
-    from gotenberg_ray.pipelines.textops import clear_pair_cache
+    from gotenberg_ray.pipelines.textops import (
+        clear_dupwin_cache,
+        clear_pair_cache,
+    )
 
     # memo owners: cleared before EACH of their samples so they time
-    # the engine, not a dict hit. duplicate_span_stats owns the
-    # substring discovery chain (_DUPWIN_CACHE) — dedup_substring_cut
-    # then legitimately measures its warm cut join (the documented
-    # session contract, VERDICT r4 next #4); dedup_substring_sampled
-    # owns its own h_max-keyed entry. NOTE clear_pair_cache clears ALL
-    # session memos, so owners must precede their consumers in
-    # queries() insertion order (they do; asserted below).
+    # the engine, not a dict hit — with TARGETED clears, so clearing
+    # one family's memo never bills a cold rebuild to another family's
+    # consumer later in the suite (a blanket clear_pair_cache at
+    # duplicate_span_stats would wipe the gram memo contamination_check
+    # still legitimately reuses). duplicate_span_stats owns the
+    # substring discovery chain — dedup_substring_cut then measures
+    # its warm cut join (the documented session contract, VERDICT r4
+    # next #4); dedup_substring_sampled owns its own h_max-keyed
+    # entry. Owners must precede their consumers in queries()
+    # insertion order (asserted below).
     cache_owners = {
-        "dedup_ngram_jaccard",
-        "duplicate_span_stats",
-        "dedup_substring_sampled",
+        "dedup_ngram_jaccard": clear_pair_cache,
+        "duplicate_span_stats": clear_dupwin_cache,
+        "dedup_substring_sampled": clear_dupwin_cache,
     }
     names = [n for n in qs if n not in BENCH_EXCLUDE]
     assert names.index("duplicate_span_stats") < names.index(
@@ -359,7 +365,7 @@ def bench_queries(sf_dir: str) -> dict:
         samples[name] = []
         for _attempt in range(2):
             if name in cache_owners:
-                clear_pair_cache()
+                cache_owners[name]()
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count") and not hasattr(res, "__len__"):

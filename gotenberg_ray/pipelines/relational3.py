@@ -462,6 +462,11 @@ def q11_important_parts(sf_dir: str) -> pd.DataFrame:
         # #parts-per-block partial stream
         pk = g["p_partkey"].to_numpy(zero_copy_only=False)
         v = g["value_e4"].to_numpy(zero_copy_only=False)
+        if len(pk) == 0:  # empty pinned-partition group
+            return pa.table(
+                {"p_partkey": pa.array([], pa.int64()),
+                 "value_e4": pa.array([], pa.int64())}
+            )
         order = np.argsort(pk, kind="stable")
         pk, v = pk[order], v[order]
         starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])

@@ -60,6 +60,14 @@ def customer_set_ops(sf_dir: str) -> pd.DataFrame:
             np.int64(2),
         )
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:  # batch filtered to nothing (no A/B rows)
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "bits": pa.array([], pa.int64()),
+                    "_pid": pa.array([], pa.int32()),
+                }
+            )
         order = np.lexsort((bits, keys))
         k, b = keys[order], bits[order]
         first = np.r_[True, (k[1:] != k[:-1]) | (b[1:] != b[:-1])]
@@ -78,6 +86,9 @@ def customer_set_ops(sf_dir: str) -> pd.DataFrame:
         sum distinct bits per key (≡ OR for bits ∈ {1,2}), count."""
         keys = g["o_custkey"].to_numpy(zero_copy_only=False)
         bits = g["bits"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:  # empty pinned-partition group
+            zero = pa.array([0], pa.int64())
+            return pa.table({"only_a": zero, "only_b": zero, "both": zero})
         order = np.lexsort((bits, keys))
         k, b = keys[order], bits[order]
         first = np.r_[True, (k[1:] != k[:-1]) | (b[1:] != b[:-1])]

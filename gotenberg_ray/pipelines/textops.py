@@ -851,6 +851,15 @@ def clear_pair_cache() -> None:
     _DUPWIN_CACHE.clear()
 
 
+def clear_dupwin_cache() -> None:
+    """Clear ONLY the substring-discovery memo — the bench's targeted
+    reset for `duplicate_span_stats`/`dedup_substring_sampled` samples
+    (a full clear_pair_cache there would also wipe the gram memo and
+    silently bill a cold gram rebuild to whatever gram consumer runs
+    next, e.g. contamination_check)."""
+    _DUPWIN_CACHE.clear()
+
+
 def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
     """EXACT n-gram Jaccard pairs ≥ threshold, distributed via prefix
     filtering (the AllPairs/PPJoin candidate lemma: if J(a,b) ≥ t then
@@ -2013,6 +2022,12 @@ def _dup_window_lists(
     def dup_survivors(g: pa.Table) -> pa.Table:
         h = g["h"].to_numpy(zero_copy_only=False)
         d = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(h) == 0:  # empty pinned-partition group
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "h": pa.array([], pa.uint64()),
+                 "n_part": pa.array([], pa.int64())}
+            )
         order = np.argsort(h, kind="stable")
         h, d = h[order], d[order]
         starts = np.r_[True, h[1:] != h[:-1]]
@@ -2040,6 +2055,17 @@ def _dup_window_lists(
         d = g["doc_id"].to_numpy(zero_copy_only=False)
         h = g["h"].to_numpy(zero_copy_only=False)
         parts = g["n_part"].to_numpy(zero_copy_only=False)
+        if len(d) == 0:  # empty pinned-partition group
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "dup_hs": pa.LargeListArray.from_arrays(
+                        pa.array(np.zeros(1, np.int64)),
+                        pa.array([], pa.uint64()),
+                    ),
+                }
+            )
         cm = parts > 0
         cd, cn = d[cm], parts[cm]
         order_c = np.argsort(cd, kind="stable")

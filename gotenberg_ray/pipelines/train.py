@@ -33,49 +33,11 @@ from ray.data.aggregate import Min, Sum
 def _extract_text(batch: pa.Table) -> pa.Table:
     """Converted pages → (doc_num, part_index, text, n_tokens) rows:
     concatenate the page's text spans in offset order, drop error
-    pages. C kernels for the flatten/filter; the per-page join is the
-    unavoidable string work."""
-    batch = batch.filter(pc.equal(batch["status"], "success"))
-    n = batch.num_rows
-    if n == 0:
-        return pa.table(
-            {
-                "doc_num": pa.array([], pa.int64()),
-                "part_index": pa.array([], pa.int64()),
-                "text": pa.array([], pa.string()),
-                "n_tokens": pa.array([], pa.int64()),
-            }
-        )
-    spans = batch["spans"]
-    if isinstance(spans, pa.ChunkedArray):
-        spans = spans.combine_chunks()
-    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-    flat = spans.flatten()
-    kinds = flat.field("kind")
-    texts = flat.field("text")
-    is_text = pc.equal(kinds, "text").to_numpy(zero_copy_only=False)
-    df = pd.DataFrame(
-        {"row": parents[is_text], "t": texts.filter(pa.array(is_text))}
-    )
-    joined = df.groupby("row", sort=True)["t"].agg(" ".join)
-    rows = joined.index.to_numpy()
-    text = joined.to_numpy()
-    # slice from offset 4 to the end of the id — a fixed upper bound
-    # would silently truncate ids wider than 6 digits (>= 10^6 docs)
-    doc_num = (
-        pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], 4, 2**30), pa.int64())
-        .to_numpy(zero_copy_only=False)[rows]
-    )
-    part = batch["part_index"].to_numpy(zero_copy_only=False)[rows].astype(np.int64)
-    toks = pa.array([len(t.split()) for t in text], pa.int64())
-    return pa.table(
-        {
-            "doc_num": pa.array(doc_num),
-            "part_index": pa.array(part),
-            "text": pa.array(text, pa.string()),
-            "n_tokens": toks,
-        }
-    )
+    pages. ONE shared kernel with the interleaved composition —
+    :func:`_extract_text_media` minus its media column (the span
+    flatten / page join / id parse must never diverge between the two
+    compositions)."""
+    return _extract_text_media(batch).drop_columns(["n_media"])
 
 
 # --- the composition's stages as module-level functions, so the SAME
@@ -111,9 +73,10 @@ def quality_gate(batch: pa.Table, min_tokens: int = 5) -> pa.Table:
     return batch.filter(keep)
 
 
-def _hash_parts(batch: pa.Table) -> pa.Table:
-    """(text, doc_num, part_index) → (h, key, n_tokens) dedup rows —
-    only these three ints ever shuffle."""
+def _hash_key_cols(batch: pa.Table) -> tuple[pa.Array, "pa.Array"]:
+    """Shared (content-hash, ordering-key) computation for both dedup
+    folds — the text and interleaved compositions must never diverge
+    on how a part is identified."""
     from ..functions.hashing import fnv64
 
     h = fnv64(
@@ -125,13 +88,14 @@ def _hash_parts(batch: pa.Table) -> pa.Table:
         pc.multiply(batch["doc_num"], pa.scalar(1_000_000, pa.int64())),
         pc.cast(batch["part_index"], pa.int64()),
     )
-    return pa.table(
-        {
-            "h": pa.array(h.astype(np.int64)),
-            "key": key,
-            "n_tokens": batch["n_tokens"],
-        }
-    )
+    return pa.array(h.astype(np.int64)), key
+
+
+def _hash_parts(batch: pa.Table) -> pa.Table:
+    """(text, doc_num, part_index) → (h, key, n_tokens) dedup rows —
+    only these three ints ever shuffle."""
+    h, key = _hash_key_cols(batch)
+    return pa.table({"h": h, "key": key, "n_tokens": batch["n_tokens"]})
 
 
 def dedup_parts(ds):
@@ -310,20 +274,12 @@ def _extract_text_media(batch: pa.Table) -> pa.Table:
 
 
 def _hash_parts_media(batch: pa.Table) -> pa.Table:
-    from ..functions.hashing import fnv64
-
-    h = fnv64(
-        batch["text"].combine_chunks()
-        if isinstance(batch["text"], pa.ChunkedArray)
-        else batch["text"]
-    )
-    key = pc.add(
-        pc.multiply(batch["doc_num"], pa.scalar(1_000_000, pa.int64())),
-        pc.cast(batch["part_index"], pa.int64()),
-    )
+    """:func:`_hash_parts` plus the media budget column (shared
+    hash/key kernel — see :func:`_hash_key_cols`)."""
+    h, key = _hash_key_cols(batch)
     return pa.table(
         {
-            "h": pa.array(h.astype(np.int64)),
+            "h": h,
             "key": key,
             "n_tokens": batch["n_tokens"],
             "n_media": batch["n_media"],
@@ -406,7 +362,7 @@ def training_interleaved_pipeline(
 
     import pyarrow.parquet as _pq
 
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Count
 
     from ..io import write_partitioned
     from .flagship import crawl_convert_media

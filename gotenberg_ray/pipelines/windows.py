@@ -501,6 +501,14 @@ def rolling_distinct_users(sf_dir: str) -> pd.DataFrame:
     def local_pairs(batch: pa.Table) -> pa.Table:
         days = _day_nums(batch["ts"])
         users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(users) == 0:  # zero-row block
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "_pid": pa.array([], pa.int32()),
+                }
+            )
         order = np.lexsort((days, users))
         du, uu = days[order], users[order]
         keep = np.r_[True, (du[1:] != du[:-1]) | (uu[1:] != uu[:-1])]
@@ -516,6 +524,10 @@ def rolling_distinct_users(sf_dir: str) -> pd.DataFrame:
     def bucket_fold(g: pa.Table) -> pa.Table:
         days = g["day"].to_numpy(zero_copy_only=False)
         users = g["user_id"].to_numpy(zero_copy_only=False)
+        if len(users) == 0:  # empty pinned-partition group
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
         order = np.lexsort((days, users))
         du, uu = days[order], users[order]
         keep = np.r_[True, (du[1:] != du[:-1]) | (uu[1:] != uu[:-1])]

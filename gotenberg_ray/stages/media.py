@@ -101,12 +101,13 @@ class MediaFeatureExtractor:
         payloads = batch.column("payload").to_pylist()
         types = batch.column("media_type").to_pylist()
         ok = np.array(
-            [p is not None and len(p) >= self.min_payload for p in payloads]
+            [p is not None and len(p) >= self.min_payload for p in payloads],
+            dtype=bool,  # empty list would otherwise infer float64
         )
         h = fnv64([(p or b"")[:64].hex() for p in payloads]).astype(np.uint64)
         width = (splitmix64(h ^ np.uint64(0x1)) % np.uint64(1920)).astype(np.int64) + 16
         height = (splitmix64(h ^ np.uint64(0x2)) % np.uint64(1080)).astype(np.int64) + 16
-        is_img = np.array([t == "image" for t in types])
+        is_img = np.array([t == "image" for t in types], dtype=bool)
         n_frames = np.where(
             is_img,
             1,
@@ -226,7 +227,7 @@ def _synth_payload_column(refs: pa.Array) -> tuple[pa.Array, np.ndarray]:
     binary offsets. Returns (binary array, per-row byte sizes)."""
     h = fnv64(refs)
     n = len(h)
-    words = (np.uint64(16) + (h % np.uint64(504))).astype(np.int64)  # 128..4088 B
+    words = (np.uint64(16) + (h % np.uint64(504))).astype(np.int64)  # 128..4152 B
     row_of = np.repeat(np.arange(n, dtype=np.int64), words)
     within = np.arange(int(words.sum()), dtype=np.int64) - np.repeat(
         np.cumsum(words) - words, words
@@ -254,10 +255,10 @@ def media_rows_from_spans(docs) -> "object":
     the CRAWL's media spans instead of a standalone synthetic table
     (VERDICT r4 next #5). Vectorized per batch: flatten the span lists,
     mask kind=="media", map extensions to types, synthesize payloads
-    through the deterministic asset-fetch seam. Refs are deduplicated
-    per batch only (exact global dedup belongs to ``dedup_exact`` on
-    the ref column if a pipeline needs it — media spans in this corpus
-    are unique by construction)."""
+    through the deterministic asset-fetch seam. One output row per
+    media SPAN — no dedup here (media refs are unique by construction
+    in this corpus; a corpus with repeated refs would run
+    ``dedup_exact`` on the ref column before the decode stage)."""
     import pyarrow.compute as pc
 
     def explode(batch: pa.Table) -> pa.Table:
