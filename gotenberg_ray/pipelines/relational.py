@@ -427,8 +427,8 @@ def q6_revenue_forecast(sf_dir: str) -> pd.DataFrame:
 
 
 Q6_SQL = """
-SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS revenue_e4
+SELECT COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)), 0)::BIGINT AS revenue_e4
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24

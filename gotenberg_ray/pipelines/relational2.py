@@ -576,7 +576,8 @@ WITH branded AS (
 stats AS (
   SELECT l_partkey, sum(qty_e2) AS sum_qty_e2, count(*) AS n
   FROM branded GROUP BY l_partkey)
-SELECT CAST(sum(price_cents) AS BIGINT) AS total_cents, count(*) AS n_items
+SELECT CAST(COALESCE(sum(price_cents), 0) AS BIGINT) AS total_cents,
+       count(*) AS n_items
 FROM branded JOIN stats USING (l_partkey)
 WHERE 5 * qty_e2 * n < sum_qty_e2
 """
@@ -772,8 +773,9 @@ def q19_branded_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 Q19_SQL = """
-SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT)
+         AS revenue_e4,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5

@@ -117,11 +117,22 @@ def doc_lm_score(sf_dir: str) -> pd.DataFrame:
     predicate on ``score_e6 // n_pairs``."""
     model = _train_bigram(sf_dir)
     if model is None:
+        # corpus with no bigram anywhere (all docs empty / one-token):
+        # every doc still scores — zero pairs, zero score — matching
+        # the twin's totality (hostile_sweep caught the old empty-frame
+        # convention diverging on exactly this corpus)
+        from ..io import read_table
+
+        frame = ensure_columns(
+            read_table(sf_dir, "documents", ["doc_id"]).to_pandas(),
+            {"doc_id": "int64"},
+        )
+        ids = frame["doc_id"].sort_values().reset_index(drop=True)
         return pd.DataFrame(
             {
-                "doc_id": pd.Series([], dtype="int64"),
-                "n_pairs": pd.Series([], dtype="int64"),
-                "score_e6": pd.Series([], dtype="int64"),
+                "doc_id": ids,
+                "n_pairs": np.zeros(len(ids), np.int64),
+                "score_e6": np.zeros(len(ids), np.int64),
             }
         )
     model_ref = ray.put(model)

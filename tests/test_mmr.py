@@ -108,3 +108,19 @@ def test_mmr_deterministic(ray_session, tmp_path):
     a = E.mmr_diverse_topk(sf, k=6, k0=15)
     b = E.mmr_diverse_topk(sf, k=6, k0=15)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_unit_rows_zero_norm_guard():
+    """An all-zero embedding row gets similarity 0 (ranks last) instead
+    of NaN — the ADVICE r4 zero-norm guard."""
+    import numpy as np
+
+    from gotenberg_ray.pipelines.embedops import _unit_rows
+
+    m = np.array([[3.0, 4.0], [0.0, 0.0], [1.0, 0.0]])
+    u = _unit_rows(m)
+    assert np.allclose(u[0], [0.6, 0.8])
+    assert np.all(u[1] == 0.0) and not np.isnan(u).any()
+    q = np.array([1.0, 0.0])
+    sims = u @ q
+    assert sims[1] == 0.0  # zero row never outranks a real match
