@@ -356,9 +356,20 @@ def bench_queries(sf_dir: str) -> dict:
         "dedup_substring_sampled": clear_dupwin_cache,
     }
     names = [n for n in qs if n not in BENCH_EXCLUDE]
-    assert names.index("duplicate_span_stats") < names.index(
-        "dedup_substring_cut"
-    ), "substring memo owner must run before its warm consumer"
+    # full ordering contract, so a future queries() reorder fails loud
+    # instead of silently misbilling a cold memo rebuild: the blanket
+    # clear (jaccard) precedes every other family's owner/consumer, and
+    # each owner precedes its warm consumers
+    _idx = names.index
+    assert _idx("dedup_ngram_jaccard") < _idx("duplicate_span_stats"), (
+        "blanket pair-cache owner must precede the substring owner"
+    )
+    assert _idx("dedup_ngram_jaccard") < _idx("contamination_check"), (
+        "blanket pair-cache owner must precede the gram consumers"
+    )
+    assert _idx("duplicate_span_stats") < _idx("dedup_substring_cut"), (
+        "substring memo owner must run before its warm consumer"
+    )
     out, samples = {}, {}
     for name in names:
         best = None

@@ -87,8 +87,8 @@ def customer_set_ops(sf_dir: str) -> pd.DataFrame:
         keys = g["o_custkey"].to_numpy(zero_copy_only=False)
         bits = g["bits"].to_numpy(zero_copy_only=False)
         if len(keys) == 0:  # empty pinned-partition group
-            zero = pa.array([0], pa.int64())
-            return pa.table({"only_a": zero, "only_b": zero, "both": zero})
+            empty = pa.array([], pa.int64())
+            return pa.table({"only_a": empty, "only_b": empty, "both": empty})
         order = np.lexsort((bits, keys))
         k, b = keys[order], bits[order]
         first = np.r_[True, (k[1:] != k[:-1]) | (b[1:] != b[:-1])]

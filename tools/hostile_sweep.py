@@ -30,75 +30,43 @@ Exit 0 iff every checked query is green (check_oracles' own gate).
 
 from __future__ import annotations
 
-import os
-import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _sweep_common import build_corpus, const_col, run_gate
 
 
-def make_hostile_corpus(dst: str = "/tmp/sf_hostile") -> str:
+def _rewrite(name, t):
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    src = "/root/testdata/sf0.001"
-    os.makedirs(dst, exist_ok=True)
-
-    def const(t: pa.Table, col: str, value) -> pa.Table:
-        i = t.column_names.index(col)
-        arr = pa.array([value] * t.num_rows, t.schema.field(col).type)
-        return t.set_column(i, col, arr)
-
-    for f in os.listdir(src):
-        if not f.endswith(".parquet"):
-            continue
-        t = pq.read_table(os.path.join(src, f))
-        name = f[: -len(".parquet")]
-        if name == "orders":
-            t = const(t, "o_orderpriority", "5-LOW")
-            t = const(t, "o_orderstatus", "P")
-        elif name == "lineitem":
-            t = const(t, "l_returnflag", "N")
-            t = const(t, "l_quantity", 25.0)
-        elif name == "customer":
-            t = const(t, "c_mktsegment", "FURNITURE")
-        elif name == "part":
-            t = const(t, "p_brand", "Brand#55")
-            t = const(t, "p_type", "HOSTILE PLATED TIN")
-        elif name == "events":
-            t = const(t, "event_type", "view")
-        elif name == "documents":
-            n = t.num_rows
-            texts = [
-                "" if i % 3 == 0 else "tok"  # < one 20-char window
-                for i in range(n)
-            ]
+    if name == "orders":
+        t = const_col(t, "o_orderpriority", "5-LOW")
+        t = const_col(t, "o_orderstatus", "P")
+    elif name == "lineitem":
+        t = const_col(t, "l_returnflag", "N")
+        t = const_col(t, "l_quantity", 25.0)
+    elif name == "customer":
+        t = const_col(t, "c_mktsegment", "FURNITURE")
+    elif name == "part":
+        t = const_col(t, "p_brand", "Brand#55")
+        t = const_col(t, "p_type", "HOSTILE PLATED TIN")
+    elif name == "events":
+        t = const_col(t, "event_type", "view")
+    elif name == "documents":
+        texts = ["" if i % 3 == 0 else "tok" for i in range(t.num_rows)]
+        t = t.set_column(t.column_names.index("text"), "text", pa.array(texts))
+        if "n_chars" in t.column_names:
             t = t.set_column(
-                t.column_names.index("text"), "text", pa.array(texts)
+                t.column_names.index("n_chars"),
+                "n_chars",
+                pa.array(
+                    np.array([len(x) for x in texts], np.int64),
+                    t.schema.field("n_chars").type,
+                ),
             )
-            if "n_chars" in t.column_names:
-                t = t.set_column(
-                    t.column_names.index("n_chars"),
-                    "n_chars",
-                    pa.array(
-                        np.array([len(x) for x in texts], np.int64),
-                        t.schema.field("n_chars").type,
-                    ),
-                )
-        pq.write_table(t, os.path.join(dst, f))
-    return dst
-
-
-def main() -> int:
-    dst = make_hostile_corpus()
-    here = os.path.dirname(os.path.abspath(__file__))
-    proc = subprocess.run(
-        [sys.executable, os.path.join(here, "check_oracles.py"), dst, *sys.argv[1:]],
-        cwd=os.path.dirname(here),
-    )
-    return proc.returncode
+    return t
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    dst = build_corpus("/tmp/sf_hostile", _rewrite)
+    raise SystemExit(run_gate(dst, sys.argv[1:]))

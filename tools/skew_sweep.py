@@ -24,54 +24,28 @@ Exit 0 iff every checked query is green (check_oracles' gate).
 
 from __future__ import annotations
 
-import os
-import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _sweep_common import build_corpus, const_col, run_gate
 
 
-def make_skew_corpus(dst: str = "/tmp/sf_skew") -> str:
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    src = "/root/testdata/sf0.001"
-    os.makedirs(dst, exist_ok=True)
-
-    def const(t: pa.Table, col: str, value) -> pa.Table:
-        i = t.column_names.index(col)
-        arr = pa.array([value] * t.num_rows, t.schema.field(col).type)
-        return t.set_column(i, col, arr)
-
-    for f in os.listdir(src):
-        if not f.endswith(".parquet"):
-            continue
-        t = pq.read_table(os.path.join(src, f))
-        name = f[: -len(".parquet")]
-        if name == "events" and t.num_rows:
-            t = const(t, "user_id", t["user_id"][0].as_py())
-        elif name == "orders" and t.num_rows:
-            t = const(t, "o_custkey", t["o_custkey"][0].as_py())
-        elif name == "lineitem" and t.num_rows:
-            t = const(t, "l_suppkey", t["l_suppkey"][0].as_py())
-        elif name == "documents" and t.num_rows:
-            t = const(t, "source", t["source"][0].as_py())
-            t = const(t, "lang", t["lang"][0].as_py())
-        elif name == "embeddings" and t.num_rows:
-            t = const(t, "label", t["label"][0].as_py())
-        pq.write_table(t, os.path.join(dst, f))
-    return dst
-
-
-def main() -> int:
-    dst = make_skew_corpus()
-    here = os.path.dirname(os.path.abspath(__file__))
-    proc = subprocess.run(
-        [sys.executable, os.path.join(here, "check_oracles.py"), dst, *sys.argv[1:]],
-        cwd=os.path.dirname(here),
-    )
-    return proc.returncode
+def _rewrite(name, t):
+    if t.num_rows == 0:
+        return t
+    if name == "events":
+        t = const_col(t, "user_id", t["user_id"][0].as_py())
+    elif name == "orders":
+        t = const_col(t, "o_custkey", t["o_custkey"][0].as_py())
+    elif name == "lineitem":
+        t = const_col(t, "l_suppkey", t["l_suppkey"][0].as_py())
+    elif name == "documents":
+        t = const_col(t, "source", t["source"][0].as_py())
+        t = const_col(t, "lang", t["lang"][0].as_py())
+    elif name == "embeddings":
+        t = const_col(t, "label", t["label"][0].as_py())
+    return t
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    dst = build_corpus("/tmp/sf_skew", _rewrite)
+    raise SystemExit(run_gate(dst, sys.argv[1:]))
