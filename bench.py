@@ -337,7 +337,9 @@ def bench_queries(sf_dir: str) -> dict:
     from gotenberg_ray.pipelines.textops import (
         clear_dupwin_cache,
         clear_pair_cache,
+        clear_vocab_memo,
     )
+    from gotenberg_ray.pipelines.tfidf import clear_bpe_memo
 
     # memo owners: cleared before EACH of their samples so they time
     # the engine, not a dict hit — with TARGETED clears, so clearing
@@ -354,6 +356,8 @@ def bench_queries(sf_dir: str) -> dict:
         "dedup_ngram_jaccard": clear_pair_cache,
         "duplicate_span_stats": clear_dupwin_cache,
         "dedup_substring_sampled": clear_dupwin_cache,
+        "vocab_top_df": clear_vocab_memo,
+        "bpe_train": clear_bpe_memo,
     }
     names = [n for n in qs if n not in BENCH_EXCLUDE]
     # full ordering contract, so a future queries() reorder fails loud
@@ -369,6 +373,12 @@ def bench_queries(sf_dir: str) -> dict:
     )
     assert _idx("duplicate_span_stats") < _idx("dedup_substring_cut"), (
         "substring memo owner must run before its warm consumer"
+    )
+    assert _idx("dedup_ngram_jaccard") < _idx("vocab_top_df") < _idx("oov_rate"), (
+        "vocab memo owner must follow the blanket clear and precede oov_rate"
+    )
+    assert _idx("dedup_ngram_jaccard") < _idx("bpe_train") < _idx("bpe_encode_stats"), (
+        "bpe memo owner must follow the blanket clear and precede the encode pass"
     )
     out, samples = {}, {}
     for name in names:

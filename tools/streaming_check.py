@@ -145,6 +145,12 @@ RETRIEVAL_QUERIES = ("maxsim_topk", "search_bm25")
 # mass — the flat-driver-RSS direction for the hash-pid fold)
 SUBSTRING_QUERIES = ("dedup_substring_sampled",)
 
+# --train: the two end-to-end crawl→curate→pack→shard compositions over
+# the retagged 16× documents corpus — the span corpus, the crawl, the
+# extraction/gate/dedup funnel and the pack manifest all scale 16×
+# while the driver holds only the one-row summary + prefix-sum bases
+TRAIN_QUERIES = ("training_data_pipeline", "training_interleaved_pipeline")
+
 # multi-table join family: every foreign key shifts by the SAME replica
 # offset so each replica is a self-contained TPC-H-shaped sub-universe
 # (join structure × 16, join selectivity unchanged). nation is shared
@@ -205,6 +211,7 @@ def run_child(query: str, sf_dir: str) -> None:
         or query in ANN_QUERIES
         or query in CLASSIFIER_QUERIES
         or query in RETRIEVAL_QUERIES
+        or query in TRAIN_QUERIES
     ):
         import importlib.util
 
@@ -290,6 +297,9 @@ def main() -> None:
     elif "--substring" in sys.argv:
         scaled = build_scaled()
         queries = list(SUBSTRING_QUERIES)
+    elif "--train" in sys.argv:
+        scaled = build_scaled()
+        queries = list(TRAIN_QUERIES)
     elif "--drift" in sys.argv:
         # corpus-drift family over the retagged 16× documents corpus
         scaled = build_scaled()
