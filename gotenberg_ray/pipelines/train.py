@@ -249,25 +249,38 @@ def _extract_text_media(batch: pa.Table) -> pa.Table:
     texts = flat.field("text")
     is_text = pc.equal(kinds, "text").to_numpy(zero_copy_only=False)
     is_media = pc.equal(kinds, "media").to_numpy(zero_copy_only=False)
-    df = pd.DataFrame(
-        {"row": parents[is_text], "t": texts.filter(pa.array(is_text))}
+    # per-page join + token count, all C kernels (the former pandas
+    # groupby-agg ran a Python " ".join per page): rebuild a list
+    # column of each page's text spans from the bincount offsets, one
+    # arrow binary_join, one whitespace split with empty-token drop —
+    # identical values to "  ".join / str.split (parity pinned)
+    cnt_text = np.bincount(parents[is_text], minlength=n)
+    rows = np.flatnonzero(cnt_text > 0)  # pages w/o text spans drop
+    flat_texts = texts.filter(pa.array(is_text))
+    if isinstance(flat_texts, pa.ChunkedArray):
+        flat_texts = flat_texts.combine_chunks()
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(cnt_text, out=offs[1:])
+    tl = pa.ListArray.from_arrays(pa.array(offs.astype(np.int32)), flat_texts)
+    joined = pc.binary_join(tl, pa.scalar(" ")).take(pa.array(rows))
+    toks = pc.utf8_split_whitespace(joined)
+    tp = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(toks.values), 0).to_numpy(
+        zero_copy_only=False
     )
-    joined = df.groupby("row", sort=True)["t"].agg(" ".join)
-    rows = joined.index.to_numpy()
-    text = joined.to_numpy()
+    n_tokens = np.bincount(tp[keep], minlength=len(rows)).astype(np.int64)
     media_per_row = np.bincount(parents[is_media], minlength=n).astype(np.int64)
     doc_num = (
         pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], 4, 2**30), pa.int64())
         .to_numpy(zero_copy_only=False)[rows]
     )
     part = batch["part_index"].to_numpy(zero_copy_only=False)[rows].astype(np.int64)
-    toks = pa.array([len(t.split()) for t in text], pa.int64())
     return pa.table(
         {
             "doc_num": pa.array(doc_num),
             "part_index": pa.array(part),
-            "text": pa.array(text, pa.string()),
-            "n_tokens": toks,
+            "text": joined,
+            "n_tokens": pa.array(n_tokens),
             "n_media": pa.array(media_per_row[rows]),
         }
     )

@@ -66,3 +66,62 @@ class TestInterleavedPipeline:
         again = training_interleaved_pipeline(sf_dir, out_dir=out)
         assert again.iloc[0]["written_buckets"] == len(buckets)
         pd.testing.assert_frame_equal(first, again)
+
+
+def test_extract_text_media_matches_pandas_reference():
+    """The arrow binary_join extraction kernel must be value-identical
+    to the former pandas groupby ' '.join / str.split reference,
+    including pages with no text spans (dropped), empty span texts
+    (double spaces preserved in text, collapsed in token counts), and
+    multibyte content."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gotenberg_ray.pipelines.train import _extract_text_media
+
+    spans_t = pa.list_(
+        pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())]
+        )
+    )
+
+    def sp(kind, text=""):
+        return {"kind": kind, "text": text, "media_ref": "", "offset": 0}
+
+    rows = [
+        [sp("text", "héllo wörld"), sp("media"), sp("text", "")],
+        [sp("media"), sp("page_break")],  # no text spans → dropped
+        [sp("text", "a  b"), sp("text", "c"), sp("media"), sp("media")],
+        [sp("text", "  ")],  # whitespace-only page: 0 tokens
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i:06d}" for i in range(len(rows))]),
+            "part_index": pa.array(list(range(len(rows))), pa.int32()),
+            "spans": pa.array(rows, spans_t),
+            "status": pa.array(["success"] * len(rows)),
+        }
+    )
+    got = _extract_text_media(batch).to_pandas()
+
+    # reference: the former pandas implementation
+    import pandas as pd
+
+    ref_rows = []
+    for i, r in enumerate(rows):
+        texts = [s["text"] for s in r if s["kind"] == "text"]
+        if not texts:
+            continue
+        t = " ".join(texts)
+        ref_rows.append(
+            (i, i, t, len(t.split()),
+             sum(1 for s in r if s["kind"] == "media"))
+        )
+    want = pd.DataFrame(
+        ref_rows, columns=["doc_num", "part_index", "text", "n_tokens", "n_media"]
+    )
+    got = got.reset_index(drop=True)
+    for c in ("doc_num", "part_index", "n_tokens", "n_media"):
+        assert list(got[c]) == list(want[c]), c
+    assert list(got["text"]) == list(want["text"])
