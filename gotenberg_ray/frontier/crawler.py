@@ -743,10 +743,6 @@ def _convert_and_write(
     Returns the number of output spans."""
     if not inline:
         if pages_dir:
-            import os
-
-            import pyarrow.parquet as pq
-
             d = f"{pages_dir}/epoch={epoch:06d}"
             os.makedirs(d, exist_ok=True)
             pq.write_table(
@@ -755,10 +751,6 @@ def _convert_and_write(
         return 0
     converted = convert_batch(result)
     if pages_dir:
-        import os
-
-        import pyarrow.parquet as pq
-
         d = f"{pages_dir}/epoch={epoch:06d}"
         os.makedirs(d, exist_ok=True)
         pq.write_table(converted, f"{d}/part-{chunk:04d}.parquet")
@@ -1012,9 +1004,9 @@ def run_crawl(
 ) -> CrawlResult:
     from . import checkpoint as ckpt
 
-    import time as _time_mod
+    import time as _time
 
-    _t_setup0 = _time_mod.time()
+    _t_setup0 = _time.time()
     url_filter = UrlFilter(list(cfg.allow), list(cfg.deny))
     # dispatch seed admission BEFORE building shard actors and fetch
     # state: the admission tasks chew the raw URL list (and warm the
@@ -1028,14 +1020,38 @@ def run_crawl(
     state = None
     if resume:
         state = ckpt.load_latest(checkpoint_dir)
-        if cfg.auto_salt:
-            # the auto-decided salting rides the checkpointed config —
-            # a resumed run MUST route identically to the original
-            saved = json.loads(state["driver"]["config"])
-            cfg = dataclasses.replace(
-                cfg,
-                salt_hosts=tuple(saved.get("salt_hosts", ())),
-                salt_k=int(saved.get("salt_k", 1)),
+        saved = json.loads(state["driver"]["config"])
+        # the salting (auto-decided or explicit) rides the checkpointed
+        # config — a resumed run MUST route identically to the
+        # original, whatever flags the resume command happened to set
+        # (review-found: gating adoption on cfg.auto_salt let a resume
+        # without the flag rebuild UNSALTED shards over salted
+        # seen-state — silent duplicate fetches + politeness collapse)
+        cfg = dataclasses.replace(
+            cfg,
+            salt_hosts=tuple(saved.get("salt_hosts", ())),
+            salt_k=int(saved.get("salt_k", 1)),
+        )
+        # scheduling-critical scalars must match the original run — a
+        # mismatch silently changes fetch ordering / politeness budgets
+        # over restored state, the same corruption class as the
+        # n_partitions refusal below. Execution-detail knobs
+        # (fetch_concurrency, batch sizes, max_epochs/max_fetches
+        # extensions) stay free.
+        _must_match = (
+            "seed", "epoch_width", "default_delay", "burst",
+            "link_universe", "max_links", "link_latency_epochs",
+        )
+        _diff = [
+            f"{k}: checkpoint={saved.get(k)!r} run={getattr(cfg, k)!r}"
+            for k in _must_match
+            if k in saved and saved.get(k) != getattr(cfg, k)
+        ]
+        if _diff:
+            raise ValueError(
+                "resume config mismatch on scheduling-critical fields "
+                "(state restored under the checkpointed values; resume "
+                "with them or start a fresh run): " + "; ".join(_diff)
             )
     elif cfg.auto_salt:
         # the salt decision needs the admitted seed hosts, so collect
@@ -1125,7 +1141,6 @@ def run_crawl(
     # state (the frontier-refresh pipeline).
     pending: list[tuple[dict, int]] = []
     L = max(1, int(cfg.link_latency_epochs))
-    import time as _time
 
     def _deliver_due(h: int) -> None:
         due = [e for e in pending if e[1] <= h]
@@ -1139,7 +1154,7 @@ def run_crawl(
         pending.clear()
 
     epoch_metrics = EpochMetrics()
-    _setup_s = _time_mod.time() - _t_setup0
+    _setup_s = _time.time() - _t_setup0
     popped = None  # ray: [(grant_ref, keys)] for epoch k; local: grant table
     step_refs = None  # in-flight pipelined step (ray only)
     # in-flight FETCH epochs (ray only): each is collected only after
@@ -1291,6 +1306,17 @@ def run_crawl(
             continue
         _t_fetch = _time.time()
         _spans_before = getattr(runner, "spans_total", 0)
+        if pages_dir is not None:
+            # clear stale part files before this epoch's chunks write:
+            # a killed run may have left parts from a DIFFERENT chunking
+            # of the same epoch (fetch_concurrency is an execution
+            # detail a resume may change), and read_parquet over the
+            # hive layout would otherwise return those rows twice
+            _ed = f"{pages_dir}/epoch={k:06d}"
+            if os.path.isdir(_ed):
+                for _f in os.listdir(_ed):
+                    if _f.startswith("part-") and _f.endswith(".parquet"):
+                        os.unlink(os.path.join(_ed, _f))
         if mode == "ray":
             fetch_refs = runner.dispatch(popped, k)
             # older in-flight epochs now overlap this epoch's fetch;
@@ -1365,7 +1391,7 @@ def run_crawl(
             )
 
     _flush_inflight()
-    _t_drain0 = _time_mod.time()
+    _t_drain0 = _time.time()
     _deliver_all()  # loop exited with undelivered links
     if checkpoint_dir:
         ckpt.write(
@@ -1399,5 +1425,5 @@ def run_crawl(
         metrics=epoch_metrics.to_table(),
         fetch_log_dir=fetch_log_dir,
         setup_s=round(_setup_s, 3),
-        drain_s=round(_time_mod.time() - _t_drain0, 3),
+        drain_s=round(_time.time() - _t_drain0, 3),
     )

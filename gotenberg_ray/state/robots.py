@@ -55,6 +55,14 @@ class RobotsRules:
         if not self._compiled:
             return np.ones(n, dtype=bool)
         if not self._all_literal:
+            # wildcard ('*'/'$') rulesets: per-row regex matcher — which
+            # needs PYTHON strings (an arrow StringScalar into re.match
+            # raises TypeError; the shard admission gate passes arrow
+            # arrays, so coerce first — review-found crash class)
+            import pyarrow as pa
+
+            if isinstance(paths, (pa.Array, pa.ChunkedArray)):
+                paths = paths.to_pylist()
             return np.fromiter(
                 (self.allowed(p) for p in paths), dtype=bool, count=n
             )

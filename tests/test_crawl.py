@@ -446,3 +446,111 @@ def test_ray_mode_resume_is_bit_identical(ray_session, small_world, tmp_path):
         tail.reset_index(drop=True),
         res_b.fetch_log.to_pandas().reset_index(drop=True),
     )
+
+
+def test_resume_adopts_salt_without_auto_flag(small_world, tmp_path):
+    """The checkpointed salt decision must ride resume even when the
+    resume command omits auto_salt — a salted checkpoint resumed by an
+    unsalted cfg would rebuild unsalted shards over salted seen-state
+    (silent duplicate fetches; review-found)."""
+    import dataclasses
+
+    docs, frontier, robots, cfg = small_world
+    # force an explicit salt config into the original run
+    salted = dataclasses.replace(
+        cfg, salt_hosts=("h0.example.com",), salt_k=2, max_epochs=7
+    )
+    d = str(tmp_path / "ck")
+    run_crawl(frontier, docs, robots, salted, mode="local", checkpoint_dir=d)
+
+    full = run_crawl(
+        frontier, docs, robots,
+        dataclasses.replace(cfg, salt_hosts=("h0.example.com",), salt_k=2),
+        mode="local", checkpoint_dir=str(tmp_path / "full"),
+    )
+    # resume WITHOUT any salt flags: must adopt (h0, k=2) from the
+    # checkpoint and finish bit-identically to the uninterrupted run
+    resumed = run_crawl(
+        frontier, docs, robots, cfg,  # no salt_hosts, no auto_salt
+        mode="local", checkpoint_dir=d, resume=True,
+    )
+    assert full.counters == resumed.counters
+    assert full.fetch_seq == resumed.fetch_seq
+    d_full = ckpt.latest_epoch_dir(str(tmp_path / "full"))
+    d_part = ckpt.latest_epoch_dir(d)
+    assert ckpt.checkpoint_digest(d_full) == ckpt.checkpoint_digest(d_part)
+
+
+def test_resume_refuses_scheduling_config_mismatch(small_world, tmp_path):
+    """Scheduling-critical scalars (seed, epoch_width, politeness
+    budget, link timing) must match the checkpoint — a mismatch changes
+    fetch ordering over restored state (same class as the partition
+    refusal)."""
+    import dataclasses
+
+    docs, frontier, robots, cfg = small_world
+    d = str(tmp_path / "ck")
+    run_crawl(
+        frontier, docs, robots,
+        dataclasses.replace(cfg, max_epochs=5),
+        mode="local", checkpoint_dir=d,
+    )
+    for field, value in (
+        ("epoch_width", cfg.epoch_width * 2),
+        ("default_delay", cfg.default_delay + 1),
+        ("seed", cfg.seed + 1),
+    ):
+        with pytest.raises(ValueError, match="scheduling-critical"):
+            run_crawl(
+                frontier, docs, robots,
+                dataclasses.replace(cfg, **{field: value}),
+                mode="local", checkpoint_dir=d, resume=True,
+            )
+
+
+def test_resume_clears_stale_epoch_parts(small_world, tmp_path):
+    """A killed run's leftover part files from a DIFFERENT chunking of
+    an epoch must not duplicate pages in the resumed output (the epoch
+    dir is cleared before its chunks write; review-found)."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    docs, frontier, robots, cfg = small_world
+    pages_full = str(tmp_path / "pages_full")
+    full = run_crawl(
+        frontier, docs, robots, cfg, mode="local", pages_dir=pages_full
+    )
+    n_full = rd.read_parquet(pages_full).count()
+
+    # interrupted run + a STALE extra part planted in the next epoch's
+    # dir (simulating a killed larger-chunking attempt)
+    cfg_a = dataclasses.replace(cfg, max_epochs=7)
+    d = str(tmp_path / "ck")
+    pages = str(tmp_path / "pages")
+    run_crawl(
+        frontier, docs, robots, cfg_a, mode="local",
+        checkpoint_dir=d, pages_dir=pages,
+    )
+    import os
+
+    epochs = sorted(os.listdir(pages))
+    some_epoch = os.path.join(pages, epochs[0])
+    a_part = os.path.join(
+        some_epoch, sorted(os.listdir(some_epoch))[0]
+    )
+    # plant stale parts into a FUTURE epoch dir the resume will rewrite
+    future = os.path.join(pages, "epoch=000009")
+    os.makedirs(future, exist_ok=True)
+    import shutil
+
+    shutil.copy(a_part, os.path.join(future, "part-0099.parquet"))
+
+    resumed = run_crawl(
+        frontier, docs, robots, cfg, mode="local",
+        checkpoint_dir=d, resume=True, pages_dir=pages,
+    )
+    assert resumed.fetch_seq == full.fetch_seq
+    n_resumed = rd.read_parquet(pages).count()
+    assert n_resumed == n_full, "stale planted part must be cleared"

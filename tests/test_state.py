@@ -201,3 +201,23 @@ class TestHeapScalarApi:
         assert len(h) == 0
         h.push(1, 1, 8, 2)
         assert len(h) == 1
+
+
+def test_robots_wildcard_batch_accepts_arrow_arrays():
+    """The wildcard ('*'/'$') ruleset fallback must accept pyarrow
+    string arrays — the shard admission gate passes them (review-found
+    crash: an arrow StringScalar into re.match raised TypeError and
+    killed the crawl for any real-world robots.txt with wildcards)."""
+    import numpy as np
+    import pyarrow as pa
+
+    r = parse_robots("User-agent: *\nDisallow: /*.pdf$", "x")
+    paths = ["/a/b.pdf", "/page", "/x.pdfy", "/deep/c.pdf"]
+    want = np.array([r.allowed(p) for p in paths])
+    got_arr = r.allowed_batch(pa.array(paths, pa.string()))
+    got_chunked = r.allowed_batch(pa.chunked_array([paths[:2], paths[2:]]))
+    got_list = r.allowed_batch(paths)
+    assert (got_arr == want).all()
+    assert (got_chunked == want).all()
+    assert (got_list == want).all()
+    assert list(want) == [False, True, True, False]
