@@ -67,6 +67,14 @@ def _pid_domain(key_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     CONSISTENT route."""
     if isinstance(key_col, pa.ChunkedArray):
         key_col = key_col.combine_chunks()
+    # normalize encodings the hashers' fast paths don't speak:
+    # dictionary-encoded and large_string key columns arrive from
+    # parquet readers routinely and must hash by VALUE, not crash in
+    # the per-scalar fallback (review-found)
+    if pa.types.is_dictionary(key_col.type):
+        key_col = key_col.dictionary_decode()
+    if pa.types.is_large_string(key_col.type):
+        key_col = pc.cast(key_col, pa.string())
     if pa.types.is_integer(key_col.type):
         if key_col.null_count:
             key_col = pc.fill_null(key_col, 0)
@@ -133,7 +141,11 @@ def _pad_to(
             else:
                 arrays.append(pa.nulls(n, typ))
             names.append(name)
-        dom = _pid_domain(batch.column(key))
+        # hash the CAST key column (the one the local join compares),
+        # not the raw input: sides whose stored key types differ (e.g.
+        # string vs int read from different producers) must hash ONE
+        # domain or matching rows never co-locate (review-found)
+        dom = _pid_domain(arrays[names.index(key)])
         base = (dom % np.uint64(p)).astype(np.int32)
         if hot_dom is None or n == 0:
             pid = base
@@ -142,6 +154,10 @@ def _pad_to(
             if side == 0:
                 salts = (np.arange(n, dtype=np.uint64) % np.uint64(salt))
                 pid = np.where(hot, _salted_pids(dom, salts, p), base)
+            elif not hot.any():
+                # no hot rows in this build batch: skip the full-table
+                # take() copy the replication machinery would pay
+                pid = base
             else:
                 idx_cold = np.nonzero(~hot)[0]
                 idx_hot = np.nonzero(hot)[0]
@@ -206,11 +222,21 @@ def _local_join(lt: pa.Table, rt: pa.Table, on: str, join_type: str) -> pa.Table
 
 
 def _key_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Key column → uint64 hash domain (ints direct, strings fnv64) —
-    the same domain ``partition_ids`` hashes, so bloom membership and
-    partition routing agree."""
+    """Key column → uint64 BLOOM domain (ints raw, strings fnv64).
+
+    NOT the partition-routing domain: ``_pid_domain`` additionally
+    splitmix-finalizes ints so dense keys spread across partitions,
+    which bloom membership doesn't need (and skipping it keeps the
+    probe a cast). Correctness only requires that bloom BUILD and
+    bloom PROBE share one domain — both call this function; never
+    route one of them through ``_pid_domain`` (the domains differ for
+    ints by design)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):  # same normalization as
+        col = col.dictionary_decode()  # _pid_domain (review-found)
+    if pa.types.is_large_string(col.type):
+        col = pc.cast(col, pa.string())
     if pa.types.is_integer(col.type):
         if col.null_count:  # same null discipline as _pid_domain
             col = pc.fill_null(col, 0)
@@ -267,7 +293,18 @@ def detect_hot_keys(
     from ..state.heavy import MisraGries
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = pa.table({"k": batch.column(key)}).group_by("k").aggregate(
+        col = batch.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # drop null keys BEFORE the group_by: a null group otherwise
+        # degrades the numpy key dtype to float64, rounding int keys
+        # above 2^53 into values that exist in no partition while its
+        # count still raised the threshold denominator (review-found).
+        # Null keys never match a join anyway — they are not hot-key
+        # candidates and must not count toward n.
+        if col.null_count:
+            col = col.drop_null()
+        g = pa.table({"k": col}).group_by("k").aggregate(
             [([], "count_all")]
         ).rename_columns(["k", "c"])
         mg = MisraGries(capacity)
@@ -412,11 +449,9 @@ def hash_join(
         )
 
     if bloom_prune_left:
-        import ray as _ray
-
         from ..state.bloom import BloomFilter
 
-        bloom_ref = _ray.put(
+        bloom_ref = ray.put(
             build_key_bloom(right, on, bloom_capacity, bloom_fp).as_state()
         )
 
@@ -424,7 +459,7 @@ def hash_join(
             # as_state ships the bit array as numpy: ray.get maps it
             # zero-copy from plasma, so the per-task rebuild is ~µs
             # (probe-only — contains never writes the bits)
-            bf = BloomFilter.from_state(_ray.get(bloom_ref))
+            bf = BloomFilter.from_state(ray.get(bloom_ref))
             keep = bf.contains(_key_u64(batch.column(on)))
             return batch.filter(pa.array(keep))
 
@@ -493,6 +528,13 @@ def broadcast_join(
     if join_type not in ("inner", "left outer", "left semi", "left anti"):
         raise ValueError(f"broadcast_join does not support {join_type!r}")
     rkey = right_on or on
+    # accept pa.Schema like hash_join does — _align unpacks (name,
+    # type) pairs and a raw Schema iterates Fields (review-found crash
+    # on the auto_join size-gated path)
+    if isinstance(left_schema, pa.Schema):
+        left_schema = [(f.name, f.type) for f in left_schema]
+    if isinstance(right_schema, pa.Schema):
+        right_schema = [(f.name, f.type) for f in right_schema]
 
     def _align(t: pa.Table, fields) -> pa.Table:
         """Schema-less/partial (often empty) block → declared schema."""

@@ -372,3 +372,76 @@ def test_autojoin_broadcast_and_bucketed_paths_equal(sf_dir, monkeypatch):
     monkeypatch.setattr(J, "BROADCAST_MAX_BYTES", 0)
     for q in queries:
         pd.testing.assert_frame_equal(fast[q.__name__], q(sf_dir))
+
+
+def test_key_domains_accept_dictionary_and_large_string():
+    """Parquet readers routinely hand back dictionary-encoded or
+    large_string key columns; routing and bloom domains must hash them
+    by VALUE (review-found crash in the per-scalar fnv64 fallback)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gotenberg_ray.pipelines.joins import _key_u64, _pid_domain
+
+    plain = pa.array(["a", "b", "c"])
+    for enc in (plain.dictionary_encode(), pa.array(["a", "b", "c"], pa.large_string())):
+        assert (_pid_domain(enc) == _pid_domain(plain)).all()
+        assert (_key_u64(enc) == _key_u64(plain)).all()
+
+
+def test_pad_to_hashes_cast_key_domain():
+    """Sides whose stored key types differ must route by the CAST key
+    (the value the local join compares) — raw-column hashing sent
+    matching rows to different partitions (review-found)."""
+    import pyarrow as pa
+
+    from gotenberg_ray.pipelines.joins import _pad_to
+
+    fields = [("k", pa.string()), ("v", pa.int64())]
+    left = pa.table({"k": pa.array(["1", "2"]), "v": pa.array([1, 2], pa.int64())})
+    right = pa.table({"k": pa.array([1, 2], pa.int32()), "v": pa.array([3, 4], pa.int64())})
+    tl = _pad_to(fields, 0, "k", 8)(left)
+    tr = _pad_to(fields, 1, "k", 8)(right)
+    pid = [c for c in tl.column_names if "pid" in c.lower()][0]
+    assert tl[pid].to_pylist() == tr[pid].to_pylist()
+
+
+def test_broadcast_join_accepts_pa_schema(ray_session):
+    """broadcast_join's declared-schema path must accept pa.Schema like
+    hash_join does (auto_join forwards either form; review-found
+    TypeError unpacking Fields)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gotenberg_ray.pipelines.joins import broadcast_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "x": pa.array([10, 20, 30], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+    )
+    out = broadcast_join(
+        left, right, on="k", join_type="left outer",
+        left_schema=pa.schema([("k", pa.int64()), ("x", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("y", pa.int64())]),
+    ).to_pandas()
+    assert len(out) == 3 and out["y"].isna().all()
+
+
+def test_detect_hot_keys_ignores_nulls_and_keeps_int_dtype(ray_session):
+    """Null keys must not degrade the sketch's key dtype to float64
+    (rounding int keys above 2^53) nor count toward the threshold
+    (review-found)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gotenberg_ray.pipelines.joins import detect_hot_keys
+
+    big = (1 << 60) + 1  # survives int64, rounds in float64
+    keys = [big] * 50 + [None] * 30 + list(range(10))
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    hot = detect_hot_keys(ds, "k", num_partitions=32)
+    assert big in set(hot.to_pylist())
