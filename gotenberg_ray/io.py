@@ -274,10 +274,15 @@ def write_partitioned(
     mapping it can prune on at read time.
 
     ``append=True`` switches to incremental-ingest semantics: each run
-    adds a NEW ``part-<k>.parquet`` per bucket instead of skipping
-    complete buckets, and the ``_COMPLETE`` marker's row count
-    accumulates — the daily-increment landing pattern whose small
-    files ``compact_partitioned`` later folds."""
+    adds a NEW ``part-<g>.parquet`` per non-empty bucket, where ``g``
+    is the LAYOUT-LEVEL landing generation (a ``_GEN`` counter file
+    the driver advances once per landing) — one uniform generation
+    number per landing across every bucket, so ``as_of=k`` snapshots
+    stay consistent even when a landing hashes no rows into some
+    bucket or a compaction collapsed earlier parts (per-bucket file
+    COUNTS skewed exactly there — review-found). The ``_COMPLETE``
+    marker's row count accumulates; ``compact_partitioned`` later
+    folds the small files."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -286,7 +291,23 @@ def write_partitioned(
 
     os.makedirs(path, exist_ok=True)
     done = set()
+    all_marker = os.path.join(path, "_ALL_COMPLETE")
+    generation = 0
     if not append:
+        if os.path.exists(all_marker):
+            # fully-written layout: short-circuit BEFORE the Dataset
+            # executes — a no-op resume must not pay the corpus scan.
+            # The layout-level marker (written after a full successful
+            # run) covers layouts where some buckets legitimately
+            # received no rows, which the per-bucket count below never
+            # could (review-found: such layouts re-scanned forever)
+            with open(all_marker) as f:
+                n_done = int(f.read() or 0)
+            return {
+                "written_buckets": 0,
+                "written_rows": 0,
+                "skipped_buckets": n_done,
+            }
         done = {
             int(d.split("-")[1])
             for d in os.listdir(path)
@@ -294,13 +315,31 @@ def write_partitioned(
             and os.path.exists(os.path.join(path, d, "_COMPLETE"))
         }
         if len(done) >= num_partitions:
-            # fully-written layout: short-circuit BEFORE the Dataset
-            # executes — a no-op resume must not pay the corpus scan
             return {
                 "written_buckets": 0,
                 "written_rows": 0,
                 "skipped_buckets": len(done),
             }
+    else:
+        gen_file = os.path.join(path, "_GEN")
+        if os.path.exists(gen_file):
+            with open(gen_file) as f:
+                generation = int(f.read() or 0)
+        else:
+            # legacy/first landing: infer from the highest existing
+            # part index across buckets (compaction without _GEN is
+            # the documented time-travel forfeit)
+            hi = -1
+            for d in os.listdir(path):
+                if not d.startswith("bucket-"):
+                    continue
+                for f_ in os.listdir(os.path.join(path, d)):
+                    if f_.startswith("part-") and f_.endswith(".parquet"):
+                        try:
+                            hi = max(hi, int(f_[5:-8]))
+                        except ValueError:
+                            pass
+            generation = hi + 1
 
     def tag(batch: pa.Table) -> pa.Table:
         if direct:
@@ -321,8 +360,8 @@ def write_partitioned(
         os.makedirs(bdir, exist_ok=True)
         prior = 0
         if append:
-            existing = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
-            fname = f"part-{len(existing)}.parquet"
+            # uniform landing generation across buckets (driver-decided)
+            fname = f"part-{generation}.parquet"
             marker = os.path.join(bdir, "_COMPLETE")
             if os.path.exists(marker):
                 with open(marker) as f:
@@ -346,6 +385,26 @@ def write_partitioned(
         .map_groups(write_bucket, batch_format="pyarrow")
         .to_pandas()
     )
+    if append:
+        # advance the landing generation ONLY after every bucket's
+        # two-phase write completed — a killed landing re-lands under
+        # the SAME generation (its finished buckets' part-<g> files are
+        # atomically replaced, never duplicated)
+        tmp = os.path.join(path, "_GEN.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(generation + 1))
+        os.replace(tmp, os.path.join(path, "_GEN"))
+    else:
+        # layout-level completion marker: records how many buckets the
+        # finished layout holds so a no-op resume can short-circuit
+        # even when some buckets received no rows
+        n_buckets = len(
+            [d for d in os.listdir(path) if d.startswith("bucket-")]
+        )
+        tmp = all_marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(n_buckets))
+        os.replace(tmp, all_marker)
     return {
         "written_buckets": len(written),
         "written_rows": int(written["rows"].sum()) if len(written) else 0,
@@ -519,16 +578,27 @@ def read_evolved(
 
     fields = [(n, t) for n, t in schema if columns is None or n in columns]
     targets = [n for n, _ in fields]
+    if not paths:  # no files landed yet: empty dataset, target schema
+        return rd.from_arrow(
+            pa.schema([pa.field(n, t) for n, t in fields]).empty_table()
+        )
     # footer-only metadata reads — cheap at any scale; the per-file
-    # projection is the intersection of target and stored columns
+    # projection is the intersection of target and stored columns.
+    # ``[]`` (file stores NONE of the target columns) is kept distinct
+    # from ``None`` (schema unreadable → read-and-align fallback):
+    # such a file contributes only its ROW COUNT (all-null rows), which
+    # the footer already carries — reading every stored column for
+    # zero useful bytes defeated the documented pruning (review-found)
     per_file_cols: list[list[str] | None] = []
+    per_file_rows: list[int] = []
     for p in paths:
         try:
             names = set(pq.read_schema(p).names)
-            cols = [n for n in targets if n in names]
-            per_file_cols.append(cols or None)
+            per_file_cols.append([n for n in targets if n in names])
+            per_file_rows.append(int(pq.read_metadata(p).num_rows))
         except OSError:
             per_file_cols.append(None)
+            per_file_rows.append(0)
 
     def align(batch: pa.Table) -> pa.Table:
         cols = []
@@ -544,12 +614,25 @@ def read_evolved(
     # reader projects against the FIRST file's schema, so a shared
     # column list would reject late-generation columns); each file
     # reads only its own intersection and aligns, then the streams
-    # union
-    parts = [
-        rd.read_parquet(p, columns=c, override_num_blocks=1).map_batches(
-            align, batch_format="pyarrow"
+    # union. A file storing none of the targets never touches its data
+    # pages — its rows materialize as nulls from the footer count.
+    target_schema = pa.schema([pa.field(n, t) for n, t in fields])
+
+    def _null_rows(n_rows: int) -> rd.Dataset:
+        return rd.from_arrow(
+            pa.table(
+                {nm: pa.nulls(n_rows, t) for nm, t in fields},
+                schema=target_schema,
+            )
         )
-        for p, c in zip(paths, per_file_cols)
+
+    parts = [
+        _null_rows(nr)
+        if c == []
+        else rd.read_parquet(
+            p, columns=(c or None), override_num_blocks=1
+        ).map_batches(align, batch_format="pyarrow")
+        for p, c, nr in zip(paths, per_file_cols, per_file_rows)
     ]
     ds = parts[0]
     for part in parts[1:]:

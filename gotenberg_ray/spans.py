@@ -117,14 +117,21 @@ def parse_page_selection(expr: str, n_pages: int) -> list[int]:
         if not tok:
             continue
         m = re.fullmatch(r"(\d+)?\s*-\s*(\d+)?", tok)
+        open_hi = False
         if m and (m.group(1) or m.group(2)):
             lo = int(m.group(1)) if m.group(1) else 1
             hi = int(m.group(2)) if m.group(2) else n_pages
+            open_hi = m.group(2) is None
         elif re.fullmatch(r"\d+", tok):
             lo = hi = int(tok)
         else:
             raise InvalidInput(f"invalid page selection {expr!r}")
-        if lo < 1 or lo > hi:
+        # 'N-' means "page N to the end": on a document shorter than N
+        # it selects nothing, exactly like the bounded 'N-M' clipping —
+        # the lo > hi rejection applies only when BOTH endpoints are
+        # explicit (review-found: '2-' 400'd on a 1-page doc while
+        # '2-99' silently selected nothing)
+        if lo < 1 or (lo > hi and not open_hi):
             raise InvalidInput(f"invalid page selection {expr!r}")
         out.update(range(lo - 1, min(hi, n_pages)))
     return sorted(i for i in out if 0 <= i < n_pages)

@@ -243,9 +243,16 @@ class SimulatedFetcher:
             )
         ).astype(np.int64)
 
-        # per-doc distinct asset origins (host of each media ref)
+        # per-doc distinct asset origins (host of each media ref) — via
+        # the canonical host extractor so the origin set and the probe
+        # at __call__ (which compares the canonical lowercase row host)
+        # speak ONE host normalization (an inline split('/')[2] kept
+        # port/case and would double-count e.g. Assets.example.com:443
+        # vs assets.example.com — review-found latent divergence)
+        from ..functions.urlkit import url_host
+
         ref_list = refs.to_pylist()
-        hosts_m = [r.split("/")[2] if "://" in r else "" for r in ref_list]
+        hosts_m = [url_host(r) if "://" in r else "" for r in ref_list]
         origins = [frozenset()] * n
         if len(mp):
             order = np.argsort(mp, kind="stable")
@@ -300,6 +307,13 @@ class SimulatedFetcher:
         opts_arr = batch.column("options_json")
         if isinstance(opts_arr, pa.ChunkedArray):
             opts_arr = opts_arr.combine_chunks()
+        if opts_arr.null_count:
+            # null options must take the DEFAULT fail set like the
+            # scalar contract (_fail_set(None) → "{}"); a null
+            # dictionary index otherwise becomes NaN in numpy and
+            # never equals any code, silently skipping the predicate
+            # (review-found)
+            opts_arr = pc.fill_null(opts_arr, "{}")
         enc = opts_arr.dictionary_encode()
         opt_codes = enc.indices.to_numpy(zero_copy_only=False)
         for code, val in enumerate(enc.dictionary.to_pylist()):
@@ -312,11 +326,21 @@ class SimulatedFetcher:
         spans_out = self.spans_col.take(pa.array(take_idx))
 
         st = self.stats
-        safe = np.where(found, idx, 0)  # one safe-gather index for all
-        req = np.where(ok, st["req"][safe], 1)
-        byts = np.where(ok, st["bytes"][safe], 0)
-        failed = np.where(ok, st["failed"][safe], 1)
-        n_orig = np.where(ok, st["origins_len"][safe], 0)
+        if st["req"].size == 0:
+            # empty docs table: nothing is found, every gather source
+            # is zero-length — take the all-error constants directly
+            # (np.where gathers eagerly and would IndexError;
+            # review-found)
+            req = np.ones(n, np.int64)
+            byts = np.zeros(n, np.int64)
+            failed = np.ones(n, np.int64)
+            n_orig = np.zeros(n, np.int64)
+        else:
+            safe = np.where(found, idx, 0)  # one safe-gather index for all
+            req = np.where(ok, st["req"][safe], 1)
+            byts = np.where(ok, st["bytes"][safe], 0)
+            failed = np.where(ok, st["failed"][safe], 1)
+            n_orig = np.where(ok, st["origins_len"][safe], 0)
         origins_list = st["origins"]
 
         ok_idx = np.nonzero(ok)[0]

@@ -554,3 +554,78 @@ def test_resume_clears_stale_epoch_parts(small_world, tmp_path):
     assert resumed.fetch_seq == full.fetch_seq
     n_resumed = rd.read_parquet(pages).count()
     assert n_resumed == n_full, "stale planted part must be cleared"
+
+
+def test_fetcher_null_options_take_default_fail_predicate():
+    """A null options_json row must apply the DEFAULT failOnHttpStatus
+    predicate like the scalar contract (review-found: null dictionary
+    indices became NaN and silently skipped the predicate)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gotenberg_ray.corpus import make_documents
+    from gotenberg_ray.stages.fetcher import (
+        SimulatedFetcher,
+        synthetic_status,
+    )
+
+    docs = make_documents(20, seed=42)
+    f = SimulatedFetcher(SimulatedFetcher.build_state(docs), link_universe=50)
+    doc_ids = docs["doc_id"].to_pylist()[:8]
+    # find url hashes that synthesize an error status (>=400)
+    hashes = np.arange(0, 50_000, dtype=np.uint64)
+    st = synthetic_status(hashes)
+    bad_hashes = hashes[st >= 400][: len(doc_ids)].astype(np.uint64)
+    assert len(bad_hashes) == len(doc_ids)
+    batch = pa.table(
+        {
+            "url_canon": pa.array([f"http://h/{i}" for i in range(len(doc_ids))]),
+            "url_hash": pa.array(bad_hashes, pa.uint64()),
+            "host": pa.array(["h"] * len(doc_ids)),
+            "priority": pa.array([1] * len(doc_ids), pa.int32()),
+            "seq": pa.array(range(len(doc_ids)), pa.int64()),
+            "fetch_time": pa.array([0] * len(doc_ids), pa.int64()),
+            "fetch_seq": pa.array(range(len(doc_ids)), pa.int64()),
+            "route": pa.array(["convert/url"] * len(doc_ids)),
+            "doc_id": pa.array(doc_ids),
+            "options_json": pa.array([None, "{}"] * (len(doc_ids) // 2), pa.string()),
+            "epoch": pa.array([0] * len(doc_ids), pa.int64()),
+        }
+    )
+    out = f(batch)
+    statuses = out["status"].to_pylist()
+    # null-options rows (even indices) must error exactly like "{}" rows
+    for i in range(0, len(doc_ids), 2):
+        assert statuses[i] == statuses[i + 1] != "success"
+
+
+def test_fetcher_empty_docs_table_yields_error_rows():
+    """An empty docs table must produce all-error rows, not IndexError
+    (review-found eager gather from zero-length stats arrays)."""
+    import pyarrow as pa
+
+    from gotenberg_ray.corpus import make_documents
+    from gotenberg_ray.stages.fetcher import SimulatedFetcher
+
+    empty_docs = make_documents(0, seed=42)
+    f = SimulatedFetcher(
+        SimulatedFetcher.build_state(empty_docs), link_universe=50
+    )
+    batch = pa.table(
+        {
+            "url_canon": pa.array(["http://h/0"]),
+            "url_hash": pa.array([12345], pa.uint64()),
+            "host": pa.array(["h"]),
+            "priority": pa.array([1], pa.int32()),
+            "seq": pa.array([0], pa.int64()),
+            "fetch_time": pa.array([0], pa.int64()),
+            "fetch_seq": pa.array([0], pa.int64()),
+            "route": pa.array(["convert/url"]),
+            "doc_id": pa.array(["doc-999999"]),
+            "options_json": pa.array(["{}"]),
+            "epoch": pa.array([0], pa.int64()),
+        }
+    )
+    out = f(batch)
+    assert out.num_rows == 1
+    assert out["status"][0].as_py() != "success"

@@ -54,9 +54,12 @@ class TestResumablePartitionedWrite:
         assert first["written_rows"] == len(src)
         assert first["skipped_buckets"] == 0
 
-        # simulate a crash: delete two buckets' markers (half-written)
+        # simulate a crash: delete two buckets' markers (half-written);
+        # a killed run also never wrote the layout-level marker
+        os.remove(os.path.join(out, "_ALL_COMPLETE"))
         killed = 0
-        for d in sorted(os.listdir(out))[:2]:
+        buckets = sorted(d for d in os.listdir(out) if d.startswith("bucket-"))
+        for d in buckets[:2]:
             os.remove(os.path.join(out, d, "_COMPLETE"))
             killed += 1
 
@@ -83,7 +86,9 @@ class TestResumablePartitionedWrite:
         out = str(tmp_path / "partial")
         write_partitioned(rd.from_pandas(src), out, key="doc_id",
                           num_partitions=4)
-        victim = sorted(os.listdir(out))[0]
+        victim = sorted(
+            d for d in os.listdir(out) if d.startswith("bucket-")
+        )[0]
         os.remove(os.path.join(out, victim, "_COMPLETE"))
         visible = read_partitioned(out).to_pandas()
         assert 0 < len(visible) < len(src)
@@ -548,3 +553,94 @@ class TestIpcReader:
             run(gio.read_ipc(path, columns=["doc_id", "text"])),
             run(gio.read_table(sf_dir, "documents", ["doc_id", "text"])),
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewRegressions:
+    def test_noop_resume_short_circuits_with_empty_buckets(self, tmp_path):
+        """A finished layout whose key space occupied fewer than
+        num_partitions buckets must still short-circuit on re-run
+        (review-found: it re-scanned the corpus forever)."""
+        import time
+
+        import pandas as pd
+        import ray.data as rd
+
+        from gotenberg_ray.io import write_partitioned
+
+        # 2 distinct keys over 8 partitions → ≤2 occupied buckets
+        src = pd.DataFrame({"k": [1, 1, 2, 2], "v": [1, 2, 3, 4]})
+        out = str(tmp_path / "sparse")
+        first = write_partitioned(
+            rd.from_pandas(src), out, key="k", num_partitions=8
+        )
+        assert 0 < first["written_buckets"] <= 2
+        assert os.path.exists(os.path.join(out, "_ALL_COMPLETE"))
+        mtimes = {
+            d: os.stat(os.path.join(out, d, "part.parquet")).st_mtime_ns
+            for d in os.listdir(out)
+            if d.startswith("bucket-")
+        }
+        again = write_partitioned(
+            rd.from_pandas(src), out, key="k", num_partitions=8
+        )
+        assert again["written_buckets"] == 0
+        assert again["skipped_buckets"] == first["written_buckets"]
+        for d, m in mtimes.items():
+            assert os.stat(
+                os.path.join(out, d, "part.parquet")
+            ).st_mtime_ns == m
+
+    def test_as_of_consistent_when_landing_skips_buckets(self, tmp_path):
+        """Landing generations are layout-uniform: a landing that
+        hashes no rows into some bucket must not shift later landings'
+        generation numbers there (review-found snapshot skew)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from gotenberg_ray.io import read_partitioned, write_partitioned
+
+        out = str(tmp_path / "tt2")
+        # landing 0: ONE key → one occupied bucket
+        l0 = pd.DataFrame({"k": [7] * 5, "gen": [0] * 5})
+        write_partitioned(
+            rd.from_pandas(l0), out, key="k", num_partitions=4, append=True
+        )
+        # landing 1: many keys → several buckets (incl. 7's)
+        l1 = pd.DataFrame({"k": list(range(12)), "gen": [1] * 12})
+        write_partitioned(
+            rd.from_pandas(l1), out, key="k", num_partitions=4, append=True
+        )
+        snap0 = read_partitioned(out, as_of=1).to_pandas()
+        assert set(snap0["gen"]) == {0} and len(snap0) == 5
+        snap1 = read_partitioned(out, as_of=2).to_pandas()
+        assert len(snap1) == 17
+        assert len(read_partitioned(out).to_pandas()) == 17
+
+    def test_read_evolved_handles_columnless_files_and_empty_paths(
+        self, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gotenberg_ray.io import read_evolved
+
+        schema = [("a", pa.int64()), ("b", pa.string())]
+        # file 1: has both; file 2: stores NONE of the targets
+        p1 = str(tmp_path / "f1.parquet")
+        pq.write_table(
+            pa.table({"a": pa.array([1, 2], pa.int64()),
+                      "b": pa.array(["x", "y"])}), p1
+        )
+        p2 = str(tmp_path / "f2.parquet")
+        pq.write_table(
+            pa.table({"legacy": pa.array([10, 20, 30], pa.int64())}), p2
+        )
+        df = read_evolved([p1, p2], schema).to_pandas()
+        assert len(df) == 5
+        assert df["a"].notna().sum() == 2 and df["a"].isna().sum() == 3
+        empty_ds = read_evolved([], schema)
+        assert empty_ds.count() == 0
+        # Ray's to_pandas drops labels on empty datasets; the declared
+        # schema survives on the Dataset itself
+        assert empty_ds.schema().names == ["a", "b"]

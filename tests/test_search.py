@@ -204,11 +204,15 @@ class TestIndexKillResume:
         stats_before = open(os.path.join(path, "_STATS.json")).read()
 
         # simulate a mid-build kill: two buckets torn (marker gone,
-        # data gone), stats file lost with them
+        # data gone), stats file lost with them. A killed build never
+        # reached the layout-level _ALL_COMPLETE marker either — drop
+        # it so the simulation is faithful (the marker is only written
+        # after every bucket completed)
         killed = sorted(before)[:2]
         for d in killed:
             shutil.rmtree(os.path.join(path, d))
         os.unlink(os.path.join(path, "_STATS.json"))
+        os.unlink(os.path.join(path, "_ALL_COMPLETE"))
 
         healed = SE.search_bm25(sf)  # resume: rebuild ONLY the holes
         pd.testing.assert_frame_equal(healed, baseline)

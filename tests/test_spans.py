@@ -175,3 +175,19 @@ def test_facturx_coercion_and_idempotence():
     twice = S.apply_facturx(once, "fx.xml")
     assert once == twice  # qpdf.go XMP idempotence
     assert json.loads(once[-1]["text"])["name"] == S.FACTURX_EMBED_NAME
+
+
+def test_open_ended_range_clips_like_bounded_range():
+    """'N-' on a short document selects nothing, exactly like 'N-M'
+    (review-found: it raised InvalidInput while the bounded form
+    silently clipped); explicit backwards ranges still reject."""
+    import pytest as _pytest
+
+    from gotenberg_ray.spans import InvalidInput
+    from gotenberg_ray.spans import parse_page_selection
+
+    assert parse_page_selection("2-", 1) == []
+    assert parse_page_selection("2-99", 1) == []
+    assert parse_page_selection("2-", 5) == [1, 2, 3, 4]
+    with _pytest.raises(InvalidInput):
+        parse_page_selection("5-2", 9)
