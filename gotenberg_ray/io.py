@@ -154,6 +154,35 @@ def read_table(
     )
 
 
+def read_rows_filtered(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None,
+    key: str,
+    values: list,
+) -> "object":
+    """Small keyed row fetch (``key IN values``) with predicate
+    pushdown, honoring the SAME lance/parquet storage dispatch as
+    :func:`read_table` — the ANN query-vector grabs previously
+    hardcoded the parquet path and would crash on a lance-native store
+    (review-found). Returns a pyarrow Table; only the matching rows'
+    row groups/fragments leave storage."""
+    import pyarrow.parquet as _pq
+
+    lp = _lance_path(sf_dir, table)
+    if lance_available() and os.path.isdir(lp):  # pragma: no cover — no wheel
+        import lance
+
+        ds = lance.dataset(lp)
+        vals = ", ".join(repr(v) for v in values)
+        return ds.to_table(columns=columns, filter=f"{key} IN ({vals})")
+    return _pq.read_table(
+        table_path(sf_dir, table),
+        columns=columns,
+        filters=[(key, "in", list(values))],
+    )
+
+
 def write_table(ds: rd.Dataset, path: str, format: str = "parquet", **kwargs) -> None:
     """Partitioned sink (one file per block — resumable). ``format=
     'lance'`` lands a Lance dataset when the package is present; the

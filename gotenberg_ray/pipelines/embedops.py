@@ -66,25 +66,30 @@ def _emb(sf_dir: str) -> rd.Dataset:
     return read_table(sf_dir, "embeddings", min_blocks=parallelism_hint())
 
 
+def _query_rows(sf_dir: str, ids: list, columns: list[str]) -> pa.Table:
+    """Driver-side keyed grab of a handful of query vectors with
+    predicate pushdown, through the io seam's storage dispatch (the
+    former per-caller ``pq.read_table(f'{sf_dir}/embeddings.parquet')``
+    hardcode broke on lance-native stores, and two callers even ran a
+    full distributed corpus scan for ≤4 rows — review-found)."""
+    from ..io import read_rows_filtered
+
+    return read_rows_filtered(sf_dir, "embeddings", columns, "vec_id", ids)
+
+
 def _query_vector(sf_dir: str) -> np.ndarray:
     # predicate-pushdown read: ONE row reaches the driver, not the
     # whole vector table (row groups prune on the vec_id statistics)
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "==", QUERY_VEC_ID)],
-    )
+    t = _query_rows(sf_dir, [QUERY_VEC_ID], ["vec_id", "embedding"])
     if t.num_rows == 0:  # empty store → no query vector
         return None
     return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 def _batch_matrix(batch: pa.Table) -> np.ndarray:
-    col = batch.column("embedding")
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    return flat.reshape(batch.num_rows, -1)
+    # delegates to the shared list-column→matrix kernel (one copy of
+    # the combine/flatten/cast/reshape logic; review-found duplication)
+    return _flat_matrix(batch.column("embedding"), batch.num_rows)
 
 
 def _unit_rows(m: np.ndarray) -> np.ndarray:
@@ -140,7 +145,7 @@ def knn_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _batch_matrix(batch)
-            sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ self.q
+            sims = _unit_rows(m) @ self.q
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             keep = ids != QUERY_VEC_ID
             sims, ids = sims[keep], ids[keep]
@@ -180,21 +185,9 @@ def knn_multi(sf_dir: str, k: int = 10) -> pd.DataFrame:
     produces); each block emits ≤ Q·k candidate rows; the driver merge
     is per-query. Query rows themselves are excluded from the corpus
     side, mirroring the SQL twin's ``NOT IN``."""
-    ids_set = set(MULTI_QUERY_IDS)
-
-    def grab_queries(batch: pa.Table) -> pa.Table:
-        keep = np.isin(
-            batch.column("vec_id").to_numpy(zero_copy_only=False),
-            list(ids_set),
-        )
-        return batch.filter(pa.array(keep))
-
-    qt = (
-        _emb(sf_dir)
-        .select_columns(["vec_id", "embedding"])
-        .map_batches(grab_queries, batch_format="pyarrow")
-        .to_pandas()
-    )
+    qt = _query_rows(
+        sf_dir, list(MULTI_QUERY_IDS), ["vec_id", "embedding"]
+    ).to_pandas()
     if len(qt) == 0:
         return pd.DataFrame(
             {"query_id": pd.Series([], dtype="int64"),
@@ -204,7 +197,7 @@ def knn_multi(sf_dir: str, k: int = 10) -> pd.DataFrame:
     qt = qt.sort_values("vec_id").reset_index(drop=True)
     qids = qt["vec_id"].to_numpy().astype(np.int64)
     qmat = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = _unit_rows(qmat)
     state = ray.put((qids, qmat.T))  # (d × Q), matmul-ready
 
     class MultiTopK:
@@ -222,10 +215,16 @@ def knn_multi(sf_dir: str, k: int = 10) -> pd.DataFrame:
                      "sim": pa.array([], pa.float64())}
                 )
             m, ids = m[keep], ids[keep]
-            sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ self.qT
+            sims = _unit_rows(m) @ self.qT
             kk = min(k, sims.shape[0])
-            # per-query local top-k in one argpartition over axis 0
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+            # deterministic per-query local top-k: boundary ties keep
+            # the SMALLEST vec_ids, matching the twin's (sim DESC,
+            # vec_id) row_number — argpartition kept an arbitrary
+            # subset under exact-duplicate ties (review-found; the
+            # hard_negative_mining stage already used this form)
+            part = np.empty((kk, sims.shape[1]), dtype=np.int64)
+            for j in range(sims.shape[1]):
+                part[:, j] = np.lexsort((ids, -sims[:, j]))[:kk]
             q_rep = np.repeat(self.qids, kk)
             rows = part.T.ravel()
             return pa.table(
@@ -315,7 +314,7 @@ def knn_filtered(sf_dir: str, k: int = 10) -> pd.DataFrame:
                      "sim": pa.array([], pa.float64())}
                 )
             m = _batch_matrix(batch)
-            sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ self.q
+            sims = _unit_rows(m) @ self.q
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             top = np.argsort(-sims, kind="stable")[:k]
             return pa.table(
@@ -375,13 +374,13 @@ def _tile_pairs(
     if ta.num_rows == 0 or tb.num_rows == 0:
         return empty
     ma = _batch_matrix(ta)
-    ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+    ma = _unit_rows(ma)
     ids_a = ta.column("vec_id").to_numpy(zero_copy_only=False)
     if same_block:
         mb, ids_b = ma, ids_a
     else:
         mb = _batch_matrix(tb)
-        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        mb = _unit_rows(mb)
         ids_b = tb.column("vec_id").to_numpy(zero_copy_only=False)
     sims = ma @ mb.T
     a, b = np.nonzero(sims > threshold)
@@ -535,7 +534,7 @@ def _verify_cosine_pairs(
         )
         vid = vecs["vec_id"].to_numpy().astype(np.int64)
         mat = np.stack(vecs["embedding"].to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _unit_rows(mat)
         order = np.argsort(vid)
         vid_sorted = vid[order]
         mat_s = mat[order]  # row i ↔ vid_sorted[i]
@@ -584,8 +583,8 @@ def _verify_cosine_pairs(
             )
         ma = _flat_matrix(batch.column("emb_a"), batch.num_rows)
         mb = _flat_matrix(batch.column("emb_b"), batch.num_rows)
-        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
-        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        ma = _unit_rows(ma)
+        mb = _unit_rows(mb)
         m = (ma * mb).sum(axis=1) > threshold
         return pa.table(
             {
@@ -959,7 +958,7 @@ def knn_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
             if not mask.any():
                 return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
             mm = m[mask]
-            sims = (mm / np.linalg.norm(mm, axis=1, keepdims=True)) @ self.q
+            sims = _unit_rows(mm) @ self.q
             return pa.table(
                 {"vec_id": pa.array(ids[mask].astype(np.int64)), "sim": pa.array(sims)}
             )
@@ -994,13 +993,13 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
         return None
     order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False), kind="stable")
     m = _batch_matrix(t)[order]
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    mn = _unit_rows(m)
     cents = mn[:IVF_K].copy()
 
     for _ in range(IVF_ITERS):
         cid = np.argmax(mn @ cents.T, axis=1)
         new = _lloyd_update(cents.copy(), mn, cid, IVF_K)
-        cents = new / np.linalg.norm(new, axis=1, keepdims=True)
+        cents = _unit_rows(new)
     return cents
 
 
@@ -1024,7 +1023,7 @@ def knn_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _batch_matrix(batch)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            mn = _unit_rows(m)
             cid = np.argmax(mn @ self.c.T, axis=1)
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             mask = np.isin(cid, list(self.probe)) & (ids != QUERY_VEC_ID)
@@ -1067,7 +1066,7 @@ def _ivfpq_residual_codebooks(sf_dir: str, cents: np.ndarray) -> np.ndarray:
         t.column("vec_id").to_numpy(zero_copy_only=False), kind="stable"
     )
     m = _batch_matrix(t)[order]
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    mn = _unit_rows(m)
     res = mn - cents[np.argmax(mn @ cents.T, axis=1)]
     dsub = res.shape[1] // PQ_M
     books = np.empty((PQ_M, PQ_KS, dsub))
@@ -1128,7 +1127,7 @@ def knn_ivfpq(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _batch_matrix(batch)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            mn = _unit_rows(m)
             cid = np.argmax(mn @ self.c.T, axis=1)
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             mask = np.isin(cid, list(self.probe)) & (ids != QUERY_VEC_ID)
@@ -1176,11 +1175,17 @@ def semdedup(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
     Plan: the bounded-sample k-means trainer from ``_ivf_centroids``
     (driver holds K×d, never the corpus) → one ``map_batches`` pass
     assigns every vector its nearest centroid → ``groupby(cluster)``
-    co-locates each cluster → per-cluster vectorized greedy prune in
-    ``map_groups``. Cross-cluster near-dups are intentionally NOT
+    co-locates each cluster → per-cluster BLOCKED greedy prune in
+    ``map_groups`` (candidate-vs-kept sims computed in bounded
+    chunks — never a full |cluster|² gram matrix; review-found OOM at
+    ~60k-row clusters). Cross-cluster near-dups are intentionally NOT
     compared — that locality is the SemDeDup trade-off that makes the
-    pass sub-quadratic (O(Σ c_k²) with K ∝ N bounding cluster sizes,
-    vs O(N²) for the exact pair join in ``embedding_dup_pairs``).
+    pass O(Σ c_k · kept_k) instead of O(N²). NOTE the cluster count is
+    the shared ``IVF_K`` constant here; the sub-quadratic bound needs
+    K scaled ∝ N at production size (SemDeDup §3 uses K in the tens of
+    thousands at billion scale) — wire a corpus-sized K through
+    ``_ivf_centroids`` when deploying at 100 TB; the fixed demo K keeps
+    the rows-only check deterministic across rounds.
 
     Deterministic: centroid init, assignment argmax, and the
     lowest-vec-id-wins greedy rule are all order-independent, so the
@@ -1202,7 +1207,7 @@ def semdedup(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _batch_matrix(batch)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            mn = _unit_rows(m)
             cid = np.argmax(mn @ self.c.T, axis=1).astype(np.int64)
             return pa.table(
                 {
@@ -1216,13 +1221,43 @@ def semdedup(sf_dir: str, threshold: float = DUP_THRESHOLD) -> pd.DataFrame:
         part = part.sort_by([("vec_id", "ascending")])
         ids = part.column("vec_id").to_numpy(zero_copy_only=False)
         m = _batch_matrix(part)
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = mn @ mn.T
+        mn = _unit_rows(m)
         n = len(ids)
         keep = np.ones(n, dtype=bool)
-        for i in range(1, n):  # greedy over ≤|cluster| rows (bounded)
-            if (sims[i, :i][keep[:i]] > threshold).any():
-                keep[i] = False
+        # blocked greedy, value-identical to the full-gram loop: a row
+        # is dropped iff it exceeds threshold against any KEPT earlier
+        # row. Per block, one matmul against the kept-so-far matrix
+        # covers all earlier blocks (memory ≤ B × kept_chunk); the
+        # sequential dependency survives only WITHIN a block, over the
+        # small B × B gram.
+        B = 2048
+        kept_rows: list[np.ndarray] = []  # kept vectors, id order
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            blk = mn[s:e]
+            dropped = np.zeros(e - s, dtype=bool)
+            if kept_rows:
+                prev = np.concatenate(kept_rows, axis=0)
+                # chunk the kept side too — memory stays ≤ B × C
+                C = 4096
+                for ks in range(0, len(prev), C):
+                    sims_pk = blk @ prev[ks : ks + C].T
+                    dropped |= (sims_pk > threshold).any(axis=1)
+                    if dropped.all():
+                        break
+            gram = blk @ blk.T
+            for i in range(e - s):
+                if dropped[i]:
+                    keep[s + i] = False
+                    continue
+                local_prior = np.flatnonzero(keep[s : s + i])
+                if len(local_prior) and (
+                    gram[i, local_prior] > threshold
+                ).any():
+                    keep[s + i] = False
+            kept_in_blk = np.flatnonzero(keep[s:e])
+            if len(kept_in_blk):
+                kept_rows.append(blk[kept_in_blk])
         return pa.table(
             {
                 "vec_id": pa.array(ids.astype(np.int64)),
@@ -1261,6 +1296,36 @@ def _fake_cross_encoder(dim: int) -> np.ndarray:
     return rng.randn(dim, dim) / np.sqrt(dim)
 
 
+def _recall_stage(q_ref, k0: int):
+    """Shared cheap-cosine recall stage for the two-stage retrievers
+    (rerank_topk / mmr_diverse_topk) — ONE implementation of the
+    normalize → mask-query → block top-k0 → gather-embeddings shape
+    (the two line-for-line copies drifted as duplicates before;
+    review-found)."""
+
+    class Recall:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch)
+            mn = _unit_rows(m)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mask = ids != QUERY_VEC_ID
+            sims = mn[mask] @ self.q
+            top = np.argsort(-sims, kind="stable")[:k0]
+            keep = np.flatnonzero(mask)[top]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[keep].astype(np.int64)),
+                    "sim": pa.array(sims[top]),
+                    "embedding": batch.column("embedding").take(pa.array(keep)),
+                }
+            )
+
+    return Recall
+
+
 def rerank_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
     """Two-stage retrieval: cheap cosine recall of ``k0`` candidates,
     then an ACTOR-POOL reranker scores candidates in batches — the
@@ -1278,25 +1343,7 @@ def rerank_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
     qn = q / np.linalg.norm(q)
     refs = ray.put(qn)
 
-    class Recall:
-        def __init__(self):
-            self.q = ray.get(refs)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _batch_matrix(batch)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            mask = ids != QUERY_VEC_ID
-            sims = mn[mask] @ self.q
-            top = np.argsort(-sims, kind="stable")[:k0]
-            keep = np.flatnonzero(mask)[top]
-            return pa.table(
-                {
-                    "vec_id": pa.array(ids[keep].astype(np.int64)),
-                    "sim": pa.array(sims[top]),
-                    "embedding": batch.column("embedding").take(pa.array(keep)),
-                }
-            )
+    Recall = _recall_stage(refs, k0)
 
     cands = (
         _emb(sf_dir)
@@ -1334,7 +1381,7 @@ def rerank_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _batch_matrix(batch)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            mn = _unit_rows(m)
             scores = (mn @ self.P.T) @ self.pq
             return pa.table(
                 {
@@ -1468,25 +1515,7 @@ def mmr_diverse_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
     qn = q / np.linalg.norm(q)
     refs = ray.put(qn)
 
-    class Recall:
-        def __init__(self):
-            self.q = ray.get(refs)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _batch_matrix(batch)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            mask = ids != QUERY_VEC_ID
-            sims = mn[mask] @ self.q
-            top = np.argsort(-sims, kind="stable")[:k0]
-            keep = np.flatnonzero(mask)[top]
-            return pa.table(
-                {
-                    "vec_id": pa.array(ids[keep].astype(np.int64)),
-                    "sim": pa.array(sims[top]),
-                    "embedding": batch.column("embedding").take(pa.array(keep)),
-                }
-            )
+    Recall = _recall_stage(refs, k0)
 
     cands = (
         _emb(sf_dir)
@@ -1501,7 +1530,7 @@ def mmr_diverse_topk(sf_dir: str, k: int = 10, k0: int = 50) -> pd.DataFrame:
         return empty
     ids = cands["vec_id"].to_numpy().astype(np.int64)
     m = np.stack([np.asarray(e, dtype=np.float64) for e in cands["embedding"]])
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    mn = _unit_rows(m)
     rel_e6 = np.round((mn @ qn) * 1e6).astype(np.int64)
     picked = mmr_greedy(ids, mn, rel_e6, k, MMR_LAMBDA_E2)
     out = pd.DataFrame(picked, columns=["vec_id", "mmr_score_e8"])
@@ -1567,11 +1596,7 @@ def maxsim_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     The SQL twin hashes only (rank, gid) — the knn-family convention
     for float-scored rankings."""
     ids_set = list(MULTI_QUERY_IDS)
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "in", ids_set)],
-    )
+    t = _query_rows(sf_dir, ids_set, ["vec_id", "embedding"])
     if t.num_rows == 0:
         # no query vectors at all → empty ranking; PARTIAL query sets
         # rank over whichever vectors are present (the twin's IN-list
@@ -1632,11 +1657,27 @@ def maxsim_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         top = np.lexsort((gids, -score))[:k]
         return pa.table({"gid": pa.array(gids[top]), "score": pa.array(score[top])})
 
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # Ray invokes map_groups once per single-gid group, so
+        # merge_topk's [:k] was vacuous and EVERY gid reached the
+        # driver (review-found corpus-group-sized merge); this block
+        # stage caps the driver merge at k rows per block
+        if batch.num_rows == 0 or "gid" not in batch.column_names:
+            return pa.table(
+                {"gid": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        g = batch["gid"].to_numpy(zero_copy_only=False)
+        sc = batch["score"].to_numpy(zero_copy_only=False)
+        top = np.lexsort((g, -sc))[:k]
+        return pa.table({"gid": pa.array(g[top]), "score": pa.array(sc[top])})
+
     cands = (
         _emb(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
         .groupby("gid", num_partitions=8)
         .map_groups(merge_topk, batch_format="pyarrow")
+        .map_batches(local_topk, batch_format="pyarrow")
         .to_pandas()
     )
     cands = ensure_columns(cands, {"gid": "int64", "score": "float64"})
@@ -1680,18 +1721,9 @@ def hard_negative_mining(sf_dir: str, k: int = 10) -> pd.DataFrame:
     the knn-family float-ranking convention."""
     ids_set = list(MULTI_QUERY_IDS)
 
-    def grab_queries(batch: pa.Table) -> pa.Table:
-        keep = np.isin(
-            batch.column("vec_id").to_numpy(zero_copy_only=False), ids_set
-        )
-        return batch.filter(pa.array(keep))
-
-    qt = (
-        _emb(sf_dir)
-        .select_columns(["vec_id", "embedding", "label"])
-        .map_batches(grab_queries, batch_format="pyarrow")
-        .to_pandas()
-    )
+    qt = _query_rows(
+        sf_dir, ids_set, ["vec_id", "embedding", "label"]
+    ).to_pandas()
     if len(qt) == 0:
         return pd.DataFrame(
             {"query_id": pd.Series([], dtype="int64"),

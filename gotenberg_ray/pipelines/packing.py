@@ -127,55 +127,18 @@ def ordered_prefix_sum(
     """THE distributed order-preserving prefix sum (shared by
     ``pack_sequences`` and ``train.training_data_pipeline``): returns
     a Dataset of (key, value, start) where ``start`` is the exclusive
-    prefix sum of ``value`` in ascending global ``key`` order. Range
-    bucket ``rid = key // span``; pass 1 folds per-bucket totals (one
-    tiny groupby — only #buckets rows reach the driver for the
-    exclusive base scan); pass 2 closes each bucket with a local
-    sort + cumsum + base."""
-
-    def add_rid(batch: pa.Table) -> pa.Table:
-        rid = pc.cast(
-            pc.divide(batch[key], pa.scalar(span, pa.int64())), pa.int64()
-        )
-        return batch.select([key, value]).append_column(_RID, rid)
-
-    with_rid = ds.map_batches(add_rid, batch_format="pyarrow")
-
-    def bucket_partial(batch: pa.Table) -> pa.Table:
-        return (
-            batch.select([_RID, value]).group_by(_RID).aggregate([(value, "sum")])
-        )
-
-    totals = (
-        with_rid.map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby(_RID)
-        .aggregate(Sum(f"{value}_sum", alias_name="bucket_total"))
-        .to_pandas()
-    )
-    totals = ensure_columns(
-        totals, {_RID: "int64", "bucket_total": "int64"}
-    ).sort_values(_RID)
-    base = {}
-    run = 0
-    for rid, tot in zip(totals[_RID], totals["bucket_total"]):
-        base[int(rid)] = run
-        run += int(tot)
-
-    def close_bucket(part: pa.Table) -> pa.Table:
-        part = part.sort_by([(key, "ascending")])
-        v = part[value].to_numpy(zero_copy_only=False).astype(np.int64)
-        rid = int(part[_RID][0].as_py())
-        start = base[rid] + np.concatenate(([0], np.cumsum(v)[:-1]))
-        return pa.table(
-            {
-                key: part[key],
-                value: pa.array(v),
-                "start": pa.array(start),
-            }
-        )
-
-    return with_rid.groupby(_RID, num_partitions=num_partitions).map_groups(
-        close_bucket, batch_format="pyarrow"
+    prefix sum of ``value`` in ascending global ``key`` order. A thin
+    wrapper over :func:`ordered_prefix_sum_multi` with one value
+    column (the two ~60-line plans drifted as duplicates before —
+    review-found): the multi variant's ``start_<v>`` column renames to
+    the historical ``start``."""
+    return ordered_prefix_sum_multi(
+        ds, key, [value], span, num_partitions=num_partitions
+    ).map_batches(
+        lambda b, _v=value: b.rename_columns(
+            ["start" if c == f"start_{_v}" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -382,8 +345,8 @@ def chunk_documents(
 CHUNK_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
-         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
-                              t -> t <> '')) AS BIGINT) AS t
+         CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')), 0) AS BIGINT) AS t
   FROM documents),
 win AS (
   SELECT doc_id, t,
@@ -488,8 +451,8 @@ PACK_SHUFFLED_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
          (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS shuffle_pos,
-         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
-                              t -> t <> '')) AS BIGINT) AS n_tokens
+         CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')), 0) AS BIGINT) AS n_tokens
   FROM documents)
 SELECT doc_id, n_tokens, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
        CAST(coalesce(sum(n_tokens) OVER (ORDER BY shuffle_pos
