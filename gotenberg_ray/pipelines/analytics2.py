@@ -183,11 +183,15 @@ def _fine_lang_source(sf_dir: str) -> pd.DataFrame:
     grouping-set level of rollup AND cube derives from this frame."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null lang/source ≡ '' (the engine-wide null-key convention;
+        # the twins COALESCE the DATA columns before the grouping sets
+        # so a data NULL can never collide with the 'ALL' subtotal
+        # marker)
         return (
             pa.table(
                 {
-                    "lang": batch["lang"],
-                    "source": batch["source"],
+                    "lang": pc.fill_null(batch["lang"], ""),
+                    "source": pc.fill_null(batch["source"], ""),
                     "n_chars": batch["n_chars"],
                 }
             )
@@ -245,11 +249,14 @@ def lang_source_rollup(sf_dir: str) -> pd.DataFrame:
 
 
 ROLLUP_SQL = """
+WITH d AS (SELECT COALESCE(lang, '') AS lang,
+                  COALESCE(source, '') AS source, n_chars
+           FROM documents)
 SELECT coalesce(lang, 'ALL') AS lang,
        coalesce(source, 'ALL') AS source,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        count(*) AS n_docs
-FROM documents
+FROM d
 GROUP BY GROUPING SETS ((lang, source), (lang), ())
 ORDER BY lang, source
 """
@@ -276,11 +283,14 @@ def lang_source_cube(sf_dir: str) -> pd.DataFrame:
 
 
 CUBE_SQL = """
+WITH d AS (SELECT COALESCE(lang, '') AS lang,
+                  COALESCE(source, '') AS source, n_chars
+           FROM documents)
 SELECT coalesce(lang, 'ALL') AS lang,
        coalesce(source, 'ALL') AS source,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        count(*) AS n_docs
-FROM documents
+FROM d
 GROUP BY CUBE (lang, source)
 ORDER BY lang, source
 """

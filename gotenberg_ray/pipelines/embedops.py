@@ -1447,10 +1447,14 @@ def doc_embedding_stats(sf_dir: str) -> pd.DataFrame:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        return (
-            batch.select(["lang", "label", "n_chars"])
-            .group_by(["lang", "label"])
-            .aggregate([("n_chars", "sum"), ([], "count_all")])
+        # null lang ≡ '' (engine-wide null-key convention; twin
+        # COALESCEs)
+        t = batch.select(["lang", "label", "n_chars"])
+        t = t.set_column(
+            t.column_names.index("lang"), "lang", pc.fill_null(t["lang"], "")
+        )
+        return t.group_by(["lang", "label"]).aggregate(
+            [("n_chars", "sum"), ([], "count_all")]
         )
 
     df = (
@@ -1474,11 +1478,11 @@ def doc_embedding_stats(sf_dir: str) -> pd.DataFrame:
 
 
 DOC_EMB_SQL = """
-SELECT lang, CAST(label AS BIGINT) AS label,
+SELECT COALESCE(lang, '') AS lang, CAST(label AS BIGINT) AS label,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        count(*) AS n_docs
 FROM documents JOIN embeddings ON doc_id = vec_id
-GROUP BY lang, label
+GROUP BY COALESCE(lang, ''), label
 ORDER BY lang, label
 """
 

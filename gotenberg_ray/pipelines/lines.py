@@ -60,7 +60,7 @@ def _explode_lines(batch: pa.Table) -> pa.Table:
     idx_out: list[np.ndarray] = []
     line_out: list[str] = []
     for i, t in enumerate(batch["text"].to_pylist()):
-        toks = t.split(" ")
+        toks = (t or "").split(" ")  # null text ≡ "" (review-found)
         n_lines = (len(toks) + LINE_TOKENS - 1) // LINE_TOKENS
         line_out.extend(
             " ".join(toks[s : s + LINE_TOKENS])
@@ -172,7 +172,8 @@ LINE_DEDUP_SQL = f"""
 WITH toks AS (
   SELECT doc_id, CAST(i // {LINE_TOKENS} AS BIGINT) AS line_idx, i,
          parts[i + 1] AS tok
-  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+  FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS parts
+        FROM documents),
        LATERAL (SELECT unnest(range(0, len(parts))) AS i)
 ),
 lines AS (

@@ -69,7 +69,7 @@ def _overlay(batch: pa.Table) -> pa.Array:
 
 
 _OVERLAY_SQL = (
-    "text"
+    "COALESCE(text, '')"
     " || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)"
     " || '@example.org' ELSE '' END"
     " || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)"
@@ -297,7 +297,18 @@ def doc_phrase_mentions(sf_dir: str) -> pd.DataFrame:
         g = t.group_by("lang").aggregate(
             [("n_mentions", "sum"), ("n_docs", "sum"), ("n_total", "sum")]
         )
-        return g.rename_columns(["lang", "n_mentions", "n_docs", "n_total"])
+        # select aggregate outputs BY NAME — positional rename_columns
+        # silently mislabels if pyarrow's group_by column order ever
+        # changes across versions (review-found hazard; siblings like
+        # classifier.lang_partial already select by name)
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_mentions": g["n_mentions_sum"],
+                "n_docs": g["n_docs_sum"],
+                "n_total": g["n_total_sum"],
+            }
+        )
 
     df = (
         read_table(sf_dir, "documents", columns=["lang", "text"])

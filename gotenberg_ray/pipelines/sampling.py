@@ -58,7 +58,7 @@ def sample_bernoulli(sf_dir: str, pct: int = 10) -> pd.DataFrame:
 
 SAMPLE_BERNOULLI_SQL = f"""
 SELECT doc_id, lang FROM documents
-WHERE (doc_id * {_KNUTH}) % {_M32} < {10 * _M32 // 100}
+WHERE (CAST(doc_id AS HUGEINT) * {_KNUTH}) % {_M32} < {10 * _M32 // 100}
 ORDER BY doc_id
 """
 
@@ -89,7 +89,7 @@ def sample_bottomk(sf_dir: str, k: int = 100) -> pd.DataFrame:
 
 SAMPLE_BOTTOMK_SQL = f"""
 SELECT doc_id, lang FROM documents
-ORDER BY (doc_id * {_KNUTH}) % {_M32} LIMIT 100
+ORDER BY (CAST(doc_id AS HUGEINT) * {_KNUTH}) % {_M32} LIMIT 100
 """
 # NOTE: the oracle comparator sorts rows, so the ORDER BY above only
 # selects WHICH k rows survive (priorities are unique — no tie risk).
@@ -117,9 +117,12 @@ def sample_stratified(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .to_pandas()
     )
     df = ensure_columns(df, {"doc_id": "int64", "lang": "object", "_pri": "uint64"})
+    # dropna=False: the twin's PARTITION BY lang keeps a NULL stratum —
+    # pandas' default dropna silently discarded those rows while the
+    # local prune forwarded them (review-found silent loss)
     df = (
         df.sort_values(["lang", "_pri"])
-        .groupby("lang", sort=True)
+        .groupby("lang", sort=True, dropna=False)
         .head(k)
         .drop(columns=["_pri"])
     )
@@ -130,7 +133,7 @@ SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
-                            ORDER BY (doc_id * {_KNUTH}) % {_M32}) AS rn
+                            ORDER BY (CAST(doc_id AS HUGEINT) * {_KNUTH}) % {_M32}) AS rn
   FROM documents
 ) WHERE rn <= 20
 ORDER BY doc_id
@@ -159,7 +162,12 @@ def mix_domains(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     counts = ensure_columns(counts, {"source": "object", "count()": "int64"})
+    # null-source convention, mirroring the twin exactly: the total
+    # count INCLUDES null-source rows (tot = count(*)), the weight sum
+    # EXCLUDES them (w is NULL there), and the rows themselves are
+    # dropped (JOIN USING never matches NULL)
     n_total = int(counts["count()"].sum())
+    counts = counts[counts["source"].notna()]
     weights = {
         s: 1 + int(s[3:]) % 4 for s in counts["source"]
     }  # src<i> → deterministic target weight
@@ -173,10 +181,17 @@ def mix_domains(sf_dir: str) -> pd.DataFrame:
     }
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         srcs = batch["source"]
         if isinstance(srcs, pa.ChunkedArray):
             srcs = srcs.combine_chunks()
+        if srcs.null_count:  # twin excludes null-source rows
+            import pyarrow.compute as _pc
+
+            batch = batch.filter(_pc.is_valid(srcs))
+            srcs = batch["source"]
+            if isinstance(srcs, pa.ChunkedArray):
+                srcs = srcs.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         # vectorized threshold gather: dictionary-encode the source
         # column (one lookup per DISTINCT source), then one np.take —
         # no per-row Python in the corpus-scale gate
@@ -212,7 +227,7 @@ th AS (SELECT source,
        FROM wt, tot, sw)
 SELECT d.doc_id, d.source
 FROM documents d JOIN th USING (source)
-WHERE (d.doc_id * {_KNUTH}) % {_M32} < thresh
+WHERE (CAST(d.doc_id AS HUGEINT) * {_KNUTH}) % {_M32} < thresh
 ORDER BY d.doc_id
 """
 
@@ -220,6 +235,7 @@ ORDER BY d.doc_id
 # ------------------------------------- token-budget domain mixing
 
 _TOKBUD_NB = 32  # priority-range buckets per source (order-preserving)
+_NULL_SRC = "\x00null"  # null-source sentinel (no real source starts \x00)
 
 
 def mix_token_budget(sf_dir: str) -> pd.DataFrame:
@@ -257,10 +273,15 @@ def mix_token_budget(sf_dir: str) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         pri = _mix(ids)
         pb = ((pri * np.uint64(_TOKBUD_NB)) >> np.uint64(32)).astype(np.int32)
+        # null sources ride as a sentinel (Ray's sort-based groupby
+        # cannot order None among strings): their tokens count toward
+        # the twin's grand total, they receive no budget, and select()
+        # drops their rows — exactly the twin's NULL semantics
+        src = pc.fill_null(batch["source"], _NULL_SRC)
         return pa.table(
             {
                 "doc_id": pa.array(ids.astype(np.int64)),
-                "source": batch["source"],
+                "source": src,
                 "n_tok": pa.array(n_tok),
                 "pri": pa.array(pri),
                 "pb": pa.array(pb),
@@ -285,10 +306,11 @@ def mix_token_budget(sf_dir: str) -> pd.DataFrame:
     if bt.empty:
         return ensure_columns(pd.DataFrame(), spec)
     per_src = bt.groupby("source")["toks"].sum()
-    total = int(per_src.sum())
-    weights = {s: 1 + int(s[3:]) % 4 for s in per_src.index}
+    total = int(per_src.sum())  # includes the null-source sentinel
+    real = [s for s in per_src.index if s != _NULL_SRC]
+    weights = {s: 1 + int(s[3:]) % 4 for s in real}
     sum_w = sum(weights.values())
-    budget = {s: weights[s] * (total // 4) // sum_w for s in per_src.index}
+    budget = {s: weights[s] * (total // 4) // sum_w for s in real}
     bt = bt.sort_values(["source", "pb"])
     bt["before"] = (
         bt.groupby("source")["toks"].cumsum() - bt["toks"]
@@ -302,7 +324,7 @@ def mix_token_budget(sf_dir: str) -> pd.DataFrame:
         src = part["source"][0].as_py()
         pb = int(part["pb"][0].as_py())
         off = offset[(src, pb)]
-        bud = budget[src]
+        bud = budget.get(src, 0)  # null-source sentinel → no budget
         if off >= bud:  # whole bucket past the budget
             return pa.table(
                 {
@@ -354,7 +376,7 @@ b AS (SELECT wt.source,
 r AS (SELECT d.*,
              coalesce(sum(n_tok) OVER (
                PARTITION BY d.source
-               ORDER BY (doc_id * {_KNUTH}) % {_M32}, doc_id
+               ORDER BY (CAST(doc_id AS HUGEINT) * {_KNUTH}) % {_M32}, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
       FROM d)
 SELECT r.doc_id, r.source, r.n_tok
@@ -378,7 +400,11 @@ def sample_weighted(sf_dir: str, k: int = 100) -> pd.DataFrame:
         w = np.maximum(batch["n_chars"].to_numpy(zero_copy_only=False), 1)
         pri = _mix(ids) // w.astype(np.uint64)
         if len(pri) > k:
-            idx = np.argpartition(pri, k)[:k]
+            # deterministic local prune: ties keep the smallest doc_id
+            # (matching the twin's ORDER BY pri, doc_id) — the //weight
+            # compression CAN collide priorities, and argpartition kept
+            # an arbitrary subset there (review-found layout dependence)
+            idx = np.lexsort((ids, pri))[:k]
             batch = batch.take(pa.array(idx))
             pri = pri[idx]
         return batch.append_column("_pri", pa.array(pri))
@@ -389,7 +415,9 @@ def sample_weighted(sf_dir: str, k: int = 100) -> pd.DataFrame:
         .to_pandas()
     )
     df = ensure_columns(df, {"doc_id": "int64", "n_chars": "int64", "_pri": "uint64"})
-    df = df.nsmallest(k, "_pri").drop(columns=["_pri"])
+    df = (
+        df.sort_values(["_pri", "doc_id"]).head(k).drop(columns=["_pri"])
+    )
     df["doc_id"] = df["doc_id"].astype("int64")
     df["n_chars"] = df["n_chars"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -397,12 +425,13 @@ def sample_weighted(sf_dir: str, k: int = 100) -> pd.DataFrame:
 
 SAMPLE_WEIGHTED_SQL = f"""
 SELECT doc_id, n_chars FROM documents
-ORDER BY ((doc_id * {_KNUTH}) % {_M32}) // greatest(n_chars, 1)
+ORDER BY ((CAST(doc_id AS HUGEINT) * {_KNUTH}) % {_M32}) // greatest(n_chars, 1),
+         doc_id
 LIMIT 100
 """
-# priorities are near-unique (distinct hash // weight); a tie at the
-# k-boundary would be nondeterministic, so the pytest oracle also
-# verifies the boundary is strict on this corpus.
+# priorities CAN collide after the //weight compression; both sides
+# break ties by doc_id, so the selected set is layout- and
+# engine-invariant even when a tie straddles the k-boundary.
 
 
 # ------------------------------------------- leakage-guarded split
@@ -435,12 +464,16 @@ def split_by_group(sf_dir: str) -> pd.DataFrame:
     def cells(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        t = pa.table(
-            {
-                "source": pc.fill_null(batch["source"], ""),
-                "n_chars": batch["n_chars"],
-            }
-        )
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table({"source": src, "n_chars": batch["n_chars"]})
+        if src.null_count:
+            # the twin's JOIN USING(source) never matches NULL keys —
+            # drop null-source rows instead of folding them into the
+            # '' bucket (which also merged them with a REAL '' source;
+            # review-found divergence)
+            t = t.filter(pc.is_valid(src))
         g = t.group_by("source").aggregate([("n_chars", "sum"), ([], "count_all")])
         return pa.table(
             {

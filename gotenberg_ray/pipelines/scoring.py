@@ -51,7 +51,10 @@ def _batch_token_stream(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All tokens of the batch as one object array + per-token doc
     index + per-doc token counts."""
-    toks_per_doc = [t.split(" ") for t in batch["text"].to_pylist()]
+    toks_per_doc = [
+        (t or "").split(" ")  # null text ≡ "" (null-sweep convention)
+        for t in batch["text"].to_pylist()
+    ]
     counts = np.array([len(t) for t in toks_per_doc], np.int64)
     flat = np.array(
         [tok for toks in toks_per_doc for tok in toks], dtype=object
@@ -200,7 +203,8 @@ def doc_lm_score(sf_dir: str) -> pd.DataFrame:
 LM_SCORE_SQL = f"""
 WITH toks AS (
   SELECT doc_id, parts[i + 1] AS a, parts[i + 2] AS b
-  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+  FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS parts
+        FROM documents),
        LATERAL (SELECT unnest(range(0, len(parts) - 1)) AS i)
 ),
 pair_c AS (SELECT a, b, count(*) AS c FROM toks GROUP BY a, b),

@@ -46,8 +46,22 @@ def _docs(sf_dir: str, columns=None) -> rd.Dataset:
 # ----------------------------------------------------------------- analysis
 
 
+def _fill_lang(batch: pa.Table) -> pa.Table:
+    """Engine-wide null-key convention for the lang/source analysis
+    family: a null lang ≡ '' (Ray's sort-based string groupby cannot
+    order None; the DuckDB twins mirror with COALESCE(lang, ''))."""
+    import pyarrow.compute as _pc
+
+    i = batch.column_names.index("lang")
+    return batch.set_column(i, "lang", _pc.fill_null(batch["lang"], ""))
+
+
 def doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
-    ds = _docs(sf_dir, ["lang", "n_chars"])
+    # engine-wide convention: null lang ≡ '' (Ray's sort-based groupby
+    # cannot order None among strings; twins mirror with COALESCE)
+    ds = _docs(sf_dir, ["lang", "n_chars"]).map_batches(
+        _fill_lang, batch_format="pyarrow"
+    )
     df = (
         ds.groupby("lang")
         .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
@@ -63,9 +77,10 @@ def doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
 
 
 DOC_STATS_SQL = """
-SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+SELECT COALESCE(lang, '') AS lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        (CAST(sum(n_chars) AS BIGINT) * 10000) // count(*) AS avg_chars_e4
-FROM documents GROUP BY lang ORDER BY lang
+FROM documents GROUP BY COALESCE(lang, '') ORDER BY lang
 """
 
 
@@ -85,7 +100,7 @@ def doc_token_counts(sf_dir: str) -> pd.DataFrame:
 
 DOC_TOKENS_SQL = """
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
+       CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
 FROM documents ORDER BY doc_id
 """
@@ -108,7 +123,7 @@ def doc_quality(sf_dir: str) -> pd.DataFrame:
 DOC_QUALITY_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN []::VARCHAR[]
               ELSE string_split_regex(trim(text), '\\s+') END AS t
   FROM documents
 )
@@ -130,8 +145,13 @@ def lang_id_confusion(sf_dir: str) -> pd.DataFrame:
     — the classifier isn't SQL-expressible)."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
         pred = T.predict_lang(batch["text"].to_pylist())
-        return pa.table({"lang": batch["lang"], "predicted": pa.array(pred, pa.string())})
+        return pa.table(
+            {"lang": _pc.fill_null(batch["lang"], ""),
+             "predicted": pa.array(pred, pa.string())}
+        )
 
     df = (
         _docs(sf_dir, ["text", "lang"])
@@ -233,7 +253,8 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 NGRAM_JACCARD_SQL = r"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     t -> t <> '') AS toks
   FROM documents
 ),
 g AS (
@@ -1070,7 +1091,8 @@ def dedup_ngram_containment(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame
 NGRAM_CONTAINMENT_SQL = r"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     t -> t <> '') AS toks
   FROM documents
 ),
 g AS (
@@ -1445,7 +1467,10 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 20) -> pd.DataFrame:
         n_tok = np.bincount(parents[nonempty], minlength=batch.num_rows)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         keep = (n_tok >= min_tokens) & ~np.isin(ids, drop_ids)
-        return pa.table({"lang": batch["lang"].filter(pa.array(keep))})
+        # null lang ≡ '' (the _fill_lang convention; twin COALESCEs)
+        return pa.table(
+            {"lang": pc.fill_null(batch["lang"].filter(pa.array(keep)), "")}
+        )
 
     df = (
         _docs(sf_dir, ["doc_id", "text", "lang"])
@@ -1464,12 +1489,14 @@ def curation_pipeline(sf_dir: str, min_tokens: int = 20) -> pd.DataFrame:
 CURATION_SQL = (
     """
 WITH q AS (
-  SELECT doc_id, lang,
-         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+  SELECT doc_id, COALESCE(lang, '') AS lang,
+         len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                         t -> t <> ''))
            AS n_tokens
   FROM documents
 ),
-exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents
+               GROUP BY COALESCE(text, '')),
 clusters AS ("""
     + CLUSTERS_SQL
     + """),
@@ -1648,7 +1675,8 @@ def normalize_text(sf_dir: str) -> pd.DataFrame:
 
 NORMALIZE_SQL = r"""
 SELECT doc_id,
-       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
+       trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g'))
+         AS text_norm
 FROM documents ORDER BY doc_id
 """
 
