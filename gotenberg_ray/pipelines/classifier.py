@@ -271,22 +271,75 @@ def quality_classifier(sf_dir: str) -> pd.DataFrame:
         ).astype({"metric": "object", "value": "int64"})
     w = train_weights(feats)
 
-    def hist_partial(batch: pa.Table) -> pa.Table:
+    def serve_partial(batch: pa.Table) -> pa.Table:
+        """ONE scoring pass feeds BOTH serving consumers (the former
+        hist_partial/lang_partial each recomputed eta+sigmoid over the
+        whole feature table — review-found double scan): per-lang
+        score partials ride as rows, the 20,002-cell histogram rides
+        as one null-lang sentinel row (lang itself is fill_null'd to
+        '' per the engine's null-key convention, so the sentinel can't
+        collide)."""
+        import pyarrow.compute as _pc
+
         X, y = _xy(batch)
         score = np.round(_sigmoid(_eta(X, w)) * 10_000).astype(np.int64)
         cells = np.bincount(score * 2 + y, minlength=20_002).astype(np.int64)
-        return pa.table({"part": pa.array([cells.tolist()], pa.list_(pa.int64()))})
+        t = pa.table(
+            {"lang": _pc.fill_null(batch["lang"], ""), "s": pa.array(score)}
+        )
+        g = t.group_by("lang").aggregate([("s", "sum"), ("s", "count")])
+        nl = g.num_rows
+        lang_col = g["lang"]
+        if isinstance(lang_col, pa.ChunkedArray):
+            lang_col = lang_col.combine_chunks()
+        return pa.table(
+            {
+                "lang": pa.concat_arrays(
+                    [lang_col, pa.array([None], pa.string())]
+                ),
+                "s_sum": pa.concat_arrays(
+                    [_pc.cast(g["s_sum"], pa.int64()).combine_chunks()
+                     if isinstance(g["s_sum"], pa.ChunkedArray)
+                     else _pc.cast(g["s_sum"], pa.int64()),
+                     pa.array([0], pa.int64())]
+                ),
+                "s_count": pa.concat_arrays(
+                    [_pc.cast(g["s_count"], pa.int64()).combine_chunks()
+                     if isinstance(g["s_count"], pa.ChunkedArray)
+                     else _pc.cast(g["s_count"], pa.int64()),
+                     pa.array([0], pa.int64())]
+                ),
+                "part": pa.concat_arrays(
+                    [pa.nulls(nl, pa.list_(pa.int64())),
+                     pa.array([cells.tolist()], pa.list_(pa.int64()))]
+                ),
+            }
+        )
 
-    hist = _tree_sum(feats.map_batches(hist_partial, batch_format="pyarrow"), 20_002)
+    # partials are tiny (blocks × (langs+1) rows) — materialize once so
+    # the two folds below don't re-execute the scoring map
+    partials = feats.map_batches(
+        serve_partial, batch_format="pyarrow"
+    ).materialize()
 
-    def lang_partial(batch: pa.Table) -> pa.Table:
-        X, _ = _xy(batch)
-        score = np.round(_sigmoid(_eta(X, w)) * 10_000).astype(np.int64)
-        t = pa.table({"lang": batch["lang"], "s": pa.array(score)})
-        return t.group_by("lang").aggregate([("s", "sum"), ("s", "count")])
+    def keep_hist(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return b.filter(_pc.is_valid(b["part"])).select(["part"])
+
+    hist = _tree_sum(
+        partials.map_batches(keep_hist, batch_format="pyarrow"), 20_002
+    )
+
+    def keep_lang(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return b.filter(_pc.is_valid(b["lang"])).select(
+            ["lang", "s_sum", "s_count"]
+        )
 
     lang_rows = (
-        feats.map_batches(lang_partial, batch_format="pyarrow")
+        partials.map_batches(keep_lang, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(Sum("s_sum", alias_name="s"), Sum("s_count", alias_name="c"))
         .to_pandas()

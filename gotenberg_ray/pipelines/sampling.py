@@ -546,25 +546,61 @@ _DSIR_SAMPLE_K = 4096  # threshold sample (quantile_sketch posture)
 
 
 def _dsir_flat_grams(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Batch → (flat bucket ids, per-doc gram counts): hashed unigrams
-    + bigrams of whitespace-lowercased words, ONE vectorized fnv64 call
-    over the flattened gram list (no per-token Python hashing)."""
+    """Batch → (flat bucket ids, per-gram DOC INDEX), both sorted by
+    (doc, bucket): hashed unigrams + bigrams of whitespace-lowercased
+    words — ALL C kernels (arrow lower/split for tokens, one
+    take + binary_join for the bigram strings, one fnv64 per stream;
+    the former per-document Python loop built every gram string in the
+    interpreter across the two hottest dsir scans — review-found). The
+    (doc, bucket) sort makes downstream float folds content-ordered
+    (layout-invariant), the engine-wide determinism convention."""
+    import pyarrow.compute as pc
+
     from ..functions.hashing import fnv64
 
-    grams: list[str] = []
-    counts = np.empty(len(texts), np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        n0 = len(grams)
-        grams.extend(toks)
-        grams.extend(a + " " + b for a, b in zip(toks, toks[1:]))
-        counts[i] = len(grams) - n0
-    if not grams:
-        return np.empty(0, np.int64), counts
-    buckets = (fnv64(pa.array(grams, pa.string())) % np.uint64(DSIR_BUCKETS)).astype(
-        np.int64
+    arr = (
+        texts
+        if isinstance(texts, (pa.Array, pa.ChunkedArray))
+        else pa.array([t if t is not None else "" for t in texts], pa.string())
     )
-    return buckets, counts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.utf8_lower(pc.fill_null(arr, ""))
+    toks = pc.utf8_split_whitespace(arr)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = toks.values
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+    n = len(arr)
+    if len(parents) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lens = np.bincount(parents, minlength=n).astype(np.int64)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    full = np.maximum(lens - 1, 0)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), full)
+    within = np.arange(int(full.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(full) - full, full
+    )
+    starts = offs[:-1][row_of] + within
+    u_hash = fnv64(flat)
+    if len(starts):
+        bigr = pc.binary_join_element_wise(
+            flat.take(pa.array(starts)),
+            flat.take(pa.array(starts + 1)),
+            pa.scalar(" "),
+        )
+        b_hash = fnv64(bigr)
+    else:
+        b_hash = np.empty(0, np.uint64)
+    buckets = (
+        np.concatenate([u_hash, b_hash]) % np.uint64(DSIR_BUCKETS)
+    ).astype(np.int64)
+    doc_idx = np.concatenate([parents, row_of]).astype(np.int64)
+    order = np.lexsort((buckets, doc_idx))
+    return buckets[order], doc_idx[order]
 
 
 def dsir_select(sf_dir: str) -> pd.DataFrame:
@@ -601,11 +637,11 @@ def dsir_select(sf_dir: str) -> pd.DataFrame:
     def hist(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
-        buckets, counts = _dsir_flat_grams(texts)
+        buckets, doc_idx = _dsir_flat_grams(texts)
         raw = np.zeros(DSIR_BUCKETS, np.int64)
         tgt = np.zeros(DSIR_BUCKETS, np.int64)
         np.add.at(raw, buckets, 1)
-        is_tgt = np.repeat(langs == "en", counts)
+        is_tgt = (langs == "en")[doc_idx]
         np.add.at(tgt, buckets[is_tgt], 1)
         nz = np.flatnonzero(raw)
         return pa.table(
@@ -642,14 +678,18 @@ def dsir_select(sf_dir: str) -> pd.DataFrame:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            buckets, counts = _dsir_flat_grams(batch["text"].to_pylist())
-            offsets = np.r_[0, np.cumsum(counts)[:-1]]
-            vals = self.w[buckets] if len(buckets) else np.empty(0)
+            buckets, doc_idx = _dsir_flat_grams(batch["text"])
             scores = np.zeros(len(ids))
-            nonempty = counts > 0
-            if nonempty.any():
-                sums = np.add.reduceat(vals, offsets[nonempty])
-                scores[nonempty] = sums
+            if len(buckets):
+                vals = self.w[buckets]
+                # doc-contiguous stream (sorted by (doc, bucket) in the
+                # gram kernel) → one reduceat; fold order is
+                # content-determined, layout-invariant
+                starts = np.flatnonzero(
+                    np.r_[True, doc_idx[1:] != doc_idx[:-1]]
+                )
+                sums = np.add.reduceat(vals, starts)
+                scores[doc_idx[starts]] = sums
             return pa.table(
                 {
                     "doc_id": pa.array(ids),
